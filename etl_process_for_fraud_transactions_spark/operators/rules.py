@@ -1,0 +1,213 @@
+"""The five fraud-detection rules as DataFrame -> DataFrame operators.
+
+Re-expresses the reference's 147-line report SQL (main.py:414-560) as
+named, reusable pipeline stages. Rule semantics (CASE priority order,
+main.py:537-542):
+
+1. blocked passport   — passport in the blacklist fact
+2. expired passport   — passport_valid_to < trans_date
+3. invalid contract   — account valid_to < trans_date
+4. different cities   — same card used in two different cities within
+                        one hour (theta self-join, main.py:428-436)
+5. brute force        — >3 attempts in a 20-minute window containing
+                        both REJECT and SUCCESS, where the 4 earliest
+                        attempts have strictly decreasing amounts and
+                        end REJECT,REJECT,REJECT,SUCCESS
+                        (main.py:444-530)
+
+Determinism deviations from the reference (documented, SURVEY.md §5.2):
+- both row_number orderings carry `trans_id_20min` as a tie-breaker
+  (the reference's ties are nondeterministic in any engine);
+- the `h.deleted_flg` predicate at main.py:549 references a column its
+  CTE doesn't produce (reference bug) — dropped (§7.4);
+- event_type labels are stable ASCII constants instead of the
+  reference's localized strings.
+
+Scale notes: dimension chains broadcast (dims ≪ fact); the two
+self-joins use the bucketed rewrite from operators.rangejoin; the
+HAVING-membership test uses a conditional-aggregation decomposition
+(max(CASE)) rather than materializing array_agg per group — same truth
+value, no array buffers at scale (SURVEY.md §2.5 A2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .rangejoin import bucketed_abs_window_self_join, bucketed_interval_self_join
+
+HOUR_US = 3600 * 1_000_000
+TWENTY_MIN_US = 20 * 60 * 1_000_000
+
+# Stable ASCII analogs of the reference's localized labels
+# (main.py:537-542, priority order preserved).
+EV_BLOCKED_PASSPORT = "BLOCKED_PASSPORT"
+EV_EXPIRED_PASSPORT = "EXPIRED_PASSPORT"
+EV_INVALID_CONTRACT = "INVALID_CONTRACT"
+EV_DIFF_CITY = "DIFF_CITY_SHORT_TIME"
+EV_BRUTE_FORCE = "BRUTE_FORCE_ATTEMPT"
+
+
+def _current(dim: DataFrame) -> DataFrame:
+    # deleted_flg=false residual applied pre-join so it pushes down to
+    # the dim scan (main.py:423-426).
+    return dim.filter(F.col("deleted_flg") == F.lit(False))
+
+
+def resolve_transactions(
+    trans: DataFrame,
+    cards: DataFrame,
+    accounts: DataFrame,
+    clients: DataFrame,
+    terminals: DataFrame | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """4-hop snowflake resolution fact -> cards -> accounts -> clients
+    (-> terminals), the J1/J2 join chain (main.py:415-427, 437-443).
+
+    Dims are broadcast — they are orders of magnitude smaller than the
+    fact at any scale where this schema makes sense, so the fact never
+    shuffles here. Output is explicitly projected (Spark requires
+    disambiguation where the reference leaned on `SELECT *`).
+    """
+    t = trans.alias("t")
+    car = F.broadcast(_current(cards).alias("car"))
+    acc = F.broadcast(_current(accounts).alias("acc"))
+    cl = F.broadcast(_current(clients).alias("cl"))
+    out = (
+        t.join(car, F.col("t.card_num") == F.col("car.card_num"), how)
+        .join(acc, F.col("car.account_num") == F.col("acc.account_num"), how)
+        .join(cl, F.col("acc.client") == F.col("cl.client_id"), how)
+    )
+    cols = [
+        F.col("t.trans_id").alias("trans_id"),
+        F.col("t.trans_date").alias("trans_date"),
+        F.col("t.card_num").alias("card_num"),
+        F.col("t.oper_type").alias("oper_type"),
+        F.col("t.amt").alias("amt"),
+        F.col("t.oper_result").alias("oper_result"),
+        F.col("t.terminal").alias("terminal"),
+        F.col("acc.valid_to").alias("account_valid_to"),
+        F.col("cl.client_id").alias("client_id"),
+        F.col("cl.passport_num").alias("passport_num"),
+        F.col("cl.passport_valid_to").alias("passport_valid_to"),
+        F.col("cl.first_name").alias("first_name"),
+        F.col("cl.patrinymic").alias("patrinymic"),
+        F.col("cl.last_name").alias("last_name"),
+        F.col("cl.phone").alias("phone"),
+    ]
+    if terminals is not None:
+        term = F.broadcast(_current(terminals).alias("term"))
+        out = out.join(term, F.col("t.terminal") == F.col("term.terminal_id"), how)
+        cols.append(F.col("term.terminal_city").alias("terminal_city"))
+    return out.select(*cols)
+
+
+def rule_diff_city_1h(resolved: DataFrame) -> DataFrame:
+    """Rule 4: same card, two cities, within one hour (main.py:428-436).
+    Input must be the terminal-resolved chain. Returns distinct
+    (trans_id, client_id)."""
+    base = resolved.select("card_num", "trans_id", "trans_date", "terminal_city", "client_id")
+    pairs = bucketed_abs_window_self_join(
+        base,
+        key_cols=["card_num"],
+        ts_col="trans_date",
+        window_us=HOUR_US,
+        residual=F.col("a.terminal_city") != F.col("b.terminal_city"),
+    )
+    return pairs.select(
+        F.col("a.trans_id").alias("trans_id"),
+        F.col("a.client_id").alias("client_id"),
+    ).distinct()
+
+
+def brute_force_windows(resolved: DataFrame) -> DataFrame:
+    """`joined_req` (main.py:444-457): per client, every pair of
+    transactions within [start, start + 20 min]."""
+    base = resolved.select(
+        "client_id", "passport_num", "trans_id", "amt", "trans_date", "oper_result"
+    )
+    pairs = bucketed_interval_self_join(
+        base, key_cols=["client_id"], ts_col="trans_date", window_us=TWENTY_MIN_US
+    )
+    return pairs.select(
+        F.col("r1.client_id").alias("client_id"),
+        F.col("r1.passport_num").alias("passport_num"),
+        F.col("r1.trans_id").alias("trans_id_start"),
+        F.col("r2.trans_id").alias("trans_id_20min"),
+        F.col("r1.amt").alias("amt_start"),
+        F.col("r2.amt").alias("amt_20min"),
+        F.col("r1.trans_date").alias("trans_date_start"),
+        F.col("r2.trans_date").alias("trans_date_20min"),
+        F.col("r2.oper_result").alias("oper_result"),
+    )
+
+
+def rule_brute_force_20min(resolved: DataFrame) -> DataFrame:
+    """Rule 5 (main.py:444-530). Returns (client_id, trans_id) where
+    trans_id is the window-starting transaction."""
+    joined_req = brute_force_windows(resolved)
+
+    # selected_req (main.py:458-467): >3 attempts, both outcomes present.
+    selected_req = (
+        joined_req.groupBy("client_id", "trans_id_start")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max(F.when(F.col("oper_result") == "SUCCESS", 1).otherwise(0)).alias("has_success"),
+            F.max(F.when(F.col("oper_result") == "REJECT", 1).otherwise(0)).alias("has_reject"),
+        )
+        .filter((F.col("cnt") > 3) & (F.col("has_success") == 1) & (F.col("has_reject") == 1))
+        .select("client_id", "trans_id_start")
+    )
+
+    # sorted_req (main.py:468-474): rank attempts by time.
+    w_time = Window.partitionBy("client_id", "trans_id_start").orderBy(
+        F.asc("trans_date_20min"), F.asc("trans_id_20min")
+    )
+    sorted_req = joined_req.join(
+        selected_req, ["client_id", "trans_id_start"], "inner"
+    ).withColumn("rn_datetime", F.row_number().over(w_time))
+
+    # sorted_4w_only (main.py:475-482): first four attempts, ranked by amount.
+    w_amt = Window.partitionBy("client_id", "trans_id_start").orderBy(
+        F.desc("amt_20min"), F.asc("trans_id_20min")
+    )
+    sorted_4w = sorted_req.filter(F.col("rn_datetime").isin(1, 2, 3, 4)).withColumn(
+        "rn_amt", F.row_number().over(w_amt)
+    )
+
+    # only_sorted_trans_amt (main.py:483-493): amounts strictly
+    # decreasing across the four time-ordered attempts.
+    only_sorted = (
+        sorted_4w.filter(F.col("rn_amt") == F.col("rn_datetime"))
+        .groupBy("client_id", "trans_id_start")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == 4)
+        .select("client_id", "trans_id_start")
+    )
+
+    # fraud_start_here (main.py:494-522): REJECT,REJECT,REJECT,SUCCESS —
+    # the reference expresses this as a 4-way INTERSECT; preserved
+    # verbatim (it also demonstrates the set operator, §2.8 U1).
+    def branch(rn: int, result: str) -> DataFrame:
+        return (
+            sorted_4w.join(only_sorted, ["client_id", "trans_id_start"], "inner")
+            .filter((F.col("rn_datetime") == rn) & (F.col("oper_result") == result))
+            .select("client_id", "trans_id_start")
+        )
+
+    fraud_start = (
+        branch(4, "SUCCESS")
+        .intersect(branch(3, "REJECT"))
+        .intersect(branch(2, "REJECT"))
+        .intersect(branch(1, "REJECT"))
+    )
+
+    # reassembly_of_amounts (main.py:523-530): report the starting txn.
+    return (
+        sorted_4w.join(fraud_start, ["client_id", "trans_id_start"], "inner")
+        .filter(F.col("rn_datetime") == 4)
+        .select("client_id", F.col("trans_id_start").alias("trans_id"))
+    )

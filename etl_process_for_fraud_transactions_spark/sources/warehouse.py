@@ -1,0 +1,83 @@
+"""Parquet warehouse: append facts, atomically snapshot-overwrite dims.
+
+Parquet is immutable, so the reference's SCD2 close-out UPDATE
+(main.py:142-160) becomes read -> rewrite -> atomic swap. The hazard is
+reading and overwriting the same path within one lazy plan (SURVEY.md
+§4.3.2): `atomic_overwrite` materializes to a temp dir first, then
+swaps directories on the driver, so the input is fully consumed before
+the target is touched and a crash mid-write never corrupts the table.
+
+At cluster scale the same pattern holds on an object store (write to a
+new prefix, flip a pointer/manifest); Delta/Iceberg MERGE is the
+managed-table equivalent, deliberately not required here to keep the
+engine dependency-free.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def atomic_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Write `df` to `path` via temp-dir + atomic swap. Safe when `df`
+    was itself read from `path` (the temp write materializes it)."""
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+class Warehouse:
+    """Minimal warehouse over a directory of parquet tables.
+
+    - dims: snapshot-overwritten (SCD2 rewrite, operators.scd2)
+    - facts: append-only (reference main.py:382-410), partitioned by the
+      batch date so a re-run of one date is an idempotent overwrite of
+      that partition rather than a duplicate append.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.exists(p) and any(
+            f.endswith(".parquet") or f.startswith("part-") or f == "_SUCCESS"
+            for root_, _, files in os.walk(p)
+            for f in files
+        )
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        atomic_overwrite(df, self.path(table))
+
+    def append(self, table: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path(table))
+
+    def append_partitioned(self, table: str, df: DataFrame, partition_col: str) -> None:
+        """Idempotent per-batch append: dynamic partition overwrite of
+        just the partitions present in `df`."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(self.path(table))
+        )

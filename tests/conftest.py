@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_process_for_fraud_transactions_spark.session import get_spark  # noqa: E402
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_SMALL = os.path.join(TESTDATA, "sf0.001")
+SF_ORACLE = os.path.join(TESTDATA, "sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    s = get_spark("etl-fraud-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    return con
+
+
+def register_views(con, sf_dir: str) -> None:
+    """Mirror the driver's DuckDB setup: each parquet table as a view."""
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+
+def compare_with_oracle(spark, con, fn, sql, sf_dir, float_rel=1e-12):
+    """Local replica of the driver's t2 gate: row count, column names,
+    order-insensitive values."""
+    import math
+
+    sdf = fn(spark, sf_dir).toPandas()
+    register_views(con, sf_dir)
+    odf = con.execute(sql).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"columns differ: {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), f"row count {len(sdf)} vs {len(odf)}"
+    cols = sorted(sdf.columns)
+
+    def norm(df):
+        rows = []
+        for tup in df[cols].itertuples(index=False):
+            row = []
+            for v in tup:
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    row.append(None)
+                elif isinstance(v, float):
+                    row.append(round(v, 9))
+                else:
+                    row.append(str(v))
+            rows.append(tuple(row))
+        return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+    a, b = norm(sdf), norm(odf)
+    mismatches = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:5]
+    assert a == b, f"value mismatch at sorted rows {mismatches}: " + "; ".join(
+        f"{a[i]} != {b[i]}" for i in mismatches
+    )

@@ -1,0 +1,27 @@
+"""Local replica of the driver's t2 correctness gate: every queries()
+entry with an oracle must match DuckDB on the same parquet, at sf0.001
+(fast) — the driver runs the same at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_process_for_fraud_transactions_spark.plans import QUERIES, ORACLE
+
+from .conftest import SF_SMALL, compare_with_oracle
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE.keys()))
+def test_query_matches_oracle(spark, duck, name):
+    compare_with_oracle(spark, duck, QUERIES[name], ORACLE[name], SF_SMALL)
+
+
+def test_all_oracle_keys_have_queries():
+    assert set(ORACLE.keys()) <= set(QUERIES.keys())
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
