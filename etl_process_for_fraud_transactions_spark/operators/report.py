@@ -17,6 +17,7 @@ from .rules import (
     EV_DIFF_CITY,
     EV_EXPIRED_PASSPORT,
     EV_INVALID_CONTRACT,
+    attach_terminal_city,
     resolve_transactions,
     rule_brute_force_20min,
     rule_diff_city_1h,
@@ -40,11 +41,17 @@ def assemble_report(
     self-join rules and the final assembly.
     """
     resolved = resolve_transactions(
-        trans, cards, accounts, clients, terminals=terminals, how="inner"
-    )
-    resolved.cache()
+        trans, cards, accounts, clients, terminals=None, how="inner"
+    ).persist()
 
-    diff_city = rule_diff_city_1h(resolved).alias("h")
+    # Rule 4 needs the terminal city (city_of_transactions CTE,
+    # main.py:415-427); rule 5 deliberately does not join terminals
+    # (req_start_for_4_rule, main.py:437-443) — an inner terminal join
+    # there would drop transactions at unknown terminals from the
+    # brute-force scan, changing its semantics.
+    diff_city = rule_diff_city_1h(
+        attach_terminal_city(resolved, terminals)
+    ).alias("h")
     brute = rule_brute_force_20min(resolved).alias("r")
 
     # Final assembly uses LEFT joins (main.py:544-550): a transaction

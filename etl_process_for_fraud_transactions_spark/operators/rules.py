@@ -105,6 +105,18 @@ def resolve_transactions(
     return out.select(*cols)
 
 
+def attach_terminal_city(resolved: DataFrame, terminals: DataFrame, how: str = "inner") -> DataFrame:
+    """Join terminal_city onto an already client-resolved frame
+    (broadcast). Lets the 3-hop chain be computed once and shared
+    between the terminal-needing rule 4 and the terminal-free rule 5
+    (the reference recomputes the chain per CTE — main.py:415-443)."""
+    term = F.broadcast(_current(terminals).alias("term"))
+    r = resolved.alias("rsv")
+    return r.join(term, F.col("rsv.terminal") == F.col("term.terminal_id"), how).select(
+        "rsv.*", F.col("term.terminal_city").alias("terminal_city")
+    )
+
+
 def rule_diff_city_1h(resolved: DataFrame) -> DataFrame:
     """Rule 4: same card, two cities, within one hour (main.py:428-436).
     Input must be the terminal-resolved chain. Returns distinct
@@ -187,6 +199,11 @@ def rule_brute_force_20min(resolved: DataFrame) -> DataFrame:
         .filter(F.col("cnt") == 4)
         .select("client_id", "trans_id_start")
     )
+
+    # The 4-way INTERSECT below re-reads sorted_4w once per branch;
+    # cache it (it is already reduced to candidate windows only) so the
+    # interval join + double window sort run once, not four times.
+    sorted_4w = sorted_4w.persist()
 
     # fraud_start_here (main.py:494-522): REJECT,REJECT,REJECT,SUCCESS —
     # the reference expresses this as a 4-way INTERSECT; preserved
