@@ -1,0 +1,1 @@
+from .daily import DailyFraudJob  # noqa: F401

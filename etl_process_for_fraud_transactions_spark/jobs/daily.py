@@ -1,0 +1,182 @@
+"""Daily batch orchestration — the engine-native analog of the
+reference's whole main.py flow (discover dates -> stage -> archive ->
+SCD2 x4 -> facts -> five-rule report), per SURVEY.md §3.1.
+
+Differences by design (SURVEY.md §1.3, §2.12):
+- staging is ephemeral DataFrames (no truncate/reload dance);
+- dims are snapshot-rewritten atomically; facts are appended with
+  dynamic partition overwrite on the batch date, so re-running a date
+  is idempotent instead of silently duplicating (reference T1/T2);
+- errors fail fast (the reference swallows staging-cleanup errors and
+  keeps going, main.py:52-60 — a defect, not a capability).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.core import ddmmyyyy_to_date
+from ..operators.report import assemble_report
+from ..operators.scd2 import scd2_apply, scd2_current
+from ..schemas import DIMENSIONS
+from ..sources.files import archive_batch_files, discover_batch_dates
+from ..sources.ingest import read_excel_sheet, read_semicolon_csv
+from ..sources.warehouse import Warehouse
+
+
+class DailyFraudJob:
+    """Per-date pipeline over a directory of dated input files plus a
+    parquet 'source DB' directory (the info.clients/accounts/cards
+    analog, reference main.py:75-92)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        source_dir: str,
+        warehouse_root: str,
+        archive: bool = True,
+    ):
+        self.spark = spark
+        self.input_dir = input_dir
+        self.source_dir = source_dir
+        self.wh = Warehouse(spark, warehouse_root)
+        self.archive = archive
+
+    # -- staging ------------------------------------------------------------
+
+    def _stage_transactions(self, date: str) -> DataFrame:
+        path = os.path.join(self.input_dir, f"transactions_{date}.txt")
+        df = read_semicolon_csv(
+            self.spark,
+            path,
+            decimal_cols=["amount"],
+            renames={
+                "transaction_id": "trans_id",
+                "transaction_date": "trans_date",
+                "amount": "amt",
+            },
+            select=[
+                "transaction_id",
+                "transaction_date",
+                "card_num",
+                "oper_type",
+                "amount",
+                "oper_result",
+                "terminal",
+            ],
+        )
+        return df.withColumn("trans_date", F.col("trans_date").cast("timestamp_ntz"))
+
+    def _stage_sheet(self, date: str, stem: str, sheet: str) -> DataFrame:
+        """terminals_/passport_blacklist_ file: xlsx when present
+        (reference format), else a CSV fallback with the same columns."""
+        xlsx = os.path.join(self.input_dir, f"{stem}_{date}.xlsx")
+        if os.path.exists(xlsx):
+            return read_excel_sheet(self.spark, xlsx, sheet)
+        csv = os.path.join(self.input_dir, f"{stem}_{date}.csv")
+        return (
+            self.spark.read.option("header", "true").option("inferSchema", "false").csv(csv)
+        )
+
+    def _stage_terminals(self, date: str) -> DataFrame:
+        return self._stage_sheet(date, "terminals", "terminals")
+
+    def _stage_blacklist(self, date: str) -> DataFrame:
+        df = self._stage_sheet(date, "passport_blacklist", "blacklist")
+        return df.select(
+            F.col("passport").alias("passport_num"),
+            F.col("date").cast("date").alias("entry_dt"),
+        )
+
+    def _stage_source_table(self, name: str) -> DataFrame:
+        df = self.spark.read.parquet(os.path.join(self.source_dir, f"{name}.parquet"))
+        if name == "clients":
+            return df.select(
+                "client_id",
+                "last_name",
+                "first_name",
+                F.col("patronymic").alias("patrinymic"),
+                "date_of_birth",
+                "passport_num",
+                "passport_valid_to",
+                "phone",
+            )
+        if name == "accounts":
+            return df.select(
+                F.col("account").alias("account_num"), "valid_to", "client"
+            )
+        if name == "cards":
+            return df.select("card_num", F.col("account").alias("account_num"))
+        raise ValueError(name)
+
+    # -- per-date pipeline --------------------------------------------------
+
+    def run_batch(self, date: str) -> DataFrame:
+        batch = ddmmyyyy_to_date(date)
+
+        staging = {
+            "clients": self._stage_source_table("clients"),
+            "accounts": self._stage_source_table("accounts"),
+            "cards": self._stage_source_table("cards"),
+            "terminals": self._stage_terminals(date),
+        }
+
+        trans = self._stage_transactions(date)
+        blacklist = self._stage_blacklist(date)
+
+        # NB: the reference archives right after pandas' eager read
+        # (main.py:117); Spark reads lazily, so archival must wait until
+        # every write below has actually consumed the input files.
+
+        # SCD2 x4 (main.py:121-379)
+        for name, (keys, attrs) in DIMENSIONS.items():
+            dim = self.wh.read(f"dim_{name}_hist") if self.wh.exists(f"dim_{name}_hist") else None
+            hist = scd2_apply(dim, staging[name], keys, attrs, batch)
+            self.wh.overwrite(f"dim_{name}_hist", hist)
+
+        # blacklist fact: insert-if-absent (J9, main.py:382-394)
+        if self.wh.exists("fact_passport_blacklist"):
+            existing = self.wh.read("fact_passport_blacklist")
+            fresh = blacklist.join(existing, "passport_num", "left_anti")
+            self.wh.append("fact_passport_blacklist", fresh)
+        else:
+            self.wh.append("fact_passport_blacklist", blacklist)
+
+        # transactions fact: append, partitioned by batch date for
+        # idempotent re-runs (main.py:397-409)
+        self.wh.append_partitioned(
+            "fact_transactions",
+            trans.withColumn("batch_dt", batch),
+            "batch_dt",
+        )
+
+        # all file-backed frames are persisted to the warehouse now —
+        # safe to archive the consumed inputs (main.py:20-30,117)
+        if self.archive:
+            archive_batch_files(self.input_dir, date)
+
+        # five-rule report over the full fact vs current dims
+        dims = {
+            name: self.wh.read(f"dim_{name}_hist") for name in DIMENSIONS
+        }
+        report = assemble_report(
+            self.wh.read("fact_transactions").drop("batch_dt"),
+            dims["cards"],
+            dims["accounts"],
+            dims["clients"],
+            dims["terminals"],
+            self.wh.read("fact_passport_blacklist"),
+            report_dt=batch,
+        )
+        self.wh.append_partitioned("rep_fraud", report, "report_dt")
+        return report
+
+    def run(self) -> list[str]:
+        dates = discover_batch_dates(self.input_dir)
+        for date in dates:
+            self.run_batch(date)
+        return dates

@@ -36,6 +36,9 @@ def atomic_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = 
     os.rename(tmp, path)
     if os.path.exists(old):
         shutil.rmtree(old)
+    # drop Spark's cached file listing for the swapped path, or the next
+    # read resolves the pre-swap part files and fails
+    df.sparkSession.catalog.refreshByPath(path)
 
 
 class Warehouse:

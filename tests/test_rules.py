@@ -1,0 +1,150 @@
+"""Rule micro-fixtures with known labels (FIXTURES.md §A3): hand-built
+event sequences that must / must not fire each rule."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import types as T
+
+from etl_process_for_fraud_transactions_spark.operators.rules import (
+    rule_brute_force_20min,
+    rule_diff_city_1h,
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _city_df(spark, rows):
+    schema = T.StructType(
+        [
+            T.StructField("card_num", T.LongType()),
+            T.StructField("trans_id", T.LongType()),
+            T.StructField("trans_date", T.TimestampNTZType()),
+            T.StructField("terminal_city", T.StringType()),
+            T.StructField("client_id", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _bf_df(spark, rows):
+    schema = T.StructType(
+        [
+            T.StructField("client_id", T.LongType()),
+            T.StructField("passport_num", T.StringType()),
+            T.StructField("trans_id", T.LongType()),
+            T.StructField("amt", T.DoubleType()),
+            T.StructField("trans_date", T.TimestampNTZType()),
+            T.StructField("oper_result", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _mins(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+class TestDiffCity:
+    def test_positive_59min(self, spark):
+        df = _city_df(
+            spark,
+            [(1, 10, _mins(0), "CITY_A", 7), (1, 11, _mins(59), "CITY_B", 7)],
+        )
+        hits = {(r.trans_id, r.client_id) for r in rule_diff_city_1h(df).collect()}
+        assert hits == {(10, 7), (11, 7)}  # both directions (abs diff)
+
+    def test_negative_61min(self, spark):
+        df = _city_df(
+            spark,
+            [(1, 10, _mins(0), "CITY_A", 7), (1, 11, _mins(61), "CITY_B", 7)],
+        )
+        assert rule_diff_city_1h(df).count() == 0
+
+    def test_negative_same_city(self, spark):
+        df = _city_df(
+            spark,
+            [(1, 10, _mins(0), "CITY_A", 7), (1, 11, _mins(30), "CITY_A", 7)],
+        )
+        assert rule_diff_city_1h(df).count() == 0
+
+    def test_boundary_exactly_1h_included(self, spark):
+        """abs(epoch diff) <= 3600 is a closed bound (main.py:435)."""
+        df = _city_df(
+            spark,
+            [(1, 10, _mins(0), "CITY_A", 7), (1, 11, _mins(60), "CITY_B", 7)],
+        )
+        assert rule_diff_city_1h(df).count() == 2
+
+    def test_different_cards_never_pair(self, spark):
+        df = _city_df(
+            spark,
+            [(1, 10, _mins(0), "CITY_A", 7), (2, 11, _mins(10), "CITY_B", 8)],
+        )
+        assert rule_diff_city_1h(df).count() == 0
+
+    def test_bucket_boundary_pairing(self, spark):
+        """Pairs straddling a 1-hour bucket edge must still be found
+        (the rewrite's ±1 bucket expansion)."""
+        edge = dt.datetime(2024, 1, 1, 13, 0, 0)  # exact bucket edge in epoch-hours
+        df = _city_df(
+            spark,
+            [
+                (1, 10, edge - dt.timedelta(seconds=30), "CITY_A", 7),
+                (1, 11, edge + dt.timedelta(seconds=30), "CITY_B", 7),
+            ],
+        )
+        assert rule_diff_city_1h(df).count() == 2
+
+
+def _bf_rows(amounts_results, start_min=0, step_min=5, client=1, first_id=100):
+    return [
+        (client, "PA1", first_id + i, amt, _mins(start_min + i * step_min), res)
+        for i, (amt, res) in enumerate(amounts_results)
+    ]
+
+
+class TestBruteForce:
+    POSITIVE = [(400.0, "REJECT"), (300.0, "REJECT"), (200.0, "REJECT"), (100.0, "SUCCESS")]
+
+    def test_positive_fires_on_start_txn(self, spark):
+        df = _bf_df(spark, _bf_rows(self.POSITIVE))
+        hits = {(r.client_id, r.trans_id) for r in rule_brute_force_20min(df).collect()}
+        assert hits == {(1, 100)}  # the window-starting transaction
+
+    def test_three_attempts_insufficient(self, spark):
+        df = _bf_df(spark, _bf_rows(self.POSITIVE[:3]))
+        assert rule_brute_force_20min(df).count() == 0
+
+    def test_non_decreasing_amounts(self, spark):
+        rows = _bf_rows(
+            [(400.0, "REJECT"), (450.0, "REJECT"), (200.0, "REJECT"), (100.0, "SUCCESS")]
+        )
+        assert rule_brute_force_20min(_bf_df(spark, rows)).count() == 0
+
+    def test_all_reject_never_fires(self, spark):
+        rows = _bf_rows([(4.0, "REJECT"), (3.0, "REJECT"), (2.0, "REJECT"), (1.0, "REJECT")])
+        assert rule_brute_force_20min(_bf_df(spark, rows)).count() == 0
+
+    def test_success_first_never_fires(self, spark):
+        rows = _bf_rows([(4.0, "SUCCESS"), (3.0, "REJECT"), (2.0, "REJECT"), (1.0, "REJECT")])
+        assert rule_brute_force_20min(_bf_df(spark, rows)).count() == 0
+
+    def test_spread_beyond_20min_insufficient(self, spark):
+        # 4 attempts but 25 min apart -> no window holds >3
+        df = _bf_df(spark, _bf_rows(self.POSITIVE, step_min=25))
+        assert rule_brute_force_20min(df).count() == 0
+
+    def test_window_straddles_bucket_edge(self, spark):
+        # all 4 attempts inside 20 min but crossing a 20-min epoch bucket
+        rows = _bf_rows(self.POSITIVE, start_min=55, step_min=4)  # 12:55..13:07
+        df = _bf_df(spark, rows)
+        hits = {(r.client_id, r.trans_id) for r in rule_brute_force_20min(df).collect()}
+        assert (1, rows[0][2]) in hits
+
+    def test_different_clients_never_combine(self, spark):
+        rows = _bf_rows(self.POSITIVE[:2], client=1) + _bf_rows(
+            self.POSITIVE[2:], client=2, first_id=200
+        )
+        assert rule_brute_force_20min(_bf_df(spark, rows)).count() == 0

@@ -1,0 +1,95 @@
+"""Source-layer tests: dated-file discovery/archival, comma-decimal
+CSV ingest, atomic parquet overwrite (incl. the read-then-overwrite-
+same-path hazard, SURVEY.md §4.3.2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import os
+
+from pyspark.sql import functions as F
+
+from etl_process_for_fraud_transactions_spark.sources.files import (
+    archive_batch_files,
+    discover_batch_dates,
+)
+from etl_process_for_fraud_transactions_spark.sources.ingest import read_semicolon_csv
+from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+    Warehouse,
+    atomic_overwrite,
+)
+
+
+def test_discover_and_archive(tmp_path):
+    for name in (
+        "transactions_01012024.txt",
+        "terminals_01012024.xlsx",
+        "transactions_02012024.txt",
+        "notes.md",
+    ):
+        (tmp_path / name).write_text("x")
+    dates = discover_batch_dates(str(tmp_path))
+    assert dates == ["01012024", "02012024"]
+
+    moved = archive_batch_files(str(tmp_path), "01012024")
+    assert sorted(os.path.basename(m) for m in moved) == [
+        "terminals_01012024.xlsx.backup",
+        "transactions_01012024.txt.backup",
+    ]
+    # archived batch no longer discovered (moved into archive/), the
+    # unconsumed one remains — matching the reference's re-run behavior
+    assert discover_batch_dates(str(tmp_path)) == ["02012024"]
+    assert sorted(os.listdir(tmp_path / "archive")) == [
+        "terminals_01012024.xlsx.backup",
+        "transactions_01012024.txt.backup",
+    ]
+
+
+def test_comma_decimal_csv(spark, tmp_path):
+    p = tmp_path / "transactions_01012024.txt"
+    p.write_text(
+        "transaction_id;transaction_date;card_num;oper_type;amount;oper_result;terminal\n"
+        "t1;2024-01-01 10:00:00;c1;PAYMENT;1234,56;SUCCESS;term1\n"
+        "t2;2024-01-01 11:00:00;c1;PAYMENT;0,99;REJECT;term1\n"
+    )
+    df = read_semicolon_csv(
+        spark,
+        str(p),
+        decimal_cols=["amount"],
+        renames={
+            "transaction_id": "trans_id",
+            "transaction_date": "trans_date",
+            "amount": "amt",
+        },
+    )
+    rows = {r.trans_id: r.amt for r in df.collect()}
+    assert rows == {
+        "t1": decimal.Decimal("1234.56"),
+        "t2": decimal.Decimal("0.99"),
+    }
+    assert dict(df.dtypes)["amt"] == "decimal(22,2)"
+
+
+def test_atomic_overwrite_same_path(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    spark.range(5).write.parquet(path)
+    df = spark.read.parquet(path).withColumn("id", F.col("id") + 100)
+    atomic_overwrite(df, path)  # read + overwrite same path must not corrupt
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [
+        100, 101, 102, 103, 104,
+    ]
+
+
+def test_warehouse_append_partitioned_idempotent(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    d1 = dt.date(2024, 1, 1)
+    df = spark.createDataFrame([(1, d1), (2, d1)], "id long, report_dt date")
+    wh.append_partitioned("facts", df, "report_dt")
+    wh.append_partitioned("facts", df, "report_dt")  # re-run same batch
+    assert wh.read("facts").count() == 2  # dynamic overwrite, no dup
+    d2 = dt.date(2024, 1, 2)
+    wh.append_partitioned(
+        "facts", spark.createDataFrame([(3, d2)], "id long, report_dt date"), "report_dt"
+    )
+    assert wh.read("facts").count() == 3  # other partitions untouched
