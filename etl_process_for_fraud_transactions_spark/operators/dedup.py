@@ -1,0 +1,258 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard. Designed for the 100 TB regime:
+
+- exact: hash-groupBy on a normalized fingerprint — one shuffle keyed
+  by the fingerprint, no full-text comparisons.
+- MinHash+LSH: shingles -> H seeded min-hashes -> band buckets; only
+  rows sharing a band bucket are joined, so the candidate set is
+  near-linear instead of O(n^2). Signatures and bands are computed with
+  higher-order array functions (JVM codegen, no UDFs).
+- SimHash: 64-bit majority-vote signature via aggregate/zip_with;
+  near-dups = equal band slices + small Hamming distance.
+- n-gram Jaccard: exact verification on LSH candidates only.
+
+Citations: the reference repo has no dedup surface (SURVEY.md §7.6);
+these follow the standard MinHash/SimHash constructions from the
+dedup literature (Broder; Charikar) expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint_md5, normalize_text, tokens
+
+
+# --- exact -----------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of documents with identical normalized text. Returns
+    (fingerprint, n_docs, doc_ids sorted). One shuffle on the 128-bit
+    fingerprint; text never leaves the map side."""
+    return (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per identical normalized text (deterministic
+    survivor), via min-aggregation — cheaper than dropDuplicates on the
+    raw text because only (fingerprint, id) shuffles."""
+    keep = (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# --- shingles & minhash ----------------------------------------------------
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """k-token shingles (space-joined) of the normalized text; documents
+    shorter than k tokens contribute their full token string."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n <= k, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: for each seed s, min over shingles of
+    xxhash64(shingle, s). Distinct shingles not required — min is
+    idempotent under duplicates."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda sh, s=s: F.xxhash64(sh, F.lit(s)))
+            )
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, band_id, band_hash) — one row per document per band. Rows
+    sharing (band_id, band_hash) are near-dup candidates."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(text_col, k), num_hashes)
+    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    band = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda v: v.cast("string"))
+                    )
+                ).alias("band_hash"),
+            ),
+        )
+    )
+    return with_sig.select(id_col, band.alias("band")).select(
+        id_col, "band.band_id", "band.band_hash"
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two shingle arrays (as sets)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / F.greatest(union, F.lit(1))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold):
+    LSH band-bucket join for candidates, exact n-gram Jaccard verify.
+    The self-join is on (band_id, band_hash) — candidates only, never
+    all pairs; duplicate candidate pairs from multiple bands are
+    dropped before the (expensive) verification."""
+    buckets = minhash_band_buckets(df, text_col, id_col, k, num_hashes, bands)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sh = df.select(F.col(id_col), shingles(text_col, k).alias("sh"))
+    return (
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- simhash ---------------------------------------------------------------
+
+def simhash_signature(col: Column | str, bits: int = 64) -> Column:
+    """SimHash: per token, xxhash64 contributes ±1 to each bit position;
+    signature bit = 1 where the sum is positive. Returns an array<int>
+    of 0/1 of length `bits` (bit order: LSB first). Pure higher-order
+    expressions: aggregate(zip_with(...)) — no UDF."""
+    toks = tokens(col)
+    # bit positions unrolled at plan-build time (shiftright requires a
+    # literal shift amount); still one codegen'd expression per row
+    bit_votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (
+                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) * 2 - 1
+                    ).cast("long")
+                    for b in range(bits)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    return F.transform(bit_votes, lambda v: F.when(v > 0, 1).otherwise(0))
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two 0/1 signature arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the signature into `bands`
+    chunks (a pair within Hamming distance < bands must share at least
+    one exact chunk — pigeonhole), join on matching chunks, verify the
+    full Hamming distance."""
+    chunk = bits // bands
+    sig_df = df.select(
+        F.col(id_col), simhash_signature(text_col, bits).alias("sig")
+    )
+    banded = sig_df.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.slice("sig", b * chunk + 1, chunk),
+                            lambda v: v.cast("string"),
+                        ),
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "sig", "band.band_id", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a", "id_b", simhash_hamming(F.col("sig_a"), F.col("sig_b")).alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

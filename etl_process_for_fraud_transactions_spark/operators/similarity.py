@@ -1,0 +1,237 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, all DataFrame-native:
+
+- brute-force cosine top-k  : exact baseline; the dot product is a
+  zip_with/aggregate expression (JVM codegen, no Python), queries are
+  broadcast, and top-k is the windowed rank idiom. Cost O(|Q| x |C|) —
+  fine for small query sets, the correctness oracle for the others.
+- random-hyperplane LSH     : sign-bit signatures against a fixed seeded
+  hyperplane set, banded exactly like MinHash; candidates only, then
+  exact re-rank. The scale path for corpus-x-corpus similarity.
+- IVF (inverted file)       : coarse-quantize the corpus by nearest
+  centroid, probe only the nprobe closest cells per query. Centroids
+  here come from a groupBy mean over an assignment column (the driver
+  table's `label` or any clustering upstream).
+
+At 100 TB the corpus side stays partitioned; only centroids/queries
+broadcast. Nothing here collects the corpus to the driver.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, as a single codegen'd
+    aggregate expression."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector. Queries broadcast;
+    ties broken by corpus id for determinism. Returns
+    (query_id, vec_id, cos_sim, rank)."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__v"), l2_norm(F.col(vec_col)).alias("__n")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).alias("__qv"),
+        l2_norm(F.col(query_vec_col)).alias("__qn"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        (dot(F.col("__v"), F.col("__qv")) / (F.col("__n") * F.col("__qn"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (driver-side
+    constants, broadcast as literals)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def rp_signature(vec_col: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Random-projection sign bits as an array<int> of 0/1."""
+    return F.array(
+        *[
+            F.when(
+                dot(vec_col, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1
+            ).otherwise(0)
+            for p in planes
+        ]
+    )
+
+
+def lsh_near_neighbors(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    min_cosine: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-x-corpus near-neighbor pairs: banded sign-bit buckets ->
+    candidate pairs -> exact cosine filter. Returns
+    (id_a < id_b, cos_sim >= min_cosine)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    chunk = n_planes // bands
+    sig = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        rp_signature(F.col(vec_col), planes).alias("__sig"),
+    )
+    banded = sig.select(
+        id_col,
+        "__v",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.slice("__sig", b * chunk + 1, chunk),
+                            lambda v: v.cast("string"),
+                        ),
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "__v", "band.band_id", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__v").alias("va"),
+            F.col("b.__v").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cosine)
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame, cell_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cell mean vector via a posexplode/groupBy — the coarse
+    quantizer. (cell assignment comes from upstream clustering; the
+    driver table's `label` plays that role.)"""
+    exploded = corpus.select(
+        F.col(cell_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    return (
+        exploded.groupBy(cell_col, "pos")
+        .agg(F.avg("val").alias("mean_val"))
+        .groupBy(cell_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mean_val"))
+            ).alias("__pairs")
+        )
+        .select(
+            cell_col,
+            F.transform("__pairs", lambda s: s["mean_val"]).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: score centroids per query (tiny cross join),
+    keep the nprobe best cells, then search only those cells' vectors.
+    The corpus join is an equi-join on the cell id — a normal shuffle
+    join pruned by the probe set, no all-pairs scan."""
+    cents = ivf_centroids(corpus, cell_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).alias("__qv"),
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cent_sim"), F.asc(cell_col)
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            query_id_col,
+            cell_col,
+            "__qv",
+            cosine(F.col("centroid"), F.col("__qv")).alias("cent_sim"),
+        )
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id_col, cell_col, "__qv")
+    )
+    scored = corpus.join(F.broadcast(probes), cell_col).select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

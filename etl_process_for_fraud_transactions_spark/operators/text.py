@@ -1,0 +1,108 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+normalization, tokenization, quality scoring, language ID, document
+fingerprinting. All pure Catalyst expressions (regexp / higher-order
+array functions) — no Python in the row path, so they scan at parquet
+speed and scale linearly with executors."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: token pattern: words (incl. unicode letters) or single non-space symbols —
+#: a cheap BPE-ish pre-tokenizer.
+TOKEN_RE = r"[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"
+
+#: tiny per-language stopword marker sets for the n-gram/stopword
+#: language heuristic. Deliberately small and SQL-portable.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "es", "y"],
+}
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, collapse non-alphanumerics to single spaces, trim —
+    the canonical form used by dedup fingerprints and shingles."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (portable: identical in DuckDB/Spark, unlike xxhash64)."""
+    return F.md5(normalize_text(col))
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: length, token count, mean token
+    length, punctuation ratio, uppercase ratio, stopword(en) ratio."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    n_upper = F.size(F.regexp_extract_all(c, F.lit(r"[A-Z]"), 0))
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"]))
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))).alias(
+            "mean_token_len"
+        ),
+        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_upper.cast("double") / F.greatest(n_chars, F.lit(1))).alias("upper_ratio"),
+        (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+def _marker_filter(markers: list[str]):
+    # single-arg closure: a two-arg lambda (even with a default) makes
+    # Spark's HOF arity detection pass the array index as the 2nd arg
+    def pred(t: Column) -> Column:
+        return t.isin(*markers)
+
+    return pred
+
+
+def language_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-hit counts per language over the token set."""
+    toks = tokens(col)
+    return {
+        lang: F.size(F.filter(toks, _marker_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID with deterministic tie-breaking
+    (alphabetical language order on equal scores; 'und' = undetermined
+    when nothing matches)."""
+    scores = language_scores(F.col(text_col))
+    langs = sorted(scores)  # deterministic priority
+    best = F.greatest(*[scores[l] for l in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for l in langs:
+        pred = pred.when(scores[l] == best, F.lit(l))
+    out = df.select(
+        "doc_id",
+        *[scores[l].alias(f"score_{l}") for l in langs],
+        pred.alias("pred_lang"),
+    )
+    return out

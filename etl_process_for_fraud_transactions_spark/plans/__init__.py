@@ -1,1 +1,2 @@
 from .queries import QUERIES, ORACLE  # noqa: F401
+from . import queries_llm  # noqa: F401  (registers the LLM-pipeline inventory)

@@ -1,0 +1,331 @@
+"""LLM-data-pipeline query inventory: dedup, text analysis, similarity
+search, multimodal plumbing over the driver's documents/embeddings
+tables (SURVEY.md §7.6; BASELINE.json north star).
+
+Oracle-exactness rules used here:
+- text metrics: identical ASCII regex classes on both engines;
+- cosine similarity: the SAME sequential double fold on both sides
+  (zip -> multiply -> left-fold sum), inputs cast to double first,
+  results rounded to 6 dp before ranking so a final-ulp divergence
+  can't flip the hash or the rank order;
+- engine-specific hash functions (xxhash64) never cross the oracle
+  boundary — MinHash/SimHash/LSH entries are rows-only checks, with
+  known-answer pytest coverage instead (tests/test_dedup_text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+from ..sources.testdata import load_table
+from .queries import query
+
+# SQL twin of text.normalize_text / tokens
+_SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+
+
+@query(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id, md5({_SQL_NORM}) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text (portable,
+    unlike xxhash64 — the rolling-hash variant is engine-internal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint_md5("text").alias("fingerprint"))
+
+
+@query(
+    "dedup_exact_groups",
+    f"""
+    SELECT fingerprint,
+           COUNT(*) AS n_docs,
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv
+    FROM (SELECT doc_id, md5({_SQL_NORM}) AS fingerprint FROM documents)
+    GROUP BY fingerprint
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups: one shuffle keyed on the 128-bit
+    fingerprint; full text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", X.fingerprint_md5("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+            ).alias("doc_ids_csv"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "dedup_exact_survivors",
+    f"""
+    SELECT MIN(doc_id) AS doc_id
+    FROM (SELECT doc_id, md5({_SQL_NORM}) AS fingerprint FROM documents)
+    GROUP BY fingerprint
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, smallest-id survivor per normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_exact(docs).select("doc_id")
+
+
+@query(
+    "text_quality_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_SQL_TOKS}) AS n_tokens,
+           CAST(length(text) AS DOUBLE) / greatest(len({_SQL_TOKS}), 1) AS mean_token_len,
+           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+           CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / greatest(length(text), 1) AS upper_ratio,
+           CAST(len(list_filter({_SQL_TOKS}, x -> x IN ('the','and','of','to','is'))) AS DOUBLE)
+               / greatest(len({_SQL_TOKS}), 1) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics — pure regexp/HOF expressions, so
+    the scan stays in whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.quality_stats(docs)
+
+
+@query(
+    "detect_language_heuristic",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(list_filter({_SQL_TOKS}, x -> x IN ('der','die','und','das','ist'))) AS score_de,
+               len(list_filter({_SQL_TOKS}, x -> x IN ('the','and','of','to','is'))) AS score_en,
+               len(list_filter({_SQL_TOKS}, x -> x IN ('el','la','los','es','y'))) AS score_es,
+               len(list_filter({_SQL_TOKS}, x -> x IN ('le','la','et','les','est'))) AS score_fr
+        FROM documents
+    )
+    SELECT doc_id, score_de, score_en, score_es, score_fr,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                WHEN score_fr = greatest(score_de, score_en, score_es, score_fr) THEN 'fr'
+           END AS pred_lang
+    FROM scored
+    """,
+)
+def detect_language_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with deterministic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.detect_language(docs)
+
+
+@query(
+    "ngram_jaccard_same_source",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, source,
+               CASE WHEN len({_SQL_TOKS}) <= 3
+                    THEN [array_to_string({_SQL_TOKS}, ' ')]
+                    ELSE list_transform(generate_series(1, len({_SQL_TOKS}) - 2),
+                                        i -> array_to_string(({_SQL_TOKS})[i:i+2], ' '))
+               END AS shingles
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1) >= 0.5
+    """,
+)
+def ngram_jaccard_same_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs, blocked by source (the
+    blocked-exact tier of the dedup ladder: a same-key equi-join keeps
+    the pair space per-block instead of global O(n^2))."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "source", D.shingles("text", 3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast(
+        "double"
+    ) / F.greatest(F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))), F.lit(1))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip(a.vec, q.vec), x -> x[1]*x[2]))"
+    " / (sqrt(list_sum(list_transform(a.vec, x -> x*x)))"
+    " * sqrt(list_sum(list_transform(q.vec, x -> x*x))))"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, vec FROM corpus WHERE vec_id < 3
+    ),
+    scored AS (
+        SELECT q.query_id, a.vec_id,
+               round({_COS_SQL.replace('q.vec', 'q.vec')}, 6) AS cos_sim
+        FROM corpus a CROSS JOIN queries q
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 3 query vectors — the exact
+    baseline of the ANN tier. Cosine is the same sequential double
+    fold on both engines, rounded to 6 dp before ranking."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("query_vec")
+    )
+    out = S.cosine_topk(
+        emb, queries_df, k=10, id_col="vec_id", vec_col="vec"
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        "rank",
+    )
+
+
+@query(
+    "embedding_norms_by_label",
+    """
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS DECIMAL(18,12))) AS DOUBLE) AS sum_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregation: per-cluster L2-norm sums (decimal-
+    exact accumulation over per-row doubles)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+        )
+    )
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("norm").cast("decimal(18,12)")).cast("double").alias("sum_norm"),
+        )
+    )
+
+
+# --- rows-only entries (engine-internal hashing; pytest known-answer) ------
+
+@query("minhash_near_duplicates")
+def minhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only: xxhash64 signatures are
+    Spark-internal; correctness via tests/test_dedup_text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(docs, threshold=0.5)
+
+
+@query("simhash_near_duplicates")
+def simhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_duplicates(docs, max_hamming=3)
+
+
+@query("lsh_embedding_neighbors")
+def lsh_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-neighbor pairs over embeddings
+    (rows-only: seeded hyperplanes are engine-side constants)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    # threshold 0.25: random-ish 64-dim embeddings concentrate near
+    # cosine 0, so 0.8 would never fire on this corpus
+    return S.lsh_near_neighbors(emb, dim=64, n_planes=16, bands=8, min_cosine=0.25)
+
+
+@query("ivf_cosine_topk")
+def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k using the label column as the coarse
+    quantizer cell (rows-only; exactness vs brute force covered in
+    tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.ivf_topk(emb, queries_df, k=10, nprobe=3)
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing demo over driver data: documents' text bytes
+    as opaque binary payloads -> Arrow-batched featurization via
+    mapInPandas (rows-only; decode is the documented stub seam)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.lit("raw").alias("media_format"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return M.extract_features(assets)

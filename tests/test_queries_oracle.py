@@ -20,6 +20,15 @@ def test_all_oracle_keys_have_queries():
     assert set(ORACLE.keys()) <= set(QUERIES.keys())
 
 
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(spark, name):
+    """Rows-only entries (no SQL oracle) must still execute and return
+    a stable schema at the smoke scale."""
+    df = QUERIES[name](spark, SF_SMALL)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

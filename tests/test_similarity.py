@@ -1,0 +1,78 @@
+"""Known-answer tests for the similarity-search tiers."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etl_process_for_fraud_transactions_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.9, 0.1], 1),
+        (5, [0.0, 0.0, 1.0], 2),
+        (6, [-1.0, 0.0, 0.0], 2),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return spark.createDataFrame(
+        [(100, [1.0, 0.05, 0.0]), (200, [0.0, 1.0, 0.05])],
+        "query_id long, query_vec array<double>",
+    )
+
+
+def test_cosine_topk_exact(spark, corpus, queries):
+    out = S.cosine_topk(corpus, queries, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cos_sim))
+    assert [v for _, v, _ in sorted(by_q[100])] == [1, 2]
+    assert [v for _, v, _ in sorted(by_q[200])] == [3, 4]
+    # exact value check: cos([1,0.05,0],[0.9,0.1,0])
+    expected = (0.9 + 0.005) / (math.sqrt(1 + 0.0025) * math.sqrt(0.81 + 0.01))
+    got = dict((v, c) for _, v, c in by_q[100])[2]
+    assert got == pytest.approx(expected, rel=1e-12)
+
+
+def test_ivf_matches_bruteforce_with_full_probe(spark, corpus, queries):
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in S.cosine_topk(corpus, queries, k=2).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): r.vec_id
+        for r in S.ivf_topk(corpus, queries, k=2, nprobe=3).collect()
+    }
+    assert ivf == exact  # probing all cells == exact search
+
+
+def test_ivf_prunes_cells(spark, corpus, queries):
+    out = S.ivf_topk(corpus, queries, k=6, nprobe=1).collect()
+    ids_q100 = {r.vec_id for r in out if r.query_id == 100}
+    assert ids_q100 == {1, 2}  # only the probed cell's vectors scored
+
+
+def test_lsh_finds_close_pairs(spark, corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.lsh_near_neighbors(corpus, dim=3, n_planes=16, bands=8, min_cosine=0.9).collect()
+    }
+    assert (1, 2) in pairs and (3, 4) in pairs
+    assert all((5, 6) != p and (1, 6) != p for p in pairs)
+
+
+def test_lsh_candidate_pruning(spark, corpus):
+    """Opposite vectors never share all-band signatures with 1."""
+    pairs = S.lsh_near_neighbors(corpus, dim=3, min_cosine=-1.0).collect()
+    # id 6 is the exact negation of id 1: signature is bitwise inverse,
+    # so they share no band and never even become a candidate
+    assert all(not (r.id_a == 1 and r.id_b == 6) for r in pairs)
