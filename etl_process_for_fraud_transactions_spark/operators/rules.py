@@ -190,41 +190,41 @@ def rule_brute_force_20min(resolved: DataFrame) -> DataFrame:
         "rn_amt", F.row_number().over(w_amt)
     )
 
-    # only_sorted_trans_amt (main.py:483-493): amounts strictly
-    # decreasing across the four time-ordered attempts.
-    only_sorted = (
-        sorted_4w.filter(F.col("rn_amt") == F.col("rn_datetime"))
-        .groupBy("client_id", "trans_id_start")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") == 4)
-        .select("client_id", "trans_id_start")
-    )
-
-    # The 4-way INTERSECT below re-reads sorted_4w once per branch;
-    # cache it (it is already reduced to candidate windows only) so the
-    # interval join + double window sort run once, not four times.
-    sorted_4w = sorted_4w.persist()
-
-    # fraud_start_here (main.py:494-522): REJECT,REJECT,REJECT,SUCCESS —
-    # the reference expresses this as a 4-way INTERSECT; preserved
-    # verbatim (it also demonstrates the set operator, §2.8 U1).
-    def branch(rn: int, result: str) -> DataFrame:
-        return (
-            sorted_4w.join(only_sorted, ["client_id", "trans_id_start"], "inner")
-            .filter((F.col("rn_datetime") == rn) & (F.col("oper_result") == result))
-            .select("client_id", "trans_id_start")
+    # Stages only_sorted_trans_amt + fraud_start_here + reassembly
+    # (main.py:483-530): the reference expresses "amounts strictly
+    # decreasing AND results REJECT,REJECT,REJECT,SUCCESS" as a count
+    # aggregate plus a 4-way INTERSECT of re-filtered scans — four extra
+    # passes over the candidate windows. Each sorted_4w group has
+    # exactly 4 rows (rn_datetime 1..4), so both checks collapse into
+    # ONE conditional aggregation with identical semantics (the
+    # decomposition documented in SURVEY.md §2.8 U1; INTERSECT itself
+    # is exercised by the set-op inventory query):
+    #   - strictly decreasing  <=> rn_amt == rn_datetime on all 4 rows
+    #   - attempt pattern      <=> per-rn result flags all present
+    def flag(rn: int, result: str) -> Column:
+        return F.max(
+            F.when(
+                (F.col("rn_datetime") == rn) & (F.col("oper_result") == result), 1
+            ).otherwise(0)
         )
 
-    fraud_start = (
-        branch(4, "SUCCESS")
-        .intersect(branch(3, "REJECT"))
-        .intersect(branch(2, "REJECT"))
-        .intersect(branch(1, "REJECT"))
-    )
-
-    # reassembly_of_amounts (main.py:523-530): report the starting txn.
     return (
-        sorted_4w.join(fraud_start, ["client_id", "trans_id_start"], "inner")
-        .filter(F.col("rn_datetime") == 4)
+        sorted_4w.groupBy("client_id", "trans_id_start")
+        .agg(
+            F.sum(
+                F.when(F.col("rn_amt") == F.col("rn_datetime"), 1).otherwise(0)
+            ).alias("n_sorted"),
+            flag(4, "SUCCESS").alias("r4s"),
+            flag(3, "REJECT").alias("r3r"),
+            flag(2, "REJECT").alias("r2r"),
+            flag(1, "REJECT").alias("r1r"),
+        )
+        .filter(
+            (F.col("n_sorted") == 4)
+            & (F.col("r4s") == 1)
+            & (F.col("r3r") == 1)
+            & (F.col("r2r") == 1)
+            & (F.col("r1r") == 1)
+        )
         .select("client_id", F.col("trans_id_start").alias("trans_id"))
     )

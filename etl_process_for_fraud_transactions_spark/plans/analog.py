@@ -118,7 +118,7 @@ def with_deleted_flg(df: DataFrame) -> DataFrame:
 
 def domain_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     events = load_events(spark, sf_dir)
-    return {
+    frames = {
         "transactions": stage_transactions(events),
         "cards": with_deleted_flg(stage_cards(events)),
         "accounts": with_deleted_flg(stage_accounts(events)),
@@ -126,6 +126,13 @@ def domain_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "terminals": with_deleted_flg(stage_terminals(events)),
         "blacklist": stage_blacklist(events),
     }
+    # each dim is a distinct() over the full events scan; without a
+    # persist every downstream join re-scans and re-shuffles events
+    # once per dim reference (the report references them ~3x each)
+    for name, df in frames.items():
+        if name != "transactions":
+            frames[name] = df.persist()
+    return frames
 
 
 # ---------------------------------------------------------------------------

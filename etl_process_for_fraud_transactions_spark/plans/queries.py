@@ -512,6 +512,129 @@ def brute_force_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.rule_brute_force_20min(resolved)
 
 
+_DENSE_REQ = """
+req_dense AS (
+    SELECT user_id % 5 AS client_id,
+           'PX' || CAST(user_id % 5 AS VARCHAR) AS passport_num,
+           event_id AS trans_id, value AS amt, ts AS trans_date,
+           CASE WHEN event_type = 'purchase' THEN 'SUCCESS' ELSE 'REJECT' END AS oper_result
+    FROM events
+),
+joined_req AS (
+    SELECT r1.client_id AS client_id, r1.passport_num AS passport_num,
+           r1.trans_id AS trans_id_start, r2.trans_id AS trans_id_20min,
+           r1.amt AS amt_start, r2.amt AS amt_20min,
+           r1.trans_date AS trans_date_start, r2.trans_date AS trans_date_20min,
+           r2.oper_result AS oper_result
+    FROM req_dense r1
+    JOIN req_dense r2
+      ON r2.client_id = r1.client_id
+     AND r2.trans_date BETWEEN r1.trans_date AND r1.trans_date + INTERVAL 20 MINUTE
+)
+""".strip()
+
+
+# the rule chain downstream of joined_req, shared with the dense variant
+_RULE5_TAIL = "selected_req AS (" + _REQ_CTES.split("selected_req AS (", 1)[1]
+
+_DENSE_CHAIN = _DENSE_REQ + ",\n" + _RULE5_TAIL
+
+
+@query(
+    "brute_force_hits_dense",
+    f"WITH {_DENSE_CHAIN}\nSELECT client_id, trans_id FROM reassembly_of_amounts",
+)
+def brute_force_hits_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule 5 on a dense client mapping (user_id % 5, REJECT unless
+    purchase): the full brute-force pattern genuinely fires here (~3
+    hits at sf0.01), exercising every stage of the chain with
+    non-empty intermediates."""
+    ev = load_events(spark, sf_dir)
+    resolved = ev.select(
+        (F.col("user_id") % 5).alias("client_id"),
+        F.concat(F.lit("PX"), (F.col("user_id") % 5).cast("string")).alias(
+            "passport_num"
+        ),
+        F.col("event_id").alias("trans_id"),
+        F.col("value").alias("amt"),
+        F.col("ts").alias("trans_date"),
+        F.when(F.col("event_type") == "purchase", F.lit("SUCCESS"))
+        .otherwise(F.lit("REJECT"))
+        .alias("oper_result"),
+    )
+    return R.rule_brute_force_20min(resolved)
+
+
+@query(
+    "scd2_replay",
+    """
+    WITH b1 AS (
+        SELECT c_custkey AS ckey, c_name AS name, c_mktsegment AS segment FROM customer
+    ),
+    b2 AS (
+        SELECT c_custkey AS ckey, c_name AS name,
+               CASE WHEN c_custkey % 7 = 0 THEN 'SEGMENT_X' ELSE c_mktsegment END AS segment
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000 AS ckey, 'NEW' || CAST(c_custkey AS VARCHAR) AS name,
+               'FRESH' AS segment
+        FROM customer WHERE c_custkey % 13 = 0
+    ),
+    changed AS (
+        SELECT b1.ckey FROM b1 JOIN b2 ON b1.ckey = b2.ckey
+        WHERE b1.name <> b2.name OR b1.segment <> b2.segment
+    )
+    SELECT ckey, name, segment,
+           '2024-01-01' AS effective_from, '2024-01-02' AS effective_to, TRUE AS deleted_flg
+    FROM b1 WHERE ckey IN (SELECT ckey FROM changed)
+    UNION ALL
+    SELECT ckey, name, segment, '2024-01-01', '3000-01-01', FALSE
+    FROM b1 WHERE ckey NOT IN (SELECT ckey FROM changed)
+    UNION ALL
+    SELECT b2.ckey, b2.name, b2.segment, '2024-01-02', '3000-01-01', FALSE
+    FROM b2 LEFT JOIN b1 ON b2.ckey = b1.ckey
+    WHERE b1.ckey IS NULL OR (b1.name <> b2.name OR b1.segment <> b2.segment)
+    """,
+)
+def scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 composite operator (§2.4) under the driver's oracle:
+    bootstrap batch 1 from customer, then apply batch 2 with changed
+    segments (custkey%7), new keys (custkey%13 offset by 1e6), and the
+    rest unchanged. The oracle SQL is the declarative restatement of
+    close-out + insert semantics."""
+    from ..operators.scd2 import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    b1 = c.select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    b2 = c.select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_name").alias("name"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("SEGMENT_X"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 13 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("ckey"),
+            F.concat(F.lit("NEW"), F.col("c_custkey").cast("string")).alias("name"),
+            F.lit("FRESH").alias("segment"),
+        )
+    )
+    h1 = scd2_apply(None, b1, ["ckey"], ["name", "segment"], F.lit("2024-01-01").cast("date"))
+    h2 = scd2_apply(h1, b2, ["ckey"], ["name", "segment"], F.lit("2024-01-02").cast("date"))
+    return h2.select(
+        "ckey",
+        "name",
+        "segment",
+        F.date_format("effective_from", "yyyy-MM-dd").alias("effective_from"),
+        F.date_format("effective_to", "yyyy-MM-dd").alias("effective_to"),
+        "deleted_flg",
+    )
+
+
 @query(
     "fraud_report",
     analog.oracle_with_domain(
