@@ -39,6 +39,15 @@ def _tag_buckets(df: DataFrame, ts_col: str, width_us: int, offsets: Sequence[in
     )
 
 
+#: Default physical strategy for the bucketed self-joins: the bucket
+#: equi-key already bounds per-partition build sizes (a partition holds
+#: whole (key, bucket) groups whose cardinality is the key's
+#: per-window density), so a shuffled hash join skips the sort that
+#: sort-merge would pay on both sides. Pass join_hint=None to let
+#: Catalyst choose (sort-merge) when window density is unbounded.
+DEFAULT_JOIN_HINT = "shuffle_hash"
+
+
 def bucketed_interval_self_join(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -46,11 +55,14 @@ def bucketed_interval_self_join(
     window_us: int,
     left_alias: str = "r1",
     right_alias: str = "r2",
+    join_hint: str | None = DEFAULT_JOIN_HINT,
 ) -> DataFrame:
     """All pairs (r1, r2) sharing `key_cols` with
     r2.ts in [r1.ts, r1.ts + window] (closed interval, matching SQL
     BETWEEN at main.py:456). Result columns are the originals of both
     sides, accessible via the aliases."""
+    if join_hint:
+        df = df.hint(join_hint)
     left = df.withColumn(
         "__bucket", F.floor(epoch_us(ts_col) / F.lit(window_us))
     ).alias(left_alias)
@@ -78,10 +90,13 @@ def bucketed_abs_window_self_join(
     residual: Column | None = None,
     left_alias: str = "a",
     right_alias: str = "b",
+    join_hint: str | None = DEFAULT_JOIN_HINT,
 ) -> DataFrame:
     """All pairs (a, b) sharing `key_cols` with |a.ts - b.ts| <= window
     (closed, matching `abs(extract(epoch ...)) <= 60*60` at main.py:435),
     optionally with extra theta residuals (e.g. different city)."""
+    if join_hint:
+        df = df.hint(join_hint)
     left = df.withColumn(
         "__bucket", F.floor(epoch_us(ts_col) / F.lit(window_us))
     ).alias(left_alias)
