@@ -28,6 +28,11 @@ HEADLINE = [
     "brute_force_candidates",
     "brute_force_hits",
     "fraud_report",
+    "user_sessions",
+    "amount_zscore_outliers",
+    "dedup_exact_survivors",
+    "text_quality_stats",
+    "ann_cosine_topk",
 ]
 
 

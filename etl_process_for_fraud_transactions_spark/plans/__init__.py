@@ -1,2 +1,3 @@
 from .queries import QUERIES, ORACLE  # noqa: F401
 from . import queries_llm  # noqa: F401  (registers the LLM-pipeline inventory)
+from . import queries_pipeline  # noqa: F401  (sessions + anomaly scoring)

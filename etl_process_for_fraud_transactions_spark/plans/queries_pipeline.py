@@ -1,0 +1,89 @@
+"""Event-pipeline query inventory: sessionization and anomaly scoring
+(the MLlib north-star surface plus deterministic baselines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.anomaly import kmeans_anomaly_scores, zscore_outliers
+from ..operators.sessions import session_stats
+from ..sources.testdata import load_events
+from .queries import query
+
+
+@query(
+    "user_sessions",
+    """
+    WITH marks AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               -- BIGINT cast: DuckDB window SUM(int) yields HUGEINT,
+               -- which pandas renders as float
+               CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS session_id
+        FROM marks
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0 AS duration_sec
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag + cumulative sum, one
+    shuffle on the user key — the batch form of a session window."""
+    ev = load_events(spark, sf_dir)
+    return session_stats(ev, gap_minutes=30)
+
+
+@query(
+    "amount_zscore_outliers",
+    """
+    WITH stats AS (
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2
+        FROM events GROUP BY user_id HAVING COUNT(*) >= 2
+    )
+    SELECT e.user_id AS user_id, e.value AS value,
+           (e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zscore
+    FROM events e JOIN stats USING (user_id)
+    WHERE abs((e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3.0
+    """,
+)
+def amount_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user amount outliers beyond 3 sigma, from decimal-exact
+    moments (deterministic baseline of the anomaly tier; the per-key
+    stats broadcast back onto the fact)."""
+    ev = load_events(spark, sf_dir).select("user_id", "value")
+    return zscore_outliers(ev, "user_id", "value", threshold=3.0)
+
+
+@query("kmeans_anomaly_scores")
+def kmeans_anomaly_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib KMeans anomaly scoring over engineered event features
+    (rows-only: iterative clustering has no SQL twin). Features:
+    amount, hour-of-day, per-user event rate."""
+    ev = load_events(spark, sf_dir)
+    rate = ev.groupBy("user_id").agg(
+        (F.count(F.lit(1)) / F.countDistinct(F.to_date("ts"))).alias("events_per_day")
+    )
+    feats = ev.join(F.broadcast(rate), "user_id").select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("amount"),
+        F.hour("ts").cast("double").alias("hour_of_day"),
+        "events_per_day",
+    )
+    scored = kmeans_anomaly_scores(
+        feats, ["amount", "hour_of_day", "events_per_day"], k=4, seed=42
+    )
+    return scored.select("event_id", "user_id", "cluster", "anomaly_score")
