@@ -29,19 +29,52 @@ def read_semicolon_csv(
     decimal_cols: Sequence[str] = (),
     renames: dict[str, str] | None = None,
     select: Sequence[str] | None = None,
+    quarantine: bool = False,
 ) -> DataFrame:
     """Distributed read of the reference's `;`-separated, `,`-decimal
     CSV (main.py:103-107). `decimal_cols` are parsed via comma_decimal;
     `renames` applies the staging-contract projection
-    (e.g. transaction_id -> trans_id)."""
-    df = (
+    (e.g. transaction_id -> trans_id).
+
+    `quarantine=True` adds a `_corrupt_record` column capturing rows
+    that fail to parse instead of silently null-filling them (Spark's
+    default PERMISSIVE mode) — audit-friendly at scale, where a bad
+    upstream export should be quantified, not swallowed. Spark refuses
+    scans whose pruned column set is ONLY the corrupt column (e.g. a
+    bare corrupt-row count), so the quarantined frame is returned
+    cached, per Spark's documented workaround; staging batches are
+    bounded, and the consumer may unpersist after auditing."""
+    reader = (
         spark.read.option("header", "true")
         .option("sep", ";")
         .option("inferSchema", "false")
-        .csv(path)
     )
+    if quarantine:
+        # the corrupt-record column only materializes when it is part
+        # of an EXPLICIT schema — the option alone is silently ignored
+        # under a header-derived schema. Probe the header (cheap: reads
+        # one file's first line) and declare string columns + the
+        # quarantine column.
+        from pyspark.sql import types as T
+
+        header_cols = spark.read.option("header", "true").option("sep", ";").csv(path).columns
+        schema = T.StructType(
+            [T.StructField(c, T.StringType()) for c in header_cols]
+            + [T.StructField("_corrupt_record", T.StringType())]
+        )
+        reader = (
+            reader.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+        )
+    df = reader.csv(path)
+    if quarantine:
+        df = df.cache()
     if select:
-        df = df.select(*select)
+        keep = list(select) + (
+            ["_corrupt_record"] if quarantine and "_corrupt_record" in df.columns else []
+        )
+        df = df.select(*keep)
     for c in decimal_cols:
         df = df.withColumn(c, comma_decimal(c))
     if renames:

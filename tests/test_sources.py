@@ -71,6 +71,22 @@ def test_comma_decimal_csv(spark, tmp_path):
     assert dict(df.dtypes)["amt"] == "decimal(22,2)"
 
 
+def test_csv_quarantine(spark, tmp_path):
+    p = tmp_path / "transactions_01012024.txt"
+    p.write_text(
+        "transaction_id;transaction_date;card_num;oper_type;amount;oper_result;terminal\n"
+        "t1;2024-01-01 10:00:00;c1;PAY;1,00;SUCCESS;term1\n"
+        "GARBAGE WITHOUT ANY SEPARATORS AT ALL\n"
+    )
+    df = read_semicolon_csv(spark, str(p), decimal_cols=["amount"], quarantine=True)
+    from pyspark.sql import functions as F
+
+    assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    good = df.filter(F.col("_corrupt_record").isNull())
+    assert [r.transaction_id for r in good.collect()] == ["t1"]
+    df.unpersist()
+
+
 def test_atomic_overwrite_same_path(spark, tmp_path):
     path = str(tmp_path / "dim")
     spark.range(5).write.parquet(path)
