@@ -1,0 +1,151 @@
+"""Relational-surface extensions beyond the reference's own operator
+set (SURVEY.md §2 'not present' lists): set ops, multi-dimensional
+aggregation, pivot, analytic lag — a user of the reference switching
+to this engine gets the full SQL surface, not just parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.core import epoch_us
+from ..sources.testdata import load_events, load_table
+from .queries import query
+
+
+@query(
+    "union_purchases_and_errors",
+    """
+    SELECT event_id, user_id, 'purchase' AS kind FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, user_id, 'error' AS kind FROM events WHERE event_type = 'error'
+    """,
+)
+def union_purchases_and_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.lit("purchase").alias("kind")
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.lit("error").alias("kind")
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "users_without_purchases",
+    """
+    SELECT DISTINCT user_id FROM events
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def users_without_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select("user_id")
+        .distinct()
+        .exceptAll(
+            ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+        )
+    )
+
+
+@query(
+    "distinct_users_per_type",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase expand under the hood);
+    approx_count_distinct is the at-scale variant but has no
+    cross-engine-exact oracle."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals; grouping-null markers coalesced to a
+    sentinel so the all-rows superaggregate is hash-comparable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("revenue"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "revenue",
+        )
+    )
+
+
+@query(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (single-pass; omitting the
+    list would cost an extra distinct scan to discover columns)."""
+    ev = load_events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    # pivot yields nulls for absent combinations; the oracle's SUM(CASE)
+    # yields 0 — align
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "error", "purchase", "signup", "view"]],
+    )
+
+
+@query(
+    "event_time_gaps",
+    """
+    SELECT user_id, event_id,
+           CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def event_time_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics (the idiomatic rewrite SURVEY §2.6 notes for
+    the decreasing-amount check): inter-event gap + next event type."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        (epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
