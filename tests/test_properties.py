@@ -1,0 +1,151 @@
+"""Property-based tests (hypothesis): the two custom operators are
+checked against brute-force reference models on randomized inputs.
+
+- bucketed range joins ≡ naive join + residual filter (catches bucket
+  boundary/tagging mistakes no example test would);
+- SCD2 ≡ a driver-side dict model of close-out/insert semantics over
+  random multi-batch histories.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_process_for_fraud_transactions_spark.operators.rangejoin import (
+    bucketed_abs_window_self_join,
+    bucketed_interval_self_join,
+)
+from etl_process_for_fraud_transactions_spark.operators.scd2 import scd2_apply
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+WINDOW_US = 10 * 60 * 1_000_000  # 10 minutes
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),        # key
+        st.integers(min_value=0, max_value=3_000),    # offset seconds (~5 bucket widths)
+        st.integers(min_value=0, max_value=999_999),  # microseconds (bucket-edge adjacent)
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _df(spark, rows):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+        ]
+    )
+    data = [
+        (i, k, T0 + dt.timedelta(seconds=s, microseconds=us))
+        for i, (k, s, us) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, schema), data
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy)
+def test_interval_join_matches_naive(spark, rows):
+    df, data = _df(spark, rows)
+    got = {
+        (r[0], r[1])
+        for r in bucketed_interval_self_join(df, ["k"], "ts", WINDOW_US)
+        .select(F.col("r1.id"), F.col("r2.id"))
+        .collect()
+    }
+    want = {
+        (i1, i2)
+        for i1, k1, t1 in data
+        for i2, k2, t2 in data
+        if k1 == k2 and t1 <= t2 <= t1 + dt.timedelta(microseconds=WINDOW_US)
+    }
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy)
+def test_abs_window_join_matches_naive(spark, rows):
+    df, data = _df(spark, rows)
+    got = {
+        (r[0], r[1])
+        for r in bucketed_abs_window_self_join(df, ["k"], "ts", WINDOW_US)
+        .select(F.col("a.id"), F.col("b.id"))
+        .collect()
+    }
+    want = {
+        (i1, i2)
+        for i1, k1, t1 in data
+        for i2, k2, t2 in data
+        if k1 == k2 and abs((t1 - t2).total_seconds()) * 1_000_000 <= WINDOW_US
+    }
+    assert got == want
+
+
+# --- SCD2 vs dict model ----------------------------------------------------
+
+batches_strategy = st.lists(
+    st.dictionaries(
+        keys=st.integers(min_value=0, max_value=4),           # business key
+        values=st.integers(min_value=0, max_value=3),         # attribute
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+OPEN = dt.date(3000, 1, 1)
+
+
+def _model_scd2(batches):
+    """Reference model of main.py:121-379 semantics: rows as tuples
+    (key, attr, eff_from, eff_to, deleted)."""
+    hist: list[list] = []
+    for i, batch in enumerate(batches):
+        bdate = dt.date(2024, 1, 1) + dt.timedelta(days=i)
+        if not hist:
+            for k, v in batch.items():
+                hist.append([k, v, bdate, OPEN, False])
+            continue
+        current = {r[0]: r for r in hist if r[3] == OPEN}
+        # close-out: tuple-IN of (current ∩ staged, changed) full tuples
+        close_tuples = {
+            tuple(current[k][:2]) for k, v in batch.items()
+            if k in current and current[k][1] != v
+        }
+        for r in hist:
+            if tuple(r[:2]) in close_tuples:
+                r[3], r[4] = bdate, True
+        for k, v in batch.items():
+            cur = current.get(k)
+            if cur is None or cur[1] != v:
+                hist.append([k, v, bdate, OPEN, False])
+    return sorted(map(tuple, hist))
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches_strategy)
+def test_scd2_matches_model(spark, batches):
+    dim = None
+    for i, batch in enumerate(batches):
+        bdate = dt.date(2024, 1, 1) + dt.timedelta(days=i)
+        stg = spark.createDataFrame(
+            [(k, v) for k, v in batch.items()] or [],
+            "k long, attr long",
+        )
+        if not batch:
+            stg = spark.createDataFrame([], "k long, attr long")
+        dim = scd2_apply(dim, stg, ["k"], ["attr"], F.lit(bdate))
+    got = sorted(
+        (r.k, r.attr, r.effective_from, r.effective_to, r.deleted_flg)
+        for r in dim.collect()
+    )
+    assert got == _model_scd2(batches)
