@@ -39,12 +39,22 @@ class DailyFraudJob:
         source_dir: str,
         warehouse_root: str,
         archive: bool = True,
+        incremental_report: bool = False,
     ):
         self.spark = spark
         self.input_dir = input_dir
         self.source_dir = source_dir
         self.wh = Warehouse(spark, warehouse_root)
         self.archive = archive
+        # The reference re-scans the FULL transaction fact for every
+        # daily report (main.py:544), re-flagging all history into each
+        # new report_dt partition — O(total history) per day. The
+        # incremental mode restricts rules 1-3 and the final assembly
+        # to the batch date's partition (partition-pruned scan) while
+        # the self-join rules still see the full fact for window
+        # context. At 100 TB the full-rescan mode is not viable; the
+        # default stays reference-faithful.
+        self.incremental_report = incremental_report
 
     # -- staging ------------------------------------------------------------
 
@@ -163,14 +173,22 @@ class DailyFraudJob:
         dims = {
             name: self.wh.read(f"dim_{name}_hist") for name in DIMENSIONS
         }
+        fact = self.wh.read("fact_transactions")
         report = assemble_report(
-            self.wh.read("fact_transactions").drop("batch_dt"),
+            fact.drop("batch_dt"),
             dims["cards"],
             dims["accounts"],
             dims["clients"],
             dims["terminals"],
             self.wh.read("fact_passport_blacklist"),
             report_dt=batch,
+            # incremental: only this batch's partition feeds the final
+            # assembly (pruned scan); rules keep full window context
+            report_trans=(
+                fact.filter(F.col("batch_dt") == batch).drop("batch_dt")
+                if self.incremental_report
+                else None
+            ),
         )
         self.wh.append_partitioned("rep_fraud", report, "report_dt")
         return report

@@ -32,6 +32,7 @@ def assemble_report(
     terminals: DataFrame,
     blacklist: DataFrame,
     report_dt: Column,
+    report_trans: DataFrame | None = None,
 ) -> DataFrame:
     """The full five-rule report (main.py:414-560) as one DataFrame.
 
@@ -39,6 +40,12 @@ def assemble_report(
     437-443 — a missed reuse its own planner can't fix); here the
     terminal-resolved chain is built once, cached, and feeds both
     self-join rules and the final assembly.
+
+    `report_trans` (incremental mode): the final assembly scans this
+    frame (e.g. just the batch-date partition) while the self-join
+    rules keep the full `trans` for window context — the reference's
+    full-fact daily rescan is O(total history) per day and not viable
+    at scale.
     """
     resolved = resolve_transactions(
         trans, cards, accounts, clients, terminals=None, how="inner"
@@ -57,7 +64,12 @@ def assemble_report(
     # Final assembly uses LEFT joins (main.py:544-550): a transaction
     # that misses the dim chain still reaches the rule-1 probe.
     left = resolve_transactions(
-        trans, cards, accounts, clients, terminals=None, how="left"
+        report_trans if report_trans is not None else trans,
+        cards,
+        accounts,
+        clients,
+        terminals=None,
+        how="left",
     ).alias("t")
     b = F.broadcast(blacklist.select("passport_num").distinct().alias("b"))
 

@@ -84,3 +84,33 @@ class Warehouse:
             .partitionBy(partition_col)
             .parquet(self.path(table))
         )
+
+    def write_bucketed(
+        self,
+        table: str,
+        df: DataFrame,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Persist as a bucketed catalog table (`bucketBy` +
+        saveAsTable): two tables bucketed on the same key with the same
+        bucket count join WITHOUT a shuffle — the co-located-join
+        strategy for repeatedly-joined 100 TB facts. Parquet files land
+        under spark.sql.warehouse.dir; metadata in the session catalog."""
+        writer = df.write.mode("overwrite").format("parquet").bucketBy(
+            n_buckets, *bucket_cols
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table)
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        return self.spark.table(table)
+
+    def compact(self, table: str, target_partitions: int) -> None:
+        """Small-files maintenance: rewrite a table at a bounded file
+        count (per-batch appends accumulate small files; scan cost at
+        scale is dominated by file-open overhead once files < ~32 MB)."""
+        df = self.read(table).repartition(target_partitions)
+        atomic_overwrite(df, self.path(table))

@@ -108,6 +108,27 @@ def test_two_batch_pipeline(spark, fixture_dirs):
     assert fact.count() == 4
 
 
+def test_incremental_report_only_batch_rows(spark, fixture_dirs):
+    input_dir, source_dir, wh_dir, write_batch = fixture_dirs
+    job = DailyFraudJob(
+        spark, input_dir, source_dir, wh_dir + "_inc", incremental_report=True
+    )
+    job.run()
+    write_batch(
+        "02012024",
+        ["tx4;2024-01-02 09:00:00;card2;PAY;10,00;SUCCESS;t1"],
+        [],
+    )
+    job.run()
+    rep = job.wh.read("rep_fraud")
+    # day-2 partition holds ONLY day-2's transaction (tx4: expired
+    # passport for c2), not re-derived day-1 rows
+    day2 = rep.filter("report_dt = date'2024-01-02'").collect()
+    assert {str(r.event_dt) for r in day2} == {"2024-01-02 09:00:00"}
+    day1 = rep.filter("report_dt = date'2024-01-01'")
+    assert day1.count() > 0  # day-1 partition intact
+
+
 def test_scd2_change_across_batches(spark, fixture_dirs, tmp_path):
     input_dir, source_dir, wh_dir, write_batch = fixture_dirs
     job = DailyFraudJob(spark, input_dir, source_dir, wh_dir)
