@@ -1,0 +1,89 @@
+"""Streaming warehouse maintenance via foreachBatch.
+
+Structured Streaming sinks are append-only, but the engine's SCD2 and
+insert-if-absent semantics need read-modify-write — the standard
+pattern is `foreachBatch`: each micro-batch arrives as a normal
+DataFrame inside a callback where arbitrary batch logic (joins against
+the current warehouse state, atomic snapshot swaps) runs exactly-once
+per epoch (the checkpoint records the batch id; re-run batches are
+re-offered with the same id for dedup).
+
+This closes the loop between streaming/filestream (dated-file stream)
+and operators.scd2 / jobs.daily: the same SCD2 snapshot rewrite that
+the daily job runs per date runs here per micro-batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.scd2 import scd2_apply
+from ..sources.warehouse import Warehouse
+
+
+def scd2_stream_sink(
+    wh: Warehouse,
+    table: str,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    batch_date_col: str = "batch_date",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback applying SCD2 maintenance per micro-batch.
+
+    Events in one micro-batch may span several batch dates (a backlog
+    drain); they are applied in date order so history stays coherent —
+    the same ordering guarantee the daily loop gives (main.py:33,48).
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dates = [
+            r[0]
+            for r in batch_df.select(batch_date_col).distinct().orderBy(batch_date_col).collect()
+        ]
+        for d in dates:
+            stg = batch_df.filter(F.col(batch_date_col) == F.lit(d)).drop(
+                batch_date_col
+            )
+            dim = wh.read(table) if wh.exists(table) else None
+            hist = scd2_apply(dim, stg, key_cols, attr_cols, F.lit(d))
+            wh.overwrite(table, hist)
+
+    return apply
+
+
+def dedup_append_sink(
+    wh: Warehouse,
+    table: str,
+    key_cols: Sequence[str],
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch insert-if-absent (the blacklist-fact J9 semantics,
+    main.py:382-394): only keys unseen in the warehouse are appended;
+    duplicates inside the micro-batch collapse to their first row."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = batch_df.dropDuplicates(list(key_cols))
+        if wh.exists(table):
+            fresh = fresh.join(wh.read(table), list(key_cols), "left_anti")
+        wh.append(table, fresh)
+
+    return apply
+
+
+def run_foreach_batch(
+    stream: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint: str,
+) -> None:
+    """Drive a stream into a foreachBatch sink with AvailableNow."""
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

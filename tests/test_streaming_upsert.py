@@ -1,0 +1,85 @@
+"""foreachBatch streaming warehouse maintenance: SCD2 and
+insert-if-absent applied per micro-batch from a dated-file stream."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from etl_process_for_fraud_transactions_spark.sources.warehouse import Warehouse
+from etl_process_for_fraud_transactions_spark.streaming.upsert import (
+    dedup_append_sink,
+    run_foreach_batch,
+    scd2_stream_sink,
+)
+
+OPEN = dt.date(3000, 1, 1)
+
+
+def _stream(spark, src):
+    return spark.readStream.schema(
+        "client_id string, phone string, batch_date date"
+    ).json(str(src))
+
+
+def test_scd2_stream_sink_across_microbatches(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    # one file holding TWO batch dates (backlog drain) — must apply in
+    # date order inside the single micro-batch
+    (src / "b1.jsonl").write_text(
+        '{"client_id":"c1","phone":"111","batch_date":"2024-01-01"}\n'
+        '{"client_id":"c1","phone":"222","batch_date":"2024-01-02"}\n'
+    )
+    run_foreach_batch(
+        _stream(spark, src),
+        scd2_stream_sink(wh, "dim_clients_hist", ["client_id"], ["phone"]),
+        str(tmp_path / "ck1"),
+    )
+    hist = sorted(
+        (r.phone, r.effective_from, r.effective_to, r.deleted_flg)
+        for r in wh.read("dim_clients_hist").collect()
+    )
+    assert hist == [
+        ("111", dt.date(2024, 1, 1), dt.date(2024, 1, 2), True),
+        ("222", dt.date(2024, 1, 2), OPEN, False),
+    ]
+
+    # a later file arrives: incremental micro-batch continues history
+    (src / "b2.jsonl").write_text(
+        '{"client_id":"c1","phone":"333","batch_date":"2024-01-03"}\n'
+    )
+    run_foreach_batch(
+        _stream(spark, src),
+        scd2_stream_sink(wh, "dim_clients_hist", ["client_id"], ["phone"]),
+        str(tmp_path / "ck1"),
+    )
+    cur = wh.read("dim_clients_hist").filter("deleted_flg = false").collect()
+    assert [(r.phone, r.effective_from) for r in cur] == [("333", dt.date(2024, 1, 3))]
+    assert wh.read("dim_clients_hist").count() == 3
+
+
+def test_dedup_append_sink(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    (src / "b1.jsonl").write_text(
+        '{"passport_num":"P1"}\n{"passport_num":"P1"}\n{"passport_num":"P2"}\n'
+    )
+    stream = spark.readStream.schema("passport_num string").json(str(src))
+    run_foreach_batch(
+        stream, dedup_append_sink(wh, "blacklist", ["passport_num"]), str(tmp_path / "ck")
+    )
+    assert sorted(r.passport_num for r in wh.read("blacklist").collect()) == ["P1", "P2"]
+
+    (src / "b2.jsonl").write_text('{"passport_num":"P2"}\n{"passport_num":"P3"}\n')
+    stream = spark.readStream.schema("passport_num string").json(str(src))
+    run_foreach_batch(
+        stream, dedup_append_sink(wh, "blacklist", ["passport_num"]), str(tmp_path / "ck")
+    )
+    assert sorted(r.passport_num for r in wh.read("blacklist").collect()) == [
+        "P1",
+        "P2",
+        "P3",
+    ]
