@@ -153,6 +153,41 @@ def value_percentiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_prev_hour_stats",
+    """
+    WITH hourly AS (
+        SELECT user_id,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS prev_hour_sum
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id AS event_id, e.user_id AS user_id, h.prev_hour_sum AS prev_hour_sum
+    FROM events e ASOF LEFT JOIN hourly h
+      ON e.user_id = h.user_id AND e.ts >= h.ts
+    """,
+)
+def asof_prev_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event picks its user's most
+    recent COMPLETED hourly aggregate. The Spark rewrite is a
+    union + last-ignore-nulls window — one shuffle, no pair explosion —
+    while the oracle uses DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "user_id",
+            (F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("prev_hour_sum"))
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    return asof_join(
+        left, hourly, ["user_id"], "ts", ["prev_hour_sum"], tiebreak_col="event_id"
+    ).select("event_id", "user_id", "prev_hour_sum")
+
+
+@query(
     "event_time_gaps",
     """
     SELECT user_id, event_id,
