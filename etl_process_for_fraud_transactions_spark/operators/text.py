@@ -45,6 +45,32 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+#: BPE-ish pre-tokenizer: word runs OR single non-space symbols —
+#: approximates a byte-pair tokenizer's pre-split far better than
+#: whitespace (punctuation counts as tokens).
+BPE_TOKEN_RE = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish regex (word runs + symbols)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+
+
+def rolling_hash(col: Column | str, modulus: int = 2_147_483_647, base: int = 31) -> Column:
+    """Polynomial rolling hash over the normalized text's characters:
+    h = fold(h * base + codepoint) mod m — a single codegen'd aggregate
+    expression (no UDF), reproducible in any engine with a list fold."""
+    chars = F.filter(
+        F.split(normalize_text(col), ""), lambda ch: F.length(ch) > 0
+    )
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % modulus,
+    )
+
+
 def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics: length, token count, mean token
     length, punctuation ratio, uppercase ratio, stopword(en) ratio."""

@@ -265,6 +265,31 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_rolling_hash",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(split({_SQL_NORM}, ''), c -> CAST(ord(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483647
+           ) AS rhash,
+           len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint (polynomial char fold, h*31+c mod
+    2^31-1) + BPE-ish token count, both pure codegen expressions; the
+    oracle reproduces the identical fold with DuckDB's list_reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.rolling_hash("text").alias("rhash"),
+        X.bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
 # --- rows-only entries (engine-internal hashing; pytest known-answer) ------
 
 @query("minhash_near_duplicates")

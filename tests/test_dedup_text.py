@@ -78,6 +78,17 @@ def test_quality_stats(spark, docs):
     assert stats[1].stopword_ratio == pytest.approx(2 / 9)  # 'the' x2
 
 
+def test_rolling_hash_and_bpe_tokens(spark):
+    df = spark.createDataFrame([(1, "ab"), (2, "ab"), (3, "ba")], "doc_id long, text string")
+    out = {r.doc_id: r.h for r in df.select("doc_id", X.rolling_hash("text").alias("h")).collect()}
+    # hand-computed: ((0*31+97)*31+98) % (2^31-1) = 3105
+    assert out[1] == 3105 and out[2] == 3105
+    assert out[3] == (98 * 31 + 97)  # order-sensitive, unlike a bag hash
+    tc = spark.createDataFrame([(1, "hello, world! 42")], "doc_id long, text string")
+    n = tc.select(X.bpe_ish_token_count("text").alias("n")).collect()[0].n
+    assert n == 5  # hello , world ! 42
+
+
 def test_detect_language(spark, docs):
     pred = {r.doc_id: r.pred_lang for r in X.detect_language(docs).collect()}
     assert pred[1] == "en"
