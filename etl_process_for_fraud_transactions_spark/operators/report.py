@@ -33,6 +33,7 @@ def assemble_report(
     blacklist: DataFrame,
     report_dt: Column,
     report_trans: DataFrame | None = None,
+    cache_resolved: bool = False,
 ) -> DataFrame:
     """The full five-rule report (main.py:414-560) as one DataFrame.
 
@@ -47,9 +48,17 @@ def assemble_report(
     full-fact daily rescan is O(total history) per day and not viable
     at scale.
     """
+    # The 3-hop chain feeds rule 4, rule 5 and (separately) the final
+    # left assembly. Caching it is a trade-off: at test scale the
+    # broadcast joins recompute faster than the cache materializes
+    # (measured 0.9s vs 1.2-1.8s at sf0.1), so default off; when the
+    # fact scan itself is the dominant cost (very large inputs, remote
+    # storage), pass cache_resolved=True to scan it once.
     resolved = resolve_transactions(
         trans, cards, accounts, clients, terminals=None, how="inner"
-    ).persist()
+    )
+    if cache_resolved:
+        resolved = resolved.persist()
 
     # Rule 4 needs the terminal city (city_of_transactions CTE,
     # main.py:415-427); rule 5 deliberately does not join terminals
