@@ -128,6 +128,20 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_sketch_stats")
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate aggregates (rows-only: approximation is
+    engine-specific by design): HLL++ distinct counts and quantile
+    sketches — the 100 TB path where exact distinct/percentile
+    shuffles are unaffordable. Exact twins carry the oracle gate
+    (distinct_users_per_type, value_percentiles_per_type)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("approx_pcts"),
+    )
+
+
 @query(
     "value_percentiles_per_type",
     """
