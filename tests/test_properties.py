@@ -90,6 +90,40 @@ def test_abs_window_join_matches_naive(spark, rows):
     assert got == want
 
 
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy, events_strategy)
+def test_asof_join_matches_naive(spark, left_rows, right_rows):
+    from etl_process_for_fraud_transactions_spark.operators.asof import asof_join
+
+    ldf, ldata = _df(spark, left_rows)
+    # right side must be unique per (key, ts): dedup keeping min id
+    seen = {}
+    for i, (k, s, us) in enumerate(right_rows):
+        seen.setdefault((k, s, us), i)
+    rdata = [
+        (i, k, T0 + dt.timedelta(seconds=s, microseconds=us))
+        for (k, s, us), i in seen.items()
+    ]
+    rdf = spark.createDataFrame(
+        [(i, k, t, f"v{i}") for i, k, t in rdata],
+        "rid long, k long, ts timestamp_ntz, v string",
+    ).drop("rid")
+    got = {
+        r.id: r.v
+        for r in asof_join(ldf, rdf, ["k"], "ts", ["v"], tiebreak_col="id").collect()
+    }
+    want = {}
+    for i, k, t in [
+        (i, k, T0 + dt.timedelta(seconds=s, microseconds=us))
+        for i, (k, s, us) in enumerate(left_rows)
+    ]:
+        cands = [(rt, f"v{ri}") for (rk, rs, rus), ri in seen.items()
+                 for rt in [T0 + dt.timedelta(seconds=rs, microseconds=rus)]
+                 if rk == k and rt <= t]
+        want[i] = max(cands)[1] if cands else None
+    assert got == want
+
+
 # --- SCD2 vs dict model ----------------------------------------------------
 
 batches_strategy = st.lists(
