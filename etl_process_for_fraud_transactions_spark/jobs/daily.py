@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.core import ddmmyyyy_to_date
 from ..operators.report import assemble_report
-from ..operators.scd2 import scd2_apply, scd2_current
+from ..operators.scd2 import scd2_apply
 from ..schemas import DIMENSIONS
 from ..sources.files import archive_batch_files, discover_batch_dates
 from ..sources.ingest import read_excel_sheet, read_semicolon_csv

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint_md5, normalize_text, tokens
+from .text import fingerprint_md5, tokens
 
 
 # --- exact -----------------------------------------------------------------
