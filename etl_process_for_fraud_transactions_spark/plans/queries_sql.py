@@ -128,6 +128,36 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "running_user_totals",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window3_sum
+    FROM events
+    """,
+)
+def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame specs (rowsBetween): cumulative and 3-row sliding
+    sums per user — decimal-exact accumulation so the running values
+    hash-match across engines."""
+    ev = load_events(spark, sf_dir)
+    order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w3 = order.rowsBetween(-2, Window.currentRow)
+    dec = F.col("value").cast("decimal(18,4)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(dec).over(cum).cast("double").alias("running_total"),
+        F.sum(dec).over(w3).cast("double").alias("window3_sum"),
+    )
+
+
 @query("approx_sketch_stats")
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates (rows-only: approximation is
