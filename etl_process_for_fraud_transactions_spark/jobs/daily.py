@@ -40,12 +40,21 @@ class DailyFraudJob:
         warehouse_root: str,
         archive: bool = True,
         incremental_report: bool = False,
+        scd2_mode: str = "snapshot",
     ):
         self.spark = spark
         self.input_dir = input_dir
         self.source_dir = source_dir
         self.wh = Warehouse(spark, warehouse_root)
         self.archive = archive
+        # "snapshot": full-history rewrite per batch (reference-exact
+        # tuple-IN semantics, operators.scd2). "partitioned": append-only
+        # closed partition + bounded current rewrite
+        # (operators.scd2_partitioned) — the at-scale mode where the
+        # per-batch cost stops growing with history depth.
+        if scd2_mode not in ("snapshot", "partitioned"):
+            raise ValueError(f"scd2_mode must be snapshot|partitioned, got {scd2_mode!r}")
+        self.scd2_mode = scd2_mode
         # The reference re-scans the FULL transaction fact for every
         # daily report (main.py:544), re-flagging all history into each
         # new report_dt partition — O(total history) per day. The
@@ -123,6 +132,14 @@ class DailyFraudJob:
             return df.select("card_num", F.col("account").alias("account_num"))
         raise ValueError(name)
 
+    def _read_dim_history(self, name: str) -> DataFrame:
+        if self.scd2_mode == "partitioned":
+            from ..operators.scd2_partitioned import PartitionedScd2
+
+            keys, attrs = DIMENSIONS[name]
+            return PartitionedScd2(self.wh, f"dim_{name}", keys, attrs).history()
+        return self.wh.read(f"dim_{name}_hist")
+
     # -- per-date pipeline --------------------------------------------------
 
     def run_batch(self, date: str) -> DataFrame:
@@ -144,9 +161,20 @@ class DailyFraudJob:
 
         # SCD2 x4 (main.py:121-379)
         for name, (keys, attrs) in DIMENSIONS.items():
-            dim = self.wh.read(f"dim_{name}_hist") if self.wh.exists(f"dim_{name}_hist") else None
-            hist = scd2_apply(dim, staging[name], keys, attrs, batch)
-            self.wh.overwrite(f"dim_{name}_hist", hist)
+            if self.scd2_mode == "partitioned":
+                from ..operators.scd2_partitioned import PartitionedScd2
+
+                PartitionedScd2(self.wh, f"dim_{name}", keys, attrs).apply_batch(
+                    staging[name], batch
+                )
+            else:
+                dim = (
+                    self.wh.read(f"dim_{name}_hist")
+                    if self.wh.exists(f"dim_{name}_hist")
+                    else None
+                )
+                hist = scd2_apply(dim, staging[name], keys, attrs, batch)
+                self.wh.overwrite(f"dim_{name}_hist", hist)
 
         # blacklist fact: insert-if-absent (J9, main.py:382-394)
         if self.wh.exists("fact_passport_blacklist"):
@@ -169,10 +197,9 @@ class DailyFraudJob:
         if self.archive:
             archive_batch_files(self.input_dir, date)
 
-        # five-rule report over the full fact vs current dims
-        dims = {
-            name: self.wh.read(f"dim_{name}_hist") for name in DIMENSIONS
-        }
+        # five-rule report over the full fact vs current dims (lazy
+        # current∪closed union in partitioned mode — never materialized)
+        dims = {name: self._read_dim_history(name) for name in DIMENSIONS}
         fact = self.wh.read("fact_transactions")
         report = assemble_report(
             fact.drop("batch_dt"),

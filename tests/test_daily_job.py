@@ -108,6 +108,37 @@ def test_two_batch_pipeline(spark, fixture_dirs):
     assert fact.count() == 4
 
 
+def test_partitioned_scd2_mode_equivalent_report(spark, fixture_dirs):
+    input_dir, source_dir, wh_dir, write_batch = fixture_dirs
+    # archive must stay on: with unconsumed batch-1 files still in the
+    # inbox, run() would re-discover and re-apply 01012024 against the
+    # mutated source before reaching batch 2
+    job = DailyFraudJob(
+        spark, input_dir, source_dir, wh_dir + "_p", scd2_mode="partitioned"
+    )
+    job.run()
+    rep = {(r.passport, r.event_type) for r in job.wh.read("rep_fraud").collect()}
+    assert ("P200", "EXPIRED_PASSPORT") in rep
+    assert ("P100", "DIFF_CITY_SHORT_TIME") in rep
+    # second batch with a source change -> history via current∪closed
+    import pyspark.sql.functions as F
+    import shutil, os
+
+    clients = spark.read.parquet(os.path.join(source_dir, "clients.parquet"))
+    mutated = clients.withColumn(
+        "phone", F.when(F.col("client_id") == "c1", "+71P").otherwise(F.col("phone"))
+    )
+    tmp = wh_dir + "_ptmp"
+    mutated.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(os.path.join(source_dir, "clients.parquet"))
+    shutil.move(tmp, os.path.join(source_dir, "clients.parquet"))
+    write_batch("02012024", ["tx8;2024-01-02 09:00:00;card1;PAY;5,00;SUCCESS;t1"], [])
+    job.run()
+    hist = job._read_dim_history("clients")
+    c1 = sorted((r.phone, str(r.effective_to), r.deleted_flg) for r in hist.filter("client_id='c1'").collect())
+    assert c1 == [("+71", "2024-01-02", True), ("+71P", "3000-01-01", False)]
+
+
 def test_incremental_report_only_batch_rows(spark, fixture_dirs):
     input_dir, source_dir, wh_dir, write_batch = fixture_dirs
     job = DailyFraudJob(
