@@ -197,6 +197,98 @@ def value_percentiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_props_by_type",
+    """
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 AS k_mod,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type, k_mod
+    """,
+)
+def json_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column access: `events.props` is a JSON
+    string; from_json with an explicit schema keeps the extraction in
+    codegen (vs per-row Python). At 100 TB the typed struct projects/
+    prunes like any other column; schema-on-read, no reparse per use."""
+    ev = load_events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.select("event_type", (k % 5).alias("k_mod"), "value")
+        .groupBy("event_type", "k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "hourly_event_windows",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY hour_start, event_type
+    """,
+)
+def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows via F.window — the batch twin of the
+    Structured Streaming windowed aggregation (streaming/rules.py); the
+    oracle expresses the same bucketing as date_trunc. One shuffle on
+    (window, event_type); partial aggregation is map-side."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+@query(
+    "cube_revenue",
+    """
+    SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+           coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over both flag dimensions with the standard GROUPING bitmap
+    (bit set where the column is aggregated away — same encoding both
+    engines). Spark expands grouping sets before the hash aggregate, so
+    it's still a single shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "gid",
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+@query(
     "asof_prev_hour_stats",
     """
     WITH hourly AS (
