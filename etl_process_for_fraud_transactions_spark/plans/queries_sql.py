@@ -197,6 +197,60 @@ def value_percentiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "global_top_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (absent from the reference, SURVEY §2.7).
+    Spark plans this as TakeOrderedAndProject — a per-partition top-k
+    then a driver merge of k-sized heaps, NOT a global sort: at 100 TB
+    no full shuffle happens. o_orderkey tie-break keeps the row set
+    deterministic for the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("totalprice")
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "docs_pattern_extract",
+    """
+    SELECT doc_id,
+           upper(substr(text, 1, 8)) AS head8,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           length(text) AS n_chars_seen
+    FROM documents
+    WHERE text LIKE '%spark%' AND lang IS NOT NULL
+    """,
+)
+def docs_pattern_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (LIKE / substr / upper / length /
+    regexp_extract — none exist in the reference SQL, SURVEY §2.9).
+    All stay in whole-stage codegen; LIKE '%spark%' is evaluated as a
+    contains() after pushdown, no Python in the loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").like("%spark%") & F.col("lang").isNotNull())
+        .select(
+            "doc_id",
+            F.upper(F.substring("text", 1, 8)).alias("head8"),
+            F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+            F.length("text").alias("n_chars_seen"),
+        )
+    )
+
+
+@query(
     "json_props_by_type",
     """
     SELECT event_type,
