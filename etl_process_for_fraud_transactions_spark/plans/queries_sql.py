@@ -197,6 +197,54 @@ def value_percentiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_frequencies",
+    """
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    HAVING COUNT(*) >= 5
+    """,
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode / lateral-unnest surface (wordcount shape): one generator
+    per input row, then hash-aggregate on the token. The explode happens
+    before the shuffle, so map-side partial counts bound the shuffle to
+    |vocabulary| per partition — at 100 TB the shuffle carries the
+    dictionary, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 5)
+    )
+
+
+@query(
+    "user_event_type_arrays",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregation surface: collect_set -> sort_array -> array_join.
+    collect_set order is nondeterministic in any distributed engine, so
+    the deterministic sort happens before serialization — the same
+    discipline SURVEY §5.2 applies to row_number ties."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_seen"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
     "global_top_orders",
     """
     SELECT o_orderkey, o_custkey,
