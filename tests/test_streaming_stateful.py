@@ -60,6 +60,65 @@ def test_streak_alerts_within_one_batch(spark, tmp_path):
     assert got == {(1, "2024-01-01 10:05:00", 3)}
 
 
+def test_streak_matches_model_across_forced_micro_batches(spark, tmp_path):
+    """Seeded random event stream, split ts-ordered into 4 files forced
+    through separate micro-batches (maxFilesPerTrigger=1): alerts must
+    equal a naive single-pass model — the state machine is exact across
+    batch boundaries wherever they fall."""
+    import random
+
+    rng = random.Random(42)
+    events = []
+    t = 0
+    for trans_id in range(200):
+        t += rng.randint(10, 120)
+        events.append(
+            {
+                "card_num": rng.randint(1, 8),
+                "trans_id": trans_id,
+                "ts": f"2024-01-01 {t // 3600:02d}:{t % 3600 // 60:02d}:{t % 60:02d}",
+                "oper_result": rng.choice(["REJECT", "SUCCESS"]),
+            }
+        )
+
+    # naive model: per card in global ts order, streak resets on SUCCESS
+    expected = set()
+    streaks: dict[int, int] = {}
+    for e in events:
+        if e["oper_result"] == "REJECT":
+            streaks[e["card_num"]] = streaks.get(e["card_num"], 0) + 1
+            if streaks[e["card_num"]] == 3:
+                expected.add((e["card_num"], e["ts"], 3))
+        else:
+            streaks[e["card_num"]] = 0
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(4):
+        _write(src, f"part{i}.jsonl", events[i * 50 : (i + 1) * 50])
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        consecutive_reject_alerts(stream, threshold=3)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.card_num, str(r.alert_ts), r.streak)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == expected
+
+
 def test_streak_spans_micro_batches(spark, tmp_path):
     """2 rejects in run 1, the 3rd in run 2: the alert fires only if the
     streak counter survived the checkpoint."""
