@@ -65,10 +65,15 @@ def assemble_report(
     # (req_start_for_4_rule, main.py:437-443) — an inner terminal join
     # there would drop transactions at unknown terminals from the
     # brute-force scan, changing its semantics.
-    diff_city = rule_diff_city_1h(
-        attach_terminal_city(resolved, terminals)
-    ).alias("h")
-    brute = rule_brute_force_20min(resolved).alias("r")
+    # Rule outputs are fraud *hits* — orders of magnitude smaller than
+    # the fact by construction — so the join-backs broadcast them
+    # instead of shuffling the full fact on (trans_id, client_id).
+    # (AQE can only make this call after materializing the fact-side
+    # shuffle; the hint skips that shuffle entirely.)
+    diff_city = F.broadcast(
+        rule_diff_city_1h(attach_terminal_city(resolved, terminals)).alias("h")
+    )
+    brute = F.broadcast(rule_brute_force_20min(resolved).alias("r"))
 
     # Final assembly uses LEFT joins (main.py:544-550): a transaction
     # that misses the dim chain still reaches the rule-1 probe.
