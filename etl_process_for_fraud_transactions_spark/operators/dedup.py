@@ -54,6 +54,31 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingestion dedup: rows of `new_docs` whose normalized
+    text does not already exist in `corpus`, also deduped within the
+    batch (smallest-id survivor). The shape every growing training
+    corpus needs daily — and the anti-join ships only 128-bit
+    fingerprints, never text, so the shuffle is O(ids), not O(bytes).
+    At 100 TB the corpus side is a fingerprint-only scan of a column
+    pruned to one md5 per doc; with the corpus stored fingerprint-
+    bucketed the anti-join is co-located and shuffle-free."""
+    corpus_fp = corpus.select(fingerprint_md5(text_col).alias("fp")).distinct()
+    fresh = (
+        new_docs.select(F.col(id_col), fingerprint_md5(text_col).alias("fp"))
+        .join(corpus_fp, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return new_docs.join(fresh, id_col, "left_semi")
+
+
 # --- shingles & minhash ----------------------------------------------------
 
 def shingles(col: Column | str, k: int = 3) -> Column:

@@ -90,6 +90,32 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_new_docs",
+    f"""
+    WITH corpus AS (
+        SELECT DISTINCT md5({_SQL_NORM}) AS fp FROM documents WHERE source <> 'src0'
+    ),
+    fresh AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents WHERE source = 'src0') n
+        WHERE fp NOT IN (SELECT fp FROM corpus)
+        GROUP BY fp
+    )
+    SELECT d.doc_id AS doc_id, d.source AS source
+    FROM documents d JOIN fresh USING (doc_id)
+    """,
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: treat source='src0' as today's batch
+    and every other source as the existing corpus; keep batch rows
+    whose text is new (operators/dedup.py::dedup_against_corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return D.dedup_against_corpus(new_docs, corpus).select("doc_id", "source")
+
+
+@query(
     "text_quality_stats",
     f"""
     SELECT doc_id,

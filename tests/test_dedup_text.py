@@ -31,6 +31,20 @@ def test_exact_duplicates(spark, docs):
     assert kept == [1, 3, 4, 5]  # smallest id survives
 
 
+def test_dedup_against_corpus(spark, docs):
+    new = spark.createDataFrame(
+        [
+            (10, "THE QUICK brown fox jumps over the lazy dog"),  # already in corpus (norm-dup of 1)
+            (11, "brand new document one"),
+            (12, "brand  NEW document one!"),  # in-batch dup of 11 after normalize
+            (13, "brand new document two"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in D.dedup_against_corpus(new, docs).collect())
+    assert kept == [11, 13]
+
+
 def test_shingles_and_jaccard(spark):
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     sh = df.select(D.shingles("text", k=3).alias("sh")).collect()[0].sh
