@@ -87,3 +87,34 @@ def kmeans_anomaly_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats, ["amount", "hour_of_day", "events_per_day"], k=4, seed=42
     )
     return scored.select("event_id", "user_id", "cluster", "anomaly_score")
+
+
+@query(
+    "hourly_gap_fill",
+    """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_start,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS hour_sum
+        FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(min(hour_start), max(hour_start), INTERVAL 1 HOUR)) AS hour_start
+        FROM hourly GROUP BY user_id
+    )
+    SELECT s.user_id AS user_id, s.hour_start AS hour_start,
+           last_value(h.hour_sum IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+           h.hour_sum IS NOT NULL AS observed
+    FROM spine s LEFT JOIN hourly h
+      ON s.user_id = h.user_id AND s.hour_start = h.hour_start
+    """,
+)
+def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dense hourly series with forward fill
+    (operators/timeseries.py::gap_fill_hourly): sequence+explode spine,
+    ignore-nulls last() window — the hypertable-rollup shape."""
+    from ..operators.timeseries import gap_fill_hourly
+
+    return gap_fill_hourly(load_events(spark, sf_dir))
