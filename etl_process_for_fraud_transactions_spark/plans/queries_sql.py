@@ -158,6 +158,34 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "value_rank_functions",
+    """
+    SELECT event_id, event_type,
+           ntile(10) OVER w AS decile,
+           dense_rank() OVER w AS drank,
+           round(percent_rank() OVER w, 6) AS prank
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    """,
+)
+def value_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface (ntile / dense_rank / percent_rank).
+    Deliberately PARTITIONED by event_type: a global ORDER BY window
+    would serialize every row through one partition — the per-group
+    form is the shape that survives scale-up, and event_id tie-breaks
+    keep ranks deterministic."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(10).over(w).alias("decile"),
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
 @query("approx_sketch_stats")
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates (rows-only: approximation is
