@@ -101,6 +101,63 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_format", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _resize_bytes(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resampler (no PIL in this container): cycles the source
+    bytes to exactly width*height output bytes — deterministic, size-
+    correct, and replaced wholesale by a real resampler in deployment."""
+    n = width * height
+    if not payload:
+        return bytes(n)
+    reps = n // len(payload) + 1
+    return (payload * reps)[:n]
+
+
+def resize_images(assets: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Arrow-batched image resize: narrow transform (no shuffle), only
+    image-modality rows are decoded, output metadata carries the new
+    dimensions so downstream planning filters keep working without
+    touching payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_format": pdf["media_format"],
+                    "payload": pdf["payload"].map(
+                        lambda p: _resize_bytes(p or b"", width, height)
+                    ),
+                    "meta": [
+                        {"width": width, "height": height, "duration_ms": m["duration_ms"] if m else None}
+                        for m in pdf["meta"]
+                    ],
+                }
+            )
+
+    return assets.filter(F.col("modality") == "image").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (asset, frame_ts) to
     decode, derived from metadata only — the planning half of frame

@@ -36,3 +36,19 @@ def test_frame_sample_plan_counts(spark, assets):
     # only video assets planned (ids % 3 == 2), frames every second
     assert set(by_asset) == {2, 5, 8, 11}
     assert by_asset[2] == list(range(0, 7000, 1000))  # duration 5000+2000
+
+
+def test_resize_images(spark, assets):
+    from etl_process_for_fraud_transactions_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    out = resize_images(assets, width=8, height=4).collect()
+    n_images = assets.filter("modality = 'image'").count()
+    assert len(out) == n_images > 0
+    for r in out:
+        assert len(r.payload) == 8 * 4
+        assert (r.meta.width, r.meta.height) == (8, 4)
+    # deterministic: same input -> same bytes
+    again = {r.asset_id: bytes(r.payload) for r in resize_images(assets, 8, 4).collect()}
+    assert {r.asset_id: bytes(r.payload) for r in out} == again
