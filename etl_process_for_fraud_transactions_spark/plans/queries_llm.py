@@ -116,6 +116,36 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "train_val_split_counts",
+    """
+    WITH labeled AS (
+        SELECT doc_id, source,
+               CASE WHEN instr('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 >= 14
+                    THEN 'val' ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT source, split, COUNT(*) AS n_docs
+    FROM labeled GROUP BY source, split
+    """,
+)
+def train_val_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/val split (operators/sampling.py):
+    md5-keyed, so the assignment is reproducible across engines and
+    re-partitioning — unlike randomSplit. The oracle recomputes the
+    same bucketing in SQL; counts per (source, split) must agree
+    exactly."""
+    from ..operators.sampling import train_val_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_val_split(docs, "doc_id", val_buckets=2)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
     "text_quality_stats",
     f"""
     SELECT doc_id,

@@ -108,3 +108,24 @@ def test_detect_language(spark, docs):
     assert pred[1] == "en"
     assert pred[4] == "de"
     assert pred[5] == "en"  # 'and' marker
+
+
+def test_hash_split_stable_and_disjoint(spark):
+    from etl_process_for_fraud_transactions_spark.operators.sampling import (
+        hash_bucket,
+        train_val_split,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    labeled = train_val_split(df, "doc_id", val_buckets=2)
+    counts = {r.split: r.n for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val"}
+    # ~12.5% val, generous tolerance for 2000 ids
+    assert 0.08 < counts["val"] / 2000 < 0.18
+    # stable across recomputation and repartition
+    a = {r.doc_id: r.split for r in labeled.collect()}
+    b = {r.doc_id: r.split for r in train_val_split(df.repartition(7), "doc_id", 2).collect()}
+    assert a == b
+
+    with pytest.raises(ValueError):
+        hash_bucket("doc_id", buckets=5)
