@@ -7,6 +7,7 @@ spans a micro-batch boundary)."""
 from __future__ import annotations
 
 import json
+import os
 
 from etl_process_for_fraud_transactions_spark.streaming.stateful import (
     consecutive_reject_alerts,
@@ -96,6 +97,10 @@ def test_streak_matches_model_across_forced_micro_batches(spark, tmp_path):
     src.mkdir()
     for i in range(4):
         _write(src, f"part{i}.jsonl", events[i * 50 : (i + 1) * 50])
+        # the file source orders micro-batches by modification time;
+        # sub-ms writes tie and break the time-ordered-replay contract,
+        # so pin strictly increasing mtimes
+        os.utime(src / f"part{i}.jsonl", (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
 
     stream = (
         spark.readStream.schema(SCHEMA)
