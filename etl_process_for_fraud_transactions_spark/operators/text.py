@@ -116,19 +116,25 @@ def language_scores(col: Column | str) -> dict[str, Column]:
     }
 
 
-def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-marker language ID with deterministic tie-breaking
-    (alphabetical language order on equal scores; 'und' = undetermined
-    when nothing matches)."""
-    scores = language_scores(F.col(text_col))
+def pred_lang(col: Column | str) -> Column:
+    """Predicted-language Column: stopword-marker language ID with
+    deterministic tie-breaking (alphabetical language order on equal
+    scores; 'und' = undetermined when nothing matches)."""
+    scores = language_scores(col)
     langs = sorted(scores)  # deterministic priority
     best = F.greatest(*[scores[l] for l in langs])
     pred = F.when(best == 0, F.lit("und"))
     for l in langs:
         pred = pred.when(scores[l] == best, F.lit(l))
-    out = df.select(
+    return pred
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document language scores + prediction (see pred_lang)."""
+    scores = language_scores(F.col(text_col))
+    langs = sorted(scores)
+    return df.select(
         "doc_id",
         *[scores[l].alias(f"score_{l}") for l in langs],
-        pred.alias("pred_lang"),
+        pred_lang(F.col(text_col)).alias("pred_lang"),
     )
-    return out

@@ -116,6 +116,61 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_curation_pipeline",
+    f"""
+    WITH survivors AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents)
+        GROUP BY fp
+    ),
+    kept AS (
+        SELECT d.doc_id, d.text FROM documents d JOIN survivors USING (doc_id)
+    ),
+    scored AS (
+        SELECT doc_id,
+               len({_SQL_TOKS}) AS n_tokens,
+               len(list_filter({_SQL_TOKS}, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+               len(list_filter({_SQL_TOKS}, x -> x IN ('the','and','of','to','is'))) AS s_en,
+               len(list_filter({_SQL_TOKS}, x -> x IN ('el','la','los','es','y'))) AS s_es,
+               len(list_filter({_SQL_TOKS}, x -> x IN ('le','la','et','les','est'))) AS s_fr
+        FROM kept
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN instr('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 >= 14
+                THEN 'val' ELSE 'train' END AS split
+    FROM scored
+    WHERE n_tokens >= 10
+      AND greatest(s_de, s_en, s_es, s_fr) > 0
+      AND s_en = greatest(s_de, s_en, s_es, s_fr)
+      AND NOT (s_de = greatest(s_de, s_en, s_es, s_fr))
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation, the composition the individual
+    operators exist for: exact dedup -> token-count quality gate ->
+    English-only language filter -> deterministic train/val split.
+
+    Shuffle accounting at 100 TB: ONE shuffle (dedup's fingerprint
+    groupBy + the id semi-join back); tokenization, language scoring
+    and the split label are all narrow projections fused into the
+    same stage by whole-stage codegen. (The oracle's de-vs-en CASE
+    mirrors pred_lang's alphabetical tie-break: 'de' wins ties.)"""
+    from ..operators.sampling import train_val_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = D.dedup_exact(docs)
+    enriched = kept.select(
+        "doc_id",
+        F.size(X.tokens(F.col("text"))).alias("n_tokens"),
+        X.pred_lang(F.col("text")).alias("pred_lang"),
+    ).filter((F.col("n_tokens") >= 10) & (F.col("pred_lang") == "en"))
+    return train_val_split(enriched, "doc_id", val_buckets=2).select(
+        "doc_id", "n_tokens", "split"
+    )
+
+
+@query(
     "train_val_split_counts",
     """
     WITH labeled AS (

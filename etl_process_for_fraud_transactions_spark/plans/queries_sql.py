@@ -159,6 +159,71 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "region_nation_grid",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           (n.n_regionkey = r.r_regionkey) AS is_home
+    FROM nation n CROSS JOIN region r
+    """,
+)
+def region_nation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN surface (absent from the reference, SURVEY §2.3).
+    Plans as BroadcastNestedLoopJoin with the 5-row side broadcast —
+    the only join shape where NLJ is the right answer. Guard rail at
+    scale: cross joins are for dimension grids, never two facts."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.crossJoin(F.broadcast(region)).select(
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
+    )
+
+
+@query(
+    "full_outer_user_activity",
+    """
+    WITH p AS (
+        SELECT user_id, COUNT(*) AS n_purchases FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    e AS (
+        SELECT user_id, COUNT(*) AS n_errors FROM events
+        WHERE event_type = 'error' GROUP BY user_id
+    )
+    SELECT coalesce(p.user_id, e.user_id) AS user_id,
+           coalesce(n_purchases, 0) AS n_purchases,
+           coalesce(n_errors, 0) AS n_errors
+    FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+    """,
+)
+def full_outer_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN surface (absent from the reference): users with
+    purchases and/or errors, zero-filled on the missing side. Both
+    inputs are aggregates already partitioned on the join key, so the
+    join reuses the aggregation exchange (no extra shuffle)."""
+    ev = load_events(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return (
+        p.join(e, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+        )
+    )
+
+
+@query(
     "value_rank_functions",
     """
     SELECT event_id, event_type,
