@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.core import ddmmyyyy_to_date
+from ..functions.observability import observed_counts
 from ..operators.report import assemble_report
 from ..operators.scd2 import scd2_apply
 from ..schemas import DIMENSIONS
@@ -47,6 +48,8 @@ class DailyFraudJob:
         self.source_dir = source_dir
         self.wh = Warehouse(spark, warehouse_root)
         self.archive = archive
+        #: per-batch write metrics keyed by '<table>_<date>' (observe-based)
+        self.metrics: dict[str, dict] = {}
         # "snapshot": full-history rewrite per batch (reference-exact
         # tuple-IN semantics, operators.scd2). "partitioned": append-only
         # closed partition + bounded current rewrite
@@ -185,12 +188,16 @@ class DailyFraudJob:
             self.wh.append("fact_passport_blacklist", blacklist)
 
         # transactions fact: append, partitioned by batch date for
-        # idempotent re-runs (main.py:397-409)
-        self.wh.append_partitioned(
-            "fact_transactions",
+        # idempotent re-runs (main.py:397-409); row count + amount sum
+        # observed on the write itself (the reference's print-audit,
+        # main.py:410, without a second scan)
+        observed, obs = observed_counts(
             trans.withColumn("batch_dt", batch),
-            "batch_dt",
+            f"fact_transactions_{date}",
+            F.sum("amt").alias("total_amt"),
         )
+        self.wh.append_partitioned("fact_transactions", observed, "batch_dt")
+        self.metrics[f"fact_transactions_{date}"] = obs.get
 
         # all file-backed frames are persisted to the warehouse now —
         # safe to archive the consumed inputs (main.py:20-30,117)

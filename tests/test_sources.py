@@ -109,3 +109,16 @@ def test_warehouse_append_partitioned_idempotent(spark, tmp_path):
         "facts", spark.createDataFrame([(3, d2)], "id long, report_dt date"), "report_dt"
     )
     assert wh.read("facts").count() == 3  # other partitions untouched
+
+
+def test_observed_counts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_process_for_fraud_transactions_spark.functions.observability import (
+        observed_counts,
+    )
+
+    df = spark.range(0, 100).withColumn("amt", F.col("id") * 2.0)
+    out, obs = observed_counts(df, "probe", F.sum("amt").alias("total_amt"))
+    out.write.mode("overwrite").parquet(str(tmp_path / "o"))
+    assert obs.get == {"n_rows": 100, "total_amt": 9900.0}
