@@ -20,6 +20,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def atomic_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
@@ -107,6 +108,28 @@ class Warehouse:
 
     def read_bucketed(self, table: str) -> DataFrame:
         return self.spark.table(table)
+
+    def write_clustered(
+        self,
+        table: str,
+        df: DataFrame,
+        cluster_cols: list[str],
+        n_files: int | None = None,
+    ) -> None:
+        """Range-clustered layout: repartitionByRange + in-partition
+        sort on the cluster columns before writing. Each parquet file
+        then covers a disjoint range of the cluster key, so its
+        row-group min/max statistics prune point and range predicates
+        at planning time — the poor-man's Z-order, and the right
+        layout for columns that dominate WHERE clauses (event time,
+        tenant id). Cost: one range shuffle at write time, paid once,
+        amortized over every subsequent pruned scan."""
+        parts = [F.col(c) for c in cluster_cols]
+        out = (
+            df.repartitionByRange(*(([n_files] if n_files else []) + parts))
+            .sortWithinPartitions(*cluster_cols)
+        )
+        atomic_overwrite(out, self.path(table))
 
     def compact(self, table: str, target_partitions: int) -> None:
         """Small-files maintenance: rewrite a table at a bounded file

@@ -3,6 +3,8 @@ join with zero shuffle exchanges."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_process_for_fraud_transactions_spark.sources.warehouse import Warehouse
 
 
@@ -38,3 +40,31 @@ def test_compact_reduces_files(spark, tmp_path):
     n_after = len([f for f in os.listdir(wh.path("many_files")) if f.startswith("part-")])
     assert n_before >= 16 and n_after <= 2
     assert wh.read("many_files").count() == 1000
+
+
+def test_write_clustered_range_disjoint(spark, tmp_path):
+    """Files from a clustered write cover disjoint key ranges — the
+    property min/max row-group pruning depends on."""
+    import glob
+
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 37 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    wh.write_clustered("clustered", df, ["k"], n_files=8)
+
+    # correctness: same rows back
+    assert wh.read("clustered").count() == 10_000
+
+    ranges = []
+    for f in glob.glob(str(tmp_path / "wh" / "clustered" / "*.parquet")):
+        pdf = spark.read.parquet(f).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi")
+        ).collect()[0]
+        ranges.append((pdf.lo, pdf.hi))
+    ranges.sort()
+    assert len(ranges) > 1
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # disjoint (boundary may touch)
