@@ -138,3 +138,49 @@ def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
         *[scores[l].alias(f"score_{l}") for l in langs],
         pred_lang(F.col(text_col)).alias("pred_lang"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Overlapping token-window chunking — the unit-of-training-sample
+    step of an LLM data pipeline. One row per (doc, chunk): chunk_id,
+    the chunk text (normalized tokens re-joined), and its token count.
+
+    Pure generator + higher-order array expressions: no shuffle, no
+    Python, output size ~ n_tokens/step per doc regardless of document
+    length — a 100 GB book shard and a tweet shard chunk at the same
+    per-token cost. Last chunk is the remainder (may be shorter);
+    documents shorter than one chunk yield exactly one chunk.
+    """
+    if chunk_tokens <= overlap:
+        raise ValueError("chunk_tokens must exceed overlap")
+    step = chunk_tokens - overlap
+    n = F.size(F.col("__toks"))
+    # last chunk index: floor((max(n - chunk, 0) + step - 1) / step)
+    last = F.floor(
+        (F.greatest(n - chunk_tokens, F.lit(0)) + F.lit(step - 1)) / F.lit(step)
+    ).cast("int")
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), last)).alias("chunk_id"),
+            F.col("__toks"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("chunk_id") * step + 1, chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("__toks"), F.col("chunk_id") * step + 1, chunk_tokens)
+            ).alias("n_chunk_tokens"),
+        )
+    )

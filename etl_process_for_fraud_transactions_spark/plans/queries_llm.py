@@ -116,6 +116,25 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "document_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents)
+    SELECT doc_id, chunk_id,
+           array_to_string(l[chunk_id*24+1:chunk_id*24+32], ' ') AS chunk_text,
+           len(l[chunk_id*24+1:chunk_id*24+32]) AS n_chunk_tokens
+    FROM t, unnest(generate_series(
+             0, CAST(floor((greatest(len(l)-32,0)+23)/24) AS INT))) AS u(chunk_id)
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/text.py::
+    chunk_documents): 32-token chunks, 8-token overlap — one training
+    sample per row, generated map-side with no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+@query(
     "corpus_curation_pipeline",
     f"""
     WITH survivors AS (

@@ -129,3 +129,21 @@ def test_hash_split_stable_and_disjoint(spark):
 
     with pytest.raises(ValueError):
         hash_bucket("doc_id", buckets=5)
+
+
+def test_chunk_documents(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y")], "doc_id long, text string"
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_chunk_tokens)
+        for r in X.chunk_documents(df, chunk_tokens=5, overlap=2).collect()
+    }
+    assert out == {
+        (1, 0): ("a b c d e", 5),
+        (1, 1): ("d e f g", 4),  # remainder chunk, starts at overlap
+        (2, 0): ("x y", 2),      # shorter than one chunk -> single chunk
+    }
+
+    with pytest.raises(ValueError):
+        X.chunk_documents(df, chunk_tokens=4, overlap=4)
