@@ -147,3 +147,41 @@ def test_chunk_documents(spark):
 
     with pytest.raises(ValueError):
         X.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_lossless_reconstruction(spark):
+    """Property: dropping each chunk's leading overlap (except chunk 0)
+    and concatenating in chunk order reproduces the exact normalized
+    token stream — chunking loses nothing and duplicates only the
+    declared overlap."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(rng.choice("alpha beta gamma delta eps".split())
+                     for _ in range(rng.randint(1, 57))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunk, overlap = 16, 4
+    step = chunk - overlap
+
+    got = {}
+    for r in X.chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+
+    for doc_id, text in rows:
+        expected = text.split(" ")
+        chunks = got[doc_id]
+        rebuilt = []
+        for cid in sorted(chunks):
+            toks = chunks[cid]
+            rebuilt.extend(toks if cid == 0 else toks[overlap:])
+            if cid > 0:  # consecutive chunks agree on the overlap region
+                assert chunks[cid - 1][-overlap:] == toks[:overlap] or len(
+                    chunks[cid - 1]
+                ) < chunk  # tail chunk may be short
+        assert rebuilt == expected, doc_id
+        # every non-final chunk starts exactly `step` tokens after its
+        # predecessor
+        assert all(len(chunks[c]) <= chunk for c in chunks)
