@@ -76,3 +76,51 @@ def test_lsh_candidate_pruning(spark, corpus):
     # id 6 is the exact negation of id 1: signature is bitwise inverse,
     # so they share no band and never even become a candidate
     assert all(not (r.id_a == 1 and r.id_b == 6) for r in pairs)
+
+
+def test_quantize_roundtrip_and_topk_recall(spark):
+    from pyspark.sql import functions as F
+
+    from etl_process_for_fraud_transactions_spark.operators.similarity import (
+        cosine,
+        cosine_topk,
+        dequantize,
+        quantize_embeddings,
+    )
+
+    from .conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(200)
+    q = quantize_embeddings(emb)
+
+    # roundtrip error bounded by scale/2 per component
+    err = q.select(
+        F.array_max(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                dequantize(F.col("qvec"), F.col("qvec_scale")),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("max_err"),
+        (F.col("qvec_scale") * 0.51).alias("bound"),
+    ).filter(F.col("max_err") > F.col("bound"))
+    assert err.count() == 0
+
+    # ranking survives: top-10 by quantized cosine overlaps >=7/10 with exact
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=10)
+    qcorpus = q.select("vec_id", dequantize(F.col("qvec"), F.col("qvec_scale")).alias("embedding"))
+    qqueries = quantize_embeddings(queries, "query_vec").select(
+        "query_id", dequantize(F.col("qvec"), F.col("qvec_scale")).alias("query_vec")
+    )
+    approx = cosine_topk(qcorpus, qqueries, k=10)
+
+    by_q_exact, by_q_approx = {}, {}
+    for r in exact.collect():
+        by_q_exact.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx.collect():
+        by_q_approx.setdefault(r.query_id, set()).add(r.vec_id)
+    for qid, ids in by_q_exact.items():
+        assert len(ids & by_q_approx[qid]) >= 7, qid
