@@ -185,3 +185,9 @@ def test_chunk_documents_lossless_reconstruction(spark):
         # every non-final chunk starts exactly `step` tokens after its
         # predecessor
         assert all(len(chunks[c]) <= chunk for c in chunks)
+
+
+def test_dedup_against_empty_corpus(spark, docs):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    kept = sorted(r.doc_id for r in D.dedup_against_corpus(docs, empty).collect())
+    assert kept == [1, 3, 4, 5]  # batch-internal dedup still applies

@@ -30,3 +30,10 @@ def test_gap_fill_hourly(spark):
         (1, "2024-01-01 13:00:00"): (2.0, True),
         (2, "2024-01-01 09:00:00"): (7.0, True),
     }
+
+
+def test_gap_fill_empty_input(spark):
+    empty = spark.createDataFrame(
+        [], "user_id long, ts timestamp_ntz, value double"
+    )
+    assert gap_fill_hourly(empty).count() == 0
