@@ -34,6 +34,7 @@ def assemble_report(
     report_dt: Column,
     report_trans: DataFrame | None = None,
     cache_resolved: bool = False,
+    broadcast_rule_hits: bool = True,
 ) -> DataFrame:
     """The full five-rule report (main.py:414-560) as one DataFrame.
 
@@ -70,10 +71,15 @@ def assemble_report(
     # instead of shuffling the full fact on (trans_id, client_id).
     # (AQE can only make this call after materializing the fact-side
     # shuffle; the hint skips that shuffle entirely.)
-    diff_city = F.broadcast(
+    # Failure mode: if a pathological day makes the hit sets exceed the
+    # 8 GB broadcast limit / driver memory the job fails outright rather
+    # than degrading; pass broadcast_rule_hits=False to drop the hint
+    # and let AQE pick the join strategy from runtime stats instead.
+    _hint = F.broadcast if broadcast_rule_hits else (lambda df: df)
+    diff_city = _hint(
         rule_diff_city_1h(attach_terminal_city(resolved, terminals)).alias("h")
     )
-    brute = F.broadcast(rule_brute_force_20min(resolved).alias("r"))
+    brute = _hint(rule_brute_force_20min(resolved).alias("r"))
 
     # Final assembly uses LEFT joins (main.py:544-550): a transaction
     # that misses the dim chain still reaches the rule-1 probe.

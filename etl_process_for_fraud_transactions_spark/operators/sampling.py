@@ -20,14 +20,22 @@ _HEX = "0123456789abcdef"
 
 
 def hash_bucket(id_col: Column | str, buckets: int = 16) -> Column:
-    """Stable bucket in [0, buckets) from the md5 hex prefix of the id
-    rendered as a string. buckets must divide 16 for single-hex-char
-    granularity (2/4/8/16); coarser ratios stack more hex chars."""
-    if 16 % buckets:
-        raise ValueError("buckets must divide 16")
+    """Stable bucket in [0, buckets) from the md5 hex of the id
+    rendered as a string.
+
+    Divisors of 16 (2/4/8/16) take the single-hex-char fast path —
+    unchanged from day one, so existing splits are stable. Any other
+    bucket count folds the first 15 hex chars (60 bits) through
+    conv(hex, 16, 10) modulo buckets; the DuckDB/Postgres twin is
+    ('0x' || substr(md5(id), 1, 15))::ubigint % buckets."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    nibble = F.instr(F.lit(_HEX), F.substring(F.md5(c.cast("string")), 1, 1)) - 1
-    return (nibble / (16 // buckets)).cast("int")
+    h = F.md5(c.cast("string"))
+    if buckets <= 16 and 16 % buckets == 0:
+        nibble = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+        return (nibble / (16 // buckets)).cast("int")
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % buckets).cast("int")
 
 
 def train_val_split(

@@ -98,7 +98,7 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh AS (
         SELECT MIN(doc_id) AS doc_id
         FROM (SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents WHERE source = 'src0') n
-        WHERE fp NOT IN (SELECT fp FROM corpus)
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = n.fp)
         GROUP BY fp
     )
     SELECT d.doc_id AS doc_id, d.source AS source
@@ -497,7 +497,11 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing demo over driver data: documents' text bytes
     as opaque binary payloads -> Arrow-batched featurization via
-    mapInPandas (rows-only; decode is the documented stub seam)."""
+    mapInPandas (rows-only; decode is the documented stub seam).
+
+    Output is fully scalar: the float feature vector is rendered as a
+    rounded CSV string so the driver's pandas canonicalizer (which
+    sorts/hashes column values) never sees an unhashable list."""
     docs = load_table(spark, sf_dir, "documents")
     assets = docs.select(
         F.col("doc_id").alias("asset_id"),
@@ -513,4 +517,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
-    return M.extract_features(assets)
+    feats = M.extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.concat_ws(
+            ",",
+            F.transform("feature", lambda x: F.round(x.cast("double"), 6).cast("string")),
+        ).alias("feature_csv"),
+    )

@@ -259,9 +259,18 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles are unaffordable. Exact twins carry the oracle gate
     (distinct_users_per_type, value_percentiles_per_type)."""
     ev = load_events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("approx_pcts"),
+    )
+    # scalar columns only: the driver canonicalizer hashes cell values
+    # and chokes on array cells, so unpack the quantile sketch output.
+    return agg.select(
+        "event_type",
+        "approx_users",
+        F.element_at("approx_pcts", 1).alias("p50_approx"),
+        F.element_at("approx_pcts", 2).alias("p90_approx"),
+        F.element_at("approx_pcts", 3).alias("p99_approx"),
     )
 
 

@@ -128,7 +128,14 @@ def test_hash_split_stable_and_disjoint(spark):
     assert a == b
 
     with pytest.raises(ValueError):
-        hash_bucket("doc_id", buckets=5)
+        hash_bucket("doc_id", buckets=0)
+
+    # non-divisor bucket counts take the 60-bit conv path: complete
+    # coverage of [0, buckets) and roughly uniform occupancy
+    five = df.select(hash_bucket("doc_id", buckets=5).alias("b"))
+    counts5 = {r.b: r.n for r in five.groupBy("b").agg(F.count("*").alias("n")).collect()}
+    assert set(counts5) == {0, 1, 2, 3, 4}
+    assert all(0.1 < n / 2000 < 0.3 for n in counts5.values())
 
 
 def test_chunk_documents(spark):

@@ -1,8 +1,14 @@
 """applyInPandasWithState: consecutive-REJECT streak detector.
 
-Semantics pinned two ways: a hand-built fixture with known alert
-points, and state carry-over across two checkpointed runs (the streak
-spans a micro-batch boundary)."""
+Semantics pinned three ways: a hand-built fixture with known alert
+points, state carry-over across two checkpointed runs (the streak
+spans a micro-batch boundary), and a late-arrival fixture where only
+the watermark-gated exact mode counts events in true order.
+
+Exact mode finalizes events only once the watermark passes them, so
+each fixture carries a far-future sentinel row (an unused card) that
+advances the watermark; pending events then flush through the
+event-time timeout in the trailing no-data micro-batch."""
 
 from __future__ import annotations
 
@@ -15,15 +21,21 @@ from etl_process_for_fraud_transactions_spark.streaming.stateful import (
 
 SCHEMA = "card_num long, trans_id long, ts timestamp_ntz, oper_result string"
 
+# watermark-advancing sentinel: far future, unused card, never alerts
+SENTINEL = {"card_num": 99, "trans_id": 99_999, "ts": "2024-01-03 00:00:00", "oper_result": "SUCCESS"}
 
-def _write(src, name, rows):
-    (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+def _write(src, name, rows, mtime=None):
+    p = src / name
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    if mtime is not None:
+        os.utime(p, (mtime, mtime))
 
 
-def _run(spark, src, out_path, ckpt, threshold=3):
+def _run(spark, src, out_path, ckpt, threshold=3, **kw):
     stream = spark.readStream.schema(SCHEMA).json(str(src))
     q = (
-        consecutive_reject_alerts(stream, threshold=threshold)
+        consecutive_reject_alerts(stream, threshold=threshold, **kw)
         .writeStream.format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", ckpt)
@@ -55,10 +67,32 @@ def test_streak_alerts_within_one_batch(spark, tmp_path):
             # card 2: only 2 rejects -> no alert
             {"card_num": 2, "trans_id": 20, "ts": "2024-01-01 10:00:00", "oper_result": "REJECT"},
             {"card_num": 2, "trans_id": 21, "ts": "2024-01-01 10:01:00", "oper_result": "REJECT"},
+            SENTINEL,
         ],
     )
     got = _run(spark, src, str(tmp_path / "out"), str(tmp_path / "ck"))
     assert got == {(1, "2024-01-01 10:05:00", 3)}
+
+
+def test_streak_prompt_arrival_order_mode(spark, tmp_path):
+    """exact_event_time_order=False emits in the data batch itself — no
+    sentinel / watermark advance needed (time-ordered replay contract)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(
+        src,
+        "t1.jsonl",
+        [
+            {"card_num": 1, "trans_id": 10, "ts": "2024-01-01 10:00:00", "oper_result": "REJECT"},
+            {"card_num": 1, "trans_id": 11, "ts": "2024-01-01 10:01:00", "oper_result": "REJECT"},
+            {"card_num": 1, "trans_id": 12, "ts": "2024-01-01 10:02:00", "oper_result": "REJECT"},
+        ],
+    )
+    got = _run(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ck"),
+        exact_event_time_order=False,
+    )
+    assert got == {(1, "2024-01-01 10:02:00", 3)}
 
 
 def test_streak_matches_model_across_forced_micro_batches(spark, tmp_path):
@@ -96,11 +130,11 @@ def test_streak_matches_model_across_forced_micro_batches(spark, tmp_path):
     src = tmp_path / "in"
     src.mkdir()
     for i in range(4):
-        _write(src, f"part{i}.jsonl", events[i * 50 : (i + 1) * 50])
         # the file source orders micro-batches by modification time;
         # sub-ms writes tie and break the time-ordered-replay contract,
         # so pin strictly increasing mtimes
-        os.utime(src / f"part{i}.jsonl", (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        _write(src, f"part{i}.jsonl", events[i * 50 : (i + 1) * 50], 1_700_000_000 + i * 10)
+    _write(src, "part4.jsonl", [SENTINEL], 1_700_000_040)
 
     stream = (
         spark.readStream.schema(SCHEMA)
@@ -137,6 +171,7 @@ def test_streak_spans_micro_batches(spark, tmp_path):
             {"card_num": 7, "trans_id": 1, "ts": "2024-01-01 09:00:00", "oper_result": "REJECT"},
             {"card_num": 7, "trans_id": 2, "ts": "2024-01-01 09:01:00", "oper_result": "REJECT"},
         ],
+        1_700_000_000,
     )
     assert _run(spark, src, out, ckpt) == set()
 
@@ -148,7 +183,58 @@ def test_streak_spans_micro_batches(spark, tmp_path):
             # and a reset + fresh streak that does NOT reach 3
             {"card_num": 7, "trans_id": 4, "ts": "2024-01-01 09:03:00", "oper_result": "SUCCESS"},
             {"card_num": 7, "trans_id": 5, "ts": "2024-01-01 09:04:00", "oper_result": "REJECT"},
+            SENTINEL,
         ],
+        1_700_000_010,
     )
     got = _run(spark, src, out, ckpt)
     assert got == {(7, "2024-01-01 09:02:00", 3)}
+
+
+def test_late_event_counted_in_true_order(spark, tmp_path):
+    """A SUCCESS that arrives one micro-batch late (but inside the
+    watermark) must still break the streak at its event-time position.
+    True order: R(10:00) R(10:01) S(10:02) R(10:03) -> no alert.
+    Arrival order would see R R R first and fire a false alert."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(
+        src,
+        "early.jsonl",
+        [
+            {"card_num": 5, "trans_id": 1, "ts": "2024-01-01 10:00:00", "oper_result": "REJECT"},
+            {"card_num": 5, "trans_id": 2, "ts": "2024-01-01 10:01:00", "oper_result": "REJECT"},
+            {"card_num": 5, "trans_id": 4, "ts": "2024-01-01 10:03:00", "oper_result": "REJECT"},
+        ],
+        1_700_000_000,
+    )
+    _write(
+        src,
+        "late.jsonl",
+        [
+            # the missing SUCCESS arrives a batch late, within the watermark
+            {"card_num": 5, "trans_id": 3, "ts": "2024-01-01 10:02:00", "oper_result": "SUCCESS"},
+            SENTINEL,
+        ],
+        1_700_000_010,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        consecutive_reject_alerts(stream, threshold=3)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.card_num, str(r.alert_ts), r.streak)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == set()
