@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint_md5, tokens
+from .text import fingerprint_md5, portable_hash60, tokens
 
 
 # --- exact -----------------------------------------------------------------
@@ -96,18 +96,32 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 32, portable: bool = False
+) -> Column:
     """MinHash signature: for each seed s, min over shingles of
-    xxhash64(shingle, s). Distinct shingles not required — min is
-    idempotent under duplicates."""
-    return F.array(
-        *[
+    hash(shingle, s). Distinct shingles not required — min is
+    idempotent under duplicates.
+
+    portable=False (default): xxhash64 — the fast engine-internal path.
+    portable=True: the md5-derived 60-bit hash (text.portable_hash60),
+    ~3-4x more expensive per shingle but bit-for-bit reproducible by an
+    external SQL oracle — the verification mode."""
+    if portable:
+        hashes = [
+            F.array_min(
+                F.transform(shingle_col, lambda sh, s=s: portable_hash60(sh, str(s)))
+            )
+            for s in range(num_hashes)
+        ]
+    else:
+        hashes = [
             F.array_min(
                 F.transform(shingle_col, lambda sh, s=s: F.xxhash64(sh, F.lit(s)))
             )
             for s in range(num_hashes)
         ]
-    )
+    return F.array(*hashes)
 
 
 def minhash_band_buckets(
@@ -117,23 +131,31 @@ def minhash_band_buckets(
     k: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, band_id, band_hash) — one row per document per band. Rows
-    sharing (band_id, band_hash) are near-dup candidates."""
+    sharing (band_id, band_hash) are near-dup candidates. In portable
+    mode the band key is the raw comma-joined signature slice (string,
+    oracle-reproducible); the default re-hashes it to a fixed 8-byte
+    key so the shuffle ships 8 bytes/band, not width*20."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(text_col, k), num_hashes)
+    sig = minhash_signature(shingles(text_col, k), num_hashes, portable=portable)
     with_sig = df.select(F.col(id_col), sig.alias("sig"))
+
+    def _band_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        return joined if portable else F.xxhash64(joined)
+
     band = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band_id"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda v: v.cast("string"))
-                    )
-                ).alias("band_hash"),
-            ),
+            lambda b: F.struct(b.alias("band_id"), _band_key(b).alias("band_hash")),
         )
     )
     return with_sig.select(id_col, band.alias("band")).select(
@@ -156,13 +178,16 @@ def minhash_near_duplicates(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.6,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold):
     LSH band-bucket join for candidates, exact n-gram Jaccard verify.
     The self-join is on (band_id, band_hash) — candidates only, never
     all pairs; duplicate candidate pairs from multiple bands are
     dropped before the (expensive) verification."""
-    buckets = minhash_band_buckets(df, text_col, id_col, k, num_hashes, bands)
+    buckets = minhash_band_buckets(
+        df, text_col, id_col, k, num_hashes, bands, portable=portable
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -191,24 +216,38 @@ def minhash_near_duplicates(
 
 # --- simhash ---------------------------------------------------------------
 
-def simhash_signature(col: Column | str, bits: int = 64) -> Column:
-    """SimHash: per token, xxhash64 contributes ±1 to each bit position;
-    signature bit = 1 where the sum is positive. Returns an array<int>
-    of 0/1 of length `bits` (bit order: LSB first). Pure higher-order
-    expressions: aggregate(zip_with(...)) — no UDF."""
+def simhash_signature(
+    col: Column | str, bits: int = 64, portable: bool = False
+) -> Column:
+    """SimHash: per token, a 64-bit hash contributes ±1 to each bit
+    position; signature bit = 1 where the sum is positive. Returns an
+    array<int> of 0/1 of length `bits` (bit order: LSB first). Pure
+    higher-order expressions: aggregate(zip_with(...)) — no UDF.
+
+    The token hash is computed ONCE per token (a transform over the
+    token array), then each bit extraction unrolls at plan-build time
+    (shiftright requires a literal shift amount) — the expression tree
+    grows with `bits` but carries `bits` shift-and-mask ops per token,
+    not `bits` hash invocations.
+
+    portable=True swaps xxhash64 for the md5-derived 60-bit hash
+    (text.portable_hash60; requires bits <= 60) so an external SQL
+    oracle can replay the signature bit-for-bit."""
+    if portable and bits > 60:
+        raise ValueError("portable simhash supports at most 60 bits")
     toks = tokens(col)
-    # bit positions unrolled at plan-build time (shiftright requires a
-    # literal shift amount); still one codegen'd expression per row
-    bit_votes = F.aggregate(
+    th = F.transform(
         toks,
+        (lambda t: portable_hash60(t)) if portable else (lambda t: F.xxhash64(t)),
+    )
+    bit_votes = F.aggregate(
+        th,
         F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
-                    (
-                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) * 2 - 1
-                    ).cast("long")
+                    (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
                     for b in range(bits)
                 ]
             ),
@@ -234,6 +273,7 @@ def simhash_near_duplicates(
     bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the signature into `bands`
     chunks (a pair within Hamming distance < bands must share at least
@@ -241,7 +281,7 @@ def simhash_near_duplicates(
     full Hamming distance."""
     chunk = bits // bands
     sig_df = df.select(
-        F.col(id_col), simhash_signature(text_col, bits).alias("sig")
+        F.col(id_col), simhash_signature(text_col, bits, portable=portable).alias("sig")
     )
     banded = sig_df.select(
         id_col,

@@ -116,6 +116,7 @@ def lsh_near_neighbors(
     bands: int = 2,
     min_cosine: float = 0.7,
     seed: int = 42,
+    round_sim: int | None = None,
 ) -> DataFrame:
     """Corpus-x-corpus near-neighbor pairs: banded sign-bit buckets ->
     candidate pairs -> exact cosine filter. Returns
@@ -172,14 +173,13 @@ def lsh_near_neighbors(
         )
         .distinct()
     )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    if round_sim is not None:
+        # round before the threshold so a final-ulp divergence between
+        # this plan and an external verifier can't flip the filter
+        sim = F.round(sim, round_sim)
     return (
-        cand.select(
-            "id_a",
-            "id_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-                "cos_sim"
-            ),
-        )
+        cand.select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_cosine)
     )
 
@@ -219,11 +219,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    sim_round: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score centroids per query (tiny cross join),
     keep the nprobe best cells, then search only those cells' vectors.
     The corpus join is an equi-join on the cell id — a normal shuffle
-    join pruned by the probe set, no all-pairs scan."""
+    join pruned by the probe set, no all-pairs scan.
+
+    sim_round: round both the centroid similarity (before the nprobe
+    cut) and the final cosine (before the top-k rank) to this many
+    decimals, with id tie-breaks — makes the whole cascade replayable
+    by an external verifier whose float sums may differ in the last
+    ulp. None (default) ranks on raw doubles."""
+    _r = (lambda c: F.round(c, sim_round)) if sim_round is not None else (lambda c: c)
     cents = ivf_centroids(corpus, cell_col, vec_col)
     q = queries.select(
         F.col(query_id_col),
@@ -238,7 +246,7 @@ def ivf_topk(
             query_id_col,
             cell_col,
             "__qv",
-            cosine(F.col("centroid"), F.col("__qv")).alias("cent_sim"),
+            _r(cosine(F.col("centroid"), F.col("__qv"))).alias("cent_sim"),
         )
         .withColumn("__pr", F.row_number().over(probe_w))
         .filter(F.col("__pr") <= nprobe)
@@ -247,7 +255,7 @@ def ivf_topk(
     scored = corpus.join(F.broadcast(probes), cell_col).select(
         query_id_col,
         id_col,
-        cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+        _r(cosine(F.col(vec_col), F.col("__qv"))).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

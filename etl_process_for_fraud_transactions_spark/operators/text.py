@@ -45,6 +45,18 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+def portable_hash60(col: Column, seed: str = "0") -> Column:
+    """60-bit integer hash reproducible in any engine with md5: the
+    first 15 hex chars of md5(seed || ':' || s) as a bigint. The
+    DuckDB/Postgres twin is ('0x' || substr(md5(seed || ':' || s), 1,
+    15))::ubigint::bigint. Slower than xxhash64 (the engine-internal
+    default for hot paths) but it lets MinHash/SimHash signatures be
+    replayed exactly by an external oracle."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
 #: BPE-ish pre-tokenizer: word runs OR single non-space symbols —
 #: approximates a byte-pair tokenizer's pre-split far better than
 #: whitespace (punctuation counts as tokens).

@@ -9,8 +9,10 @@ Oracle-exactness rules used here:
   results rounded to 6 dp before ranking so a final-ulp divergence
   can't flip the hash or the rank order;
 - engine-specific hash functions (xxhash64) never cross the oracle
-  boundary — MinHash/SimHash/LSH entries are rows-only checks, with
-  known-answer pytest coverage instead (tests/test_dedup_text.py).
+  boundary — MinHash/SimHash run here in `portable` md5-hash mode and
+  the LSH hyperplanes are embedded as literals in both plans, so even
+  the approximate operators are full hash-match checks; only
+  kmeans_anomaly_scores (iterative ML) stays rows-only.
 """
 
 from __future__ import annotations
@@ -449,48 +451,273 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- rows-only entries (engine-internal hashing; pytest known-answer) ------
+# --- oracle-replayed approximate operators ---------------------------------
+#
+# These four used to be rows-only: their hashing was engine-internal
+# (xxhash64 / driver-side hyperplanes). They are now fully
+# deterministic cross-engine constructions:
+# - MinHash/SimHash run in `portable` mode — the md5-derived 60-bit
+#   hash (operators/text.portable_hash60) replayed verbatim in SQL;
+# - the LSH hyperplanes are seeded driver constants embedded as
+#   literals in BOTH the Spark plan and the oracle SQL;
+# - IVF's centroid -> nprobe -> top-k cascade is plain relational
+#   algebra, rounded to 6 dp before every rank/filter so a last-ulp
+#   float divergence cannot flip the hash.
+# The xxhash64 fast paths remain the engine defaults for production;
+# portable mode costs ~3-4x per hash and exists exactly for this kind
+# of external verification.
 
-@query("minhash_near_duplicates")
+_PORTABLE_H = "('0x' || substr(md5({seed} || ':' || {val}), 1, 15))::UBIGINT::BIGINT"
+
+_MINHASH_SEEDS = 32
+_MINHASH_BANDS = 8
+
+
+def _minhash_oracle_sql(threshold: float) -> str:
+    rpb = _MINHASH_SEEDS // _MINHASH_BANDS
+    sig_exprs = ",\n             ".join(
+        "list_min(list_transform(shs, x -> "
+        + _PORTABLE_H.format(seed=f"'{s}'", val="x")
+        + "))"
+        for s in range(_MINHASH_SEEDS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               END AS shs
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id, shs,
+               [{sig_exprs}] AS sig
+        FROM sh
+    ),
+    banded AS (
+        SELECT doc_id, b.band_id,
+               array_to_string(list_transform(
+                   sig[b.band_id*{rpb}+1 : b.band_id*{rpb}+{rpb}],
+                   v -> v::VARCHAR), ',') AS band_hash
+        FROM sig, (SELECT unnest(range({_MINHASH_BANDS})) AS band_id) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.id_a, c.id_b,
+               len(list_filter(list_distinct(sa.shs),
+                               x -> list_contains(sb.shs, x)))::DOUBLE
+               / greatest(len(list_distinct(sa.shs)) + len(list_distinct(sb.shs))
+                          - len(list_filter(list_distinct(sa.shs),
+                                            x -> list_contains(sb.shs, x))), 1)
+                   AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+    """
+
+
+@query("minhash_near_duplicates", _minhash_oracle_sql(0.5))
 def minhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only: xxhash64 signatures are
-    Spark-internal; correctness via tests/test_dedup_text.py)."""
+    """MinHash+LSH near-dup pairs in portable-hash mode: the oracle
+    replays shingling, all 32 min-hashes, the 8-band bucketing AND the
+    exact-Jaccard verify, so the hash-match covers the full cascade."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_near_duplicates(docs, threshold=0.5)
+    return D.minhash_near_duplicates(docs, threshold=0.5, portable=True)
 
 
-@query("simhash_near_duplicates")
+_SIMHASH_BITS = 60
+_SIMHASH_BANDS = 4
+
+
+def _simhash_oracle_sql(max_hamming: int) -> str:
+    chunk = _SIMHASH_BITS // _SIMHASH_BANDS
+    bit_exprs = "\n               || ".join(
+        "CASE WHEN COALESCE(list_sum(list_transform(hs, h -> CASE WHEN ((h >> "
+        f"{b}) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0 THEN '1' ELSE '0' END"
+        for b in range(_SIMHASH_BITS)
+    )
+    h_expr = _PORTABLE_H.format(seed="'0'", val="x")
+    return f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform({_SQL_TOKS}, x -> {h_expr}) AS hs
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               {bit_exprs} AS s
+        FROM th
+    ),
+    banded AS (
+        SELECT doc_id, s, b.band_id,
+               substr(s, b.band_id*{chunk} + 1, {chunk}) AS band_key
+        FROM sig, (SELECT unnest(range({_SIMHASH_BANDS})) AS band_id) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.s AS sa, b.s AS sb
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    dist AS (
+        SELECT id_a, id_b,
+               len(list_filter(range(1, {_SIMHASH_BITS} + 1),
+                               i -> substr(sa, i, 1) <> substr(sb, i, 1))) AS hamming
+        FROM cand
+    )
+    SELECT id_a, id_b, hamming FROM dist WHERE hamming <= {max_hamming}
+    """
+
+
+@query("simhash_near_duplicates", _simhash_oracle_sql(3))
 def simhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (rows-only)."""
+    """SimHash banded near-dup pairs, portable-hash mode (60 bits so
+    the token hash fits the md5-prefix bigint on both engines); the
+    oracle replays per-bit majority votes, pigeonhole banding and the
+    Hamming verify."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_duplicates(docs, max_hamming=3)
+    return D.simhash_near_duplicates(
+        docs, bits=_SIMHASH_BITS, bands=_SIMHASH_BANDS, max_hamming=3, portable=True
+    )
 
 
-@query("lsh_embedding_neighbors")
+def _lsh_oracle_sql(n_planes: int, bands: int, min_cosine: float, seed: int) -> str:
+    planes = S._hyperplanes(64, n_planes, seed)
+    chunk = n_planes // bands
+    sig_exprs = "\n               || ".join(
+        "CASE WHEN list_sum(list_transform(list_zip(vec, ["
+        + ", ".join(repr(x) for x in p)
+        + "]), x -> x[1]*x[2])) >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    sigs AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x*x))) AS nrm,
+               {sig_exprs} AS s
+        FROM corpus
+    ),
+    banded AS (
+        SELECT vec_id, vec, nrm, b.band_id,
+               substr(s, b.band_id*{chunk} + 1, {chunk}) AS band_key
+        FROM sigs, (SELECT unnest(range({bands})) AS band_id) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                        a.vec AS va, b.vec AS vb, a.nrm AS na, b.nrm AS nb
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.vec_id < b.vec_id
+    ),
+    sims AS (
+        SELECT id_a, id_b,
+               round(list_sum(list_transform(list_zip(va, vb), x -> x[1]*x[2]))
+                     / (na * nb), 6) AS cos_sim
+        FROM cand
+    )
+    SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= {min_cosine}
+    """
+
+
+@query("lsh_embedding_neighbors", _lsh_oracle_sql(16, 2, 0.25, 42))
 def lsh_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH near-neighbor pairs over embeddings
-    (rows-only: seeded hyperplanes are engine-side constants)."""
+    """Random-hyperplane LSH near-neighbor pairs over embeddings. The
+    seeded hyperplanes are driver-side constants embedded as literals
+    in both plans, so the oracle replays the exact sign-bit banding.
+    Threshold 0.25: random-ish 64-dim embeddings concentrate near
+    cosine 0, so 0.8 would never fire on this corpus; bands=2 keeps
+    8-bit band keys (256 buckets/band) — see lsh_near_neighbors."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    # threshold 0.25: random-ish 64-dim embeddings concentrate near
-    # cosine 0, so 0.8 would never fire on this corpus. bands=2 keeps
-    # 8-bit band keys (256 buckets/band) — see lsh_near_neighbors
-    return S.lsh_near_neighbors(emb, dim=64, n_planes=16, bands=2, min_cosine=0.25)
+    return S.lsh_near_neighbors(
+        emb, dim=64, n_planes=16, bands=2, min_cosine=0.25, seed=42, round_sim=6
+    )
 
 
-@query("ivf_cosine_topk")
+_IVF_COS = (
+    "round(list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x*x)))), 6)"
+)
+
+_IVF_ORACLE = f"""
+    WITH corpus AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, vec AS qv FROM corpus WHERE vec_id < 3
+    ),
+    expl AS (
+        SELECT label, generate_subscripts(vec, 1) AS pos, unnest(vec) AS val
+        FROM corpus
+    ),
+    cmeans AS (
+        SELECT label, pos, avg(val) AS mean_val FROM expl GROUP BY label, pos
+    ),
+    cents AS (
+        SELECT label, list(mean_val ORDER BY pos) AS centroid FROM cmeans GROUP BY label
+    ),
+    probescored AS (
+        SELECT q.query_id, c.label, q.qv,
+               {_IVF_COS.format(a="c.centroid", b="q.qv")} AS cent_sim
+        FROM cents c CROSS JOIN queries q
+    ),
+    probes AS (
+        SELECT query_id, label, qv FROM (
+            SELECT query_id, label, qv,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cent_sim DESC, label ASC) AS pr
+            FROM probescored)
+        WHERE pr <= 3
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id,
+               {_IVF_COS.format(a="a.vec", b="p.qv")} AS cos_sim
+        FROM corpus a JOIN probes p ON a.label = p.label
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@query("ivf_cosine_topk", _IVF_ORACLE)
 def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k using the label column as the coarse
-    quantizer cell (rows-only; exactness vs brute force covered in
-    tests/test_similarity.py)."""
+    quantizer cell. The whole cascade (per-cell mean centroids ->
+    nprobe=3 nearest cells -> exact top-10 within probed cells) is
+    deterministic relational algebra, rounded to 6 dp before each
+    rank, so the oracle replays it end to end; recall vs brute force
+    is additionally covered in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return S.ivf_topk(emb, queries_df, k=10, nprobe=3)
+    return S.ivf_topk(emb, queries_df, k=10, nprobe=3, sim_round=6)
 
 
 @query("multimodal_features")
