@@ -31,6 +31,94 @@ from .queries import query
 _SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 _SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
 
+_PORTABLE_H = "('0x' || substr(md5({seed} || ':' || {val}), 1, 15))::UBIGINT::BIGINT"
+
+_MINHASH_SEEDS = 32
+_MINHASH_BANDS = 8
+
+
+def _minhash_ctes() -> str:
+    """Shared oracle CTEs replaying portable-mode MinHash banding:
+    toks -> 3-token shingles (with source) -> 32-hash signature ->
+    8-band buckets -> distinct candidate pairs."""
+    rpb = _MINHASH_SEEDS // _MINHASH_BANDS
+    sig_exprs = ",\n             ".join(
+        "list_min(list_transform(shs, x -> "
+        + _PORTABLE_H.format(seed=f"'{s}'", val="x")
+        + "))"
+        for s in range(_MINHASH_SEEDS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_SQL_TOKS} AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               END AS shs
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id, shs,
+               [{sig_exprs}] AS sig
+        FROM sh
+    ),
+    banded AS (
+        SELECT doc_id, b.band_id,
+               array_to_string(list_transform(
+                   sig[b.band_id*{rpb}+1 : b.band_id*{rpb}+{rpb}],
+                   v -> v::VARCHAR), ',') AS band_hash
+        FROM sig, (SELECT unnest(range({_MINHASH_BANDS})) AS band_id) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )"""
+
+
+_JACCARD_SQL = (
+    "len(list_filter(list_distinct(sa.shs), x -> list_contains(sb.shs, x)))::DOUBLE"
+    " / greatest(len(list_distinct(sa.shs)) + len(list_distinct(sb.shs))"
+    " - len(list_filter(list_distinct(sa.shs), x -> list_contains(sb.shs, x))), 1)"
+)
+
+
+def _minhash_oracle_sql(threshold: float) -> str:
+    return f"""
+    {_minhash_ctes()},
+    pairs AS (
+        SELECT c.id_a, c.id_b, {_JACCARD_SQL} AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+    """
+
+
+
+
+def _minhash_oracle_sql_same_source(threshold: float) -> str:
+    """MinHash-banded candidates restricted to same-source pairs, with
+    the exact-Jaccard verify — the oracle twin of
+    ngram_jaccard_same_source."""
+    return f"""
+    {_minhash_ctes()},
+    pairs AS (
+        SELECT c.id_a, c.id_b, {_JACCARD_SQL} AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.source = sa.source
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+    """
+
+
+
 
 @query(
     "doc_fingerprints",
@@ -271,43 +359,37 @@ def detect_language_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ngram_jaccard_same_source",
-    f"""
-    WITH sh AS (
-        SELECT doc_id, source,
-               CASE WHEN len({_SQL_TOKS}) <= 3
-                    THEN [array_to_string({_SQL_TOKS}, ' ')]
-                    ELSE list_transform(generate_series(1, len({_SQL_TOKS}) - 2),
-                                        i -> array_to_string(({_SQL_TOKS})[i:i+2], ' '))
-               END AS shingles
-        FROM documents
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-               / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1) AS jaccard
-    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1) >= 0.5
-    """,
+    _minhash_oracle_sql_same_source(0.5),
 )
 def ngram_jaccard_same_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs, blocked by source (the
-    blocked-exact tier of the dedup ladder: a same-key equi-join keeps
-    the pair space per-block instead of global O(n^2)).
+    """Exact 3-gram Jaccard near-dup pairs within a source, with
+    candidates generated by the MinHash band buckets (portable mode)
+    instead of a per-source all-pairs join: the candidate join is on
+    (band_id, band_hash), so a hot source block can no longer
+    degenerate to O(n^2/block) — the banding bounds pair generation at
+    any corpus size, and the oracle replays the identical banding.
 
-    A lossless size prefilter runs before the expensive set ops:
+    A lossless size prefilter still runs before the expensive set ops:
     J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so J >= 0.5 requires the
-    distinct-shingle counts to be within 2x of each other. This prunes
-    most candidate pairs with an integer comparison and cannot drop a
-    qualifying pair (the oracle keeps the unfiltered declarative form;
-    results are provably identical)."""
+    distinct-shingle counts to be within 2x of each other; it cannot
+    drop a qualifying pair, so the oracle can omit it."""
     docs = load_table(spark, sf_dir, "documents")
-    # distinct shingle sets + their sizes computed once per doc; union
-    # size derives from |A|+|B|-|A∩B|, so each pair pays ONE array op
-    # (the intersect) instead of intersect + a materialized union array
-    # shingles are hashed to 64-bit longs once per doc: integer-array
-    # intersection is several times cheaper than string-array
-    # intersection over 1M+ candidate pairs (collision odds across the
-    # whole corpus ~1e-9 — far below any observable effect)
+    buckets = D.minhash_band_buckets(docs, portable=True)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # distinct shingle sets + sizes computed once per doc; shingles are
+    # hashed to 64-bit longs so the per-pair intersect is integer-array
+    # work (collision odds across the corpus ~1e-9); union size derives
+    # from |A|+|B|-|A∩B|, so each pair pays ONE array op
     sh = docs.select(
         "doc_id",
         "source",
@@ -315,25 +397,37 @@ def ngram_jaccard_same_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(D.shingles("text", 3), lambda s: F.xxhash64(s))
         ).alias("shd"),
     ).withColumn("n_sh", F.size("shd"))
-    a, b = sh.alias("a"), sh.alias("b")
-    size_ok = (
-        F.least(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
-        / F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
-        >= 0.5
-    )
-    inter = F.size(F.array_intersect(F.col("a.shd"), F.col("b.shd")))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & size_ok,
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("src_a"),
+                F.col("shd").alias("shd_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("src_b"),
+                F.col("shd").alias("shd_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .filter(
+            (F.col("src_a") == F.col("src_b"))
+            & (
+                F.least("n_a", "n_b").cast("double") / F.greatest("n_a", "n_b")
+                >= 0.5
+            )
         )
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            inter.alias("n_inter"),
-            (F.col("a.n_sh") + F.col("b.n_sh")).alias("n_total"),
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("shd_a", "shd_b")).alias("n_inter"),
+            (F.col("n_a") + F.col("n_b")).alias("n_total"),
         )
     )
     jac = F.col("n_inter").cast("double") / F.greatest(
@@ -466,66 +560,6 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The xxhash64 fast paths remain the engine defaults for production;
 # portable mode costs ~3-4x per hash and exists exactly for this kind
 # of external verification.
-
-_PORTABLE_H = "('0x' || substr(md5({seed} || ':' || {val}), 1, 15))::UBIGINT::BIGINT"
-
-_MINHASH_SEEDS = 32
-_MINHASH_BANDS = 8
-
-
-def _minhash_oracle_sql(threshold: float) -> str:
-    rpb = _MINHASH_SEEDS // _MINHASH_BANDS
-    sig_exprs = ",\n             ".join(
-        "list_min(list_transform(shs, x -> "
-        + _PORTABLE_H.format(seed=f"'{s}'", val="x")
-        + "))"
-        for s in range(_MINHASH_SEEDS)
-    )
-    return f"""
-    WITH toks AS (
-        SELECT doc_id, {_SQL_TOKS} AS t FROM documents
-    ),
-    sh AS (
-        SELECT doc_id,
-               CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-                    ELSE list_transform(range(1, len(t) - 1),
-                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-               END AS shs
-        FROM toks
-    ),
-    sig AS (
-        SELECT doc_id, shs,
-               [{sig_exprs}] AS sig
-        FROM sh
-    ),
-    banded AS (
-        SELECT doc_id, b.band_id,
-               array_to_string(list_transform(
-                   sig[b.band_id*{rpb}+1 : b.band_id*{rpb}+{rpb}],
-                   v -> v::VARCHAR), ',') AS band_hash
-        FROM sig, (SELECT unnest(range({_MINHASH_BANDS})) AS band_id) b
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b
-          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-         AND a.doc_id < b.doc_id
-    ),
-    pairs AS (
-        SELECT c.id_a, c.id_b,
-               len(list_filter(list_distinct(sa.shs),
-                               x -> list_contains(sb.shs, x)))::DOUBLE
-               / greatest(len(list_distinct(sa.shs)) + len(list_distinct(sb.shs))
-                          - len(list_filter(list_distinct(sa.shs),
-                                            x -> list_contains(sb.shs, x))), 1)
-                   AS jaccard
-        FROM cand c
-        JOIN sh sa ON sa.doc_id = c.id_a
-        JOIN sh sb ON sb.doc_id = c.id_b
-    )
-    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}
-    """
-
 
 @query("minhash_near_duplicates", _minhash_oracle_sql(0.5))
 def minhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
