@@ -39,6 +39,30 @@ def _tag_buckets(df: DataFrame, ts_col: str, width_us: int, offsets: Sequence[in
     )
 
 
+def _salt_sides(
+    left: DataFrame, right: DataFrame, salt: int | None
+) -> tuple[DataFrame, DataFrame, Column | None]:
+    """Deterministic self-join salting: the left side scatters into
+    `salt` sub-groups (hash of the full row, so re-runs agree), the
+    right side replicates across all of them — every (l, r) pair meets
+    exactly once, but a hot (key, bucket) group's pair work now spreads
+    over `salt` reducer partitions instead of one straggler.
+
+    Cost: the right side's shuffle volume multiplies by `salt`, so this
+    is an opt-in for known-pathological densities (one card with 10^4+
+    events per window); the default path leaves skew to AQE's
+    skew-join splitting. Returns (left, right, salted?)."""
+    if not salt or salt <= 1:
+        return left, right, False
+    l2 = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    r2 = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l2, r2, True
+
+
 #: Default physical strategy for the bucketed self-joins: the bucket
 #: equi-key already bounds per-partition build sizes (a partition holds
 #: whole (key, bucket) groups whose cardinality is the key's
@@ -56,30 +80,40 @@ def bucketed_interval_self_join(
     left_alias: str = "r1",
     right_alias: str = "r2",
     join_hint: str | None = DEFAULT_JOIN_HINT,
+    salt: int | None = None,
 ) -> DataFrame:
     """All pairs (r1, r2) sharing `key_cols` with
     r2.ts in [r1.ts, r1.ts + window] (closed interval, matching SQL
     BETWEEN at main.py:456). Result columns are the originals of both
-    sides, accessible via the aliases."""
+    sides, accessible via the aliases. `salt` (opt-in) additionally
+    scatters each (key, bucket) group over that many sub-partitions —
+    see _salt_sides for when that beats AQE."""
     if join_hint:
         df = df.hint(join_hint)
     left = df.withColumn(
         "__bucket", F.floor(epoch_us(ts_col) / F.lit(window_us))
-    ).alias(left_alias)
+    )
     # r2 can be in r1's bucket or the next one; tag r2 with (b2-1, b2)
     # so the equi-join on r1.bucket covers both without duplicates.
-    right = _tag_buckets(df, ts_col, window_us, (-1, 0)).alias(right_alias)
+    right = _tag_buckets(df, ts_col, window_us, (-1, 0))
+    left, right, salted = _salt_sides(left, right, salt)
+    left, right = left.alias(left_alias), right.alias(right_alias)
     r1ts = F.col(f"{left_alias}.{ts_col}")
     r2ts = F.col(f"{right_alias}.{ts_col}")
     cond = (
         F.col(f"{left_alias}.__bucket") == F.col(f"{right_alias}.__bucket")
     )
+    if salted:
+        cond = cond & (
+            F.col(f"{left_alias}.__salt") == F.col(f"{right_alias}.__salt")
+        )
     for k in key_cols:
         cond = cond & (F.col(f"{left_alias}.{k}") == F.col(f"{right_alias}.{k}"))
     residual = (r2ts >= r1ts) & (
         epoch_us(r2ts) <= epoch_us(r1ts) + F.lit(window_us)
     )
-    return left.join(right, cond & residual, "inner").drop("__bucket")
+    out = left.join(right, cond & residual, "inner").drop("__bucket")
+    return out.drop("__salt") if salted else out
 
 
 def bucketed_abs_window_self_join(
@@ -91,19 +125,27 @@ def bucketed_abs_window_self_join(
     left_alias: str = "a",
     right_alias: str = "b",
     join_hint: str | None = DEFAULT_JOIN_HINT,
+    salt: int | None = None,
 ) -> DataFrame:
     """All pairs (a, b) sharing `key_cols` with |a.ts - b.ts| <= window
     (closed, matching `abs(extract(epoch ...)) <= 60*60` at main.py:435),
-    optionally with extra theta residuals (e.g. different city)."""
+    optionally with extra theta residuals (e.g. different city).
+    `salt` scatters hot (key, bucket) groups — see _salt_sides."""
     if join_hint:
         df = df.hint(join_hint)
     left = df.withColumn(
         "__bucket", F.floor(epoch_us(ts_col) / F.lit(window_us))
-    ).alias(left_alias)
-    right = _tag_buckets(df, ts_col, window_us, (-1, 0, 1)).alias(right_alias)
+    )
+    right = _tag_buckets(df, ts_col, window_us, (-1, 0, 1))
+    left, right, salted = _salt_sides(left, right, salt)
+    left, right = left.alias(left_alias), right.alias(right_alias)
     cond = (
         F.col(f"{left_alias}.__bucket") == F.col(f"{right_alias}.__bucket")
     )
+    if salted:
+        cond = cond & (
+            F.col(f"{left_alias}.__salt") == F.col(f"{right_alias}.__salt")
+        )
     for k in key_cols:
         cond = cond & (F.col(f"{left_alias}.{k}") == F.col(f"{right_alias}.{k}"))
     time_pred = (
@@ -115,4 +157,5 @@ def bucketed_abs_window_self_join(
     )
     if residual is not None:
         time_pred = time_pred & residual
-    return left.join(right, cond & time_pred, "inner").drop("__bucket")
+    out = left.join(right, cond & time_pred, "inner").drop("__bucket")
+    return out.drop("__salt") if salted else out

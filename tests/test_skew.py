@@ -52,3 +52,102 @@ def test_salted_join_left_outer(spark):
         (r.k, r.name) for r in salted_join(big, small, ["k"], how="left").collect()
     )
     assert out == [(1, "one"), (99, None)]
+
+
+# --- hot-key stress for the bucketed self-joins ---------------------------
+
+def _hot_key_events(spark):
+    """One pathological card (~2000 events inside one hour — the
+    single-(key,bucket) straggler shape) plus 50 normal cards."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(7)
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (111, base + timedelta(seconds=rng.randint(0, 3600)), i)
+        for i in range(2000)
+    ]
+    rows += [
+        (1000 + c, base + timedelta(seconds=rng.randint(0, 3600)), 100_000 + c * 100 + j)
+        for c in range(1, 51)
+        for j in range(20)
+    ]
+    return rows, spark.createDataFrame(rows, "card_num long, ts timestamp, trans_id long")
+
+
+def _model_interval_pairs(rows, window_s):
+    """Ground truth: per card, ordered pairs with r2.ts in
+    [r1.ts, r1.ts + window] (closed), self-pair included."""
+    import bisect
+    from collections import defaultdict
+    from datetime import timedelta
+
+    per_card = defaultdict(list)
+    for card, ts, _ in rows:
+        per_card[card].append(ts)
+    total = 0
+    for ts_list in per_card.values():
+        ts_list.sort()
+        for t in ts_list:
+            lo = bisect.bisect_left(ts_list, t)
+            hi = bisect.bisect_right(ts_list, t + timedelta(seconds=window_s))
+            total += hi - lo
+    return total
+
+
+def test_hot_key_interval_join_salted_equivalence(spark):
+    """The 20-min bucketed interval self-join on a hot-key fixture:
+    unsalted (AQE-split path) and salted (explicit scatter) plans must
+    both match the exact pair count. ~1.3M pairs from the hot card —
+    the shape that becomes a single-reducer straggler at 100 TB."""
+    from etl_process_for_fraud_transactions_spark.operators.rangejoin import (
+        bucketed_interval_self_join,
+    )
+
+    rows, df = _hot_key_events(spark)
+    window_us = 20 * 60 * 1_000_000
+    expected = _model_interval_pairs(rows, 20 * 60)
+
+    plain = bucketed_interval_self_join(df, ["card_num"], "ts", window_us)
+    salted = bucketed_interval_self_join(df, ["card_num"], "ts", window_us, salt=8)
+
+    assert plain.count() == expected
+    assert salted.count() == expected
+    # salting is internal: the output schema is unchanged
+    assert plain.columns == salted.columns
+
+
+def test_hot_key_abs_window_join_salted_equivalence(spark):
+    from etl_process_for_fraud_transactions_spark.operators.rangejoin import (
+        bucketed_abs_window_self_join,
+    )
+
+    rows, df = _hot_key_events(spark)
+    # small window keeps the pair count modest for the abs variant
+    window_us = 5 * 60 * 1_000_000
+
+    plain = bucketed_abs_window_self_join(df, ["card_num"], "ts", window_us)
+    salted = bucketed_abs_window_self_join(df, ["card_num"], "ts", window_us, salt=8)
+    n_plain, n_salted = plain.count(), salted.count()
+    assert n_plain == n_salted > 0
+
+
+def test_salted_join_spreads_hot_group(spark):
+    """The point of the salt: the hot (card, bucket) group's rows land
+    in `salt` distinct sub-groups, not one."""
+    from pyspark.sql import functions as F
+    from etl_process_for_fraud_transactions_spark.operators.rangejoin import (
+        _salt_sides,
+    )
+
+    _, df = _hot_key_events(spark)
+    left, _, salted = _salt_sides(df, df, 8)
+    assert salted
+    spread = (
+        left.filter(F.col("card_num") == 111)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert spread == 8
