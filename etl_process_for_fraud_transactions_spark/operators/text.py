@@ -83,10 +83,7 @@ def rolling_hash(col: Column | str, modulus: int = 2_147_483_647, base: int = 31
     )
 
 
-def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality metrics: length, token count, mean token
-    length, punctuation ratio, uppercase ratio, stopword(en) ratio."""
-    c = F.col(text_col)
+def _quality_exprs(c: Column) -> list[Column]:
     n_chars = F.length(c)
     toks = tokens(c)
     n_tokens = F.size(toks)
@@ -95,8 +92,7 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(
         F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"]))
     )
-    return df.select(
-        "doc_id",
+    return [
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         (n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))).alias(
@@ -107,6 +103,27 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))).alias(
             "stopword_ratio"
         ),
+    ]
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: length, token count, mean token
+    length, punctuation ratio, uppercase ratio, stopword(en) ratio."""
+    return df.select("doc_id", *_quality_exprs(F.col(text_col)))
+
+
+def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """quality_stats + detect_language fused into one projection over a
+    single scan — both are narrow maps, so composing column-wise (not a
+    doc_id self-join) keeps the whole profile in one codegen stage."""
+    c = F.col(text_col)
+    scores = language_scores(c)
+    langs = sorted(scores)
+    return df.select(
+        "doc_id",
+        *_quality_exprs(c),
+        *[scores[l].alias(f"score_{l}") for l in langs],
+        pred_lang(c).alias("pred_lang"),
     )
 
 

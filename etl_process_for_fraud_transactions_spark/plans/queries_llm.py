@@ -123,36 +123,59 @@ def _minhash_oracle_sql_same_source(threshold: float) -> str:
 @query(
     "doc_fingerprints",
     f"""
-    SELECT doc_id, md5({_SQL_NORM}) AS fingerprint
+    SELECT doc_id,
+           md5({_SQL_NORM}) AS fingerprint,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(split({_SQL_NORM}, ''), c -> CAST(ord(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483647
+           ) AS rhash,
+           len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens
     FROM documents
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: md5 over normalized text (portable,
-    unlike xxhash64 — the rolling-hash variant is engine-internal)."""
+    """Document fingerprinting in one map-side projection: md5 over
+    normalized text (portable, unlike the engine-internal xxhash64),
+    the polynomial rolling hash (char fold h*31+c mod 2^31-1, a single
+    codegen'd aggregate expression) and the BPE-ish token count.
+
+    Round 3: absorbs the former `doc_rolling_hash` entry — same scan,
+    same stage, zero shuffles either way (driver 50-query cap)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.fingerprint_md5("text").alias("fingerprint"))
+    return docs.select(
+        "doc_id",
+        X.fingerprint_md5("text").alias("fingerprint"),
+        X.rolling_hash("text").alias("rhash"),
+        X.bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
 
 
 @query(
-    "dedup_exact_groups",
+    "dedup_exact_survivors",
     f"""
-    SELECT fingerprint,
+    SELECT MIN(doc_id) AS doc_id,
            COUNT(*) AS n_docs,
            array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv
     FROM (SELECT doc_id, md5({_SQL_NORM}) AS fingerprint FROM documents)
     GROUP BY fingerprint
-    HAVING COUNT(*) > 1
     """,
 )
-def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate groups: one shuffle keyed on the 128-bit
-    fingerprint; full text never shuffles."""
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: smallest-id survivor per normalized-text
+    fingerprint, with the duplicate-group evidence (group size + sorted
+    member ids) on the same row. One shuffle keyed on the 128-bit md5;
+    the full text never shuffles.
+
+    Round 3: absorbs the former `dedup_exact_groups` entry (identical
+    groupBy; the groups view is this result filtered to n_docs > 1 —
+    driver 50-query cap)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", X.fingerprint_md5("text").alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
+            F.min("doc_id").alias("doc_id"),
             F.count(F.lit(1)).alias("n_docs"),
             F.concat_ws(
                 ",",
@@ -161,22 +184,8 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("doc_ids_csv"),
         )
-        .filter(F.col("n_docs") > 1)
+        .select("doc_id", "n_docs", "doc_ids_csv")
     )
-
-
-@query(
-    "dedup_exact_survivors",
-    f"""
-    SELECT MIN(doc_id) AS doc_id
-    FROM (SELECT doc_id, md5({_SQL_NORM}) AS fingerprint FROM documents)
-    GROUP BY fingerprint
-    """,
-)
-def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup, smallest-id survivor per normalized text."""
-    docs = load_table(spark, sf_dir, "documents")
-    return D.dedup_exact(docs).select("doc_id")
 
 
 @query(
@@ -312,36 +321,24 @@ def train_val_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_quality_stats",
     f"""
-    SELECT doc_id,
-           length(text) AS n_chars,
-           len({_SQL_TOKS}) AS n_tokens,
-           CAST(length(text) AS DOUBLE) / greatest(len({_SQL_TOKS}), 1) AS mean_token_len,
-           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
-           CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / greatest(length(text), 1) AS upper_ratio,
-           CAST(len(list_filter({_SQL_TOKS}, x -> x IN ('the','and','of','to','is'))) AS DOUBLE)
-               / greatest(len({_SQL_TOKS}), 1) AS stopword_ratio
-    FROM documents
-    """,
-)
-def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality metrics — pure regexp/HOF expressions, so
-    the scan stays in whole-stage codegen."""
-    docs = load_table(spark, sf_dir, "documents")
-    return X.quality_stats(docs)
-
-
-@query(
-    "detect_language_heuristic",
-    f"""
     WITH scored AS (
         SELECT doc_id,
+               length(text) AS n_chars,
+               len({_SQL_TOKS}) AS n_tokens,
+               CAST(length(text) AS DOUBLE) / greatest(len({_SQL_TOKS}), 1) AS mean_token_len,
+               CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+               CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / greatest(length(text), 1) AS upper_ratio,
+               CAST(len(list_filter({_SQL_TOKS}, x -> x IN ('the','and','of','to','is'))) AS DOUBLE)
+                   / greatest(len({_SQL_TOKS}), 1) AS stopword_ratio,
                len(list_filter({_SQL_TOKS}, x -> x IN ('der','die','und','das','ist'))) AS score_de,
                len(list_filter({_SQL_TOKS}, x -> x IN ('the','and','of','to','is'))) AS score_en,
                len(list_filter({_SQL_TOKS}, x -> x IN ('el','la','los','es','y'))) AS score_es,
                len(list_filter({_SQL_TOKS}, x -> x IN ('le','la','et','les','est'))) AS score_fr
         FROM documents
     )
-    SELECT doc_id, score_de, score_en, score_es, score_fr,
+    SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
+           upper_ratio, stopword_ratio,
+           score_de, score_en, score_es, score_fr,
            CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
                 WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
                 WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
@@ -351,10 +348,16 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     """,
 )
-def detect_language_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language ID with deterministic tie-break."""
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile: quality metrics (length, token count,
+    punctuation/uppercase/stopword ratios) plus the stopword-marker
+    language ID with deterministic tie-break — all pure regexp/HOF
+    expressions fused into one whole-stage-codegen projection.
+
+    Round 3: absorbs the former `detect_language_heuristic` entry
+    (same scan, same stage — driver 50-query cap)."""
     docs = load_table(spark, sf_dir, "documents")
-    return X.detect_language(docs)
+    return X.profile_documents(docs)
 
 
 @query(
@@ -517,31 +520,6 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
             F.sum(F.col("norm").cast("decimal(18,12)")).cast("double").alias("sum_norm"),
         )
-    )
-
-
-@query(
-    "doc_rolling_hash",
-    f"""
-    SELECT doc_id,
-           list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                            list_transform(split({_SQL_NORM}, ''), c -> CAST(ord(c) AS BIGINT))),
-               (a, b) -> (a * 31 + b) % 2147483647
-           ) AS rhash,
-           len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens
-    FROM documents
-    """,
-)
-def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash fingerprint (polynomial char fold, h*31+c mod
-    2^31-1) + BPE-ish token count, both pure codegen expressions; the
-    oracle reproduces the identical fold with DuckDB's list_reduce."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        X.rolling_hash("text").alias("rhash"),
-        X.bpe_ish_token_count("text").alias("bpe_tokens"),
     )
 
 

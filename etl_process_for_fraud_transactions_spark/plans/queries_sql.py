@@ -15,87 +15,44 @@ from .queries import query
 
 
 @query(
-    "union_purchases_and_errors",
+    "event_type_set_ops",
     """
-    SELECT event_id, user_id, 'purchase' AS kind FROM events WHERE event_type = 'purchase'
+    SELECT user_id, 'purchase_and_error' AS set_kind FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'error'
+    )
     UNION ALL
-    SELECT event_id, user_id, 'error' AS kind FROM events WHERE event_type = 'error'
+    SELECT user_id, 'no_purchase' AS set_kind FROM (
+        SELECT DISTINCT user_id FROM events
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
     """,
 )
-def union_purchases_and_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir)
-    a = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.lit("purchase").alias("kind")
-    )
-    b = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", F.lit("error").alias("kind")
-    )
-    return a.unionByName(b)
+def event_type_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface in one compound query (U1 + the EXCEPT/UNION ALL
+    extensions): INTERSECT-distinct of purchase∩error users, EXCEPT of
+    all-minus-purchase users, UNION ALL stitching both branches with a
+    marker column. Each branch is a distinct aggregate re-using the
+    user_id exchange; the union is append-only (no extra shuffle).
 
-
-@query(
-    "users_without_purchases",
-    """
-    SELECT DISTINCT user_id FROM events
-    EXCEPT
-    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
-    """,
-)
-def users_without_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Round 3: folds the former `event_type_sessions_intersect`,
+    `users_without_purchases` and `union_purchases_and_errors` entries
+    into one driver slot (50-query cap)."""
     ev = load_events(spark, sf_dir)
-    return (
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = purchases.intersect(errors).select(
+        "user_id", F.lit("purchase_and_error").alias("set_kind")
+    )
+    without = (
         ev.select("user_id")
         .distinct()
-        .exceptAll(
-            ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-        )
+        .exceptAll(purchases.distinct())
+        .select("user_id", F.lit("no_purchase").alias("set_kind"))
     )
-
-
-@query(
-    "distinct_users_per_type",
-    """
-    SELECT event_type,
-           COUNT(DISTINCT user_id) AS n_users,
-           COUNT(*) AS n_events
-    FROM events
-    GROUP BY event_type
-    """,
-)
-def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct aggregation (two-phase expand under the hood);
-    approx_count_distinct is the at-scale variant but has no
-    cross-engine-exact oracle."""
-    ev = load_events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-@query(
-    "rollup_revenue",
-    """
-    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
-           coalesce(l_linestatus, '<all>') AS linestatus,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical ROLLUP totals; grouping-null markers coalesced to a
-    sentinel so the all-rows superaggregate is hash-comparable."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("revenue"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
-            "revenue",
-        )
-    )
+    return both.unionByName(without)
 
 
 @query(
@@ -256,8 +213,10 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates (rows-only: approximation is
     engine-specific by design): HLL++ distinct counts and quantile
     sketches — the 100 TB path where exact distinct/percentile
-    shuffles are unaffordable. Exact twins carry the oracle gate
-    (distinct_users_per_type, value_percentiles_per_type)."""
+    shuffles are unaffordable. The exact twin carries the oracle gate
+    (value_percentiles_per_type, which also reports exact distinct
+    counts); tests/test_sketch_bounds.py pins the approx values to the
+    exact ones within the configured rsd/accuracy bounds."""
     ev = load_events(spark, sf_dir)
     agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
@@ -278,6 +237,8 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_percentiles_per_type",
     """
     SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
            round(quantile_cont(value, 0.5), 6) AS p50,
            round(quantile_cont(value, 0.9), 6) AS p90,
            round(quantile_cont(value, 0.99), 6) AS p99
@@ -287,11 +248,16 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def value_percentiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (PERCENTILE_CONT semantics in
-    both engines). percentile_approx is the sketch-based variant for
-    the 100 TB path — no cross-engine-exact oracle, so the exact form
-    carries the gate."""
+    both engines) plus exact distinct counts (two-phase expand under
+    the hood) — the exact twins of approx_sketch_stats' HLL++/quantile
+    sketches, which have no cross-engine-exact oracle.
+
+    Round 3: absorbs the former `distinct_users_per_type` entry (same
+    groupBy key, one aggregate pass — driver 50-query cap)."""
     ev = load_events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
@@ -473,7 +439,12 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over both flag dimensions with the standard GROUPING bitmap
     (bit set where the column is aggregated away — same encoding both
     engines). Spark expands grouping sets before the hash aggregate, so
-    it's still a single shuffle."""
+    it's still a single shuffle.
+
+    Round 3: supersedes the former `rollup_revenue` entry — the ROLLUP
+    grouping sets {(a,b),(a),()} are exactly the CUBE rows with gid in
+    (0,1,3), so the hash-match here covers the ROLLUP surface too
+    (driver 50-query cap)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
