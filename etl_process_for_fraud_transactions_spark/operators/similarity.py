@@ -95,15 +95,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def rp_signature(vec_col: Column, planes: Sequence[Sequence[float]]) -> Column:
-    """Random-projection sign bits as an array<int> of 0/1."""
+def rp_signature(
+    vec_col: Column,
+    planes: Sequence[Sequence[float]],
+    round_proj: int | None = None,
+) -> Column:
+    """Random-projection sign bits as an array<int> of 0/1.
+
+    round_proj: round each projection to this many decimals BEFORE the
+    sign test. A projection within an ulp of 0 would otherwise take a
+    different sign under a different float summation order (e.g. an
+    external verifier replaying the same planes), flipping a bucket
+    nondeterministically; rounding makes the sign decision itself
+    portable. None keeps raw doubles (engine-internal use)."""
+    def proj(p: Sequence[float]) -> Column:
+        d = dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+        return F.round(d, round_proj) if round_proj is not None else d
+
     return F.array(
-        *[
-            F.when(
-                dot(vec_col, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1
-            ).otherwise(0)
-            for p in planes
-        ]
+        *[F.when(proj(p) >= 0, 1).otherwise(0) for p in planes]
     )
 
 
@@ -112,28 +122,41 @@ def lsh_near_neighbors(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
-    bands: int = 2,
+    n_planes: int = 64,
+    bands: int = 4,
     min_cosine: float = 0.7,
     seed: int = 42,
     round_sim: int | None = None,
+    round_proj: int | None = None,
 ) -> DataFrame:
     """Corpus-x-corpus near-neighbor pairs: banded sign-bit buckets ->
     candidate pairs -> exact cosine filter. Returns
     (id_a < id_b, cos_sim >= min_cosine).
 
-    Tuning: candidate count scales with n_rows^2 / 2^(n_planes/bands)
-    per band — keep n_planes/bands >= 8 or bucket keys are too coarse
-    and the candidate join degenerates toward all-pairs (measured 110s
-    -> ~8s on 2000 vectors moving r from 2 to 8 bits). Norms are
-    computed once per row, not per candidate pair."""
+    Tuning: expected candidates per band scale as
+    sum_buckets(n_b^2) ~ n_rows^2 / 2^r for r = n_planes/bands key
+    bits under uniform hashing — r is what keeps the candidate join
+    near-linear as the corpus grows. r=8 (256 buckets/band) is the
+    measured knee on this hardware (110 s -> ~8 s on 2000 vectors
+    moving r from 2 to 8 bits) but still quadratic at 100x corpus:
+    n^2/256 overtakes any per-band constant. The defaults use r=16
+    (65,536 buckets/band), which pushes the quadratic term down by
+    another 256x; recall at a given cosine c is
+    1-(1-p^r)^bands with p = 1 - acos(c)/pi, so r=16 keys are the
+    high-similarity regime (c >= ~0.9) — for moderate-c mining raise
+    `bands` (OR of many AND-bands), never widen buckets by shrinking
+    r. Norms are computed once per row, not per candidate pair.
+
+    round_proj / round_sim: decimal roundings applied before the sign
+    test and the threshold filter respectively, so an external
+    verifier replaying the cascade cannot diverge in the last ulp."""
     planes = _hyperplanes(dim, n_planes, seed)
     chunk = n_planes // bands
     sig = df.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
         l2_norm(F.col(vec_col)).alias("__n"),
-        rp_signature(F.col(vec_col), planes).alias("__sig"),
+        rp_signature(F.col(vec_col), planes, round_proj=round_proj).alias("__sig"),
     )
     banded = sig.select(
         id_col,
@@ -189,7 +212,16 @@ def ivf_centroids(
 ) -> DataFrame:
     """Per-cell mean vector via a posexplode/groupBy — the coarse
     quantizer. (cell assignment comes from upstream clustering; the
-    driver table's `label` plays that role.)"""
+    driver table's `label` plays that role.)
+
+    Cross-engine caveat: avg() folds floats in partition order, so the
+    last ulp of a centroid component may differ from a replay in
+    another engine. Downstream (ivf_topk) every centroid similarity is
+    rounded before the nprobe rank with a cell-id tie-break, which
+    absorbs an ulp divergence unless a similarity lands exactly on a
+    rounding boundary — a fixture-dependent residual risk we accept
+    and pin at the current rounding (6 dp) rather than pretending the
+    mean itself is portable."""
     exploded = corpus.select(
         F.col(cell_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
     )

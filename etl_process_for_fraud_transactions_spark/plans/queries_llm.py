@@ -608,10 +608,13 @@ def simhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_oracle_sql(n_planes: int, bands: int, min_cosine: float, seed: int) -> str:
     planes = S._hyperplanes(64, n_planes, seed)
     chunk = n_planes // bands
+    # round(projection, 9) BEFORE the sign test on both engines: an
+    # unrounded dot within an ulp of 0 could take a different sign under
+    # DuckDB's summation order and flip a bucket nondeterministically
     sig_exprs = "\n               || ".join(
-        "CASE WHEN list_sum(list_transform(list_zip(vec, ["
+        "CASE WHEN round(list_sum(list_transform(list_zip(vec, ["
         + ", ".join(repr(x) for x in p)
-        + "]), x -> x[1]*x[2])) >= 0 THEN '1' ELSE '0' END"
+        + "]), x -> x[1]*x[2])), 9) >= 0 THEN '1' ELSE '0' END"
         for p in planes
     )
     return f"""
@@ -647,19 +650,36 @@ def _lsh_oracle_sql(n_planes: int, bands: int, min_cosine: float, seed: int) -> 
     """
 
 
-@query("lsh_embedding_neighbors", _lsh_oracle_sql(16, 2, 0.25, 42))
+@query("lsh_embedding_neighbors", _lsh_oracle_sql(64, 4, 0.25, 42))
 def lsh_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-neighbor pairs over embeddings. The
     seeded hyperplanes are driver-side constants embedded as literals
-    in both plans, so the oracle replays the exact sign-bit banding.
-    Threshold 0.25: random-ish 64-dim embeddings concentrate near
-    cosine 0, so 0.8 would never fire on this corpus; bands=2 keeps
-    8-bit band keys (256 buckets/band) — see lsh_near_neighbors."""
+    in both plans, so the oracle replays the exact sign-bit banding,
+    and every projection is rounded to 9 dp BEFORE its sign test on
+    both engines (an ulp-of-0 projection can't flip a bucket).
+
+    Round-3 re-parameterization: n_planes=64, bands=4 -> 16-bit band
+    keys (65,536 buckets/band), so the candidate join stays near-linear
+    at 100x corpus (expected collisions ~ n^2/2^16 per band vs the old
+    n^2/2^8 quadratic knee). The cost is recall at this corpus's low
+    similarity regime: the driver embeddings concentrate near cosine 0
+    (no pair reaches 0.5), and 16-bit AND-bands at c=0.25 collide with
+    probability 4*(1-acos(0.25)/pi)^16 ~ 1e-3 — the handful of
+    surviving pairs is the honest output of a scale-correct cascade,
+    not a bug; production moderate-c mining should raise `bands`, not
+    shrink the keys (see lsh_near_neighbors docstring)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     return S.lsh_near_neighbors(
-        emb, dim=64, n_planes=16, bands=2, min_cosine=0.25, seed=42, round_sim=6
+        emb,
+        dim=64,
+        n_planes=64,
+        bands=4,
+        min_cosine=0.25,
+        seed=42,
+        round_sim=6,
+        round_proj=9,
     )
 
 
