@@ -102,17 +102,30 @@ def _minhash_oracle_sql(threshold: float) -> str:
 
 
 
-def _minhash_oracle_sql_same_source(threshold: float) -> str:
-    """MinHash-banded candidates restricted to same-source pairs, with
-    the exact-Jaccard verify — the oracle twin of
-    ngram_jaccard_same_source."""
+def _exact_jaccard_oracle_sql_same_source(threshold: float) -> str:
+    """INDEPENDENT oracle for ngram_jaccard_same_source: plain exact
+    all-pairs Jaccard within each source in DuckDB. Deliberately does
+    NOT replay the Spark side's prefix-filter candidate generation —
+    since prefix filtering is lossless, the engine must reproduce the
+    brute-force answer exactly, which makes this the strongest oracle
+    in the inventory (the check would catch a candidate-generation
+    recall bug, not just a verify bug)."""
     return f"""
-    {_minhash_ctes()},
+    WITH toks AS (
+        SELECT doc_id, source, {_SQL_TOKS} AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               END AS shs
+        FROM toks
+    ),
     pairs AS (
-        SELECT c.id_a, c.id_b, {_JACCARD_SQL} AS jaccard
-        FROM cand c
-        JOIN sh sa ON sa.doc_id = c.id_a
-        JOIN sh sb ON sb.doc_id = c.id_b AND sb.source = sa.source
+        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, {_JACCARD_SQL} AS jaccard
+        FROM sh sa
+        JOIN sh sb ON sb.source = sa.source AND sa.doc_id < sb.doc_id
     )
     SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}
     """
@@ -362,82 +375,28 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ngram_jaccard_same_source",
-    _minhash_oracle_sql_same_source(0.5),
+    _exact_jaccard_oracle_sql_same_source(0.5),
 )
 def ngram_jaccard_same_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs within a source, with
-    candidates generated by the MinHash band buckets (portable mode)
-    instead of a per-source all-pairs join: the candidate join is on
-    (band_id, band_hash), so a hot source block can no longer
-    degenerate to O(n^2/block) — the banding bounds pair generation at
-    any corpus size, and the oracle replays the identical banding.
+    """EXACT 3-gram Jaccard >= 0.5 pairs within a source — 100% recall
+    at near-linear cost via prefix filtering
+    (operators/dedup.py::ngram_jaccard_pairs_exact).
 
-    A lossless size prefilter still runs before the expensive set ops:
-    J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so J >= 0.5 requires the
-    distinct-shingle counts to be within 2x of each other; it cannot
-    drop a qualifying pair, so the oracle can omit it."""
+    Round-3 rewrite: the round-2 version generated candidates with
+    MinHash bands, which at J=0.5 with 32 hashes/8 bands (r=4) only
+    surfaces a truly qualifying pair with probability
+    1-(1-0.5^4)^8 ~ 40% — it silently dropped most borderline pairs
+    while its oracle replayed the same lossy cascade. Prefix filtering
+    restores exactness WITHOUT the per-source all-pairs join the
+    banding was introduced to kill: candidates are pairs sharing a
+    same-source shingle among each document's rarest
+    floor(n/2)+1 shingles (lossless for any global shingle order —
+    proof in the operator docstring). The oracle is now an INDEPENDENT
+    brute-force all-pairs Jaccard in DuckDB, so the hash-match would
+    catch a candidate-generation recall bug."""
     docs = load_table(spark, sf_dir, "documents")
-    buckets = D.minhash_band_buckets(docs, portable=True)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    # distinct shingle sets + sizes computed once per doc; shingles are
-    # hashed to 64-bit longs so the per-pair intersect is integer-array
-    # work (collision odds across the corpus ~1e-9); union size derives
-    # from |A|+|B|-|A∩B|, so each pair pays ONE array op
-    sh = docs.select(
-        "doc_id",
-        "source",
-        F.array_distinct(
-            F.transform(D.shingles("text", 3), lambda s: F.xxhash64(s))
-        ).alias("shd"),
-    ).withColumn("n_sh", F.size("shd"))
-    pairs = (
-        cand.join(
-            sh.select(
-                F.col("doc_id").alias("id_a"),
-                F.col("source").alias("src_a"),
-                F.col("shd").alias("shd_a"),
-                F.col("n_sh").alias("n_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            sh.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("source").alias("src_b"),
-                F.col("shd").alias("shd_b"),
-                F.col("n_sh").alias("n_b"),
-            ),
-            "id_b",
-        )
-        .filter(
-            (F.col("src_a") == F.col("src_b"))
-            & (
-                F.least("n_a", "n_b").cast("double") / F.greatest("n_a", "n_b")
-                >= 0.5
-            )
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("shd_a", "shd_b")).alias("n_inter"),
-            (F.col("n_a") + F.col("n_b")).alias("n_total"),
-        )
-    )
-    jac = F.col("n_inter").cast("double") / F.greatest(
-        F.col("n_total") - F.col("n_inter"), F.lit(1)
-    )
-    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= 0.5
+    return D.ngram_jaccard_pairs_exact(
+        docs, k=3, threshold=0.5, group_col="source"
     )
 
 

@@ -198,3 +198,51 @@ def test_dedup_against_empty_corpus(spark, docs):
     empty = spark.createDataFrame([], "doc_id long, text string")
     kept = sorted(r.doc_id for r in D.dedup_against_corpus(docs, empty).collect())
     assert kept == [1, 3, 4, 5]  # batch-internal dedup still applies
+
+
+def test_prefix_filter_jaccard_is_exact_at_the_boundary(spark):
+    """Pairs at J exactly 0.5 — the borderline the round-2 MinHash
+    banding dropped with ~60% probability — must ALL survive, and the
+    result must equal a brute-force all-pairs computation."""
+    import itertools
+
+    # 12 tokens each, sharing exactly 8 of 16 distinct 3-shingles ->
+    # construct overlapping halves; plus unrelated docs and a cross-
+    # source near-dup that must be excluded by the group filter
+    base = "a b c d e f g h i j k l m n o p q r s t".split()
+    rows = [
+        (1, "s1", " ".join(base[0:12])),      # shingles of tokens 0..11
+        (2, "s1", " ".join(base[4:16])),      # overlap region 4..11
+        (3, "s1", " ".join(base[8:20])),      # overlap with 2, not 1
+        (4, "s1", "zz yy xx ww vv uu"),       # unrelated
+        (5, "s2", " ".join(base[0:12])),      # identical to 1, other source
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs_exact(
+            df, threshold=0.3, group_col="source"
+        ).collect()
+    }
+
+    # brute force in python over the same shingle definition
+    def shingle_set(text):
+        toks = text.split()
+        if len(toks) <= 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expected = {}
+    for (ia, sa, ta), (ib, sb, tb) in itertools.combinations(rows, 2):
+        if sa != sb:
+            continue
+        A, B = shingle_set(ta), shingle_set(tb)
+        j = len(A & B) / len(A | B)
+        if j >= 0.3:
+            expected[(min(ia, ib), max(ia, ib))] = j
+
+    assert set(got) == set(expected)
+    for pair, j in expected.items():
+        assert abs(got[pair] - j) < 1e-12, pair
+    # the cross-source identical pair (1,5) must NOT appear
+    assert (1, 5) not in got
