@@ -24,12 +24,30 @@ rule needed, and AQE still handles any remaining skew.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.core import epoch_us
+
+#: internal column names added by the rewrite; inputs must not use them
+_RESERVED = ("__bucket", "__salt")
+
+#: auto-salt targets: scatter a (key, bucket) group until its pair work
+#: per sub-partition drops under the budget; cap the replication factor
+AUTO_SALT_PAIR_BUDGET = 4_000_000
+AUTO_SALT_MAX = 64
+
+
+def _check_reserved(df: DataFrame) -> None:
+    clash = [c for c in df.columns if c in _RESERVED]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with the rewrite's internal "
+            f"names {_RESERVED}; rename them before the self-join"
+        )
 
 
 def _tag_buckets(df: DataFrame, ts_col: str, width_us: int, offsets: Sequence[int]) -> DataFrame:
@@ -39,9 +57,34 @@ def _tag_buckets(df: DataFrame, ts_col: str, width_us: int, offsets: Sequence[in
     )
 
 
+def _resolve_salt(
+    left_bucketed: DataFrame,
+    key_cols: Sequence[str],
+    salt: int | str | None,
+    pair_budget: int = AUTO_SALT_PAIR_BUDGET,
+) -> int | None:
+    """salt='auto': pick the scatter factor from the observed maximum
+    (key, bucket) density d — pair work per group is ~d^2, salting by s
+    splits it to d^2/s per reducer, so s = ceil(d^2 / budget), capped.
+    The estimate is one count-only aggregation on the same keys the
+    join shuffles on (ships (key, bucket, count), never rows) and runs
+    eagerly at plan-build time; at 100 TB swap in a sampled or sketched
+    density if even that pre-pass matters."""
+    if salt != "auto":
+        return salt  # type: ignore[return-value]
+    d_row = (
+        left_bucketed.groupBy(*key_cols, "__bucket")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .agg(F.max("__d"))
+        .first()
+    )
+    d = d_row[0] or 0
+    return min(AUTO_SALT_MAX, max(1, math.ceil(d * d / max(pair_budget, 1))))
+
+
 def _salt_sides(
     left: DataFrame, right: DataFrame, salt: int | None
-) -> tuple[DataFrame, DataFrame, Column | None]:
+) -> tuple[DataFrame, DataFrame, bool]:
     """Deterministic self-join salting: the left side scatters into
     `salt` sub-groups (hash of the full row, so re-runs agree), the
     right side replicates across all of them — every (l, r) pair meets
@@ -49,8 +92,9 @@ def _salt_sides(
     over `salt` reducer partitions instead of one straggler.
 
     Cost: the right side's shuffle volume multiplies by `salt`, so this
-    is an opt-in for known-pathological densities (one card with 10^4+
-    events per window); the default path leaves skew to AQE's
+    is for known-pathological densities (one card with 10^4+ events
+    per window) — pass salt='auto' to the join wrappers to derive it
+    from the measured density; the default path leaves skew to AQE's
     skew-join splitting. Returns (left, right, salted?)."""
     if not salt or salt <= 1:
         return left, right, False
@@ -80,14 +124,18 @@ def bucketed_interval_self_join(
     left_alias: str = "r1",
     right_alias: str = "r2",
     join_hint: str | None = DEFAULT_JOIN_HINT,
-    salt: int | None = None,
+    salt: int | str | None = None,
+    auto_salt_pair_budget: int = AUTO_SALT_PAIR_BUDGET,
 ) -> DataFrame:
     """All pairs (r1, r2) sharing `key_cols` with
     r2.ts in [r1.ts, r1.ts + window] (closed interval, matching SQL
     BETWEEN at main.py:456). Result columns are the originals of both
     sides, accessible via the aliases. `salt` (opt-in) additionally
-    scatters each (key, bucket) group over that many sub-partitions —
-    see _salt_sides for when that beats AQE."""
+    scatters each (key, bucket) group over that many sub-partitions;
+    salt='auto' measures the max per-(key,bucket) density and derives
+    the factor (see _resolve_salt) — see _salt_sides for when explicit
+    salting beats AQE."""
+    _check_reserved(df)
     if join_hint:
         df = df.hint(join_hint)
     left = df.withColumn(
@@ -96,6 +144,7 @@ def bucketed_interval_self_join(
     # r2 can be in r1's bucket or the next one; tag r2 with (b2-1, b2)
     # so the equi-join on r1.bucket covers both without duplicates.
     right = _tag_buckets(df, ts_col, window_us, (-1, 0))
+    salt = _resolve_salt(left, key_cols, salt, auto_salt_pair_budget)
     left, right, salted = _salt_sides(left, right, salt)
     left, right = left.alias(left_alias), right.alias(right_alias)
     r1ts = F.col(f"{left_alias}.{ts_col}")
@@ -125,18 +174,22 @@ def bucketed_abs_window_self_join(
     left_alias: str = "a",
     right_alias: str = "b",
     join_hint: str | None = DEFAULT_JOIN_HINT,
-    salt: int | None = None,
+    salt: int | str | None = None,
+    auto_salt_pair_budget: int = AUTO_SALT_PAIR_BUDGET,
 ) -> DataFrame:
     """All pairs (a, b) sharing `key_cols` with |a.ts - b.ts| <= window
     (closed, matching `abs(extract(epoch ...)) <= 60*60` at main.py:435),
     optionally with extra theta residuals (e.g. different city).
-    `salt` scatters hot (key, bucket) groups — see _salt_sides."""
+    `salt` scatters hot (key, bucket) groups ('auto' derives the factor
+    from the measured density) — see _salt_sides / _resolve_salt."""
+    _check_reserved(df)
     if join_hint:
         df = df.hint(join_hint)
     left = df.withColumn(
         "__bucket", F.floor(epoch_us(ts_col) / F.lit(window_us))
     )
     right = _tag_buckets(df, ts_col, window_us, (-1, 0, 1))
+    salt = _resolve_salt(left, key_cols, salt, auto_salt_pair_budget)
     left, right, salted = _salt_sides(left, right, salt)
     left, right = left.alias(left_alias), right.alias(right_alias)
     cond = (

@@ -126,8 +126,12 @@ def _make_streak_fn(threshold: int, expiry_minutes: int, exact: bool):
             final = [e for e in events if e[0] < wm_us]
             keep = [e for e in events if e[0] >= wm_us]
         else:
-            # arrival-order fold: pending is always empty in this mode
-            final, keep = fresh, []
+            # arrival-order fold. This mode never *writes* a pending
+            # buffer, but one can be loaded from state if the query was
+            # restarted from a checkpoint written with exact=True —
+            # fold it first (event-time sorted) instead of silently
+            # dropping those buffered events' streak contributions.
+            final, keep = pending + fresh, []
 
         alerts, streak, last_us = _fold(final, streak, last_us, threshold, card_num)
         state.update(

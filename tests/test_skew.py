@@ -151,3 +151,58 @@ def test_salted_join_spreads_hot_group(spark):
         .count()
     )
     assert spread == 8
+
+
+def test_auto_salt_picks_factor_from_density_and_matches_unsalted(spark):
+    """salt='auto' on a planted hot key must (a) derive a factor > 1
+    from the measured per-(key,bucket) density and (b) produce exactly
+    the unsalted result. Budget is shrunk so the ~2000-dense fixture
+    crosses the threshold the way a 10^4-dense window would at the
+    production default (d^2/budget: 2000^2/5e5 = 8 here, 10^8/4e6 = 25
+    there)."""
+    from etl_process_for_fraud_transactions_spark.operators.rangejoin import (
+        _resolve_salt,
+        bucketed_interval_self_join,
+    )
+    from pyspark.sql import functions as F
+
+    rows, df = _hot_key_events(spark)
+    window_us = 20 * 60 * 1_000_000
+    budget = 500_000
+
+    left = df.withColumn(
+        "__bucket", F.floor((F.unix_timestamp("ts") * 1_000_000) / F.lit(window_us))
+    )
+    factor = _resolve_salt(left, ["card_num"], "auto", budget)
+    assert factor > 1
+
+    expected = _model_interval_pairs(rows, 20 * 60)
+    auto = bucketed_interval_self_join(
+        df, ["card_num"], "ts", window_us, salt="auto", auto_salt_pair_budget=budget
+    )
+    assert auto.count() == expected
+
+
+def test_auto_salt_stays_unsalted_below_budget(spark):
+    from etl_process_for_fraud_transactions_spark.operators.rangejoin import (
+        _resolve_salt,
+    )
+    from pyspark.sql import functions as F
+
+    _, df = _hot_key_events(spark)
+    left = df.withColumn("__bucket", F.lit(0))
+    # default budget: 2000^2 / 4e6 = 1 -> no scatter
+    assert _resolve_salt(left, ["card_num"], "auto") == 1
+
+
+def test_reserved_column_guard(spark):
+    import pytest
+    from etl_process_for_fraud_transactions_spark.operators.rangejoin import (
+        bucketed_interval_self_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 0)], "card_num long, ts string, __salt int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="__salt"):
+        bucketed_interval_self_join(df, ["card_num"], "ts", 60_000_000)

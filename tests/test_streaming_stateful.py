@@ -238,3 +238,36 @@ def test_late_event_counted_in_true_order(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == set()
+
+
+def test_mode_switch_restart_folds_pending_buffer(spark, tmp_path):
+    """Restarting from a checkpoint written with exact=True using
+    exact=False must fold the buffered (above-watermark) events into
+    the streak instead of silently dropping them: two pending REJECTs
+    from run 1 plus one fresh REJECT in run 2 -> alert at streak 3."""
+    src = tmp_path / "in"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    # run 1 (exact): no sentinel, so the watermark never passes these
+    # two REJECTs -> they stay in the per-key pending buffer
+    _write(
+        src,
+        "t1.jsonl",
+        [
+            {"card_num": 1, "trans_id": 10, "ts": "2024-01-01 10:00:00", "oper_result": "REJECT"},
+            {"card_num": 1, "trans_id": 11, "ts": "2024-01-01 10:01:00", "oper_result": "REJECT"},
+        ],
+    )
+    got = _run(spark, src, out, ckpt, exact_event_time_order=True)
+    assert got == set()  # still pending, nothing final
+
+    # run 2 (arrival mode) on the SAME checkpoint: one more REJECT
+    _write(
+        src,
+        "t2.jsonl",
+        [
+            {"card_num": 1, "trans_id": 12, "ts": "2024-01-01 10:02:00", "oper_result": "REJECT"},
+        ],
+    )
+    got = _run(spark, src, out, ckpt, exact_event_time_order=False)
+    assert got == {(1, "2024-01-01 10:02:00", 3)}
