@@ -3,11 +3,14 @@ columns with typed metadata, processed in Arrow batches via
 mapInPandas.
 
 The Spark-side machinery here is real and tested — schema contracts,
-batch iteration, partition-preserving transforms, deterministic
-fake featurization. The actual codec calls are stubbed behind
-`_decode_image_bytes` (the image/audio libraries are not available in
-this container); swapping in PIL/torchaudio/ffmpeg changes only that
-one function, not the distributed plumbing.
+batch iteration, partition-preserving transforms. The decode path is
+real for two dependency-free formats: binary PPM (P6) and uncompressed
+24-bit BMP, parsed pure-Python (`decode_image`); featurization and
+nearest-neighbor resize then operate on actual pixel data. Payloads in
+any other format fall back to a deterministic byte-histogram feature /
+byte-cycling resize, clearly separated in `_decode_image_bytes` /
+`_resize_bytes` — swapping in PIL/torchaudio/ffmpeg for the long tail
+of codecs changes only those functions, not the distributed plumbing.
 
 Design notes for 100 TB of media:
 - binary payloads stay columnar in parquet; metadata (width/height/
@@ -62,11 +65,121 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_image_bytes(payload: bytes) -> list[float]:
-    """STUB decode/featurize. Real deployments replace this with
-    PIL/torchvision; the container has no image codecs, so this
-    produces a deterministic byte-histogram feature instead, keeping
-    every distributed code path real and testable."""
+# --- pure-python codecs (PPM P6, uncompressed 24-bit BMP) ------------------
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255) from raw RGB triplets."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Parse binary PPM (P6): header tokens (whitespace/#-comment
+    separated) then raw RGB rows. Returns (w, h, rgb) or None if the
+    payload is not a well-formed P6."""
+    if not payload.startswith(b"P6"):
+        return None
+    # tokenize the header: P6, width, height, maxval
+    i, tokens = 2, []
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or maxval != 255:
+        return None
+    i += 1  # single whitespace after maxval
+    rgb = payload[i : i + w * h * 3]
+    if len(rgb) != w * h * 3:
+        return None
+    return w, h, rgb
+
+
+def decode_bmp24(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up
+    or top-down). Returns (w, h, rgb top-down) or None."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        return None
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h_raw == 0:
+        return None
+    h = abs(h_raw)
+    row_stride = (w * 3 + 3) & ~3
+    if len(payload) < data_off + row_stride * h:
+        return None
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        src_y = (h - 1 - y) if h_raw > 0 else y  # bottom-up unless negative
+        row = payload[data_off + src_y * row_stride :][: w * 3]
+        for x in range(w):
+            b, g, r = row[x * 3], row[x * 3 + 1], row[x * 3 + 2]
+            o = (y * w + x) * 3
+            out[o], out[o + 1], out[o + 2] = r, g, b
+    return w, h, bytes(out)
+
+
+def decode_image(payload: bytes, media_format: str | None = None) -> tuple[int, int, bytes] | None:
+    """Decode a supported image payload to (width, height, rgb
+    top-down). Sniffs magic bytes, so `media_format` is advisory."""
+    if not payload:
+        return None
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp24(payload)
+    return None
+
+
+def _pixel_features(w: int, h: int, rgb: bytes) -> list[float]:
+    """16-dim feature from real pixels: mean R/G/B, mean luma (all in
+    [0,1]) + 12-bin luma histogram (fractions)."""
+    n = w * h
+    sr = sg = sb = 0
+    hist = [0.0] * 12
+    for i in range(n):
+        r, g, b = rgb[i * 3], rgb[i * 3 + 1], rgb[i * 3 + 2]
+        sr += r
+        sg += g
+        sb += b
+        luma = (299 * r + 587 * g + 114 * b) // 1000
+        hist[min(luma * 12 // 256, 11)] += 1.0
+    mean_luma = (299 * sr + 587 * sg + 114 * sb) / (1000.0 * 255.0 * n)
+    return [
+        sr / (255.0 * n),
+        sg / (255.0 * n),
+        sb / (255.0 * n),
+        mean_luma,
+        *[c / n for c in hist],
+    ]
+
+
+def _byte_histogram(payload: bytes) -> list[float]:
+    """Fallback featurization for formats without a pure-python codec
+    (deterministic byte histogram; replaced by PIL/ffmpeg features in
+    deployments with codec libraries)."""
     hist = [0.0] * FEATURE_DIM
     if payload:
         for b in payload:
@@ -74,6 +187,15 @@ def _decode_image_bytes(payload: bytes) -> list[float]:
         total = float(len(payload))
         hist = [h / total for h in hist]
     return hist
+
+
+def _decode_image_bytes(payload: bytes, media_format: str | None = None) -> list[float]:
+    """Featurize one payload: REAL pixel features for PPM/BMP24 (pure-
+    python decode), byte-histogram fallback for everything else."""
+    decoded = decode_image(payload, media_format)
+    if decoded is not None:
+        return _pixel_features(*decoded)
+    return _byte_histogram(payload)
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -91,9 +213,10 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     "n_bytes": pdf["payload"].map(
                         lambda p: len(p) if p is not None else 0
                     ),
-                    "feature": pdf["payload"].map(
-                        lambda p: _decode_image_bytes(p or b"")
-                    ),
+                    "feature": [
+                        _decode_image_bytes(p or b"", fmt)
+                        for p, fmt in zip(pdf["payload"], pdf["media_format"])
+                    ],
                 }
             )
             yield out
@@ -120,15 +243,35 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def _resize_bytes(payload: bytes, width: int, height: int) -> bytes:
-    """STUB resampler (no PIL in this container): cycles the source
-    bytes to exactly width*height output bytes — deterministic, size-
-    correct, and replaced wholesale by a real resampler in deployment."""
+def resize_rgb_nearest(
+    w: int, h: int, rgb: bytes, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of top-down RGB triplets."""
+    out = bytearray(out_w * out_h * 3)
+    for y in range(out_h):
+        sy = min(y * h // out_h, h - 1)
+        for x in range(out_w):
+            sx = min(x * w // out_w, w - 1)
+            s = (sy * w + sx) * 3
+            d = (y * out_w + x) * 3
+            out[d : d + 3] = rgb[s : s + 3]
+    return bytes(out)
+
+
+def _resize_bytes(payload: bytes, width: int, height: int) -> tuple[bytes, str]:
+    """Resize one payload: REAL nearest-neighbor resample for decodable
+    formats (PPM/BMP24), re-encoded as PPM; byte-cycling fallback (size-
+    correct, deterministic) for formats without a pure-python codec.
+    Returns (payload, media_format)."""
+    decoded = decode_image(payload)
+    if decoded is not None:
+        w, h, rgb = decoded
+        return encode_ppm(width, height, resize_rgb_nearest(w, h, rgb, width, height)), "ppm"
     n = width * height
     if not payload:
-        return bytes(n)
+        return bytes(n), "raw"
     reps = n // len(payload) + 1
-    return (payload * reps)[:n]
+    return (payload * reps)[:n], "raw"
 
 
 def resize_images(assets: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
@@ -139,13 +282,14 @@ def resize_images(assets: DataFrame, width: int = 32, height: int = 32) -> DataF
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            resized = [
+                _resize_bytes(p or b"", width, height) for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "media_format": pdf["media_format"],
-                    "payload": pdf["payload"].map(
-                        lambda p: _resize_bytes(p or b"", width, height)
-                    ),
+                    "media_format": [fmt for _, fmt in resized],
+                    "payload": [pay for pay, _ in resized],
                     "meta": [
                         {"width": width, "height": height, "duration_ms": m["duration_ms"] if m else None}
                         for m in pdf["meta"]

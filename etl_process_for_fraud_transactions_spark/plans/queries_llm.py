@@ -715,7 +715,10 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing demo over driver data: documents' text bytes
     as opaque binary payloads -> Arrow-batched featurization via
-    mapInPandas (rows-only; decode is the documented stub seam).
+    mapInPandas (rows-only). These payloads are raw text bytes, so they
+    take the byte-histogram fallback; the REAL decode path (pure-python
+    PPM/BMP24 -> pixel features / nearest-neighbor resize) is pinned by
+    known-answer tests in tests/test_multimodal.py.
 
     Output is fully scalar: the float feature vector is rendered as a
     rounded CSV string so the driver's pandas canonicalizer (which

@@ -1,5 +1,7 @@
 """Multimodal plumbing: Arrow-batched featurization and metadata-only
-frame planning (decode itself is a documented stub)."""
+frame planning. Decode is REAL for PPM/BMP24 (pure-python codecs,
+known-answer tests below); other formats take a documented
+byte-histogram / byte-cycling fallback."""
 
 from __future__ import annotations
 
@@ -52,3 +54,76 @@ def test_resize_images(spark, assets):
     # deterministic: same input -> same bytes
     again = {r.asset_id: bytes(r.payload) for r in resize_images(assets, 8, 4).collect()}
     assert {r.asset_id: bytes(r.payload) for r in out} == again
+
+
+# --- real codec path (pure-python PPM/BMP24) ------------------------------
+
+def _ppm_2x2():
+    # (255,0,0) (0,255,0) / (0,0,255) (255,255,255)
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    return M.encode_ppm(2, 2, rgb), rgb
+
+
+def test_decode_ppm_known_answer():
+    payload, rgb = _ppm_2x2()
+    assert M.decode_ppm(payload) == (2, 2, rgb)
+    # comments + extra whitespace in header
+    weird = b"P6\n# c\n 2\t2 # c2\n255\n" + rgb
+    assert M.decode_ppm(weird) == (2, 2, rgb)
+    # truncated pixel data -> not decodable
+    assert M.decode_ppm(payload[:-1]) is None
+
+
+def test_decode_bmp24_known_answer():
+    import struct
+
+    # 2x1: left red, right green; bottom-up, stride padded to 8
+    row = bytes([0, 0, 255, 0, 255, 0, 0, 0])  # BGR BGR pad pad
+    header = b"BM" + struct.pack("<IHHI", 54 + len(row), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(row), 2835, 2835, 0, 0)
+    payload = header + info + row
+    assert M.decode_bmp24(payload) == (2, 1, bytes([255, 0, 0, 0, 255, 0]))
+
+
+def test_pixel_features_known_answer():
+    payload, _ = _ppm_2x2()
+    feats = M._decode_image_bytes(payload, "ppm")
+    assert len(feats) == M.FEATURE_DIM
+    assert feats[0] == feats[1] == feats[2] == 0.5  # mean R/G/B
+    assert abs(feats[3] - 0.5) < 1e-12              # mean luma
+    # luma bins: red->76->bin3, green->149->bin6, blue->29->bin1,
+    # white->255->bin11; each 1/4 of pixels
+    hist = feats[4:]
+    assert {i for i, v in enumerate(hist) if v > 0} == {1, 3, 6, 11}
+    assert all(abs(v - 0.25) < 1e-12 for v in hist if v > 0)
+
+
+def test_real_resize_nearest_neighbor(spark):
+    payload, _ = _ppm_2x2()
+    rows = [(1, "image", "ppm", payload, (2, 2, None))]
+    assets = spark.createDataFrame(rows, M.ASSET_SCHEMA)
+    out = M.resize_images(assets, width=4, height=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.media_format == "ppm"
+    w, h, rgb = M.decode_ppm(bytes(r.payload))
+    assert (w, h) == (4, 4)
+    # nearest-neighbor: each source pixel becomes a 2x2 block
+    px = lambda x, y: tuple(rgb[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3])
+    assert px(0, 0) == px(1, 1) == (255, 0, 0)
+    assert px(2, 0) == px(3, 1) == (0, 255, 0)
+    assert px(0, 2) == px(1, 3) == (0, 0, 255)
+    assert px(2, 2) == px(3, 3) == (255, 255, 255)
+
+
+def test_extract_features_real_decode_in_spark(spark):
+    """End-to-end: PPM payloads go through mapInPandas and come back
+    with PIXEL features (not byte histograms)."""
+    payload, _ = _ppm_2x2()
+    rows = [(1, "image", "ppm", payload, (2, 2, None)),
+            (2, "audio", "raw", b"\x00\x01\x02\x03", (None, None, 40))]
+    assets = spark.createDataFrame(rows, M.ASSET_SCHEMA)
+    feats = {r.asset_id: list(r.feature) for r in M.extract_features(assets).collect()}
+    assert feats[1][0] == 0.5 and feats[1][3] == pytest.approx(0.5)
+    # the raw payload takes the byte-histogram fallback (sums to 1)
+    assert sum(feats[2]) == pytest.approx(1.0)
