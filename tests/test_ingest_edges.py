@@ -17,20 +17,30 @@ from etl_process_for_fraud_transactions_spark.streaming.filestream import (
 HEADER = "transaction_id;transaction_date;card_num;oper_type;amount;oper_result;terminal\n"
 
 
-def test_excel_without_engine_raises_clear_error(spark, tmp_path):
+def test_excel_without_engine_falls_back_to_stdlib_reader(spark, tmp_path):
+    """Without openpyxl, read_excel_sheet parses the workbook with the
+    vendored stdlib reader; a workbook missing the requested sheet
+    surfaces the reader's clear error (full round-trip coverage lives
+    in tests/test_xlsx.py)."""
     try:
         import openpyxl  # noqa: F401
 
-        pytest.skip("openpyxl installed; stub path not reachable")
+        pytest.skip("openpyxl installed; stdlib fallback not reachable")
     except ImportError:
         pass
-    # a zip container is enough for pandas' format sniffing to pick the
-    # openpyxl engine, whose absence then surfaces as our clear error
     p = tmp_path / "terminals_01012024.xlsx"
     with zipfile.ZipFile(p, "w") as z:
         z.writestr("[Content_Types].xml", "<Types/>")
-        z.writestr("xl/workbook.xml", "<workbook/>")  # marks the zip as xlsx
-    with pytest.raises(NotImplementedError, match="xlsx ingestion requires"):
+        z.writestr(
+            "xl/workbook.xml",
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            "<sheets/></workbook>",
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"/>',
+        )
+    with pytest.raises(ValueError, match="terminals"):
         read_excel_sheet(spark, str(p), "terminals")
 
 
