@@ -1,0 +1,116 @@
+"""Physical-plan invariants for the headline queries — the properties
+PLANS.md documents, pinned as tests so a regression in join strategy,
+filter pushdown or shuffle count fails CI instead of silently shipping
+a 100 TB-hostile plan.
+
+All assertions run on the ANALYZED/physical plan string at sf0.001 —
+plan shape, not data — so the suite is fast.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from etl_process_for_fraud_transactions_spark.plans import QUERIES
+
+from .conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_scan_pushdown(spark):
+    plan = _plan(spark, "pricing_summary")
+    # filter reaches the parquet scan; projection pruned to used columns
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and "l_comment" not in m.group(1)
+    assert "l_quantity" in m.group(1)
+    # no join, two-phase aggregate (partial + final)
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_multihop_revenue_broadcasts_all_dims(spark):
+    plan = _plan(spark, "multihop_revenue")
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    # the fact side never exchanges before the joins: the only hash
+    # exchange is the final groupBy
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """CartesianProduct must never appear; BroadcastNestedLoopJoin only
+    for the two deliberate tiny-grid cross joins (region grid, ANN
+    query broadcast)."""
+    allowed_nlj = {"region_nation_grid", "ann_cosine_topk", "ivf_cosine_topk"}
+    for name in (
+        "pricing_summary",
+        "multihop_revenue",
+        "diff_city_short_time",
+        "brute_force_hits",
+        "fraud_report",
+        "ngram_jaccard_same_source",
+        "lsh_embedding_neighbors",
+        "minhash_near_duplicates",
+        "asof_prev_hour_stats",
+        "user_sessions",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in allowed_nlj:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_text_profile_is_map_only(spark):
+    plan = _plan(spark, "text_quality_stats")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_doc_fingerprints_is_map_only(spark):
+    plan = _plan(spark, "doc_fingerprints")
+    assert "Exchange" not in plan
+
+
+def test_document_chunks_no_shuffle(spark):
+    plan = _plan(spark, "document_chunks")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan  # generator, not a join
+
+
+def test_global_top_orders_takeordered(spark):
+    # per-partition top-k + driver merge, NOT a global sort exchange
+    plan = _plan(spark, "global_top_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_bucketed_self_joins_are_equi_joins(spark):
+    """The 1h/20min self-joins must plan as hash equi-joins on the
+    (bucket, key) composite — the O(n^2)-per-key theta join shape
+    (nested loop / cartesian) must not come back."""
+    for name in ("diff_city_short_time", "brute_force_hits"):
+        plan = _plan(spark, name)
+        assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan), name
+        assert "__bucket" in plan, name
+
+
+def test_asof_join_has_no_pair_explosion(spark):
+    """The as-of join is the union + last-ignore-nulls rewrite: no join
+    node at all, one window over the union."""
+    plan = _plan(spark, "asof_prev_hour_stats")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
+
+
+def test_zscore_broadcasts_stats_back(spark):
+    plan = _plan(spark, "amount_zscore_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
