@@ -157,13 +157,10 @@ def brute_force_windows(resolved: DataFrame) -> DataFrame:
     )
 
 
-def rule_brute_force_20min(resolved: DataFrame) -> DataFrame:
-    """Rule 5 (main.py:444-530). Returns (client_id, trans_id) where
-    trans_id is the window-starting transaction."""
-    joined_req = brute_force_windows(resolved)
-
-    # selected_req (main.py:458-467): >3 attempts, both outcomes present.
-    selected_req = (
+def brute_force_candidates(joined_req: DataFrame) -> DataFrame:
+    """selected_req (main.py:458-467): windows with >3 attempts and
+    both outcomes present — the candidate stage of rule 5."""
+    return (
         joined_req.groupBy("client_id", "trans_id_start")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -172,6 +169,24 @@ def rule_brute_force_20min(resolved: DataFrame) -> DataFrame:
         )
         .filter((F.col("cnt") > 3) & (F.col("has_success") == 1) & (F.col("has_reject") == 1))
         .select("client_id", "trans_id_start")
+    )
+
+
+def rule_brute_force_20min(
+    resolved: DataFrame,
+    windows: DataFrame | None = None,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Rule 5 (main.py:444-530). Returns (client_id, trans_id) where
+    trans_id is the window-starting transaction.
+
+    `windows` / `candidates` let a caller that also consumes those
+    intermediates pass the SAME DataFrames, so the physical planner's
+    ReuseExchange dedupes the expensive interval self-join instead of
+    rebuilding it per branch."""
+    joined_req = windows if windows is not None else brute_force_windows(resolved)
+    selected_req = (
+        candidates if candidates is not None else brute_force_candidates(joined_req)
     )
 
     # sorted_req (main.py:468-474): rank attempts by time.

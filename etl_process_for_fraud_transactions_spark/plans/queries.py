@@ -450,18 +450,13 @@ def brute_force_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved = R.resolve_transactions(
         d["transactions"], d["cards"], d["accounts"], d["clients"]
     )
+    # share the window join + candidate frames with the full chain so
+    # ReuseExchange dedupes the interval self-join across both branches
     joined = R.brute_force_windows(resolved)
-    candidates = (
-        joined.groupBy("client_id", "trans_id_start")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.max(F.when(F.col("oper_result") == "SUCCESS", 1).otherwise(0)).alias("_s"),
-            F.max(F.when(F.col("oper_result") == "REJECT", 1).otherwise(0)).alias("_r"),
-        )
-        .filter((F.col("cnt") > 3) & (F.col("_s") == 1) & (F.col("_r") == 1))
-        .select("client_id", "trans_id_start")
-    )
-    hits = R.rule_brute_force_20min(resolved).select(
+    candidates = R.brute_force_candidates(joined)
+    hits = R.rule_brute_force_20min(
+        resolved, windows=joined, candidates=candidates
+    ).select(
         F.col("client_id").alias("__hit_client"),
         F.col("trans_id").alias("__hit_trans"),
     )
