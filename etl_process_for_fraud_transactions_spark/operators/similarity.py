@@ -282,12 +282,22 @@ def ivf_topk(
         )
         .withColumn("__pr", F.row_number().over(probe_w))
         .filter(F.col("__pr") <= nprobe)
-        .select(query_id_col, cell_col, "__qv")
+        .select(
+            query_id_col,
+            cell_col,
+            "__qv",
+            l2_norm(F.col("__qv")).alias("__qn"),
+        )
     )
-    scored = corpus.join(F.broadcast(probes), cell_col).select(
+    # corpus norms once per row (not once per matched probe), query
+    # norms once per probe row — the scored pair pays one dot product
+    corpus_n = corpus.withColumn("__n", l2_norm(F.col(vec_col)))
+    scored = corpus_n.join(F.broadcast(probes), cell_col).select(
         query_id_col,
         id_col,
-        _r(cosine(F.col(vec_col), F.col("__qv"))).alias("cos_sim"),
+        _r(
+            dot(F.col(vec_col), F.col("__qv")) / (F.col("__n") * F.col("__qn"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
