@@ -183,3 +183,56 @@ def test_scd2_matches_model(spark, batches):
         for r in dim.collect()
     )
     assert got == _model_scd2(batches)
+
+
+# --- exact prefix-filter Jaccard join ≡ brute force ------------------------
+
+# tiny alphabet + short docs maximize shingle collisions and boundary
+# Jaccard values — the regime where a candidate-generation bug (missed
+# prefix, off-by-one in the prefix length) actually drops pairs
+_doc_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1"]),                               # source
+        st.lists(st.sampled_from(list("abcd")), min_size=1, max_size=8),  # tokens
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+def _shingle_set(tokens: list[str], k: int = 3) -> set[str]:
+    if len(tokens) <= k:
+        return {" ".join(tokens)}
+    return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_doc_strategy)
+def test_prefix_filter_jaccard_matches_bruteforce(spark, docs):
+    from itertools import combinations
+
+    from etl_process_for_fraud_transactions_spark.operators.dedup import (
+        ngram_jaccard_pairs_exact,
+    )
+
+    rows = [(i, src, " ".join(toks)) for i, (src, toks) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_exact(
+            df, threshold=0.5, group_col="source"
+        ).collect()
+    }
+
+    expected = {}
+    for (ia, sa, ta), (ib, sb, tb) in combinations(rows, 2):
+        if sa != sb:
+            continue
+        A, B = _shingle_set(ta.split()), _shingle_set(tb.split())
+        j = len(A & B) / len(A | B)
+        if j >= 0.5:
+            expected[(min(ia, ib), max(ia, ib))] = j
+
+    assert set(got) == set(expected)
+    for pair, j in expected.items():
+        assert abs(got[pair] - j) < 1e-12, pair
