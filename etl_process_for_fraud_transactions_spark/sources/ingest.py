@@ -184,17 +184,39 @@ def read_xlsx_rows(path: str, sheet_name: str) -> tuple[list[str], list[list]]:
     return header, dense[1:]
 
 
+#: Excel's day-serial epoch (the 1900 system, offset for the fictitious
+#: 1900-02-29): serial 45292 == 2024-01-01.
+_EXCEL_EPOCH_ORDINAL = 693594  # datetime.date(1899, 12, 30).toordinal()
+
+
+def excel_serial_to_date(serial: float):
+    """Excel 1900-system day serial -> datetime.date (time part of a
+    fractional serial is dropped)."""
+    import datetime as _dt
+
+    return _dt.date.fromordinal(_EXCEL_EPOCH_ORDINAL + int(serial))
+
+
 def read_excel_sheet(
     spark: SparkSession,
     path: str,
     sheet_name: str,
     select: Sequence[str] | None = None,
     renames: dict[str, str] | None = None,
+    date_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """xlsx ingest (reference main.py:98,111): pandas.read_excel when an
     Excel engine is installed, else the vendored stdlib reader
     (read_xlsx_rows) — either way a driver-side parse followed by
-    Arrow-backed createDataFrame."""
+    Arrow-backed createDataFrame.
+
+    date_cols: columns (pre-rename names) the CALLER declares as Excel
+    dates. xlsx stores dates as bare day serials whose date-ness lives
+    in styles.xml, which the stdlib reader deliberately does not parse
+    — an explicit declaration beats a styles heuristic for a fixed
+    staging contract (the reference's blacklist `date` column is the
+    use case). Numeric serials convert via the 1900 system; values that
+    are already dates/strings pass through unchanged."""
     import pandas as pd
 
     try:
@@ -202,10 +224,19 @@ def read_excel_sheet(
     except ImportError:  # openpyxl/xlrd missing -> stdlib reader
         header, rows = read_xlsx_rows(path, sheet_name)
         pdf = pd.DataFrame(rows, columns=header)
+        for col in date_cols or ():
+            if col in pdf.columns:
+                pdf[col] = pdf[col].map(
+                    lambda v: excel_serial_to_date(v)
+                    if isinstance(v, (int, float)) and not isinstance(v, bool)
+                    else v
+                )
         # uniform column types for Spark inference: mixed cells -> str
         for col in pdf.columns:
             vals = [v for v in pdf[col] if v is not None]
             if vals and not all(isinstance(v, (int, float, bool)) for v in vals):
+                if col in (date_cols or ()):
+                    continue  # already uniform dates
                 pdf[col] = pdf[col].map(lambda v: None if v is None else str(v))
     if select:
         pdf = pdf[list(select)]

@@ -162,3 +162,46 @@ def test_read_excel_sheet_numeric_column(spark, xlsx_path):
     df = read_excel_sheet(spark, xlsx_path, "blacklist", select=["passport", "amount"])
     got = {r.passport: r.amount for r in df.collect()}
     assert got == {"12 34 567890": 1234.5, "98 76 543210": 42.0}
+
+
+_SHEET3 = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+  <sheetData>
+    <row r="1">
+      <c r="A1" t="inlineStr"><is><t>passport_num</t></is></c>
+      <c r="B1" t="inlineStr"><is><t>entry_dt</t></is></c>
+    </row>
+    <row r="2">
+      <c r="A2" t="inlineStr"><is><t>11 22 334455</t></is></c>
+      <c r="B2"><v>45292</v></c>
+    </row>
+    <row r="3">
+      <c r="A3" t="inlineStr"><is><t>22 33 445566</t></is></c>
+      <c r="B3"><v>45323.5</v></c>
+    </row>
+  </sheetData>
+</worksheet>"""
+
+
+def test_excel_date_serials(spark, tmp_path):
+    import datetime as dt
+
+    p = tmp_path / "passport_blacklist_01012024.xlsx"
+    wb = _WORKBOOK.replace('name="terminals"', 'name="blacklist_dates"').replace(
+        '<sheet name="blacklist" sheetId="2" r:id="rId2"/>', ""
+    )
+    with zipfile.ZipFile(p, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _CT)
+        z.writestr("_rels/.rels", _ROOT_RELS)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", _SHEET3)
+    df = read_excel_sheet(
+        spark, str(p), "blacklist_dates", date_cols=["entry_dt"]
+    )
+    got = {r.passport_num: r.entry_dt for r in df.collect()}
+    # Excel 1900-system: 45292 = 2024-01-01; fractional time dropped
+    assert got == {
+        "11 22 334455": dt.date(2024, 1, 1),
+        "22 33 445566": dt.date(2024, 2, 1),
+    }
