@@ -93,12 +93,16 @@ class DailyFraudJob:
         )
         return df.withColumn("trans_date", F.col("trans_date").cast("timestamp_ntz"))
 
-    def _stage_sheet(self, date: str, stem: str, sheet: str) -> DataFrame:
+    def _stage_sheet(
+        self, date: str, stem: str, sheet: str, date_cols: list[str] | None = None
+    ) -> DataFrame:
         """terminals_/passport_blacklist_ file: xlsx when present
-        (reference format), else a CSV fallback with the same columns."""
+        (reference format), else a CSV fallback with the same columns.
+        date_cols marks Excel date-serial columns (see read_excel_sheet)
+        — ignored on the CSV path, where dates arrive as strings."""
         xlsx = os.path.join(self.input_dir, f"{stem}_{date}.xlsx")
         if os.path.exists(xlsx):
-            return read_excel_sheet(self.spark, xlsx, sheet)
+            return read_excel_sheet(self.spark, xlsx, sheet, date_cols=date_cols)
         csv = os.path.join(self.input_dir, f"{stem}_{date}.csv")
         return (
             self.spark.read.option("header", "true").option("inferSchema", "false").csv(csv)
@@ -108,7 +112,10 @@ class DailyFraudJob:
         return self._stage_sheet(date, "terminals", "terminals")
 
     def _stage_blacklist(self, date: str) -> DataFrame:
-        df = self._stage_sheet(date, "passport_blacklist", "blacklist")
+        # `date` is an Excel date-serial column in the reference's real
+        # workbook (main.py:111-113); declared so the stdlib reader
+        # converts serials instead of cast("date") nulling doubles
+        df = self._stage_sheet(date, "passport_blacklist", "blacklist", date_cols=["date"])
         return df.select(
             F.col("passport").alias("passport_num"),
             F.col("date").cast("date").alias("entry_dt"),

@@ -205,3 +205,48 @@ def test_excel_date_serials(spark, tmp_path):
         "11 22 334455": dt.date(2024, 1, 1),
         "22 33 445566": dt.date(2024, 2, 1),
     }
+
+
+def test_daily_job_stages_real_xlsx_blacklist(spark, tmp_path):
+    """The daily job's blacklist staging on a REAL xlsx with an Excel
+    date-serial column: serials must convert to dates, not null out
+    through cast('date')."""
+    import datetime as dt
+
+    from etl_process_for_fraud_transactions_spark.jobs.daily import DailyFraudJob
+
+    sheet = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+  <sheetData>
+    <row r="1">
+      <c r="A1" t="inlineStr"><is><t>passport</t></is></c>
+      <c r="B1" t="inlineStr"><is><t>date</t></is></c>
+    </row>
+    <row r="2">
+      <c r="A2" t="inlineStr"><is><t>55 44 332211</t></is></c>
+      <c r="B2"><v>45292</v></c>
+    </row>
+  </sheetData>
+</worksheet>"""
+    wb = _WORKBOOK.replace('name="terminals"', 'name="blacklist"').replace(
+        '<sheet name="blacklist" sheetId="2" r:id="rId2"/>', ""
+    )
+    p = tmp_path / "passport_blacklist_01012024.xlsx"
+    with zipfile.ZipFile(p, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _CT)
+        z.writestr("_rels/.rels", _ROOT_RELS)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    job = DailyFraudJob(
+        spark,
+        input_dir=str(tmp_path),
+        source_dir=str(tmp_path),
+        warehouse_root=str(tmp_path / "wh"),
+        archive=False,
+    )
+    rows = job._stage_blacklist("01012024").collect()
+    assert [(r.passport_num, r.entry_dt) for r in rows] == [
+        ("55 44 332211", dt.date(2024, 1, 1))
+    ]
