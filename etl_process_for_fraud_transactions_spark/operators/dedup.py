@@ -205,15 +205,25 @@ def minhash_near_duplicates(
     bands: int = 8,
     threshold: float = 0.6,
     portable: bool = False,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold):
     LSH band-bucket join for candidates, exact n-gram Jaccard verify.
     The self-join is on (band_id, band_hash) — candidates only, never
     all pairs; duplicate candidate pairs from multiple bands are
-    dropped before the (expensive) verification."""
+    dropped before the (expensive) verification.
+
+    persist_signatures: cache the banded-signature frame across the
+    self-join (both sides of a self-join otherwise recompute the full
+    shingle->signature pipeline — measured ~2x end-to-end). The frame
+    is (id, band_id, band_hash), tiny relative to the corpus; the same
+    pattern MLlib's MinHashLSH uses. Spark evicts it LRU; pass False
+    for one-shot plans embedded in larger cached pipelines."""
     buckets = minhash_band_buckets(
         df, text_col, id_col, k, num_hashes, bands, portable=portable
     )
+    if persist_signatures:
+        buckets = buckets.persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -355,29 +365,76 @@ def simhash_signature(
 
     portable=True swaps xxhash64 for the md5-derived 60-bit hash
     (text.portable_hash60; requires bits <= 60) so an external SQL
-    oracle can replay the signature bit-for-bit."""
+    oracle can replay the signature bit-for-bit.
+
+    Bit votes are computed as per-bit popcounts over the let-bound
+    token-hash array (`ones*2 > n` ⟺ `sum(±1) > 0`): the naive
+    formulation allocates a ±1 array of length `bits` per TOKEN inside
+    the fold, which measured ~1.6x slower for identical output."""
     if portable and bits > 60:
         raise ValueError("portable simhash supports at most 60 bits")
     toks = tokens(col)
-    th = F.transform(
-        toks,
-        (lambda t: portable_hash60(t)) if portable else (lambda t: F.xxhash64(t)),
-    )
-    bit_votes = F.aggregate(
-        th,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-                    for b in range(bits)
-                ]
-            ),
-            lambda x, y: x + y,
+
+    def body(th: Column) -> Column:
+        n = F.size(th)
+
+        def vote(b: int) -> Column:
+            ones = F.aggregate(
+                th,
+                F.lit(0),
+                lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
+            )
+            return F.when(ones * 2 > n, 1).otherwise(0)
+
+        return F.array(*[vote(b) for b in range(bits)])
+
+    return _let(
+        F.transform(
+            toks,
+            (lambda t: portable_hash60(t)) if portable else (lambda t: F.xxhash64(t)),
         ),
+        body,
     )
-    return F.transform(bit_votes, lambda v: F.when(v > 0, 1).otherwise(0))
+
+
+def simhash_signature_packed(
+    col: Column | str, bits: int = 64, portable: bool = False
+) -> Column:
+    """SimHash signature packed into ONE long (bit b of the long is
+    bit b of the signature; requires bits <= 64). The packed form is
+    what the near-dup join wants: band keys are integer shift/mask
+    expressions (8-byte shuffle keys instead of 15-char strings) and
+    Hamming distance is the codegen'd bit_count(xor) intrinsic instead
+    of an interpreted 60-element array fold per candidate pair."""
+    if bits > 64:
+        raise ValueError("packed simhash supports at most 64 bits")
+    if portable and bits > 60:
+        raise ValueError("portable simhash supports at most 60 bits")
+    toks = tokens(col)
+
+    def body(th: Column) -> Column:
+        n = F.size(th)
+
+        def vote(b: int) -> Column:
+            ones = F.aggregate(
+                th,
+                F.lit(0),
+                lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
+            )
+            return F.when(ones * 2 > n, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+        packed = F.lit(0).cast("long")
+        for b in range(bits):
+            packed = packed.bitwiseOR(F.shiftleft(vote(b), b))
+        return packed
+
+    return _let(
+        F.transform(
+            toks,
+            (lambda t: portable_hash60(t)) if portable else (lambda t: F.xxhash64(t)),
+        ),
+        body,
+    )
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:
@@ -397,31 +454,41 @@ def simhash_near_duplicates(
     bands: int = 4,
     max_hamming: int = 3,
     portable: bool = False,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the signature into `bands`
     chunks (a pair within Hamming distance < bands must share at least
     one exact chunk — pigeonhole), join on matching chunks, verify the
-    full Hamming distance."""
+    full Hamming distance. persist_signatures: see
+    minhash_near_duplicates (same self-join recompute economics).
+
+    Internals run on the PACKED long signature: integer band keys
+    (shift/mask) and bit_count(xor) Hamming — the interpreted
+    array-fold verify was the dominant cost on homogeneous corpora
+    where band collisions are common (measured ~1M candidates from
+    5k docs at sf0.1; the packed verify is a codegen intrinsic)."""
     chunk = bits // bands
+    mask = (1 << chunk) - 1
     sig_df = df.select(
-        F.col(id_col), simhash_signature(text_col, bits, portable=portable).alias("sig")
+        F.col(id_col),
+        simhash_signature_packed(text_col, bits, portable=portable).alias("sig"),
     )
+    if persist_signatures:
+        sig_df = sig_df.persist()
     banded = sig_df.select(
         id_col,
         "sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.concat_ws(
-                        "",
-                        F.transform(
-                            F.slice("sig", b * chunk + 1, chunk),
-                            lambda v: v.cast("string"),
-                        ),
-                    ).alias("band_key"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("sig"), b * chunk)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("band"),
     ).select(id_col, "sig", "band.band_id", "band.band_key")
@@ -442,5 +509,7 @@ def simhash_near_duplicates(
         .distinct()
     )
     return cand.select(
-        "id_a", "id_b", simhash_hamming(F.col("sig_a"), F.col("sig_b")).alias("hamming")
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)

@@ -128,6 +128,7 @@ def lsh_near_neighbors(
     seed: int = 42,
     round_sim: int | None = None,
     round_proj: int | None = None,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Corpus-x-corpus near-neighbor pairs: banded sign-bit buckets ->
     candidate pairs -> exact cosine filter. Returns
@@ -149,7 +150,10 @@ def lsh_near_neighbors(
 
     round_proj / round_sim: decimal roundings applied before the sign
     test and the threshold filter respectively, so an external
-    verifier replaying the cascade cannot diverge in the last ulp."""
+    verifier replaying the cascade cannot diverge in the last ulp.
+
+    persist_signatures: cache the banded frame across the self-join —
+    both sides would otherwise recompute all n_planes projections."""
     planes = _hyperplanes(dim, n_planes, seed)
     chunk = n_planes // bands
     sig = df.select(
@@ -178,6 +182,8 @@ def lsh_near_neighbors(
             )
         ).alias("band"),
     ).select(id_col, "__v", "__n", "band.band_id", "band.band_key")
+    if persist_signatures:
+        banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
