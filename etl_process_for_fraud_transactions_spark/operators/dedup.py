@@ -160,10 +160,13 @@ def minhash_band_buckets(
     portable: bool = False,
 ) -> DataFrame:
     """(id, band_id, band_hash) — one row per document per band. Rows
-    sharing (band_id, band_hash) are near-dup candidates. In portable
-    mode the band key is the raw comma-joined signature slice (string,
-    oracle-reproducible); the default re-hashes it to a fixed 8-byte
-    key so the shuffle ships 8 bytes/band, not width*20."""
+    sharing (band_id, band_hash) are near-dup candidates. The band key
+    is always re-hashed to a fixed 8-byte xxhash64 so the shuffle ships
+    8 bytes/band instead of width*20 chars — including in portable
+    mode: an external oracle replays its own banding and compares only
+    the post-verify pairs, and a band-key hash collision can only ADD a
+    candidate that the exact-Jaccard verify then filters, so the result
+    set is unchanged."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(shingles(text_col, k), num_hashes, portable=portable)
     with_sig = df.select(F.col(id_col), sig.alias("sig"))
@@ -176,7 +179,7 @@ def minhash_band_buckets(
                 lambda v: v.cast("string"),
             ),
         )
-        return joined if portable else F.xxhash64(joined)
+        return F.xxhash64(joined)
 
     band = F.explode(
         F.transform(
