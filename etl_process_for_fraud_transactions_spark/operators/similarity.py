@@ -97,10 +97,19 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def rp_signature(
     vec_col: Column,
-    planes: Sequence[Sequence[float]],
+    planes: Sequence[Sequence[float]] | Column,
     round_proj: int | None = None,
 ) -> Column:
     """Random-projection sign bits as an array<int> of 0/1.
+
+    planes may be a driver-side list-of-lists (inlined as literals —
+    fine for tiny plane sets, but the plan grows one expression node
+    per component: 64 planes x 1536 dims is ~100k nodes and minutes of
+    Catalyst analysis) or a Column of array<array<double>> (a single
+    value, e.g. from a broadcast one-row frame — constant plan size at
+    any dim; what `lsh_near_neighbors` uses). Either way the signature
+    is the same sequential zip_with/aggregate fold, so the two forms
+    are bit-identical.
 
     round_proj: round each projection to this many decimals BEFORE the
     sign test. A projection within an ulp of 0 would otherwise take a
@@ -108,12 +117,16 @@ def rp_signature(
     external verifier replaying the same planes), flipping a bucket
     nondeterministically; rounding makes the sign decision itself
     portable. None keeps raw doubles (engine-internal use)."""
-    def proj(p: Sequence[float]) -> Column:
-        d = dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
-        return F.round(d, round_proj) if round_proj is not None else d
+    def sign_bit(p: Column) -> Column:
+        d = dot(vec_col, p)
+        if round_proj is not None:
+            d = F.round(d, round_proj)
+        return F.when(d >= 0, 1).otherwise(0)
 
+    if isinstance(planes, Column):
+        return F.transform(planes, sign_bit)
     return F.array(
-        *[F.when(proj(p) >= 0, 1).otherwise(0) for p in planes]
+        *[sign_bit(F.array(*[F.lit(float(x)) for x in p])) for p in planes]
     )
 
 
@@ -153,14 +166,26 @@ def lsh_near_neighbors(
     verifier replaying the cascade cannot diverge in the last ulp.
 
     persist_signatures: cache the banded frame across the self-join —
-    both sides would otherwise recompute all n_planes projections."""
+    both sides would otherwise recompute all n_planes projections.
+
+    Plan size: the hyperplanes ride in as ONE array<array<double>>
+    value on a broadcast one-row frame, not as n_planes x dim literal
+    expression nodes — at production dims (64 x 1536 ~ 100k components)
+    the literal form costs minutes of Catalyst analysis before any data
+    moves, while this form analyzes in constant time (pinned by
+    tests/test_similarity.py::test_lsh_plan_builds_fast_at_production_dims)."""
     planes = _hyperplanes(dim, n_planes, seed)
     chunk = n_planes // bands
-    sig = df.select(
+    planes_df = df.sparkSession.createDataFrame(
+        [(planes,)], "__planes: array<array<double>>"
+    )
+    sig = df.crossJoin(F.broadcast(planes_df)).select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
         l2_norm(F.col(vec_col)).alias("__n"),
-        rp_signature(F.col(vec_col), planes, round_proj=round_proj).alias("__sig"),
+        rp_signature(
+            F.col(vec_col), F.col("__planes"), round_proj=round_proj
+        ).alias("__sig"),
     )
     banded = sig.select(
         id_col,

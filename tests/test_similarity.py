@@ -78,6 +78,36 @@ def test_lsh_candidate_pruning(spark, corpus):
     assert all(not (r.id_a == 1 and r.id_b == 6) for r in pairs)
 
 
+def test_lsh_plan_builds_fast_at_production_dims(spark):
+    """The hyperplanes ride in as one broadcast array-of-arrays value,
+    not n_planes x dim literal expression nodes — at dim=1024,
+    n_planes=64 (65,536 components) the literal form costs ~40 s of
+    Catalyst analysis before any data moves; the broadcast form must
+    analyze in seconds. Budget is generous (30 s) to absorb CI noise
+    while still failing hard if the literal expansion ever returns."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    dim, n_planes = 1024, 64
+    df = spark.range(8).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (i % 7).cast("double") - 3.0,
+        ).alias("embedding"),
+    )
+    t0 = time.monotonic()
+    out = S.lsh_near_neighbors(
+        df, dim=dim, n_planes=n_planes, bands=4, min_cosine=-1.0
+    )
+    out.schema  # force analysis
+    elapsed = time.monotonic() - t0
+    assert elapsed < 30.0, f"plan construction took {elapsed:.1f}s"
+    # and it actually executes: identical vectors are found as pairs
+    assert out.count() > 0
+
+
 def test_quantize_roundtrip_and_topk_recall(spark):
     from pyspark.sql import functions as F
 
