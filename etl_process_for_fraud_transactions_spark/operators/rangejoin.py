@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..functions.core import epoch_us
 
 #: internal column names added by the rewrite; inputs must not use them
-_RESERVED = ("__bucket", "__salt")
+_RESERVED = ("__bucket", "__salt", "__salt_n")
 
 #: auto-salt targets: scatter a (key, bucket) group until its pair work
 #: per sub-partition drops under the budget; cap the replication factor
@@ -63,13 +63,12 @@ def _resolve_salt(
     salt: int | str | None,
     pair_budget: int = AUTO_SALT_PAIR_BUDGET,
 ) -> int | None:
-    """salt='auto': pick the scatter factor from the observed maximum
-    (key, bucket) density d — pair work per group is ~d^2, salting by s
-    splits it to d^2/s per reducer, so s = ceil(d^2 / budget), capped.
-    The estimate is one count-only aggregation on the same keys the
-    join shuffles on (ships (key, bucket, count), never rows) and runs
-    eagerly at plan-build time; at 100 TB swap in a sampled or sketched
-    density if even that pre-pass matters."""
+    """Eager diagnostic twin of `_auto_salt_factor`: measure the max
+    (key, bucket) density d with a driver-side action and return the
+    derived scatter factor as an int. Useful for inspecting what
+    salt='auto' will decide; the join wrappers themselves do NOT call
+    this — they fold the same derivation into the plan via
+    `_auto_salt_factor`, so plan construction never runs a job."""
     if salt != "auto":
         return salt  # type: ignore[return-value]
     d_row = (
@@ -82,8 +81,43 @@ def _resolve_salt(
     return min(AUTO_SALT_MAX, max(1, math.ceil(d * d / max(pair_budget, 1))))
 
 
+def _auto_salt_factor(
+    left_bucketed: DataFrame,
+    key_cols: Sequence[str],
+    pair_budget: int = AUTO_SALT_PAIR_BUDGET,
+) -> DataFrame:
+    """salt='auto', the lazy form: a one-row frame holding the scatter
+    factor s = min(cap, max(1, ceil(d^2 / budget))) for d = the maximum
+    observed (key, bucket) density — pair work per group is ~d^2, and
+    salting by s splits it to ~d^2/s per reducer. The density
+    aggregation ships only (key, bucket, count), never rows, and joins
+    into the consumer plan as a broadcast, so it executes INSIDE the
+    job at action time — building the join never triggers a Spark job
+    (pinned by tests/test_skew.py::test_auto_salt_is_lazy). Both sides
+    broadcast the same subtree, so ReuseExchange computes it once."""
+    d2 = F.col("__d").cast("double") * F.col("__d")  # double: d^2 can pass long range
+    return (
+        left_bucketed.groupBy(*key_cols, "__bucket")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .agg(F.coalesce(F.max("__d"), F.lit(0)).alias("__d"))
+        .select(
+            F.least(
+                F.lit(AUTO_SALT_MAX),
+                F.greatest(
+                    F.lit(1), F.ceil(d2 / F.lit(max(pair_budget, 1)))
+                ),
+            )
+            .cast("int")
+            .alias("__salt_n")
+        )
+    )
+
+
 def _salt_sides(
-    left: DataFrame, right: DataFrame, salt: int | None
+    left: DataFrame,
+    right: DataFrame,
+    salt: int | str | None,
+    factor_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, bool]:
     """Deterministic self-join salting: the left side scatters into
     `salt` sub-groups (hash of the full row, so re-runs agree), the
@@ -91,11 +125,32 @@ def _salt_sides(
     exactly once, but a hot (key, bucket) group's pair work now spreads
     over `salt` reducer partitions instead of one straggler.
 
-    Cost: the right side's shuffle volume multiplies by `salt`, so this
-    is for known-pathological densities (one card with 10^4+ events
-    per window) — pass salt='auto' to the join wrappers to derive it
-    from the measured density; the default path leaves skew to AQE's
-    skew-join splitting. Returns (left, right, salted?)."""
+    salt='auto' (with `factor_df` from `_auto_salt_factor`) reads the
+    factor from a broadcast one-row frame instead of a literal, so the
+    density measurement runs inside the job, not at plan-build time; a
+    runtime factor of 1 degenerates to pmod(...,1)=0 / replicate-once —
+    identical pairs, one no-op column of overhead.
+
+    Cost: the right side's shuffle volume multiplies by the factor, so
+    this is for known-pathological densities (one card with 10^4+
+    events per window); the default path leaves skew to AQE's skew-join
+    splitting. Returns (left, right, salted?)."""
+    if salt == "auto":
+        assert factor_df is not None
+        lcols = [F.col(c) for c in left.columns]
+        l2 = (
+            left.crossJoin(F.broadcast(factor_df))
+            .withColumn("__salt", F.pmod(F.xxhash64(*lcols), F.col("__salt_n")))
+            .drop("__salt_n")
+        )
+        r2 = (
+            right.crossJoin(F.broadcast(factor_df))
+            .withColumn(
+                "__salt", F.explode(F.sequence(F.lit(0), F.col("__salt_n") - 1))
+            )
+            .drop("__salt_n")
+        )
+        return l2, r2, True
     if not salt or salt <= 1:
         return left, right, False
     l2 = left.withColumn(
@@ -132,8 +187,9 @@ def bucketed_interval_self_join(
     BETWEEN at main.py:456). Result columns are the originals of both
     sides, accessible via the aliases. `salt` (opt-in) additionally
     scatters each (key, bucket) group over that many sub-partitions;
-    salt='auto' measures the max per-(key,bucket) density and derives
-    the factor (see _resolve_salt) — see _salt_sides for when explicit
+    salt='auto' derives the factor from the max per-(key,bucket)
+    density measured INSIDE the job (a broadcast one-row aggregate —
+    plan construction stays lazy); see _salt_sides for when explicit
     salting beats AQE."""
     _check_reserved(df)
     if join_hint:
@@ -144,8 +200,12 @@ def bucketed_interval_self_join(
     # r2 can be in r1's bucket or the next one; tag r2 with (b2-1, b2)
     # so the equi-join on r1.bucket covers both without duplicates.
     right = _tag_buckets(df, ts_col, window_us, (-1, 0))
-    salt = _resolve_salt(left, key_cols, salt, auto_salt_pair_budget)
-    left, right, salted = _salt_sides(left, right, salt)
+    factor_df = (
+        _auto_salt_factor(left, key_cols, auto_salt_pair_budget)
+        if salt == "auto"
+        else None
+    )
+    left, right, salted = _salt_sides(left, right, salt, factor_df)
     left, right = left.alias(left_alias), right.alias(right_alias)
     r1ts = F.col(f"{left_alias}.{ts_col}")
     r2ts = F.col(f"{right_alias}.{ts_col}")
@@ -181,7 +241,8 @@ def bucketed_abs_window_self_join(
     (closed, matching `abs(extract(epoch ...)) <= 60*60` at main.py:435),
     optionally with extra theta residuals (e.g. different city).
     `salt` scatters hot (key, bucket) groups ('auto' derives the factor
-    from the measured density) — see _salt_sides / _resolve_salt."""
+    from the density measured inside the job, never at plan-build
+    time) — see _salt_sides / _auto_salt_factor."""
     _check_reserved(df)
     if join_hint:
         df = df.hint(join_hint)
@@ -189,8 +250,12 @@ def bucketed_abs_window_self_join(
         "__bucket", F.floor(epoch_us(ts_col) / F.lit(window_us))
     )
     right = _tag_buckets(df, ts_col, window_us, (-1, 0, 1))
-    salt = _resolve_salt(left, key_cols, salt, auto_salt_pair_budget)
-    left, right, salted = _salt_sides(left, right, salt)
+    factor_df = (
+        _auto_salt_factor(left, key_cols, auto_salt_pair_budget)
+        if salt == "auto"
+        else None
+    )
+    left, right, salted = _salt_sides(left, right, salt, factor_df)
     left, right = left.alias(left_alias), right.alias(right_alias)
     cond = (
         F.col(f"{left_alias}.__bucket") == F.col(f"{right_alias}.__bucket")

@@ -183,6 +183,63 @@ def test_auto_salt_picks_factor_from_density_and_matches_unsalted(spark):
     assert auto.count() == expected
 
 
+def test_auto_salt_is_lazy(spark):
+    """salt='auto' must not run any Spark job at plan-build time: the
+    density probe is folded into the plan as a broadcast one-row
+    aggregate and executes with the job. Tracked via a job group —
+    an eager .first() during construction would land a job in it."""
+    from etl_process_for_fraud_transactions_spark.operators.rangejoin import (
+        bucketed_interval_self_join,
+    )
+
+    rows, df = _hot_key_events(spark)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    group = "auto-salt-lazy-probe"
+    sc.setJobGroup(group, "plan construction must not run jobs")
+    try:
+        out = bucketed_interval_self_join(
+            df,
+            ["card_num"],
+            "ts",
+            20 * 60 * 1_000_000,
+            salt="auto",
+            auto_salt_pair_budget=500_000,
+        )
+        out.schema  # force analysis too — still no job allowed
+        assert list(tracker.getJobIdsForGroup(group)) == []
+        assert out.count() == _model_interval_pairs(rows, 20 * 60)
+        assert len(tracker.getJobIdsForGroup(group)) > 0
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+
+
+def test_auto_salt_spreads_hot_group_at_runtime(spark):
+    """The runtime-derived factor actually scatters the hot (card,
+    bucket) group: with budget 500k and density ~2000 the derived
+    factor is ceil(2000^2/5e5)=8, so the hot card's rows must land in
+    8 distinct __salt sub-groups."""
+    from pyspark.sql import functions as F
+    from etl_process_for_fraud_transactions_spark.operators.rangejoin import (
+        _auto_salt_factor,
+        _salt_sides,
+    )
+
+    _, df = _hot_key_events(spark)
+    left = df.withColumn("__bucket", F.lit(0))
+    factor_df = _auto_salt_factor(left, ["card_num"], 500_000)
+    salted_left, _, salted = _salt_sides(left, left, "auto", factor_df)
+    assert salted
+    spread = (
+        salted_left.filter(F.col("card_num") == 111)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert spread == 8
+
+
 def test_auto_salt_stays_unsalted_below_budget(spark):
     from etl_process_for_fraud_transactions_spark.operators.rangejoin import (
         _resolve_salt,
