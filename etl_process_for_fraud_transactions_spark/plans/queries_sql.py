@@ -208,28 +208,72 @@ def value_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_sketch_stats")
+@query(
+    "approx_sketch_stats",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           TRUE AS users_within_bound,
+           TRUE AS p50_within_bound,
+           TRUE AS p90_within_bound,
+           TRUE AS p99_within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based approximate aggregates (rows-only: approximation is
-    engine-specific by design): HLL++ distinct counts and quantile
-    sketches — the 100 TB path where exact distinct/percentile
-    shuffles are unaffordable. The exact twin carries the oracle gate
-    (value_percentiles_per_type, which also reports exact distinct
-    counts); tests/test_sketch_bounds.py pins the approx values to the
-    exact ones within the configured rsd/accuracy bounds."""
+    """Sketch-based approximate aggregates — HLL++ distinct counts and
+    quantile sketches, the 100 TB path where exact distinct/percentile
+    shuffles are unaffordable. The sketch values themselves are
+    engine-specific, so the hash-checked output carries (a) the exact
+    counts both engines agree on and (b) *bound verdicts*: booleans
+    asserting each sketch landed within its documented error bound of
+    the exact statistic, computed in the same aggregate pass. The
+    DuckDB twin computes the same exact values and expects every
+    verdict TRUE — a sketch drifting out of bounds flips a boolean and
+    fails the value hash (VERDICT.md r3 item 3; the quantitative
+    rank-error pytest in test_sketch_bounds.py stays as the finer
+    instrument).
+
+    Bounds: HLL++ rsd=0.02 allowed 5 standard errors (10%, floor of
+    1); percentile_approx(accuracy=10_000) guarantees rank error
+    <= n/accuracy = 1e-4*n, checked against exact interpolated
+    percentiles at q +/- 0.005 — a 50x-slack envelope that still
+    catches a broken sketch."""
     ev = load_events(spark, sf_dir)
+    eps = 0.005
     agg = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("approx_pcts"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx_users"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("__approx_pcts"),
+        F.percentile(
+            "value",
+            F.array(*[F.lit(q) for q in (0.5 - eps, 0.5 + eps,
+                                         0.9 - eps, 0.9 + eps,
+                                         0.99 - eps, 0.99 + eps)]),
+        ).alias("__exact_band"),
     )
-    # scalar columns only: the driver canonicalizer hashes cell values
-    # and chokes on array cells, so unpack the quantile sketch output.
+
+    def pct_ok(i: int):
+        approx_v = F.element_at("__approx_pcts", i + 1)
+        lo = F.element_at("__exact_band", 2 * i + 1)
+        hi = F.element_at("__exact_band", 2 * i + 2)
+        return (approx_v >= lo) & (approx_v <= hi)
+
+    users_ok = (
+        F.abs(F.col("__approx_users") - F.col("n_users"))
+        <= F.greatest(F.lit(5 * 0.02) * F.col("n_users"), F.lit(1.0))
+    )
     return agg.select(
         "event_type",
-        "approx_users",
-        F.element_at("approx_pcts", 1).alias("p50_approx"),
-        F.element_at("approx_pcts", 2).alias("p90_approx"),
-        F.element_at("approx_pcts", 3).alias("p99_approx"),
+        "n_users",
+        "n_events",
+        users_ok.alias("users_within_bound"),
+        pct_ok(0).alias("p50_within_bound"),
+        pct_ok(1).alias("p90_within_bound"),
+        pct_ok(2).alias("p99_within_bound"),
     )
 
 

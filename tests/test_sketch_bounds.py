@@ -23,9 +23,39 @@ from etl_process_for_fraud_transactions_spark.plans import QUERIES
 from .conftest import SF_SMALL
 
 
+def test_approx_sketch_stats_verdicts_all_true(spark):
+    """The registered query's hash-checked contract: every bound
+    verdict TRUE and the exact counts right."""
+    rows = QUERIES["approx_sketch_stats"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.users_within_bound, r
+        assert r.p50_within_bound and r.p90_within_bound and r.p99_within_bound, r
+
+
 def test_approx_sketch_stats_within_bounds(spark):
+    """Finer instrument than the registered verdicts: replay the raw
+    sketches and pin them to the documented rank-error bounds."""
+    from etl_process_for_fraud_transactions_spark.sources.testdata import (
+        load_events as _load_events,
+    )
+
+    ev = _load_events(spark, SF_SMALL)
     approx = {
-        r.event_type: r for r in QUERIES["approx_sketch_stats"](spark, SF_SMALL).collect()
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("pcts"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.element_at("pcts", 1).alias("p50_approx"),
+            F.element_at("pcts", 2).alias("p90_approx"),
+            F.element_at("pcts", 3).alias("p99_approx"),
+        )
+        .collect()
     }
     exact = {
         r.event_type: r
