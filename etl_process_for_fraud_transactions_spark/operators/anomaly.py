@@ -53,6 +53,44 @@ def zscore_outliers(
     )
 
 
+def centroid_distance_scores(
+    df: DataFrame,
+    feature_cols: list[str],
+    centroids: list[tuple[float, ...]],
+    score_round: int | None = None,
+) -> DataFrame:
+    """Deterministic twin of `kmeans_anomaly_scores`: score each row
+    against FIXED caller-supplied centroids instead of MLlib-trained
+    ones. Assignment is argmin of Euclidean distance (first index on
+    ties), score is the distance to the assigned centroid. The whole
+    thing is a plain expression tree — squared terms folded
+    left-to-right in feature order, no pow(), no UDF — so any engine
+    replaying the same literals computes bit-identical doubles and the
+    result is SQL-twinnable / oracle-checkable (VERDICT.md r3 item 4).
+    Use the MLlib variant when centroids should be learned; use this
+    when scoring must be reproducible and auditable (e.g. a fraud
+    scorecard frozen at deploy time).
+
+    score_round: round the emitted score to this many decimals (the
+    assignment always uses raw distances). Adds (cluster,
+    anomaly_score) to the input columns."""
+    dists = []
+    for cen in centroids:
+        acc = None
+        for i, c in enumerate(feature_cols):
+            diff = F.col(c) - F.lit(float(cen[i]))
+            term = diff * diff
+            acc = term if acc is None else acc + term
+        dists.append(F.sqrt(acc))
+    arr = F.array(*dists)
+    score = F.array_min(arr)
+    if score_round is not None:
+        score = F.round(score, score_round)
+    return df.withColumn(
+        "cluster", (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+    ).withColumn("anomaly_score", score)
+
+
 def kmeans_anomaly_scores(
     df: DataFrame,
     feature_cols: list[str],

@@ -11,8 +11,9 @@ Oracle-exactness rules used here:
 - engine-specific hash functions (xxhash64) never cross the oracle
   boundary — MinHash/SimHash run here in `portable` md5-hash mode and
   the LSH hyperplanes are embedded as literals in both plans, so even
-  the approximate operators are full hash-match checks; only
-  kmeans_anomaly_scores (iterative ML) stays rows-only.
+  the approximate operators are full hash-match checks; the anomaly
+  scorecard replays frozen centroids the same way, leaving only
+  multimodal_features (binary decode) rows-only.
 """
 
 from __future__ import annotations

@@ -92,6 +92,29 @@ def test_approx_sketch_stats_within_bounds(spark):
             assert lo <= approx_v <= hi, (et, q, approx_v, lo, hi)
 
 
+def test_centroid_distance_scores_known_answer(spark):
+    """Fixed-centroid scorer: hand-computable assignments and
+    distances, first-index tie-break."""
+    from etl_process_for_fraud_transactions_spark.operators.anomaly import (
+        centroid_distance_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, 0.0), (3, 5.0, 0.0), (4, 9.0, 12.0)],
+        "row_id long, fx double, fy double",
+    )
+    out = {
+        r.row_id: (r.cluster, r.anomaly_score)
+        for r in centroid_distance_scores(
+            df, ["fx", "fy"], [(0.0, 0.0), (10.0, 0.0)]
+        ).collect()
+    }
+    assert out[1] == (0, 0.0)
+    assert out[2] == (1, 0.0)
+    assert out[3] == (0, 5.0)  # equidistant -> first centroid wins
+    assert out[4] == (1, pytest.approx(math.hypot(1.0, 12.0)))
+
+
 def test_kmeans_planted_outliers_score_highest(spark):
     pytest.importorskip("numpy")
     pytest.importorskip("pyspark.ml")
