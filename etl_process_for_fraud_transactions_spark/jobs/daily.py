@@ -41,7 +41,7 @@ class DailyFraudJob:
         warehouse_root: str,
         archive: bool = True,
         incremental_report: bool = False,
-        scd2_mode: str = "snapshot",
+        scd2_mode: str = "partitioned",
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -50,11 +50,14 @@ class DailyFraudJob:
         self.archive = archive
         #: per-batch write metrics keyed by '<table>_<date>' (observe-based)
         self.metrics: dict[str, dict] = {}
-        # "snapshot": full-history rewrite per batch (reference-exact
-        # tuple-IN semantics, operators.scd2). "partitioned": append-only
-        # closed partition + bounded current rewrite
-        # (operators.scd2_partitioned) — the at-scale mode where the
-        # per-batch cost stops growing with history depth.
+        # "partitioned" (default): append-only closed partition +
+        # bounded current rewrite (operators.scd2_partitioned) — the
+        # at-scale mode where the per-batch cost stops growing with
+        # history depth (BASELINE.md growth table: flat vs snapshot's
+        # linear climb; 5-batch equivalence proven in
+        # test_scd2_partitioned.py). "snapshot": full-history rewrite
+        # per batch (reference-exact tuple-IN semantics,
+        # operators.scd2) — kept for reference-faithful replay.
         if scd2_mode not in ("snapshot", "partitioned"):
             raise ValueError(f"scd2_mode must be snapshot|partitioned, got {scd2_mode!r}")
         self.scd2_mode = scd2_mode

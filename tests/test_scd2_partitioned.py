@@ -127,7 +127,8 @@ def test_five_batch_daily_job_modes_equivalent(spark, tmp_path):
         (input_dir / f"passport_blacklist_{date}.csv").write_text("passport,date\n")
 
     snap = DailyFraudJob(spark, str(input_dir), str(source_dir),
-                         str(tmp_path / "wh_snap"), archive=False)
+                         str(tmp_path / "wh_snap"), archive=False,
+                         scd2_mode="snapshot")
     part = DailyFraudJob(spark, str(input_dir), str(source_dir),
                          str(tmp_path / "wh_part"), archive=False,
                          scd2_mode="partitioned")
