@@ -4,13 +4,16 @@ mapInPandas.
 
 The Spark-side machinery here is real and tested — schema contracts,
 batch iteration, partition-preserving transforms. The decode path is
-real for two dependency-free formats: binary PPM (P6) and uncompressed
-24-bit BMP, parsed pure-Python (`decode_image`); featurization and
+real for three dependency-free formats: binary PPM (P6), uncompressed
+24-bit BMP, and 8-bit truecolor PNG (RGB/RGBA, zlib-inflated with full
+scanline unfiltering — what a real corpus actually contains), all
+parsed pure-Python (`decode_image`); featurization and
 nearest-neighbor resize then operate on actual pixel data. Payloads in
 any other format fall back to a deterministic byte-histogram feature /
 byte-cycling resize, clearly separated in `_decode_image_bytes` /
 `_resize_bytes` — swapping in PIL/torchaudio/ffmpeg for the long tail
-of codecs changes only those functions, not the distributed plumbing.
+of codecs (JPEG, palette/16-bit/interlaced PNG, …) changes only those
+functions, not the distributed plumbing.
 
 Design notes for 100 TB of media:
 - binary payloads stay columnar in parquet; metadata (width/height/
@@ -141,6 +144,117 @@ def decode_bmp24(payload: bytes) -> tuple[int, int, bytes] | None:
     return w, h, bytes(out)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal RGB8 PNG (color type 2, filter 0 rows, one zlib IDAT)
+    from raw top-down RGB triplets — stdlib only."""
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    raw = b"".join(
+        b"\x00" + rgb[y * width * 3 : (y + 1) * width * 3] for y in range(height)
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Parse an 8-bit truecolor PNG (color type 2 = RGB or 6 = RGBA,
+    alpha dropped; interlace 0) with stdlib zlib: walk chunks,
+    concatenate IDAT, inflate, undo per-scanline filters 0-4
+    (None/Sub/Up/Average/Paeth). Returns (w, h, rgb top-down) or None
+    for anything malformed or out of scope (palette, 16-bit, Adam7) —
+    the caller falls back rather than guessing."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    i = len(_PNG_SIG)
+    w = h = 0
+    bit_depth = color_type = interlace = -1
+    idat = bytearray()
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, i)
+        typ = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) != length:
+            return None
+        if typ == b"IHDR":
+            if length != 13:
+                return None
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + length  # length + type + data + crc
+    if w <= 0 or h <= 0 or bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        return None
+    channels = 3 if color_type == 2 else 4
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        return None
+    out = bytearray(stride * h)
+    prev = bytearray(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif f != 0:
+            return None
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    if channels == 4:
+        rgb = bytearray(w * h * 3)
+        for p in range(w * h):
+            rgb[p * 3 : p * 3 + 3] = out[p * 4 : p * 4 + 3]
+        return w, h, bytes(rgb)
+    return w, h, bytes(out)
+
+
 def decode_image(payload: bytes, media_format: str | None = None) -> tuple[int, int, bytes] | None:
     """Decode a supported image payload to (width, height, rgb
     top-down). Sniffs magic bytes, so `media_format` is advisory."""
@@ -150,6 +264,8 @@ def decode_image(payload: bytes, media_format: str | None = None) -> tuple[int, 
         return decode_ppm(payload)
     if payload.startswith(b"BM"):
         return decode_bmp24(payload)
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
     return None
 
 
@@ -190,8 +306,8 @@ def _byte_histogram(payload: bytes) -> list[float]:
 
 
 def _decode_image_bytes(payload: bytes, media_format: str | None = None) -> list[float]:
-    """Featurize one payload: REAL pixel features for PPM/BMP24 (pure-
-    python decode), byte-histogram fallback for everything else."""
+    """Featurize one payload: REAL pixel features for PPM/BMP24/PNG
+    (pure-python decode), byte-histogram fallback for everything else."""
     decoded = decode_image(payload, media_format)
     if decoded is not None:
         return _pixel_features(*decoded)
@@ -260,9 +376,9 @@ def resize_rgb_nearest(
 
 def _resize_bytes(payload: bytes, width: int, height: int) -> tuple[bytes, str]:
     """Resize one payload: REAL nearest-neighbor resample for decodable
-    formats (PPM/BMP24), re-encoded as PPM; byte-cycling fallback (size-
-    correct, deterministic) for formats without a pure-python codec.
-    Returns (payload, media_format)."""
+    formats (PPM/BMP24/PNG), re-encoded as PPM; byte-cycling fallback
+    (size-correct, deterministic) for formats without a pure-python
+    codec. Returns (payload, media_format)."""
     decoded = decode_image(payload)
     if decoded is not None:
         w, h, rgb = decoded

@@ -718,16 +718,22 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing demo over driver data: documents' text bytes
-    as opaque binary payloads -> Arrow-batched featurization via
-    mapInPandas (rows-only). These payloads are raw text bytes, so they
-    take the byte-histogram fallback; the REAL decode path (pure-python
-    PPM/BMP24 -> pixel features / nearest-neighbor resize) is pinned by
-    known-answer tests in tests/test_multimodal.py.
+    """Multimodal plumbing over driver data: documents' text bytes as
+    opaque binary payloads -> Arrow-batched featurization via
+    mapInPandas (rows-only: the zlib inflate inside the codec has no
+    SQL twin). Image-modality rows are wrapped into REAL 4x4 RGB8 PNGs
+    (pixels = the doc's first 48 utf-8 bytes, cycled — deterministic)
+    by an Arrow-batched stage, so the registered query exercises the
+    full stdlib-zlib PNG decode + scanline-unfilter path end-to-end;
+    audio/video rows stay raw bytes and take the byte-histogram
+    fallback. Known-answer codec tests (PPM/BMP24/PNG incl. all five
+    scanline filters) live in tests/test_multimodal.py.
 
     Output is fully scalar: the float feature vector is rendered as a
     rounded CSV string so the driver's pandas canonicalizer (which
     sorts/hashes column values) never sees an unhashable list."""
+    import pandas as pd
+
     docs = load_table(spark, sf_dir, "documents")
     assets = docs.select(
         F.col("doc_id").alias("asset_id"),
@@ -743,6 +749,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+    def wrap_images_as_png(batches):
+        for pdf in batches:
+            payloads, formats, metas = [], [], []
+            for mod, pay, meta in zip(pdf["modality"], pdf["payload"], pdf["meta"]):
+                raw = bytes(pay) if pay is not None else b""
+                if mod == "image":
+                    reps = 48 // max(len(raw), 1) + 1
+                    rgb = (raw * reps)[:48] if raw else bytes(48)
+                    payloads.append(M.encode_png(4, 4, rgb))
+                    formats.append("png")
+                    metas.append({"width": 4, "height": 4, "duration_ms": None})
+                else:
+                    payloads.append(raw)
+                    formats.append("raw")
+                    metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "media_format": formats,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    assets = assets.mapInPandas(wrap_images_as_png, M.ASSET_SCHEMA)
     feats = M.extract_features(assets)
     return feats.select(
         "asset_id",

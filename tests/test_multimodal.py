@@ -1,7 +1,7 @@
 """Multimodal plumbing: Arrow-batched featurization and metadata-only
-frame planning. Decode is REAL for PPM/BMP24 (pure-python codecs,
-known-answer tests below); other formats take a documented
-byte-histogram / byte-cycling fallback."""
+frame planning. Decode is REAL for PPM/BMP24/PNG (pure-python codecs,
+known-answer tests below, incl. all five PNG scanline filters); other
+formats take a documented byte-histogram / byte-cycling fallback."""
 
 from __future__ import annotations
 
@@ -83,6 +83,117 @@ def test_decode_bmp24_known_answer():
     info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(row), 2835, 2835, 0, 0)
     payload = header + info + row
     assert M.decode_bmp24(payload) == (2, 1, bytes([255, 0, 0, 0, 255, 0]))
+
+
+def _png_chunks(width, height, raw, color_type=2):
+    """Hand-rolled PNG from a pre-filtered raw scanline stream — lets
+    tests exercise specific filter types the encoder never emits."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_known_answer():
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    payload = M.encode_png(2, 2, rgb)
+    assert M.decode_png(payload) == (2, 2, rgb)
+    # sniffed through the generic entry point too
+    assert M.decode_image(payload) == (2, 2, rgb)
+    # corrupt the deflate stream -> not decodable
+    assert M.decode_png(payload[:40] + b"\x00" * 8 + payload[48:]) is None
+
+
+def test_png_all_scanline_filters():
+    """One image per filter type: filter the known pixels by hand,
+    decode, and require the original back."""
+    # 2x2 RGB image, rows r0 / r1
+    r0 = bytes([10, 20, 30, 40, 60, 80])
+    r1 = bytes([15, 25, 35, 55, 75, 95])
+    want = (2, 2, r0 + r1)
+
+    def sub(row):  # x - x_prev_pixel
+        out = bytearray(row[:3])
+        for i in range(3, len(row)):
+            out.append((row[i] - row[i - 3]) & 0xFF)
+        return bytes(out)
+
+    def up(row, prev):
+        return bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+
+    def avg(row, prev):
+        out = bytearray()
+        for i in range(len(row)):
+            a = row[i - 3] if i >= 3 else 0
+            out.append((row[i] - ((a + prev[i]) >> 1)) & 0xFF)
+        return bytes(out)
+
+    def paeth(row, prev):
+        out = bytearray()
+        for i in range(len(row)):
+            a = row[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((row[i] - pred) & 0xFF)
+        return bytes(out)
+
+    cases = {
+        0: b"\x00" + r0 + b"\x00" + r1,
+        1: b"\x01" + sub(r0) + b"\x01" + sub(r1),
+        2: b"\x00" + r0 + b"\x02" + up(r1, r0),
+        3: b"\x00" + r0 + b"\x03" + avg(r1, r0),
+        4: b"\x00" + r0 + b"\x04" + paeth(r1, r0),
+    }
+    for ftype, raw in cases.items():
+        assert M.decode_png(_png_chunks(2, 2, raw)) == want, f"filter {ftype}"
+
+
+def test_png_rgba_drops_alpha():
+    # 1x2 RGBA: alpha varies, RGB must survive
+    raw = b"\x00" + bytes([1, 2, 3, 255, 4, 5, 6, 0])
+    assert M.decode_png(_png_chunks(2, 1, raw, color_type=6)) == (
+        2,
+        1,
+        bytes([1, 2, 3, 4, 5, 6]),
+    )
+
+
+def test_png_out_of_scope_forms_rejected():
+    import struct
+    import zlib
+
+    # palette (color type 3) -> None (fallback, not a wrong decode)
+    raw = b"\x00\x00\x00"
+    assert M.decode_png(_png_chunks(1, 1, raw, color_type=3)) is None
+    # truncated chunk stream -> None
+    good = M.encode_png(1, 1, b"\x01\x02\x03")
+    assert M.decode_png(good[:20]) is None
+
+
+def test_png_features_match_ppm_features():
+    """The same pixels must featurize identically whichever real codec
+    carried them."""
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    via_png = M._decode_image_bytes(M.encode_png(2, 2, rgb))
+    via_ppm = M._decode_image_bytes(M.encode_ppm(2, 2, rgb))
+    assert via_png == via_ppm
 
 
 def test_pixel_features_known_answer():
