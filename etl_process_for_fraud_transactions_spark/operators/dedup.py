@@ -55,6 +55,40 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
+def dedup_survivor_map(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Every document mapped to its dedup survivor: (id, survivor_id =
+    min id sharing its fingerprint, group_size). The attribution
+    record a training-data pipeline needs — `dedup_exact` alone keeps
+    the survivors but silently drops WHICH survivor replaced each
+    duplicate, which is what provenance/takedown tooling has to know.
+
+    Shape: aggregate-then-join on the fingerprint rather than a window
+    — a boilerplate text duplicated millions of times makes a window
+    partition a straggler, while the aggregate keeps bounded state via
+    map-side partials and the equi-join back is co-partitioned with
+    the aggregation exchange (AQE covers residual skew). Only
+    (fingerprint, id) ever shuffles; text stays map-side."""
+    fp = df.select(F.col(id_col), fingerprint_md5(text_col).alias("__fp"))
+    groups = fp.groupBy("__fp").agg(
+        F.min(id_col).alias("survivor_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return fp.join(groups, "__fp").select(id_col, "survivor_id", "group_size")
+
+
+def dedup_lineage(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(dropped_id, survivor_id) pairs only — the rows `dedup_exact`
+    removes, each attributed to the surviving document."""
+    m = dedup_survivor_map(df, text_col, id_col)
+    return m.filter(F.col(id_col) != F.col("survivor_id")).select(
+        F.col(id_col).alias("dropped_id"), "survivor_id"
+    )
+
+
 def dedup_against_corpus(
     new_docs: DataFrame,
     corpus: DataFrame,

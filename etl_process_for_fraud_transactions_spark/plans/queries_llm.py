@@ -168,37 +168,35 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_exact_survivors",
     f"""
-    SELECT MIN(doc_id) AS doc_id,
-           COUNT(*) AS n_docs,
-           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv
+    SELECT doc_id,
+           MIN(doc_id) OVER w AS survivor_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS group_size,
+           doc_id = MIN(doc_id) OVER w AS is_survivor
     FROM (SELECT doc_id, md5({_SQL_NORM}) AS fingerprint FROM documents)
-    GROUP BY fingerprint
+    WINDOW w AS (PARTITION BY fingerprint)
     """,
 )
 def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: smallest-id survivor per normalized-text
-    fingerprint, with the duplicate-group evidence (group size + sorted
-    member ids) on the same row. One shuffle keyed on the 128-bit md5;
-    the full text never shuffles.
+    """Exact dedup survivor map: EVERY document attributed to its
+    smallest-id survivor (doc_id, survivor_id, group_size,
+    is_survivor) via operators/dedup.py::dedup_survivor_map. Supersets
+    the earlier per-group view (groups = groupBy survivor_id; dropped
+    lineage pairs = rows where NOT is_survivor — the duplicate →
+    survivor mapping provenance tooling needs, VERDICT.md r3 item 8).
+    Only (fingerprint, id) shuffles, aggregate-then-join so a
+    boilerplate text duplicated millions of times can't straggle a
+    window partition; the oracle uses the window form DuckDB-side
+    where the fixture is small.
 
-    Round 3: absorbs the former `dedup_exact_groups` entry (identical
-    groupBy; the groups view is this result filtered to n_docs > 1 —
-    driver 50-query cap)."""
+    Round 3: absorbed the former `dedup_exact_groups`; round 4 folds
+    in survivor lineage (driver 50-query cap)."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", X.fingerprint_md5("text").alias("fingerprint"))
-        .groupBy("fingerprint")
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
-                ),
-            ).alias("doc_ids_csv"),
-        )
-        .select("doc_id", "n_docs", "doc_ids_csv")
+    m = D.dedup_survivor_map(docs)
+    return m.select(
+        "doc_id",
+        "survivor_id",
+        "group_size",
+        (F.col("doc_id") == F.col("survivor_id")).alias("is_survivor"),
     )
 
 

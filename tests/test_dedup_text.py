@@ -31,6 +31,23 @@ def test_exact_duplicates(spark, docs):
     assert kept == [1, 3, 4, 5]  # smallest id survives
 
 
+def test_dedup_survivor_map_and_lineage(spark, docs):
+    m = {
+        r.doc_id: (r.survivor_id, r.group_size)
+        for r in D.dedup_survivor_map(docs).collect()
+    }
+    # every doc appears exactly once; dup group {1,2} points at 1
+    assert set(m) == {1, 2, 3, 4, 5}
+    assert m[1] == (1, 2) and m[2] == (1, 2)
+    assert m[3] == (3, 1) and m[4] == (4, 1) and m[5] == (5, 1)
+
+    pairs = {(r.dropped_id, r.survivor_id) for r in D.dedup_lineage(docs).collect()}
+    assert pairs == {(2, 1)}
+    # consistency: survivors from the map == dedup_exact's kept set
+    survivors = {sid for sid, _ in m.values()}
+    assert survivors == {r.doc_id for r in D.dedup_exact(docs).collect()}
+
+
 def test_dedup_against_corpus(spark, docs):
     new = spark.createDataFrame(
         [
