@@ -46,9 +46,14 @@ def test_multihop_revenue_broadcasts_all_dims(spark):
 
 def test_no_cartesian_products_anywhere(spark):
     """CartesianProduct must never appear; BroadcastNestedLoopJoin only
-    for the two deliberate tiny-grid cross joins (region grid, ANN
-    query broadcast)."""
-    allowed_nlj = {"region_nation_grid", "ann_cosine_topk", "ivf_cosine_topk"}
+    for the deliberate tiny-side cross joins (region grid, ANN query
+    broadcast, and the LSH one-row hyperplane-constant frame)."""
+    allowed_nlj = {
+        "region_nation_grid",
+        "ann_cosine_topk",
+        "ivf_cosine_topk",
+        "lsh_embedding_neighbors",
+    }
     for name in (
         "pricing_summary",
         "multihop_revenue",

@@ -240,6 +240,32 @@ def test_auto_salt_spreads_hot_group_at_runtime(spark):
     assert spread == 8
 
 
+def test_auto_salt_bounds_straggler_partition(spark):
+    """The whole point of the scatter: after salting, the hot (card,
+    bucket) group's largest (card, bucket, salt) sub-group — the unit
+    a reducer partition actually processes — is ~d/s, not d. With
+    d~2000 and derived s=8, bound it at 1.5x the ideal split; xxhash64
+    scatter over 8 buckets on 2000 rows concentrates far less than
+    that."""
+    from pyspark.sql import functions as F
+    from etl_process_for_fraud_transactions_spark.operators.rangejoin import (
+        _auto_salt_factor,
+        _salt_sides,
+    )
+
+    _, df = _hot_key_events(spark)
+    left = df.withColumn("__bucket", F.lit(0))
+    factor_df = _auto_salt_factor(left, ["card_num"], 500_000)
+    salted_left, _, _ = _salt_sides(left, left, "auto", factor_df)
+    worst = (
+        salted_left.groupBy("card_num", "__bucket", "__salt")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert worst <= (2000 / 8) * 1.5, worst
+
+
 def test_auto_salt_stays_unsalted_below_budget(spark):
     from etl_process_for_fraud_transactions_spark.operators.rangejoin import (
         _resolve_salt,
