@@ -1,0 +1,90 @@
+"""Connected components: known answers, a DuckDB recursive-CTE oracle
+on a seeded random graph, and the near-dup composition."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from etl_process_for_fraud_transactions_spark.operators.graph import (
+    connected_components,
+    dedup_components,
+)
+
+
+def _components(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r.node: r.component for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_components_known_answer(spark):
+    # {1,2,3} via chain (1-2, 2-3): transitive closure the pairs never
+    # stated; {7,9} a separate pair; 5 isolated by self-loop
+    got = _components(spark, [(1, 2), (2, 3), (7, 9), (5, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 5: 5}
+
+
+def test_components_long_chain_converges(spark):
+    # path graph 0-1-2-...-12: worst diameter shape for min propagation
+    got = _components(spark, [(i, i + 1) for i in range(12)])
+    assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_components_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_iter=2)
+
+
+def test_components_match_duckdb_recursive_oracle(spark):
+    """Seeded sparse random graph vs an independent DuckDB
+    WITH RECURSIVE reachability replay."""
+    duckdb = pytest.importorskip("duckdb")
+
+    rng = random.Random(11)
+    n = 120
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(90)
+    ]
+    got = _components(spark, edges)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges(u BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO edges VALUES (?, ?)", edges)
+    oracle = dict(
+        con.execute(
+            """
+            WITH RECURSIVE sym AS (
+                SELECT u, v FROM edges UNION SELECT v, u FROM edges
+            ),
+            reach(id, r) AS (
+                SELECT DISTINCT u, u FROM sym
+                UNION
+                SELECT s.v, reach.r FROM reach JOIN sym s ON reach.id = s.u
+            )
+            SELECT id, MIN(r) FROM reach GROUP BY id
+            """
+        ).fetchall()
+    )
+    assert got == oracle
+
+
+def test_dedup_components_composes_with_near_dup_pairs(spark):
+    """The full last-mile: near-dup pairs + the corpus id list ->
+    per-document cluster verdicts including singletons."""
+    pairs = spark.createDataFrame([(2, 1), (2, 3)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "doc_id long")
+    got = {
+        r.doc_id: (r.survivor_id, r.is_survivor)
+        for r in dedup_components(pairs, all_ids=ids).collect()
+    }
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (4, True),  # singleton: appears in no pair, survives alone
+    }
