@@ -1,0 +1,105 @@
+"""Benchmark decontamination: flag training documents that overlap an
+evaluation set.
+
+The training-data hygiene step every LLM pipeline runs before a
+training job: any document sharing enough k-token shingles with a
+benchmark item leaks evaluation data into the training set and must be
+dropped (or at least audited). Same shingle machinery as the near-dup
+ladder (`operators/dedup.py::shingles` — normalized, let-bound
+tokenization), different join shape:
+
+- the BENCHMARK side is small by construction (eval sets are
+  thousands of items, not billions), so its exploded shingle set is
+  broadcast — the 100 TB corpus side never shuffles for the match;
+- corpus shingles explode map-side and hit the broadcast hash join,
+  then one aggregation keyed on (doc, benchmark item) counts distinct
+  shared shingles — the only shuffle, sized by matched pairs (rare),
+  not by the corpus.
+
+Contamination is reported per (doc, benchmark item) with the shared
+shingle count and the fraction of that item's shingles covered, so
+callers can apply either an absolute (n >= 1 for exact leakage
+auditing) or relative (frac >= 0.8 for near-verbatim inclusion)
+policy. Cf. the n-gram overlap decontamination procedure described in
+the GPT-3 and PaLM papers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+
+
+def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("__shingle"),
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    k: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(doc_id, bench_id, n_shared, bench_frac) for every document
+    sharing >= min_shared distinct k-token shingles with a benchmark
+    item. bench_frac = n_shared / that item's distinct-shingle count
+    (1.0 = the document contains the whole item verbatim, modulo
+    normalization). Benchmark shingles broadcast; the corpus never
+    shuffles before the match."""
+    d = _distinct_shingles(docs, id_col, text_col, k)
+    b = _distinct_shingles(benchmark, bench_id_col, bench_text_col, k)
+    sizes = b.groupBy(bench_id_col).agg(F.count(F.lit(1)).alias("__n_bench"))
+    hits = (
+        d.join(F.broadcast(b), "__shingle")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return hits.join(F.broadcast(sizes), bench_id_col).select(
+        id_col,
+        bench_id_col,
+        "n_shared",
+        (F.col("n_shared") / F.col("__n_bench")).alias("bench_frac"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    k: int = 8,
+    min_shared: int = 1,
+    min_bench_frac: float = 0.0,
+) -> DataFrame:
+    """`docs` minus every document the contamination report flags
+    (n_shared >= min_shared AND bench_frac >= min_bench_frac) — the
+    drop-side twin of `contamination_report`, as a left-anti join on
+    the flagged id set."""
+    flagged = (
+        contamination_report(
+            docs,
+            benchmark,
+            text_col,
+            id_col,
+            bench_text_col,
+            bench_id_col,
+            k,
+            min_shared,
+        )
+        .filter(F.col("bench_frac") >= min_bench_frac)
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(flagged, id_col, "left_anti")

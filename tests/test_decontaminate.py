@@ -1,0 +1,114 @@
+"""Benchmark decontamination: known answers and a pure-python
+brute-force oracle replay on seeded random text."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+
+from etl_process_for_fraud_transactions_spark.operators.decontaminate import (
+    contamination_report,
+    decontaminate,
+)
+
+
+def _py_shingles(text: str, k: int) -> set[str]:
+    """Independent replay of the engine's normalization + shingling."""
+    toks = [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ") if t != ""]
+    if not toks:
+        return set()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    bench_rows = [
+        (100, "What is the capital of France? Paris is the capital."),
+        (200, "Solve for x: two x plus three equals seven."),
+    ]
+    docs_rows = [
+        # verbatim leak of bench 100 inside a longer document
+        (1, "Intro text here. What is the capital of France? Paris is the capital. More filler."),
+        # partial overlap with bench 200: shares the "solve for x two x
+        # plus" prefix windows, then diverges (five != three)
+        (2, "Homework help: solve for x: two x plus five equals nine thanks"),
+        # clean
+        (3, "completely unrelated discussion of spark shuffle partitions"),
+        (4, "another clean document about parquet row groups and pruning"),
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "bench_id long, text string")
+    return docs_rows, bench_rows, docs, bench
+
+
+def test_contamination_report_known_answer(spark, fixture):
+    docs_rows, bench_rows, docs, bench = fixture
+    got = {
+        (r.doc_id, r.bench_id): (r.n_shared, r.bench_frac)
+        for r in contamination_report(docs, bench, k=5).collect()
+    }
+    # doc 1 contains bench 100 verbatim: every bench shingle is shared
+    assert (1, 100) in got
+    n_shared, frac = got[(1, 100)]
+    assert frac == 1.0 and n_shared == len(_py_shingles(bench_rows[0][1], 5))
+    # doc 2 overlaps bench 200 partially (2 of 5 shingles)
+    assert (2, 200) in got and 0 < got[(2, 200)][1] < 1.0
+    # clean docs never appear
+    assert not any(d in (3, 4) for d, _ in got)
+
+
+def test_decontaminate_drops_flagged(spark, fixture):
+    _, _, docs, bench = fixture
+    kept = sorted(r.doc_id for r in decontaminate(docs, bench, k=5).collect())
+    assert kept == [3, 4]
+    # relative policy: requiring full verbatim inclusion keeps doc 2
+    kept_strict = sorted(
+        r.doc_id for r in decontaminate(docs, bench, k=5, min_bench_frac=1.0).collect()
+    )
+    assert kept_strict == [2, 3, 4]
+
+
+def test_contamination_matches_bruteforce_oracle(spark):
+    """Seeded random word soup: the report must equal the exact
+    all-pairs shingle-set intersection computed in python."""
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+    docs_rows = [(i, mk(rng.randint(3, 40))) for i in range(40)]
+    bench_rows = [(i, mk(rng.randint(3, 12))) for i in range(8)]
+    k = 3
+
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "bench_id long, text string")
+    got = {
+        (r.doc_id, r.bench_id): (r.n_shared, round(r.bench_frac, 9))
+        for r in contamination_report(docs, bench, k=k).collect()
+    }
+
+    want = {}
+    for did, dtext in docs_rows:
+        ds = _py_shingles(dtext, k)
+        for bid, btext in bench_rows:
+            bs = _py_shingles(btext, k)
+            shared = len(ds & bs)
+            if shared >= 1:
+                want[(did, bid)] = (shared, round(shared / len(bs), 9))
+    assert got == want and want  # non-trivial fixture
+
+
+def test_benchmark_side_broadcasts(spark, fixture):
+    """Scale invariant: the corpus must hit a broadcast join — no
+    shuffle of the exploded corpus shingles before the match."""
+    _, _, docs, bench = fixture
+    plan = (
+        contamination_report(docs, bench, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
