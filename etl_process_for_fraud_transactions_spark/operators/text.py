@@ -243,3 +243,121 @@ def chunk_documents(
             ).alias("n_chunk_tokens"),
         )
     )
+
+
+# --- repetition removal (within-doc + corpus boilerplate) ------------------
+
+def dedup_paragraphs_within(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_regex: str = r"\n{2,}",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Remove repeated paragraphs WITHIN each document (first
+    occurrence survives, order preserved) — the within-doc half of
+    repetition removal for training corpora (cf. Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better").
+    Two paragraphs count as repeats when their normalized forms match.
+
+    Map-only: the paragraph array never leaves its row — keep
+    paragraph i iff the array_position of its normalized form equals
+    i (first occurrence). O(paragraphs^2) comparisons per document in
+    expression land, zero shuffles at any corpus size. Adds
+    `n_paragraphs_dropped`; rewrites `text_col` re-joined with `sep`.
+    """
+    paras = F.split(F.col(text_col), sep_regex)
+    norm = F.transform(paras, lambda p: normalize_text(p))
+    # keep non-empty paragraphs whose normalized form first occurs at
+    # their own index; element_at(transform(array(x)), 1) let-binds the
+    # two arrays so split/normalize run once per row, not per element
+    bound = F.element_at(
+        F.transform(
+            F.array(F.struct(paras.alias("p"), norm.alias("n"))),
+            lambda s: F.filter(
+                F.zip_with(
+                    s["p"],
+                    F.sequence(F.lit(1), F.size(s["p"])),
+                    lambda p, i: F.struct(p.alias("p"), i.alias("i")),
+                ),
+                lambda e: (F.array_position(s["n"], F.element_at(s["n"], e["i"])) == e["i"])
+                & (F.element_at(s["n"], e["i"]) != ""),
+            ),
+        ),
+        1,
+    )
+    kept = F.transform(bound, lambda e: e["p"])
+    return df.withColumn("__kept", kept).select(
+        *[c for c in df.columns if c != text_col],
+        F.array_join(F.col("__kept"), sep).alias(text_col),
+        (F.size(paras) - F.size(F.col("__kept"))).alias("n_paragraphs_dropped"),
+    )
+
+
+def paragraph_doc_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_regex: str = r"\n{2,}",
+) -> DataFrame:
+    """(paragraph_fp, n_docs, sample) document frequency of every
+    normalized paragraph — the measurement half of boilerplate
+    detection. Ships (fingerprint, doc) pairs only; one shuffle."""
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), sep_regex)).alias("__p"),
+        )
+        .select(
+            id_col,
+            F.md5(normalize_text(F.col("__p"))).alias("paragraph_fp"),
+            F.col("__p"),
+        )
+        .filter(normalize_text(F.col("__p")) != "")
+    )
+    return (
+        paras.groupBy("paragraph_fp")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min("__p").alias("sample"),
+        )
+    )
+
+
+def strip_boilerplate_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+    sep_regex: str = r"\n{2,}",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Drop paragraphs appearing in >= min_docs distinct documents
+    (headers, footers, cookie banners — the cross-document half of
+    repetition removal). The frequent-fingerprint set is tiny by
+    construction (only true boilerplate crosses the threshold), so it
+    BROADCASTS back and each document filters its own paragraph array
+    map-side via array_contains — documents never shuffle."""
+    frequent = (
+        paragraph_doc_frequencies(df, text_col, id_col, sep_regex)
+        .filter(F.col("n_docs") >= min_docs)
+        .agg(F.collect_list("paragraph_fp").alias("__boiler"))
+    )
+    paras = F.split(F.col(text_col), sep_regex)
+    kept = F.filter(
+        paras,
+        lambda p: (normalize_text(p) != "")
+        & ~F.coalesce(
+            F.array_contains(F.col("__boiler"), F.md5(normalize_text(p))),
+            F.lit(False),
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(frequent))
+        .withColumn("__kept", kept)
+        .select(
+            *[c for c in df.columns if c != text_col],
+            F.array_join(F.col("__kept"), sep).alias(text_col),
+            (F.size(paras) - F.size(F.col("__kept"))).alias("n_paragraphs_dropped"),
+        )
+    )

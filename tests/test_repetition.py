@@ -1,0 +1,96 @@
+"""Repetition removal: within-document paragraph dedup and corpus
+boilerplate stripping, with python brute-force replays."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_process_for_fraud_transactions_spark.operators.text import (
+    dedup_paragraphs_within,
+    paragraph_doc_frequencies,
+    strip_boilerplate_paragraphs,
+)
+
+
+def _norm(p: str) -> str:
+    return re.sub(r"[^a-z0-9]+", " ", p.lower()).strip()
+
+
+def test_dedup_paragraphs_within_known_answer(spark):
+    text = "Alpha one.\n\nBeta two.\n\nALPHA one!\n\nGamma.\n\nBeta two."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = dedup_paragraphs_within(df).collect()[0]
+    # normalized repeats of alpha and beta dropped, first forms kept,
+    # order preserved
+    assert out.text == "Alpha one.\n\nBeta two.\n\nGamma."
+    assert out.n_paragraphs_dropped == 2
+
+
+def test_dedup_paragraphs_within_bruteforce(spark):
+    import random
+
+    rng = random.Random(9)
+    paras = [f"para {i} body" for i in range(6)]
+    rows = []
+    for d in range(25):
+        seq = [rng.choice(paras) for _ in range(rng.randint(1, 10))]
+        rows.append((d, "\n\n".join(seq)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_paragraphs_dropped) for r in dedup_paragraphs_within(df).collect()}
+    for d, text in rows:
+        seen, kept = set(), []
+        for p in text.split("\n\n"):
+            n = _norm(p)
+            if n and n not in seen:
+                seen.add(n)
+                kept.append(p)
+        assert got[d] == ("\n\n".join(kept), len(text.split("\n\n")) - len(kept)), d
+
+
+def test_dedup_paragraphs_is_map_only(spark):
+    df = spark.createDataFrame([(1, "a\n\nb")], "doc_id long, text string")
+    plan = (
+        dedup_paragraphs_within(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_boilerplate_strip(spark):
+    footer = "Subscribe to our newsletter today"
+    rows = [
+        (i, f"Unique content number {i}.\n\n{footer}") for i in range(12)
+    ] + [(99, "A document with no footer at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    freqs = {
+        r.sample: r.n_docs for r in paragraph_doc_frequencies(df).collect()
+    }
+    assert freqs[footer] == 12
+
+    out = {r.doc_id: (r.text, r.n_paragraphs_dropped) for r in
+           strip_boilerplate_paragraphs(df, min_docs=10).collect()}
+    assert len(out) == 13  # every document survives, text rewritten
+    for i in range(12):
+        assert out[i] == (f"Unique content number {i}.", 1)
+    assert out[99] == ("A document with no footer at all", 0)
+    # below threshold: nothing stripped
+    untouched = {r.doc_id: r.n_paragraphs_dropped for r in
+                 strip_boilerplate_paragraphs(df, min_docs=13).collect()}
+    assert all(v == 0 for v in untouched.values())
+
+
+def test_boilerplate_strip_no_doc_shuffle(spark):
+    """The frequent set broadcasts; documents themselves never hit a
+    hash-partition exchange."""
+    df = spark.createDataFrame([(1, "a\n\nb"), (2, "a\n\nc")], "doc_id long, text string")
+    plan = (
+        strip_boilerplate_paragraphs(df, min_docs=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # one-row frequent set
+    assert "SortMergeJoin" not in plan
