@@ -156,29 +156,56 @@ def minhash_signature(
     idempotent under duplicates.
 
     portable=False (default): xxhash64 — the fast engine-internal path.
-    portable=True: the md5-derived 60-bit hash (text.portable_hash60),
-    ~3-4x more expensive per shingle but bit-for-bit reproducible by an
-    external SQL oracle — the verification mode.
+    portable=True: md5-derived and bit-for-bit reproducible by an
+    external SQL oracle — the verification mode. Round 4: the portable
+    family is double hashing (Kirsch & Mitzenmacher 2006): ONE md5 per
+    shingle yields h1 (hex chars 1-15, < 2^60) and h2 (chars 16-29,
+    < 2^56), and seed s's hash is h1 + s*h2 — 32x fewer md5 calls than
+    the per-seed rehash it replaces, with max h1 + 31*h2 < 2^62 so the
+    arithmetic never overflows a BIGINT in either engine.
 
     The shingle array is let-bound (see _let): a caller passing the
     shingles(...) EXPRESSION would otherwise have it re-evaluated once
     per seed — num_hashes full re-shinglings per row."""
 
+    # NB: seed binding must be a closure FACTORY, never `lambda x, s=s:`
+    # — a second parameter (even defaulted) makes PySpark pass the HOF's
+    # two-argument (element, index) form, silently binding the "seed" to
+    # the array index column (caught by test_minhash_seeds_are_distinct)
+    def _seeded_dh(s: int):
+        return lambda h: h["h1"] + F.lit(s) * h["h2"]
+
+    def _seeded_xx(s: int):
+        return lambda x: F.xxhash64(x, F.lit(s))
+
     def body(sh: Column) -> Column:
         if portable:
-            hashes = [
-                F.array_min(
-                    F.transform(sh, lambda x, s=s: portable_hash60(x, str(s)))
+            def per_shingle(x: Column) -> Column:
+                return _let(
+                    F.md5(x),
+                    lambda m: F.struct(
+                        F.conv(F.substring(m, 1, 15), 16, 10)
+                        .cast("long")
+                        .alias("h1"),
+                        F.conv(F.substring(m, 16, 14), 16, 10)
+                        .cast("long")
+                        .alias("h2"),
+                    ),
                 )
-                for s in range(num_hashes)
-            ]
-        else:
-            hashes = [
-                F.array_min(
-                    F.transform(sh, lambda x, s=s: F.xxhash64(x, F.lit(s)))
-                )
-                for s in range(num_hashes)
-            ]
+
+            return _let(
+                F.transform(sh, per_shingle),
+                lambda hp: F.array(
+                    *[
+                        F.array_min(F.transform(hp, _seeded_dh(s)))
+                        for s in range(num_hashes)
+                    ]
+                ),
+            )
+        hashes = [
+            F.array_min(F.transform(sh, _seeded_xx(s)))
+            for s in range(num_hashes)
+        ]
         return F.array(*hashes)
 
     return _let(shingle_col, body)

@@ -40,13 +40,13 @@ _MINHASH_BANDS = 8
 
 def _minhash_ctes() -> str:
     """Shared oracle CTEs replaying portable-mode MinHash banding:
-    toks -> 3-token shingles (with source) -> 32-hash signature ->
+    toks -> 3-token shingles (with source) -> per-shingle (h1, h2)
+    double-hash parts (ONE md5 each, mirroring the engine's Kirsch-
+    Mitzenmacher construction) -> 32-hash signature h1 + s*h2 ->
     8-band buckets -> distinct candidate pairs."""
     rpb = _MINHASH_SEEDS // _MINHASH_BANDS
     sig_exprs = ",\n             ".join(
-        "list_min(list_transform(shs, x -> "
-        + _PORTABLE_H.format(seed=f"'{s}'", val="x")
-        + "))"
+        f"list_min(list_transform(hp, h -> h.h1 + {s} * h.h2))"
         for s in range(_MINHASH_SEEDS)
     )
     return f"""
@@ -61,10 +61,18 @@ def _minhash_ctes() -> str:
                END AS shs
         FROM toks
     ),
+    hp AS (
+        SELECT doc_id, shs,
+               list_transform(shs, x -> {{
+                   'h1': ('0x' || substr(md5(x), 1, 15))::UBIGINT::BIGINT,
+                   'h2': ('0x' || substr(md5(x), 16, 14))::UBIGINT::BIGINT
+               }}) AS hp
+        FROM sh
+    ),
     sig AS (
         SELECT doc_id, shs,
                [{sig_exprs}] AS sig
-        FROM sh
+        FROM hp
     ),
     banded AS (
         SELECT doc_id, b.band_id,

@@ -71,6 +71,39 @@ def test_shingles_and_jaccard(spark):
     assert df2.select(D.shingles("text", 3).alias("s")).collect()[0].s == ["a b"]
 
 
+def test_minhash_seeds_are_distinct(spark):
+    """The num_hashes signature slots must come from DIFFERENT hash
+    functions. Regression: binding the seed via `lambda x, s=s:` makes
+    PySpark use the two-arg (element, index) HOF form — every slot
+    silently computed the same function and the signature collapsed to
+    num_hashes copies of one min (banding degenerated to single-hash).
+    Double-hash replay checked against python for exactness."""
+    import hashlib
+
+    text = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame([(text,)], "text string")
+    for portable in (True, False):
+        sig = df.select(
+            D.minhash_signature(D.shingles("text", 3), 8, portable=portable).alias("s")
+        ).collect()[0].s
+        assert len(set(sig)) > 1, (portable, sig)
+
+    toks = text.split()
+    shs = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    hp = [
+        (
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16),
+            int(hashlib.md5(s.encode()).hexdigest()[15:29], 16),
+        )
+        for s in shs
+    ]
+    want = [min(h1 + s * h2 for h1, h2 in hp) for s in range(8)]
+    got = df.select(
+        D.minhash_signature(D.shingles("text", 3), 8, portable=True).alias("s")
+    ).collect()[0].s
+    assert list(got) == want
+
+
 def test_minhash_near_duplicates(spark, docs):
     pairs = {
         (r.id_a, r.id_b): r.jaccard
