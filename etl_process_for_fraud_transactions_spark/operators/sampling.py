@@ -48,3 +48,56 @@ def train_val_split(
         "split",
         F.when(bucket >= 16 - val_buckets, F.lit("val")).otherwise(F.lit("train")),
     )
+
+
+def hash_fraction(id_col: Column | str, seed: str = "0") -> Column:
+    """Stable uniform-ish fraction in [0, 1) from md5(seed || ':' ||
+    id): the first 15 hex chars (60 bits) divided by 2^60. Portable —
+    the DuckDB/Postgres twin is
+    ('0x' || substr(md5(seed || ':' || id), 1, 15))::ubigint
+    / 1152921504606846976.0 — and a pure function of (seed, id), so
+    the same row is sampled identically across runs, engines, and
+    repartitions (randomSplit/sample re-roll on recomputation)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(
+        float(1 << 60)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", seed: str = "0"
+) -> DataFrame:
+    """Keep ~`fraction` of rows, chosen by row identity instead of
+    randomness: filter hash_fraction(id, seed) < fraction. Narrow
+    (no shuffle, no state); different seeds give independent samples
+    of the same table; nested samples compose (fraction 0.5 then 0.2
+    of the SAME seed is the 0.2 sample, since {h < 0.2} ⊂ {h < 0.5})."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(hash_fraction(id_col, seed) < F.lit(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    seed: str = "0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the eval-slice /
+    class-rebalance primitive (e.g. keep 100% of rare 'error' events,
+    1% of 'click'): each stratum keeps rows with
+    hash_fraction(id, seed) < fractions[stratum]. Unlike
+    DataFrame.sampleBy, membership is a pure function of the row, so
+    slices are reproducible across engines and re-shards, and the
+    per-stratum thresholds ride in one CASE expression — narrow plan,
+    no shuffle, no join, strata never enumerated driver-side beyond
+    the fraction dict itself."""
+    frac = F.lit(float(default_fraction))
+    for value, f in sorted(fractions.items()):
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {value!r} must be in [0, 1]")
+        frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
+    return df.filter(hash_fraction(id_col, seed) < frac)

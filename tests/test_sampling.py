@@ -1,0 +1,87 @@
+"""Deterministic sampling: python md5 replays, composition laws, and
+stratified rates."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_process_for_fraud_transactions_spark.operators.sampling import (
+    deterministic_sample,
+    hash_fraction,
+    stratified_sample,
+)
+
+
+def _py_frac(id_val, seed="0"):
+    h = hashlib.md5(f"{seed}:{id_val}".encode()).hexdigest()
+    return int(h[:15], 16) / float(1 << 60)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+
+
+def test_hash_fraction_matches_python_md5(spark, ids):
+    got = {
+        r.doc_id: r.f
+        for r in ids.select("doc_id", hash_fraction("doc_id", "7").alias("f"))
+        .limit(50)
+        .collect()
+    }
+    for i, f in got.items():
+        assert f == pytest.approx(_py_frac(i, "7"), abs=1e-15)
+
+
+def test_deterministic_sample_exact_membership_and_rate(spark, ids):
+    kept = {r.doc_id for r in deterministic_sample(ids, 0.25, seed="3").collect()}
+    want = {i for i in range(2000) if _py_frac(i, "3") < 0.25}
+    assert kept == want
+    assert 0.2 < len(kept) / 2000 < 0.3  # ~25%
+    # stability: same call, same rows
+    again = {r.doc_id for r in deterministic_sample(ids, 0.25, seed="3").collect()}
+    assert again == kept
+
+
+def test_nested_samples_compose(spark, ids):
+    half = deterministic_sample(ids, 0.5, seed="9")
+    fifth_of_half = {r.doc_id for r in deterministic_sample(half, 0.2, seed="9").collect()}
+    fifth_direct = {r.doc_id for r in deterministic_sample(ids, 0.2, seed="9").collect()}
+    assert fifth_of_half == fifth_direct  # {h<0.2} subset of {h<0.5}
+
+
+def test_seeds_are_independent(spark, ids):
+    a = {r.doc_id for r in deterministic_sample(ids, 0.5, seed="1").collect()}
+    b = {r.doc_id for r in deterministic_sample(ids, 0.5, seed="2").collect()}
+    overlap = len(a & b) / 2000
+    assert 0.15 < overlap < 0.35  # ~25% under independence, not ~50%
+
+
+def test_stratified_sample_rates_and_membership(spark):
+    rows = [(i, "rare" if i % 10 == 0 else "common") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, kind string")
+    out = stratified_sample(
+        df, {"rare": 1.0, "common": 0.1}, "kind", seed="4"
+    ).collect()
+    rare = [r for r in out if r.kind == "rare"]
+    common = [r for r in out if r.kind == "common"]
+    assert len(rare) == 500  # all rare rows kept
+    assert 300 <= len(common) <= 600  # ~10% of 4500
+    # exact membership replay for the sampled stratum
+    want = {i for i, k in rows if k == "common" and _py_frac(i, "4") < 0.1}
+    assert {r.doc_id for r in common} == want
+    # unlisted strata default to dropped
+    none_kept = stratified_sample(df, {"rare": 1.0}, "kind", seed="4").filter(
+        F.col("kind") == "common"
+    )
+    assert none_kept.count() == 0
+
+
+def test_sample_plan_is_narrow(spark, ids):
+    plan = (
+        deterministic_sample(ids, 0.5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
