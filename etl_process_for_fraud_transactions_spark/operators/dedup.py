@@ -577,3 +577,37 @@ def simhash_near_duplicates(
         "id_b",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+    portable: bool = False,
+    max_iter: int = 25,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering: MinHash+LSH candidate
+    pairs -> exact-Jaccard verify -> connected components (transitive
+    closure: a~b, b~c clusters {a,b,c} even though (a,c) never
+    surfaced) -> per-document verdict (doc_id, survivor_id,
+    is_survivor), singletons included. Filter on is_survivor for the
+    deduplicated corpus; the non-survivor rows are the attribution
+    lineage. Composes minhash_near_duplicates with
+    operators.graph.dedup_components — see both for the scale
+    arguments (banded candidate join; checkpointed label
+    propagation)."""
+    from .graph import dedup_components
+
+    pairs = minhash_near_duplicates(
+        df, text_col, id_col, k, num_hashes, bands, threshold, portable=portable
+    )
+    return dedup_components(
+        pairs.select("id_a", "id_b"),
+        all_ids=df.select(id_col),
+        id_col=id_col,
+        max_iter=max_iter,
+    )

@@ -73,6 +73,30 @@ def test_components_match_duckdb_recursive_oracle(spark):
     assert got == oracle
 
 
+def test_near_dedup_end_to_end(spark):
+    """The full cascade on real text: exact dup + transitive near-dups
+    cluster together; the clean document survives alone."""
+    from etl_process_for_fraud_transactions_spark.operators.dedup import near_dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (3, "the quick brown fox jumps over the lazy dog and runs away slowly"),
+        (4, "completely unrelated text about spark shuffle partitions and joins"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.survivor_id, r.is_survivor)
+        for r in near_dedup(docs, threshold=0.5).collect()
+    }
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (4, True),
+    }
+
+
 def test_dedup_components_composes_with_near_dup_pairs(spark):
     """The full last-mile: near-dup pairs + the corpus id list ->
     per-document cluster verdicts including singletons."""
