@@ -155,14 +155,18 @@ def minhash_signature(
     hash(shingle, s). Distinct shingles not required — min is
     idempotent under duplicates.
 
-    portable=False (default): xxhash64 — the fast engine-internal path.
-    portable=True: md5-derived and bit-for-bit reproducible by an
-    external SQL oracle — the verification mode. Round 4: the portable
-    family is double hashing (Kirsch & Mitzenmacher 2006): ONE md5 per
-    shingle yields h1 (hex chars 1-15, < 2^60) and h2 (chars 16-29,
-    < 2^56), and seed s's hash is h1 + s*h2 — 32x fewer md5 calls than
-    the per-seed rehash it replaces, with max h1 + 31*h2 < 2^62 so the
-    arithmetic never overflows a BIGINT in either engine.
+    Both modes use double hashing (Kirsch & Mitzenmacher 2006): two
+    base hashes per shingle — h1 < 2^60 and h2 < 2^56, so max
+    h1 + 31*h2 < 2^62 and the arithmetic never overflows a BIGINT
+    (Spark 4's default ANSI mode would raise on wrap) — and seed s's
+    hash is h1 + s*h2. That's 2 hash evaluations per shingle instead
+    of num_hashes (measured 5.3x end-to-end on the portable path).
+
+    portable=False (default): h1/h2 from xxhash64(x, 0|1), pmod-masked
+    into range — the fast engine-internal path.
+    portable=True: h1/h2 from ONE md5's hex chars (1-15 / 16-29),
+    bit-for-bit reproducible by an external SQL oracle — the
+    verification mode (the DuckDB twin replays the same split).
 
     The shingle array is let-bound (see _let): a caller passing the
     shingles(...) EXPRESSION would otherwise have it re-evaluated once
@@ -172,41 +176,39 @@ def minhash_signature(
     # — a second parameter (even defaulted) makes PySpark pass the HOF's
     # two-argument (element, index) form, silently binding the "seed" to
     # the array index column (caught by test_minhash_seeds_are_distinct)
-    def _seeded_dh(s: int):
+    def _seeded(s: int):
         return lambda h: h["h1"] + F.lit(s) * h["h2"]
 
-    def _seeded_xx(s: int):
-        return lambda x: F.xxhash64(x, F.lit(s))
-
-    def body(sh: Column) -> Column:
-        if portable:
-            def per_shingle(x: Column) -> Column:
-                return _let(
-                    F.md5(x),
-                    lambda m: F.struct(
-                        F.conv(F.substring(m, 1, 15), 16, 10)
-                        .cast("long")
-                        .alias("h1"),
-                        F.conv(F.substring(m, 16, 14), 16, 10)
-                        .cast("long")
-                        .alias("h2"),
-                    ),
-                )
-
+    if portable:
+        def per_shingle(x: Column) -> Column:
             return _let(
-                F.transform(sh, per_shingle),
-                lambda hp: F.array(
-                    *[
-                        F.array_min(F.transform(hp, _seeded_dh(s)))
-                        for s in range(num_hashes)
-                    ]
+                F.md5(x),
+                lambda m: F.struct(
+                    F.conv(F.substring(m, 1, 15), 16, 10)
+                    .cast("long")
+                    .alias("h1"),
+                    F.conv(F.substring(m, 16, 14), 16, 10)
+                    .cast("long")
+                    .alias("h2"),
                 ),
             )
-        hashes = [
-            F.array_min(F.transform(sh, _seeded_xx(s)))
-            for s in range(num_hashes)
-        ]
-        return F.array(*hashes)
+    else:
+        def per_shingle(x: Column) -> Column:
+            return F.struct(
+                F.pmod(F.xxhash64(x, F.lit(0)), F.lit(1 << 60)).alias("h1"),
+                F.pmod(F.xxhash64(x, F.lit(1)), F.lit(1 << 56)).alias("h2"),
+            )
+
+    def body(sh: Column) -> Column:
+        return _let(
+            F.transform(sh, per_shingle),
+            lambda hp: F.array(
+                *[
+                    F.array_min(F.transform(hp, _seeded(s)))
+                    for s in range(num_hashes)
+                ]
+            ),
+        )
 
     return _let(shingle_col, body)
 
