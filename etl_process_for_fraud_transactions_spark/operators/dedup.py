@@ -172,6 +172,14 @@ def minhash_signature(
     shingles(...) EXPRESSION would otherwise have it re-evaluated once
     per seed — num_hashes full re-shinglings per row."""
 
+    # overflow guard: h1 < 2^60 and h2 < 2^56, so h1 + s*h2 stays under
+    # the BIGINT limit only for s < (2^63 - 2^60)/2^56 = 112 — beyond
+    # that Spark 4's ANSI mode raises mid-job; fail at build time instead
+    if num_hashes > 112:
+        raise ValueError(
+            "num_hashes must be <= 112 (h1 + s*h2 would overflow BIGINT)"
+        )
+
     # NB: seed binding must be a closure FACTORY, never `lambda x, s=s:`
     # — a second parameter (even defaulted) makes PySpark pass the HOF's
     # two-argument (element, index) form, silently binding the "seed" to

@@ -104,6 +104,17 @@ def test_minhash_seeds_are_distinct(spark):
     assert list(got) == want
 
 
+def test_minhash_num_hashes_overflow_guard(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    with pytest.raises(ValueError, match="112"):
+        df.select(D.minhash_signature(D.shingles("text", 3), 128))
+    # the documented max builds and runs
+    sig = df.select(
+        D.minhash_signature(D.shingles("text", 3), 112).alias("s")
+    ).collect()[0].s
+    assert len(sig) == 112
+
+
 def test_minhash_near_duplicates(spark, docs):
     pairs = {
         (r.id_a, r.id_b): r.jaccard
