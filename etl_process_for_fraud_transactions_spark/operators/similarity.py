@@ -10,9 +10,10 @@ Three tiers, all DataFrame-native:
   hyperplane set, banded exactly like MinHash; candidates only, then
   exact re-rank. The scale path for corpus-x-corpus similarity.
 - IVF (inverted file)       : coarse-quantize the corpus by nearest
-  centroid, probe only the nprobe closest cells per query. Centroids
-  here come from a groupBy mean over an assignment column (the driver
-  table's `label` or any clustering upstream).
+  centroid, probe only the nprobe closest cells per query. Cell
+  assignments come from any upstream clustering column (the driver
+  table's `label`) or from `ivf_build` (MLlib KMeans trained in
+  place); centroids are a groupBy mean over the assignment.
 
 At 100 TB the corpus side stays partitioned; only centroids/queries
 broadcast. Nothing here collects the corpus to the driver.
@@ -356,3 +357,43 @@ def quantize_embeddings(
 def dequantize(qvec: Column, scale: Column) -> Column:
     """array<tinyint> + scale -> array<double> (approximate original)."""
     return F.transform(qvec, lambda x: x.cast("double") * scale.cast("double"))
+
+
+def ivf_build(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train the IVF coarse quantizer from scratch: MLlib KMeans over
+    the embedding column, returning the corpus with an assigned
+    `cell_col` — the input `ivf_topk` expects when no upstream
+    clustering exists. Gated behind an import-try (pyspark.ml needs
+    numpy at runtime).
+
+    Scale notes: KMeans fit is iterative map-reduce over the corpus
+    (k tiny centroid vectors broadcast each round); the assignment
+    pass is one narrow transform. Persist or write the assigned corpus
+    — cell-partitioned, ideally — so queries pay only the probe join,
+    never a re-fit. n_cells ~ sqrt(n_rows) is the usual starting
+    point; raise nprobe (not n_cells) to trade latency for recall."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pyspark.ml unavailable in this runtime") from exc
+
+    assembled = corpus.withColumn(
+        "__features",
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__features"
+    ).fit(assembled)
+    return (
+        model.transform(assembled)
+        .withColumnRenamed("prediction", cell_col)
+        .drop("__features")
+    )

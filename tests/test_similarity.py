@@ -78,6 +78,50 @@ def test_lsh_candidate_pruning(spark, corpus):
     assert all(not (r.id_a == 1 and r.id_b == 6) for r in pairs)
 
 
+def test_ivf_build_trains_usable_cells(spark):
+    """Self-contained IVF: train the coarse quantizer with KMeans,
+    then ivf_topk over the trained cells must equal brute force when
+    probing every cell, and separated clusters must land in distinct
+    cells."""
+    pytest.importorskip("pyspark.ml")
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    rid = 0
+    centers = [(5.0, 0.0, 0.0), (0.0, 5.0, 0.0), (0.0, 0.0, 5.0)]
+    for cx, cy, cz in centers:
+        for _ in range(30):
+            rows.append(
+                (rid, [cx + rng.gauss(0, 0.3), cy + rng.gauss(0, 0.3), cz + rng.gauss(0, 0.3)])
+            )
+            rid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = S.ivf_build(corpus, n_cells=3, seed=7)
+
+    # planted clusters separate into 3 distinct cells
+    from pyspark.sql import functions as F
+
+    cells = assigned.groupBy("ivf_cell").count().collect()
+    assert len(cells) == 3 and all(r["count"] == 30 for r in cells)
+
+    queries = spark.createDataFrame(
+        [(100, [5.0, 0.2, 0.0]), (200, [0.1, 0.0, 5.0])],
+        "query_id long, query_vec array<double>",
+    )
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in S.cosine_topk(corpus, queries, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): r.vec_id
+        for r in S.ivf_topk(
+            assigned, queries, k=3, nprobe=3, cell_col="ivf_cell"
+        ).collect()
+    }
+    assert ivf == exact
+
+
 def test_lsh_plan_builds_fast_at_production_dims(spark):
     """The hyperplanes ride in as one broadcast array-of-arrays value,
     not n_planes x dim literal expression nodes — at dim=1024,
