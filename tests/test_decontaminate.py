@@ -112,3 +112,10 @@ def test_benchmark_side_broadcasts(spark, fixture):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_empty_benchmark_flags_nothing(spark, fixture):
+    _, _, docs, bench = fixture
+    empty_bench = bench.limit(0)
+    assert contamination_report(docs, empty_bench).count() == 0
+    assert decontaminate(docs, empty_bench).count() == docs.count()

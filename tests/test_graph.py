@@ -112,3 +112,20 @@ def test_dedup_components_composes_with_near_dup_pairs(spark):
         3: (1, False),
         4: (4, True),  # singleton: appears in no pair, survives alone
     }
+
+
+def test_components_empty_edges(spark):
+    """No pairs at all: components returns empty, dedup_components
+    still emits every corpus id as its own singleton survivor."""
+    from etl_process_for_fraud_transactions_spark.operators.graph import (
+        dedup_components,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    ids = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    got = {
+        r.doc_id: (r.survivor_id, r.is_survivor)
+        for r in dedup_components(empty, all_ids=ids).collect()
+    }
+    assert got == {1: (1, True), 2: (2, True)}
