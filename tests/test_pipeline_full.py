@@ -1,0 +1,90 @@
+"""End-to-end corpus curation: a fixture with one defect of each kind
+must come out with exactly the clean survivors."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_process_for_fraud_transactions_spark.operators.pipeline import curate_corpus
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then the fox "
+    "runs far away into the green hills to rest for the day"
+)
+NEAR_GOOD = GOOD.replace("green hills", "blue hills")
+FOOTER = "subscribe to the newsletter for more of the best updates"
+LEAK = "what is the capital of france paris is the capital of france"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # 1: clean survivor
+        (1, GOOD),
+        # 2: exact duplicate of 1 (after normalization) -> dropped
+        (2, GOOD.upper() + "!"),
+        # 3: near duplicate of 1 -> dropped by near-dup clustering
+        (3, NEAR_GOOD),
+        # 4: repeated paragraph within the doc -> cleaned, kept
+        (4, "the red cat sat on the old mat near the warm door today\n\n"
+            "the red cat sat on the old mat near the warm door today"),
+        # 5: too short after cleaning -> dropped by quality gate
+        (5, "tiny text"),
+        # 6: German -> dropped by language filter
+        (6, "der schnelle braune fuchs und der faule hund ist da und "
+            "der hund ist nicht schnell aber der fuchs ist sehr gut"),
+        # 7: contains the benchmark answer -> dropped by decontamination
+        (7, "quiz answers follow here " + LEAK + " and that is the end "
+            "of the quiz answers for the day my friends"),
+    ]
+    # footer boilerplate on 12 filler docs so it crosses min_docs=10;
+    # fillers are long, English and MUTUALLY DISTINCT (template fillers
+    # differing only in a number are near-duplicates of each other and
+    # would — correctly — collapse to one survivor)
+    topics = [
+        "cook rice and beans with garlic in the small red kitchen pot",
+        "train dogs to sit and wait before the long morning walk begins",
+        "plant roses and tulips along the sunny side of the wooden fence",
+        "repair old bicycles with simple tools from the corner shop",
+        "paint wide landscapes of the sea during the cold winter months",
+        "brew strong coffee from fresh beans ground early every morning",
+        "build wooden tables with joints that need no nails or screws",
+        "study distant stars through a small telescope on the dark hill",
+        "knit warm sweaters from thick wool bought at the spring fair",
+        "sail small boats across the bay when the west wind is steady",
+        "bake sour bread with a starter kept alive for twenty years",
+        "climb steep granite walls with ropes and a careful old friend",
+    ]
+    rows += [
+        (100 + i,
+         f"this filler document talks at length about how to {topic}\n\n"
+         + FOOTER)
+        for i, topic in enumerate(topics)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_corpus_end_to_end(spark, corpus):
+    bench = spark.createDataFrame([(1, LEAK)], "bench_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in curate_corpus(
+            corpus, benchmark=bench, near_dup_threshold=0.5, min_tokens=10
+        ).collect()
+    }
+    # survivors: 1 (clean), 4 (cleaned), all 12 fillers; dropped: 2
+    # (exact dup), 3 (near dup), 5 (short), 6 (German), 7 (leak)
+    assert set(out) == {1, 4} | {100 + i for i in range(12)}
+    # 4's repeated paragraph was removed before token counting
+    # (13 tokens = one copy, not 26)
+    assert out[4].n_tokens == 13
+    # the footer is gone from the fillers' curated text
+    assert all(FOOTER not in out[100 + i].text for i in range(12))
+    # split labels are deterministic hash buckets
+    assert all(r.split in ("train", "val") for r in out.values())
+    assert all(r.pred_lang == "en" for r in out.values())
+
+
+def test_curate_corpus_without_benchmark_keeps_leak(spark, corpus):
+    out = curate_corpus(corpus, near_dup_threshold=0.5, min_tokens=10)
+    assert 7 in {r.doc_id for r in out.collect()}
