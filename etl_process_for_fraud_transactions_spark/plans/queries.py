@@ -94,19 +94,31 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multihop_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1-family multi-hop snowflake join with broadcast dims: the fact
-    (lineitem) never shuffles for the dim hops; only the final
-    aggregation exchanges on n_name."""
+    """J1-family multi-hop snowflake join.
+
+    Broadcast hints go ONLY on the bounded dims (nation: 25 rows,
+    region: 5 rows — constant regardless of scale factor). orders and
+    customer grow linearly with the fact, so they carry NO hint: a
+    hinted broadcast does not fall back past
+    ``autoBroadcastJoinThreshold`` (Catalyst honors the hint and a
+    >8 GB broadcast aborts the job), whereas an unhinted join lets
+    AQE pick broadcast at small SF and shuffled-hash/sort-merge at
+    scale. The selective dims are folded into customer FIRST, so the
+    shuffled orders⋈customer join sees a pre-filtered (~1/5) build
+    side and the region filter is applied before any fact shuffle.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    asia_customers = c.join(
+        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey")
+    )
     return (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asia_customers, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(

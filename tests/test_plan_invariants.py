@@ -35,13 +35,33 @@ def test_pricing_summary_scan_pushdown(spark):
     assert plan.count("HashAggregate") >= 2
 
 
-def test_multihop_revenue_broadcasts_all_dims(spark):
-    plan = _plan(spark, "multihop_revenue")
-    assert plan.count("BroadcastHashJoin") == 4
-    assert "SortMergeJoin" not in plan
-    # the fact side never exchanges before the joins: the only hash
-    # exchange is the final groupBy
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+def test_multihop_revenue_hints_only_bounded_dims(spark):
+    """Broadcast hints must sit ONLY on the bounded dims (nation: 25
+    rows, region: 5) — never on fact-growth tables (orders, customer).
+    A hinted broadcast does not fall back past
+    autoBroadcastJoinThreshold, so a hint on a fact-sized side is a
+    scale-killer by construction; those joins are left to AQE."""
+    df = QUERIES["multihop_revenue"](spark, SF_SMALL)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # exactly the two dim joins are hinted
+    assert opt.count("strategy=broadcast") == 2
+    # the fact-side joins (lineitem⋈orders on l_orderkey, ⋈customer on
+    # o_custkey) carry no join hint of any kind
+    for line in opt.splitlines():
+        if "Join Inner, (l_orderkey" in line or "Join Inner, (o_custkey" in line:
+            assert "Hint" not in line, line
+
+
+def test_multihop_revenue_physical_shape(spark):
+    # at test scale every side is under the threshold, so AQE still
+    # picks broadcast for all joins at runtime — but now gracefully
+    # (runtime stats), not forced by a hint that can't fall back
+    df = QUERIES["multihop_revenue"](spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
 
 
 def test_no_cartesian_products_anywhere(spark):
