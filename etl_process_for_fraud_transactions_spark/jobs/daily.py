@@ -145,13 +145,25 @@ class DailyFraudJob:
             return df.select("card_num", F.col("account").alias("account_num"))
         raise ValueError(name)
 
-    def _read_dim_history(self, name: str) -> DataFrame:
+    def read_dim_history(self, name: str) -> DataFrame:
+        """The stable, layout-independent read API for dimension
+        history. Since the default flipped to scd2_mode='partitioned'
+        (round 4), the on-disk layout differs by mode — snapshot mode
+        keeps the single `dim_<name>_hist` table, partitioned mode
+        stores append-only closed partitions plus a current table —
+        so external consumers should read through this method (or pin
+        scd2_mode='snapshot') instead of wh.read('dim_<name>_hist').
+        Identical rows either way (5-batch equivalence,
+        test_scd2_partitioned.py)."""
         if self.scd2_mode == "partitioned":
             from ..operators.scd2_partitioned import PartitionedScd2
 
             keys, attrs = DIMENSIONS[name]
             return PartitionedScd2(self.wh, f"dim_{name}", keys, attrs).history()
         return self.wh.read(f"dim_{name}_hist")
+
+    # backwards-compatible private alias (pre-round-5 callers)
+    _read_dim_history = read_dim_history
 
     # -- per-date pipeline --------------------------------------------------
 

@@ -72,9 +72,9 @@ def curate_corpus(
     ).filter(F.col("is_survivor"))
     kept = exact.join(survivors.select(id_col), id_col, "left_semi")
 
-    # _with_tokens projects (doc_id, __text, __toks): metrics reference
+    # _with_tokens projects (id, __text, __toks): metrics reference
     # the materialized token attribute, then the text gets its name back
-    toksed = _with_tokens(kept, text_col)
+    toksed = _with_tokens(kept, text_col, id_col)
     _, pred = _lang_exprs_from(F.col("__toks"))
     gated = (
         toksed.withColumn("n_tokens", F.size(F.col("__toks")))

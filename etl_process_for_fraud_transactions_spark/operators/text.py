@@ -83,7 +83,7 @@ def rolling_hash(col: Column | str, modulus: int = 2_147_483_647, base: int = 31
     )
 
 
-def _with_tokens(df: DataFrame, text_col: str) -> DataFrame:
+def _with_tokens(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
     """Materialize the token array as a real projection column so every
     downstream metric references the ATTRIBUTE instead of re-splitting
     the text. Codegen CSE does not reach inside when() branches (the
@@ -93,7 +93,7 @@ def _with_tokens(df: DataFrame, text_col: str) -> DataFrame:
     two-step select alone because the alias is expensive and
     multiply-referenced (SPARK-36718)."""
     return df.select(
-        "doc_id", F.col(text_col).alias("__text"), tokens(F.col(text_col)).alias("__toks")
+        id_col, F.col(text_col).alias("__text"), tokens(F.col(text_col)).alias("__toks")
     )
 
 
@@ -119,11 +119,13 @@ def _quality_exprs_from(c: Column, toks: Column) -> list[Column]:
     ]
 
 
-def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Per-document quality metrics: length, token count, mean token
     length, punctuation ratio, uppercase ratio, stopword(en) ratio."""
-    return _with_tokens(df, text_col).select(
-        "doc_id", *_quality_exprs_from(F.col("__text"), F.col("__toks"))
+    return _with_tokens(df, text_col, id_col).select(
+        id_col, *_quality_exprs_from(F.col("__text"), F.col("__toks"))
     )
 
 
@@ -141,15 +143,17 @@ def _lang_exprs_from(toks: Column) -> tuple[dict[str, Column], Column]:
     return scores, pred
 
 
-def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+def profile_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """quality_stats + detect_language fused over a single scan: one
     tokenizing projection, one metrics projection (see _with_tokens) —
     no joins, no shuffles, one codegen stage."""
-    toksed = _with_tokens(df, text_col)
+    toksed = _with_tokens(df, text_col, id_col)
     scores, pred = _lang_exprs_from(F.col("__toks"))
     langs = sorted(scores)
     return toksed.select(
-        "doc_id",
+        id_col,
         *_quality_exprs_from(F.col("__text"), F.col("__toks")),
         *[scores[l].alias(f"score_{l}") for l in langs],
         pred.alias("pred_lang"),
@@ -187,13 +191,15 @@ def pred_lang(col: Column | str) -> Column:
     return pred
 
 
-def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+def detect_language(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Per-document language scores + prediction (see pred_lang)."""
-    toksed = _with_tokens(df, text_col)
+    toksed = _with_tokens(df, text_col, id_col)
     scores, pred = _lang_exprs_from(F.col("__toks"))
     langs = sorted(scores)
     return toksed.select(
-        "doc_id",
+        id_col,
         *[scores[l].alias(f"score_{l}") for l in langs],
         pred.alias("pred_lang"),
     )
@@ -264,7 +270,10 @@ def dedup_paragraphs_within(
     paragraph i iff the array_position of its normalized form equals
     i (first occurrence). O(paragraphs^2) comparisons per document in
     expression land, zero shuffles at any corpus size. Adds
-    `n_paragraphs_dropped`; rewrites `text_col` re-joined with `sep`.
+    `n_paragraphs_dropped` (summed into a pre-existing column of that
+    name, so chained repetition stages keep one cumulative count and
+    never produce duplicate column names); rewrites `text_col`
+    re-joined with `sep`.
     """
     paras = F.split(F.col(text_col), sep_regex)
     norm = F.transform(paras, lambda p: normalize_text(p))
@@ -288,9 +297,9 @@ def dedup_paragraphs_within(
     )
     kept = F.transform(bound, lambda e: e["p"])
     return df.withColumn("__kept", kept).select(
-        *[c for c in df.columns if c != text_col],
+        *[c for c in df.columns if c not in (text_col, "n_paragraphs_dropped")],
         F.array_join(F.col("__kept"), sep).alias(text_col),
-        (F.size(paras) - F.size(F.col("__kept"))).alias("n_paragraphs_dropped"),
+        _cumulate_dropped(df, F.size(paras) - F.size(F.col("__kept"))),
     )
 
 
@@ -337,7 +346,10 @@ def strip_boilerplate_paragraphs(
     repetition removal). The frequent-fingerprint set is tiny by
     construction (only true boilerplate crosses the threshold), so it
     BROADCASTS back and each document filters its own paragraph array
-    map-side via array_contains — documents never shuffle."""
+    map-side via array_contains — documents never shuffle. A
+    pre-existing `n_paragraphs_dropped` column (e.g. from
+    dedup_paragraphs_within) is summed into this stage's count, so the
+    output always has exactly one column of that name."""
     frequent = (
         paragraph_doc_frequencies(df, text_col, id_col, sep_regex)
         .filter(F.col("n_docs") >= min_docs)
@@ -356,8 +368,17 @@ def strip_boilerplate_paragraphs(
         df.crossJoin(F.broadcast(frequent))
         .withColumn("__kept", kept)
         .select(
-            *[c for c in df.columns if c != text_col],
+            *[c for c in df.columns if c not in (text_col, "n_paragraphs_dropped")],
             F.array_join(F.col("__kept"), sep).alias(text_col),
-            (F.size(paras) - F.size(F.col("__kept"))).alias("n_paragraphs_dropped"),
+            _cumulate_dropped(df, F.size(paras) - F.size(F.col("__kept"))),
         )
     )
+
+
+def _cumulate_dropped(df: DataFrame, stage_dropped: Column) -> Column:
+    """This stage's paragraph-drop count, summed into any pre-existing
+    `n_paragraphs_dropped` so chained stages keep one unambiguous
+    cumulative column instead of two identically-named ones."""
+    if "n_paragraphs_dropped" in df.columns:
+        stage_dropped = stage_dropped + F.col("n_paragraphs_dropped")
+    return stage_dropped.alias("n_paragraphs_dropped")

@@ -240,9 +240,14 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     1); percentile_approx(accuracy=10_000) guarantees rank error
     <= n/accuracy = 1e-4*n, checked against exact interpolated
     percentiles at q +/- 0.005 — a 50x-slack envelope that still
-    catches a broken sketch."""
+    catches a broken sketch. Groups with fewer than MIN_BAND_ROWS rows
+    are gated TRUE: below that, eps*n < ~2 ranks and the interpolated
+    band can be narrower than one discrete rank step, so a perfectly
+    correct sketch (which returns an exact element) could land outside
+    it — the verdict is only meaningful where the band spans ranks."""
     ev = load_events(spark, sf_dir)
     eps = 0.005
+    MIN_BAND_ROWS = 400  # eps * 400 = 2 ranks: narrowest meaningful band
     agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("__approx_users"),
         F.countDistinct("user_id").alias("n_users"),
@@ -260,7 +265,9 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx_v = F.element_at("__approx_pcts", i + 1)
         lo = F.element_at("__exact_band", 2 * i + 1)
         hi = F.element_at("__exact_band", 2 * i + 2)
-        return (approx_v >= lo) & (approx_v <= hi)
+        return ((approx_v >= lo) & (approx_v <= hi)) | (
+            F.col("n_events") < MIN_BAND_ROWS
+        )
 
     users_ok = (
         F.abs(F.col("__approx_users") - F.col("n_users"))

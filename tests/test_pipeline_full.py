@@ -88,3 +88,20 @@ def test_curate_corpus_end_to_end(spark, corpus):
 def test_curate_corpus_without_benchmark_keeps_leak(spark, corpus):
     out = curate_corpus(corpus, near_dup_threshold=0.5, min_tokens=10)
     assert 7 in {r.doc_id for r in out.collect()}
+
+
+def test_curate_corpus_custom_id_col(spark, corpus):
+    """ADVICE r4: id_col != 'doc_id' must work end to end (every stage,
+    including the token projection, threads the caller's id column)."""
+    renamed = corpus.withColumnRenamed("doc_id", "page_id")
+    bench = spark.createDataFrame([(1, LEAK)], "bench_id long, text string")
+    out = curate_corpus(
+        renamed,
+        benchmark=bench,
+        id_col="page_id",
+        near_dup_threshold=0.5,
+        min_tokens=10,
+    )
+    assert out.columns[0] == "page_id"
+    ids = {r.page_id for r in out.collect()}
+    assert ids == {1, 4} | {100 + i for i in range(12)}

@@ -94,3 +94,21 @@ def test_boilerplate_strip_no_doc_shuffle(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan  # one-row frequent set
     assert "SortMergeJoin" not in plan
+
+
+def test_chained_stages_single_cumulative_drop_count(spark):
+    """ADVICE r4: strip_boilerplate after dedup_paragraphs_within must
+    produce ONE n_paragraphs_dropped column holding the cumulative
+    count, not two ambiguous same-named columns."""
+    footer = "shared footer line"
+    rows = [(i, f"unique text {i}\n\n{footer}") for i in range(10)]
+    # doc 50 additionally repeats its own paragraph (1 within-doc drop)
+    rows.append((50, f"repeated para\n\nrepeated para\n\n{footer}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = strip_boilerplate_paragraphs(
+        dedup_paragraphs_within(df), min_docs=10
+    )
+    assert out.columns.count("n_paragraphs_dropped") == 1
+    got = {r.doc_id: r.n_paragraphs_dropped for r in out.collect()}
+    assert got[50] == 2  # 1 within-doc + 1 boilerplate
+    assert all(got[i] == 1 for i in range(10))  # boilerplate only
