@@ -58,12 +58,16 @@ ASSET_SCHEMA = T.StructType(
 
 FEATURE_DIM = 16
 
+#: feature is array<double>: the pure-python featurizers compute in
+#: float64, and keeping the column double makes the values bit-exact
+#: reproducible by an external oracle (a float32 column would truncate
+#: and break value-hash parity)
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
         T.StructField("modality", T.StringType()),
         T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
 )
 

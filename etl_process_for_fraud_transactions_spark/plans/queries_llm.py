@@ -12,8 +12,10 @@ Oracle-exactness rules used here:
   boundary — MinHash/SimHash run here in `portable` md5-hash mode and
   the LSH hyperplanes are embedded as literals in both plans, so even
   the approximate operators are full hash-match checks; the anomaly
-  scorecard replays frozen centroids the same way, leaving only
-  multimodal_features (binary decode) rows-only.
+  scorecard replays frozen centroids the same way, and since round 5
+  even multimodal_features is a full value check (the oracle recomputes
+  the expected pixel features from the text bytes — the PNG roundtrip
+  is the identity on pixels, see _mm_oracle_sql).
 """
 
 from __future__ import annotations
@@ -722,22 +724,107 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries_df, k=10, nprobe=3, sim_round=6)
 
 
-@query("multimodal_features")
+def _mm_oracle_sql() -> str:
+    """DuckDB twin of multimodal_features — a FULL value oracle for the
+    PNG decode path, closing round 4's last `no_oracle` row.
+
+    Why this is possible without zlib in SQL: the image payloads are
+    PNGs the query itself encodes from the doc's first 48 utf-8 bytes
+    (cycled), and PNG encode→decode is the identity on pixels — so the
+    EXPECTED pixel features are a pure function of the text, computable
+    byte-by-byte in SQL (the driver corpus is ASCII at every SF, so
+    ascii(substr(..)) == utf-8 byte). The Spark side computes features
+    from the DECODED pixels (stdlib zlib inflate + scanline unfilter);
+    any defect in chunk walking, inflate, or filters 0-4 yields pixels
+    != text bytes and fails the value hash. Audio/video rows take the
+    byte-histogram fallback, recomputed here over the full text.
+
+    All divisions are integer-sum / exact-dyadic-or-identical-literal
+    denominators, so the doubles are bit-identical across engines."""
+    img_byte = (
+        "CASE WHEN len = 0 THEN 0 "
+        "ELSE ascii(substr(text, CAST(j % len AS INT) + 1, 1)) END"
+    )
+    img_hist = ",\n           ".join(
+        f"length(list_filter(lumas, l -> least(l * 12 // 256, 11) = {k})) / 16.0"
+        f" AS f{k + 4:02d}"
+        for k in range(12)
+    )
+    raw_hist = ",\n           ".join(
+        f"CASE WHEN len = 0 THEN 0.0 ELSE "
+        f"length(list_filter(b, v -> v % 16 = {k})) / CAST(len AS DOUBLE) END"
+        f" AS f{k:02d}"
+        for k in range(16)
+    )
+    fcols = ", ".join(f"f.f{i:02d}" for i in range(16))
+    return f"""
+    WITH base AS (
+        SELECT doc_id AS asset_id,
+               CAST(doc_id % 3 AS INT) AS m,
+               text,
+               length(text) AS len
+        FROM documents
+    ),
+    imgb AS (
+        SELECT asset_id,
+               list_transform(range(0, 48), j -> {img_byte}) AS b
+        FROM base WHERE m = 0
+    ),
+    imgsum AS (
+        SELECT asset_id,
+               list_sum(list_transform(range(0, 16), i -> b[CAST(3*i+1 AS INT)])) AS sr,
+               list_sum(list_transform(range(0, 16), i -> b[CAST(3*i+2 AS INT)])) AS sg,
+               list_sum(list_transform(range(0, 16), i -> b[CAST(3*i+3 AS INT)])) AS sb,
+               list_transform(range(0, 16),
+                   i -> (299 * b[CAST(3*i+1 AS INT)] + 587 * b[CAST(3*i+2 AS INT)]
+                         + 114 * b[CAST(3*i+3 AS INT)]) // 1000) AS lumas
+        FROM imgb
+    ),
+    img AS (
+        SELECT asset_id,
+               sr / (255.0 * 16) AS f00,
+               sg / (255.0 * 16) AS f01,
+               sb / (255.0 * 16) AS f02,
+               (299 * sr + 587 * sg + 114 * sb) / (1000.0 * 255.0 * 16) AS f03,
+           {img_hist}
+        FROM imgsum
+    ),
+    rawb AS (
+        SELECT asset_id, len,
+               list_transform(range(1, len + 1),
+                              i -> ascii(substr(text, CAST(i AS INT), 1))) AS b
+        FROM base WHERE m <> 0
+    ),
+    rawf AS (
+        SELECT asset_id,
+           {raw_hist}
+        FROM rawb
+    ),
+    features AS (SELECT * FROM img UNION ALL SELECT * FROM rawf)
+    SELECT base.asset_id,
+           CASE base.m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           {fcols}
+    FROM base JOIN features f ON base.asset_id = f.asset_id
+    """
+
+
+@query("multimodal_features", _mm_oracle_sql())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over driver data: documents' text bytes as
     opaque binary payloads -> Arrow-batched featurization via
-    mapInPandas (rows-only: the zlib inflate inside the codec has no
-    SQL twin). Image-modality rows are wrapped into REAL 4x4 RGB8 PNGs
-    (pixels = the doc's first 48 utf-8 bytes, cycled — deterministic)
-    by an Arrow-batched stage, so the registered query exercises the
-    full stdlib-zlib PNG decode + scanline-unfilter path end-to-end;
-    audio/video rows stay raw bytes and take the byte-histogram
-    fallback. Known-answer codec tests (PPM/BMP24/PNG incl. all five
-    scanline filters) live in tests/test_multimodal.py.
+    mapInPandas. Image-modality rows are wrapped into REAL 4x4 RGB8
+    PNGs (pixels = the doc's first 48 utf-8 bytes, cycled —
+    deterministic) by an Arrow-batched stage, so the registered query
+    exercises the full stdlib-zlib PNG decode + scanline-unfilter path
+    end-to-end; audio/video rows stay raw bytes and take the
+    byte-histogram fallback. Known-answer codec tests (PPM/BMP24/PNG
+    incl. all five scanline filters) live in tests/test_multimodal.py.
 
-    Output is fully scalar: the float feature vector is rendered as a
-    rounded CSV string so the driver's pandas canonicalizer (which
-    sorts/hashes column values) never sees an unhashable list."""
+    HASH-CHECKED since round 5 (the last former `no_oracle` row): the
+    16 feature dims ride as double columns f00..f15 and the DuckDB twin
+    recomputes their exact expected values from the text bytes — see
+    _mm_oracle_sql for why the PNG roundtrip makes that sound."""
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
@@ -786,9 +873,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "asset_id",
         "modality",
-        "n_bytes",
-        F.concat_ws(
-            ",",
-            F.transform("feature", lambda x: F.round(x.cast("double"), 6).cast("string")),
-        ).alias("feature_csv"),
+        *[
+            F.element_at("feature", i + 1).alias(f"f{i:02d}")
+            for i in range(M.FEATURE_DIM)
+        ],
     )
