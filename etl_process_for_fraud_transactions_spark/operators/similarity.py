@@ -131,43 +131,24 @@ def rp_signature(
     )
 
 
-def lsh_near_neighbors(
+def rp_band_buckets(
     df: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 64,
     bands: int = 4,
-    min_cosine: float = 0.7,
     seed: int = 42,
-    round_sim: int | None = None,
     round_proj: int | None = None,
-    persist_signatures: bool = True,
 ) -> DataFrame:
-    """Corpus-x-corpus near-neighbor pairs: banded sign-bit buckets ->
-    candidate pairs -> exact cosine filter. Returns
-    (id_a < id_b, cos_sim >= min_cosine).
-
-    Tuning: expected candidates per band scale as
-    sum_buckets(n_b^2) ~ n_rows^2 / 2^r for r = n_planes/bands key
-    bits under uniform hashing — r is what keeps the candidate join
-    near-linear as the corpus grows. r=8 (256 buckets/band) is the
-    measured knee on this hardware (110 s -> ~8 s on 2000 vectors
-    moving r from 2 to 8 bits) but still quadratic at 100x corpus:
-    n^2/256 overtakes any per-band constant. The defaults use r=16
-    (65,536 buckets/band), which pushes the quadratic term down by
-    another 256x; recall at a given cosine c is
-    1-(1-p^r)^bands with p = 1 - acos(c)/pi, so r=16 keys are the
-    high-similarity regime (c >= ~0.9) — for moderate-c mining raise
-    `bands` (OR of many AND-bands), never widen buckets by shrinking
-    r. Norms are computed once per row, not per candidate pair.
-
-    round_proj / round_sim: decimal roundings applied before the sign
-    test and the threshold filter respectively, so an external
-    verifier replaying the cascade cannot diverge in the last ulp.
-
-    persist_signatures: cache the banded frame across the self-join —
-    both sides would otherwise recompute all n_planes projections.
+    """(id, band_id, band_key) banded sign-bit buckets — the ONLY
+    frame the LSH candidate self-join shuffles. Deliberately carries
+    no vector/norm columns: at embedding scale the exploded banded
+    frame is `bands`x the corpus row count, so every extra byte on it
+    is multiplied through the shuffle (a 1536-dim float vector is
+    ~6 KB/row vs ~20 bytes for id+key). Vectors are fetched by id
+    AFTER candidate dedup (`lsh_near_neighbors`), mirroring
+    `minhash_band_buckets` + fetch in operators/dedup.py.
 
     Plan size: the hyperplanes ride in as ONE array<array<double>>
     value on a broadcast one-row frame, not as n_planes x dim literal
@@ -182,16 +163,12 @@ def lsh_near_neighbors(
     )
     sig = df.crossJoin(F.broadcast(planes_df)).select(
         F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        l2_norm(F.col(vec_col)).alias("__n"),
         rp_signature(
             F.col(vec_col), F.col("__planes"), round_proj=round_proj
         ).alias("__sig"),
     )
-    banded = sig.select(
+    return sig.select(
         id_col,
-        "__v",
-        "__n",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -207,7 +184,56 @@ def lsh_near_neighbors(
                 ),
             )
         ).alias("band"),
-    ).select(id_col, "__v", "__n", "band.band_id", "band.band_key")
+    ).select(id_col, "band.band_id", "band.band_key")
+
+
+def lsh_near_neighbors(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 64,
+    bands: int = 4,
+    min_cosine: float = 0.7,
+    seed: int = 42,
+    round_sim: int | None = None,
+    round_proj: int | None = None,
+    persist_signatures: bool = True,
+) -> DataFrame:
+    """Corpus-x-corpus near-neighbor pairs: banded sign-bit buckets ->
+    ids-only candidate pairs -> vector fetch by id -> exact cosine
+    filter. Returns (id_a < id_b, cos_sim >= min_cosine).
+
+    Shuffle shape (round 5): the band self-join sees ONLY
+    (id, band_id, band_key) — see rp_band_buckets. Candidate pairs are
+    deduped as bare (id_a, id_b) BEFORE the two id-keyed joins fetch
+    vectors+norms, so each vector crosses the wire once per candidate
+    side, never `bands` times through the exploded frame. Norms are
+    computed once per row in the fetch frame, not per candidate pair.
+
+    Tuning: expected candidates per band scale as
+    sum_buckets(n_b^2) ~ n_rows^2 / 2^r for r = n_planes/bands key
+    bits under uniform hashing — r is what keeps the candidate join
+    near-linear as the corpus grows. r=8 (256 buckets/band) is the
+    measured knee on this hardware (110 s -> ~8 s on 2000 vectors
+    moving r from 2 to 8 bits) but still quadratic at 100x corpus:
+    n^2/256 overtakes any per-band constant. The defaults use r=16
+    (65,536 buckets/band), which pushes the quadratic term down by
+    another 256x; recall at a given cosine c is
+    1-(1-p^r)^bands with p = 1 - acos(c)/pi, so r=16 keys are the
+    high-similarity regime (c >= ~0.9) — for moderate-c mining raise
+    `bands` (OR of many AND-bands), never widen buckets by shrinking
+    r.
+
+    round_proj / round_sim: decimal roundings applied before the sign
+    test and the threshold filter respectively, so an external
+    verifier replaying the cascade cannot diverge in the last ulp.
+
+    persist_signatures: cache the banded frame across the self-join —
+    both sides would otherwise recompute all n_planes projections."""
+    banded = rp_band_buckets(
+        df, dim, id_col, vec_col, n_planes, bands, seed, round_proj
+    )
     if persist_signatures:
         banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
@@ -221,12 +247,18 @@ def lsh_near_neighbors(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.__v").alias("va"),
-            F.col("b.__v").alias("vb"),
-            F.col("a.__n").alias("na"),
-            F.col("b.__n").alias("nb"),
         )
         .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    fetched = cand.join(
+        vecs.withColumnsRenamed({id_col: "id_a", "__v": "va", "__n": "na"}), "id_a"
+    ).join(
+        vecs.withColumnsRenamed({id_col: "id_b", "__v": "vb", "__n": "nb"}), "id_b"
     )
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     if round_sim is not None:
@@ -234,7 +266,7 @@ def lsh_near_neighbors(
         # this plan and an external verifier can't flip the filter
         sim = F.round(sim, round_sim)
     return (
-        cand.select("id_a", "id_b", sim.alias("cos_sim"))
+        fetched.select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_cosine)
     )
 

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import math
+import re
 
 import pytest
 
@@ -198,3 +199,67 @@ def test_quantize_roundtrip_and_topk_recall(spark):
         by_q_approx.setdefault(r.query_id, set()).add(r.vec_id)
     for qid, ids in by_q_exact.items():
         assert len(ids & by_q_approx[qid]) >= 7, qid
+
+
+def test_lsh_band_shuffle_carries_ids_only(spark, corpus):
+    """Round-5 shuffle-shape invariant: the exploded banded frame (the
+    side of the candidate self-join, xbands the corpus row count) must
+    carry ONLY (id, band_id, band_key) — vectors and norms are fetched
+    by id after candidate dedup, never shipped through the band
+    shuffle."""
+    buckets = S.rp_band_buckets(corpus, dim=3, n_planes=16, bands=8)
+    assert buckets.columns == ["vec_id", "band_id", "band_key"]
+    # the persisted/banded scan feeding the self-join exposes no
+    # vector column in the full pipeline plan either
+    out = S.lsh_near_neighbors(
+        corpus, dim=3, n_planes=16, bands=8, min_cosine=-1.0
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"InMemoryTableScan \[([^\]]*)\]", plan):
+        assert "__v" not in m.group(1) and "embedding" not in m.group(1)
+    assert "InMemoryTableScan" in plan  # persist is on by default
+
+
+def test_lsh_ids_only_equivalent_to_round4_shape(spark, corpus):
+    """The restructure must not change results: replay the round-4
+    vectors-through-the-shuffle shape inline and compare pair sets."""
+    from pyspark.sql import functions as F
+
+    banded = S.rp_band_buckets(corpus, dim=3, n_planes=16, bands=8)
+    vec = corpus.select(
+        "vec_id",
+        F.col("embedding").alias("__v"),
+        S.l2_norm(F.col("embedding")).alias("__n"),
+    )
+    wide = banded.join(vec, "vec_id")  # old shape: vectors ride along
+    a, b = wide.alias("a"), wide.alias("b")
+    old = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.__v").alias("va"),
+            F.col("b.__v").alias("vb"),
+            F.col("a.__n").alias("na"),
+            F.col("b.__n").alias("nb"),
+        )
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            (S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+    )
+    new = S.lsh_near_neighbors(
+        corpus, dim=3, n_planes=16, bands=8, min_cosine=0.9
+    )
+    key = lambda r: (r.id_a, r.id_b, round(r.cos_sim, 9))
+    assert sorted(map(key, new.collect())) == sorted(map(key, old.collect()))
