@@ -599,6 +599,7 @@ def near_dedup(
     threshold: float = 0.6,
     portable: bool = False,
     max_iter: int = 25,
+    cc_algorithm: str = "label",
 ) -> DataFrame:
     """End-to-end near-duplicate clustering: MinHash+LSH candidate
     pairs -> exact-Jaccard verify -> connected components (transitive
@@ -620,4 +621,5 @@ def near_dedup(
         all_ids=df.select(id_col),
         id_col=id_col,
         max_iter=max_iter,
+        algorithm=cc_algorithm,
     )

@@ -20,10 +20,13 @@ def _components(spark, edges, **kw):
     }
 
 
-def test_components_known_answer(spark):
+@pytest.mark.parametrize("algorithm", ["label", "star"])
+def test_components_known_answer(spark, algorithm):
     # {1,2,3} via chain (1-2, 2-3): transitive closure the pairs never
     # stated; {7,9} a separate pair; 5 isolated by self-loop
-    got = _components(spark, [(1, 2), (2, 3), (7, 9), (5, 5)])
+    got = _components(
+        spark, [(1, 2), (2, 3), (7, 9), (5, 5)], algorithm=algorithm
+    )
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 5: 5}
 
 
@@ -39,7 +42,8 @@ def test_components_nonconvergence_raises(spark):
         connected_components(df, max_iter=2)
 
 
-def test_components_match_duckdb_recursive_oracle(spark):
+@pytest.mark.parametrize("algorithm", ["label", "star"])
+def test_components_match_duckdb_recursive_oracle(spark, algorithm):
     """Seeded sparse random graph vs an independent DuckDB
     WITH RECURSIVE reachability replay."""
     duckdb = pytest.importorskip("duckdb")
@@ -50,7 +54,7 @@ def test_components_match_duckdb_recursive_oracle(spark):
         (rng.randrange(n), rng.randrange(n))
         for _ in range(90)
     ]
-    got = _components(spark, edges)
+    got = _components(spark, edges, algorithm=algorithm)
 
     con = duckdb.connect()
     con.execute("CREATE TABLE edges(u BIGINT, v BIGINT)")
@@ -129,3 +133,44 @@ def test_components_empty_edges(spark):
         for r in dedup_components(empty, all_ids=ids).collect()
     }
     assert got == {1: (1, True), 2: (2, True)}
+
+
+def test_star_contraction_converges_on_10k_path(spark):
+    """The chain case label propagation cannot touch: a 10,000-node
+    path graph has diameter 9,999, so min-label propagation needs
+    ~10k rounds (it raises at max_iter=25); star contraction is
+    O(log n) rounds and must converge comfortably within 40."""
+    edges = spark.range(9_999).selectExpr("id AS id_a", "id + 1 AS id_b")
+    labels = connected_components(edges, max_iter=40, algorithm="star")
+    agg = labels.selectExpr(
+        "count(*) AS n", "count(distinct component) AS c", "min(component) AS m"
+    ).collect()[0]
+    assert (agg.n, agg.c, agg.m) == (10_000, 1, 0)
+
+
+def test_star_nonconvergence_guard_still_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="star contraction"):
+        connected_components(edges, max_iter=1, algorithm="star")
+
+
+def test_star_equivalent_to_label_on_near_dup_shapes(spark):
+    """On the dense tiny clusters near-dup actually produces, both
+    algorithms must give identical labelings."""
+    rng = random.Random(7)
+    edges = []
+    base = 0
+    for _ in range(20):  # 20 clusters of 2-6 nodes, near-clique
+        size = rng.randrange(2, 7)
+        members = list(range(base, base + size))
+        for i in members:
+            for j in members:
+                if i < j and rng.random() < 0.8:
+                    edges.append((j, i))
+        edges.append((members[-1], members[0]))  # keep it connected
+        base += size + rng.randrange(0, 3)
+    assert _components(spark, edges) == _components(
+        spark, edges, algorithm="star"
+    )
