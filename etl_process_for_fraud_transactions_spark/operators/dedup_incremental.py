@@ -1,0 +1,195 @@
+"""Incremental NEAR-dedup against a persisted signature store — the
+daily-ingest shape every growing training corpus needs (SURVEY §7.6):
+"drop new documents that near-duplicate the existing corpus" WITHOUT
+re-running LSH over corpus ∪ batch each day.
+
+The store persists, via sources/warehouse.py:
+
+- `<name>_buckets`  : (id, band_id, band_hash) — minhash_band_buckets
+  output, the candidate index. 8 bytes/band/doc regardless of text
+  size.
+- `<name>_shingles` : (id, sh array<string>) — the verify side, so a
+  candidate hit never needs the corpus text again. This is the
+  self-contained choice; a deployment that can re-fetch text by id may
+  instead store xxhash64'd shingles (array<bigint>, ~10x smaller) and
+  verify on hashed sets — identical results up to 64-bit collisions.
+
+Daily cycle:
+
+    idx = NearDupIndex(wh)           # same LSH params as near_dedup
+    idx.bootstrap(corpus)            # once
+    kept = idx.filter_new(batch)     # batch minus corpus/batch near-dups
+    idx.absorb(kept)                 # accepted docs join the index
+
+Scale shape: the batch bucket frame is the small side and is
+BROADCAST into the corpus bucket scan — the corpus index never
+shuffles (plan-asserted in tests/test_dedup_incremental.py); shingle
+fetch for verification is pruned to candidate ids by a semi-join
+before the (expensive) exact-Jaccard; norms of growth are O(batch)
+per day, never O(corpus).
+
+Semantics mirror `near_dedup(corpus ∪ batch)` restricted to batch
+verdicts, under the natural ingest invariant that corpus ids precede
+batch ids: a batch cluster containing ANY corpus near-duplicate is
+dropped entirely (in the union run the corpus member is the
+min-id survivor), and corpus-clean batch clusters keep their min-id
+member (equivalence pinned by test, including the transitive
+batch-doc -> batch-doc -> corpus-doc chain case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.warehouse import Warehouse
+from .dedup import jaccard, minhash_band_buckets, minhash_near_duplicates, shingles
+from .graph import dedup_components
+
+
+class NearDupIndex:
+    """Persisted MinHash+LSH index for incremental near-dedup. All LSH
+    parameters are frozen at construction: buckets appended across
+    days must come from the same hash family or candidates silently
+    vanish (the store is only valid under one parameterization)."""
+
+    def __init__(
+        self,
+        wh: Warehouse,
+        name: str = "neardup",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k: int = 3,
+        num_hashes: int = 32,
+        bands: int = 8,
+        portable: bool = False,
+    ):
+        self.wh = wh
+        self.name = name
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.portable = portable
+
+    @property
+    def buckets_table(self) -> str:
+        return f"{self.name}_buckets"
+
+    @property
+    def shingles_table(self) -> str:
+        return f"{self.name}_shingles"
+
+    def _buckets(self, docs: DataFrame) -> DataFrame:
+        return minhash_band_buckets(
+            docs,
+            self.text_col,
+            self.id_col,
+            self.k,
+            self.num_hashes,
+            self.bands,
+            portable=self.portable,
+        )
+
+    def _shingles(self, docs: DataFrame) -> DataFrame:
+        return docs.select(
+            F.col(self.id_col), shingles(self.text_col, self.k).alias("sh")
+        )
+
+    def bootstrap(self, corpus: DataFrame) -> None:
+        """(Re)build the index from the full corpus — run once; the
+        daily path is absorb()."""
+        self.wh.overwrite(self.buckets_table, self._buckets(corpus))
+        self.wh.overwrite(self.shingles_table, self._shingles(corpus))
+
+    def absorb(self, accepted: DataFrame) -> None:
+        """Append accepted batch documents to the index. O(batch)."""
+        self.wh.append(self.buckets_table, self._buckets(accepted))
+        self.wh.append(self.shingles_table, self._shingles(accepted))
+
+    def check(self, new_docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+        """(new_id, dup_id, jaccard): every near-duplication of a new
+        document by an indexed corpus document. The batch bucket frame
+        broadcasts into the corpus index (the corpus never shuffles);
+        corpus shingles are fetched only for candidate ids."""
+        corpus_b = self.wh.read(self.buckets_table)
+        batch_b = self._buckets(new_docs)
+        cand = (
+            corpus_b.join(
+                F.broadcast(
+                    batch_b.withColumnsRenamed({self.id_col: "new_id"})
+                ),
+                ["band_id", "band_hash"],
+            )
+            .select(F.col(self.id_col).alias("dup_id"), "new_id")
+            .distinct()
+        )
+        corpus_sh = self.wh.read(self.shingles_table).join(
+            cand.select(F.col("dup_id").alias(self.id_col)).distinct(),
+            self.id_col,
+            "left_semi",
+        )
+        return (
+            cand.join(
+                self._shingles(new_docs).withColumnsRenamed(
+                    {self.id_col: "new_id", "sh": "sh_new"}
+                ),
+                "new_id",
+            )
+            .join(
+                corpus_sh.withColumnsRenamed(
+                    {self.id_col: "dup_id", "sh": "sh_dup"}
+                ),
+                "dup_id",
+            )
+            .select(
+                "new_id",
+                "dup_id",
+                jaccard(F.col("sh_new"), F.col("sh_dup")).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    def filter_new(
+        self, new_docs: DataFrame, threshold: float = 0.6
+    ) -> DataFrame:
+        """Rows of `new_docs` that near-duplicate neither the indexed
+        corpus nor a surviving earlier batch document — the incremental
+        twin of `near_dedup(corpus ∪ batch).filter(is_survivor)`
+        restricted to batch rows (corpus ids < batch ids). Batch
+        clusters are computed with the same LSH parameters; a cluster
+        with any corpus-duplicated member is dropped whole (its union
+        survivor would be the corpus copy), covering the transitive
+        chain batch_a ~ batch_b ~ corpus case."""
+        corpus_dups = (
+            self.check(new_docs, threshold)
+            .select(F.col("new_id").alias(self.id_col))
+            .distinct()
+        )
+        batch_pairs = minhash_near_duplicates(
+            new_docs,
+            self.text_col,
+            self.id_col,
+            self.k,
+            self.num_hashes,
+            self.bands,
+            threshold,
+            portable=self.portable,
+        )
+        comp = dedup_components(
+            batch_pairs.select("id_a", "id_b"),
+            all_ids=new_docs.select(self.id_col),
+            id_col=self.id_col,
+        )
+        dirty_clusters = (
+            comp.join(corpus_dups, self.id_col, "left_semi")
+            .select("survivor_id")
+            .distinct()
+        )
+        keep = (
+            comp.filter(F.col("is_survivor"))
+            .join(dirty_clusters, "survivor_id", "left_anti")
+            .select(self.id_col)
+        )
+        return new_docs.join(keep, self.id_col, "left_semi")

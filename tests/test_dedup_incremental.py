@@ -1,0 +1,132 @@
+"""Incremental near-dedup against the persisted signature store:
+equivalence with the batch-side verdicts of near_dedup over
+corpus ∪ batch, the transitive chain case, the daily absorb cycle,
+and the broadcast plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_process_for_fraud_transactions_spark.operators.dedup import near_dedup
+from etl_process_for_fraud_transactions_spark.operators.dedup_incremental import (
+    NearDupIndex,
+)
+from etl_process_for_fraud_transactions_spark.sources.warehouse import Warehouse
+
+BASE = [
+    "the quick brown fox jumps over the lazy dog and runs far away today",
+    "cook rice and beans with garlic in the small red kitchen pot tonight",
+    "train dogs to sit and wait before the long morning walk begins daily",
+    "plant roses and tulips along the sunny side of the wooden fence line",
+    "sail small boats across the bay when the west wind is steady enough",
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def test_filter_new_matches_union_near_dedup(spark, wh):
+    """Batch verdicts must equal near_dedup(corpus ∪ batch) survivors
+    restricted to batch ids (corpus ids < batch ids)."""
+    corpus = _docs(spark, [(i, t) for i, t in enumerate(BASE)])
+    batch = _docs(
+        spark,
+        [
+            (100, BASE[0]),                                # exact corpus dup
+            (101, BASE[1].replace("tonight", "tomorrow")),  # near corpus dup
+            (102, "completely novel text about spark adaptive query execution plans"),
+            (103, "completely novel text about spark adaptive query execution plans indeed"),  # near-dup of 102
+            (104, "another fresh document on parquet row group pruning and stats"),
+        ],
+    )
+    idx = NearDupIndex(wh)
+    idx.bootstrap(corpus)
+    got = sorted(r.doc_id for r in idx.filter_new(batch, threshold=0.5).collect())
+
+    union = corpus.unionByName(batch)
+    want = sorted(
+        r.doc_id
+        for r in near_dedup(union, threshold=0.5).collect()
+        if r.is_survivor and r.doc_id >= 100
+    )
+    assert got == want
+    assert got == [102, 104]  # 100/101 corpus dups; 103 loses to 102
+
+
+def test_transitive_chain_through_batch_drops_whole_cluster(spark, wh):
+    """batch_a ~ batch_b and batch_b ~ corpus (batch_a never matches
+    the corpus directly): the union survivor is the corpus doc, so
+    BOTH batch docs must be dropped — the case a naive
+    corpus-check-then-batch-dedup gets wrong."""
+    anchor = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    corpus = _docs(spark, [(1, anchor)])
+    b = anchor.replace("mu", "nu")          # ~corpus
+    a = b.replace("alpha beta", "alpha bet")  # ~b, farther from corpus
+    batch = _docs(spark, [(100, a), (101, b)])
+
+    idx = NearDupIndex(wh)
+    idx.bootstrap(corpus)
+    # threshold picked so a~b and b~corpus pass but a~corpus fails
+    got = {r.doc_id for r in idx.filter_new(batch, threshold=0.8).collect()}
+    union_surv = {
+        r.doc_id
+        for r in near_dedup(corpus.unionByName(batch), threshold=0.8).collect()
+        if r.is_survivor
+    }
+    assert got == {d for d in union_surv if d >= 100}
+
+
+def test_absorb_extends_the_index(spark, wh):
+    """Day-2 batch must be checked against day-1 accepted docs too."""
+    corpus = _docs(spark, [(i, t) for i, t in enumerate(BASE)])
+    idx = NearDupIndex(wh)
+    idx.bootstrap(corpus)
+
+    day1 = _docs(spark, [(100, "fresh day one text about broadcast joins and bucketed tables here")])
+    kept1 = idx.filter_new(day1, threshold=0.5)
+    assert kept1.count() == 1
+    idx.absorb(kept1)
+
+    day2 = _docs(
+        spark,
+        [
+            (200, "fresh day one text about broadcast joins and bucketed tables here indeed"),
+            (201, "entirely different prose regarding watermark semantics in streams"),
+        ],
+    )
+    got = sorted(r.doc_id for r in idx.filter_new(day2, threshold=0.5).collect())
+    assert got == [201]  # 200 near-duplicates the absorbed day-1 doc
+
+
+def test_check_reports_pair_evidence(spark, wh):
+    corpus = _docs(spark, [(1, BASE[0])])
+    idx = NearDupIndex(wh)
+    idx.bootstrap(corpus)
+    batch = _docs(spark, [(100, BASE[0].replace("today", "tonight"))])
+    rows = idx.check(batch, threshold=0.5).collect()
+    assert [(r.new_id, r.dup_id) for r in rows] == [(100, 1)]
+    assert 0.5 <= rows[0].jaccard <= 1.0
+
+
+def test_corpus_index_never_shuffles(spark, wh):
+    """Plan shape: the batch bucket frame broadcasts into the corpus
+    bucket scan — no hash-partition exchange on the corpus index side
+    of the candidate join."""
+    corpus = _docs(spark, [(i, t) for i, t in enumerate(BASE)])
+    idx = NearDupIndex(wh)
+    idx.bootstrap(corpus)
+    batch = _docs(spark, [(100, BASE[0])])
+    plan = (
+        idx.check(batch, threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin [band_id" in plan or "BroadcastHashJoin [band_hash" in plan
