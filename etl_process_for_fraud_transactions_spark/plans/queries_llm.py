@@ -255,6 +255,15 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.chunk_documents(docs, chunk_tokens=32, overlap=8)
 
 
+#: 8-token shingle list over a token-list column `t` (DuckDB) — the
+#: SQL twin of operators.dedup.shingles(col, k=8)
+_SQL_SHINGLES8 = """
+    CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(range(1, len(t) - 6),
+                             i -> array_to_string(t[i:i+7], ' '))
+    END"""
+
+
 @query(
     "corpus_curation_pipeline",
     f"""
@@ -266,6 +275,21 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (
         SELECT d.doc_id, d.text FROM documents d JOIN survivors USING (doc_id)
     ),
+    bench_sh AS (
+        SELECT DISTINCT unnest({_SQL_SHINGLES8}) AS shingle
+        FROM (SELECT {_SQL_TOKS} AS t FROM documents WHERE doc_id % 101 = 7)
+    ),
+    doc_sh AS (
+        SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES8})) AS shingle
+        FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM kept)
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM doc_sh JOIN bench_sh USING (shingle)
+    ),
+    clean AS (
+        SELECT k.doc_id, k.text FROM kept k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
     scored AS (
         SELECT doc_id,
                len({_SQL_TOKS}) AS n_tokens,
@@ -273,7 +297,7 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_filter({_SQL_TOKS}, x -> x IN ('the','and','of','to','is'))) AS s_en,
                len(list_filter({_SQL_TOKS}, x -> x IN ('el','la','los','es','y'))) AS s_es,
                len(list_filter({_SQL_TOKS}, x -> x IN ('le','la','et','les','est'))) AS s_fr
-        FROM kept
+        FROM clean
     )
     SELECT doc_id, n_tokens,
            CASE WHEN instr('0123456789abcdef',
@@ -288,21 +312,35 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation, the composition the individual
-    operators exist for: exact dedup -> token-count quality gate ->
-    English-only language filter -> deterministic train/val split.
+    operators exist for: exact dedup -> benchmark decontamination ->
+    token-count quality gate -> English-only language filter ->
+    deterministic train/val split.
 
-    Shuffle accounting at 100 TB: ONE shuffle (dedup's fingerprint
-    groupBy + the id semi-join back); tokenization, language scoring
-    and the split label are all narrow projections fused into the
-    same stage by whole-stage codegen. (The oracle's de-vs-en CASE
-    mirrors pred_lang's alphabetical tie-break: 'de' wins ties.)"""
+    The decontamination stage (round 5, driver-hash-checked) treats
+    documents with doc_id % 101 == 7 as the held-out eval set: any
+    surviving document sharing >= 1 distinct 8-token shingle with an
+    eval item — including the eval docs themselves — is dropped via
+    operators.decontaminate (benchmark shingles BROADCAST; the corpus
+    side never shuffles for the match). The oracle replays the same
+    shingle overlap in SQL.
+
+    Shuffle accounting at 100 TB: dedup's fingerprint groupBy + id
+    semi-join, plus the (matched-pairs-sized) contamination aggregate;
+    tokenization, language scoring and the split label remain narrow
+    projections fused by whole-stage codegen. (The oracle's de-vs-en
+    CASE mirrors pred_lang's alphabetical tie-break: 'de' wins ties.)"""
+    from ..operators.decontaminate import decontaminate
     from ..operators.sampling import train_val_split
 
     docs = load_table(spark, sf_dir, "documents")
     kept = D.dedup_exact(docs)
+    bench = docs.filter((F.col("doc_id") % 101) == 7).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    clean = decontaminate(kept, bench, k=8, min_shared=1)
     # tokenize once per row (X._with_tokens barrier), then gate on the
     # attribute — pred_lang over raw text would re-split per when branch
-    toksed = X._with_tokens(kept, "text")
+    toksed = X._with_tokens(clean, "text")
     _, pred = X._lang_exprs_from(F.col("__toks"))
     enriched = toksed.select(
         "doc_id",
