@@ -40,14 +40,67 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_spark(app_name: str = "etl-fraud-spark", master: str | None = None) -> SparkSession:
+def cluster_profile(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_scan_mb: int = 128,
+) -> dict[str, str]:
+    """The conf set that turns the local[32] test knobs into a
+    production profile — the executable form of the 100 TB story.
+    Pass the result to get_spark(extra_confs=...) or spark-submit
+    ``--conf`` flags. Rationale per knob (defaults: 1000 executors x 4
+    cores = 4000 cores):
+
+    - shuffle.partitions = 3x total cores: enough tasks that one
+      straggling partition never idles the fleet; AQE *coalesces*
+      small partitions downward at runtime (cheap) but cannot split an
+      oversized static partition upward (expensive), so err high.
+    - files.maxPartitionBytes = 128 MB: scan tasks sized so a
+      task's columnar batch + shuffle write buffers fit comfortably in
+      a few-GB executor heap; smaller wastes scheduling overhead,
+      larger risks scan-side spill.
+    - autoBroadcastJoinThreshold stays at the 10 MB default
+      deliberately: bounded dims (nation/region/fraud dims) are far
+      below it at any SF, and fact-growth tables must NOT be hinted
+      (see plans/queries.py::multihop_revenue) — AQE's runtime
+      broadcast decision covers the in-between cases from actual
+      sizes, not estimates.
+    - AQE on (enabled/coalesce/skew): runtime re-planning from true
+      stage statistics is the single biggest scale knob; the planted
+      hot-key study in BASELINE.md documents where explicit
+      salt='auto' is still needed (pair-output skew AQE cannot see).
+    - shuffle.compress / spill.compress default true; leave them.
+
+    These are multiplicative with the operator-level choices (bucketed
+    warehouse layout, partitioned SCD2, broadcast-only-bounded-dims),
+    not a substitute for them."""
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.sql.shuffle.partitions": str(3 * total_cores),
+        "spark.sql.files.maxPartitionBytes": str(target_scan_mb * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.dynamicAllocation.maxExecutors": str(executors),
+    }
+
+
+def get_spark(
+    app_name: str = "etl-fraud-spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
     Local test default: ``local[$SPARK_GRAFT_CPUS]`` with
     shuffle.partitions = cpus (AQE coalesces further at runtime). On a
-    real cluster, pass ``master=None`` under spark-submit and size
-    ``spark.sql.shuffle.partitions`` to ~2-3x total cores; AQE then
-    right-sizes each stage from runtime statistics.
+    real cluster, pass ``master=None`` under spark-submit and
+    ``extra_confs=cluster_profile(...)`` (or the equivalent --conf
+    flags); AQE then right-sizes each stage from runtime statistics.
+
+    extra_confs win over every built-in default (applied last), so the
+    cluster profile — or a test override — always takes effect.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
@@ -62,6 +115,14 @@ def get_spark(app_name: str = "etl-fraud-spark", master: str | None = None) -> S
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     # In case an existing session was reused with different confs:
-    return apply_runtime_confs(spark)
+    spark = apply_runtime_confs(spark)
+    for k, v in (extra_confs or {}).items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a reused session; builder path covers it
+    return spark
