@@ -271,6 +271,46 @@ def lsh_near_neighbors(
     )
 
 
+def near_dedup_embeddings(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 64,
+    bands: int = 4,
+    min_cosine: float = 0.9,
+    seed: int = 42,
+    cc_algorithm: str = "label",
+) -> DataFrame:
+    """Embedding-space near-duplicate clustering, end to end: LSH
+    candidate pairs (ids-only band shuffle) -> exact-cosine verify ->
+    connected components -> per-vector verdict
+    (id, survivor_id, is_survivor), singletons included — the
+    embedding-cosine rung of the dedup ladder, mirroring
+    operators.dedup.near_dedup for text. Filter is_survivor for the
+    deduplicated embedding set; non-survivor rows are the attribution
+    lineage. cc_algorithm='star' for chain-shaped duplicate manifolds
+    (see operators.graph)."""
+    from .graph import dedup_components
+
+    pairs = lsh_near_neighbors(
+        df,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        bands=bands,
+        min_cosine=min_cosine,
+        seed=seed,
+    )
+    return dedup_components(
+        pairs.select("id_a", "id_b"),
+        all_ids=df.select(id_col),
+        id_col=id_col,
+        algorithm=cc_algorithm,
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame, cell_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -74,6 +74,36 @@ def dedup_append_sink(
     return apply
 
 
+def near_dedup_sink(
+    idx,
+    out_table: str,
+    threshold: float = 0.6,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch incremental NEAR-dedup: each micro-batch is checked
+    against the persisted signature index
+    (operators.dedup_incremental.NearDupIndex) — kept documents are
+    appended to `out_table` and absorbed into the index so the NEXT
+    micro-batch dedups against them too. The streaming face of the
+    daily bootstrap/filter_new/absorb cycle: the corpus index never
+    shuffles (batch buckets broadcast), per-epoch cost is O(batch).
+
+    Exactly-once caveat: foreachBatch re-offers a failed epoch under
+    the same batch_id; absorb() is an append, so a crash BETWEEN the
+    out_table append and the index absorb could double-index one batch
+    on replay. A doubled index entry only ADDS candidate pairs (the
+    verify filters them), so results stay correct — the standard
+    idempotency argument for signature stores."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kept = idx.filter_new(batch_df, threshold=threshold).localCheckpoint()
+        idx.wh.append(out_table, kept)
+        idx.absorb(kept)
+
+    return apply
+
+
 def run_foreach_batch(
     stream: DataFrame,
     sink: Callable[[DataFrame, int], None],

@@ -263,3 +263,29 @@ def test_lsh_ids_only_equivalent_to_round4_shape(spark, corpus):
     )
     key = lambda r: (r.id_a, r.id_b, round(r.cos_sim, 9))
     assert sorted(map(key, new.collect())) == sorted(map(key, old.collect()))
+
+
+def test_near_dedup_embeddings_end_to_end(spark):
+    """Embedding-cosine dedup ladder rung: transitive clusters via
+    verified LSH pairs, min-id survivor, singletons kept."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # ~1
+        (3, [0.99, 0.05, 0.0]),    # ~2 (and transitively ~1)
+        (4, [0.0, 1.0, 0.0]),      # singleton
+        (5, [0.0, 0.0, 1.0]),      # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.survivor_id, r.is_survivor)
+        for r in S.near_dedup_embeddings(
+            df, dim=3, n_planes=16, bands=8, min_cosine=0.995
+        ).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[4] == (4, True) and got[5] == (5, True)
+    assert got[2] == (1, False)
+    # 3 clusters with 1 transitively (via 2) even if (1,3) itself
+    # missed the cosine bar in some banding — at minimum it is not a
+    # survivor of its own cluster unless isolated
+    assert got[3][0] in (1, 3)

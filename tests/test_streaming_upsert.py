@@ -83,3 +83,44 @@ def test_dedup_append_sink(spark, tmp_path):
         "P2",
         "P3",
     ]
+
+
+def test_near_dedup_sink_across_microbatches(spark, tmp_path):
+    """Streaming incremental near-dedup: batch 2 must dedup against
+    both the bootstrapped corpus AND batch 1's absorbed survivors."""
+    from etl_process_for_fraud_transactions_spark.operators.dedup_incremental import (
+        NearDupIndex,
+    )
+    from etl_process_for_fraud_transactions_spark.streaming.upsert import (
+        near_dedup_sink,
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = NearDupIndex(wh)
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and runs far away today")],
+        "doc_id long, text string",
+    )
+    idx.bootstrap(corpus)
+
+    def _stream():
+        return spark.readStream.schema("doc_id long, text string").json(str(src))
+
+    sink = near_dedup_sink(idx, "curated_docs", threshold=0.5)
+
+    (src / "b1.jsonl").write_text(
+        '{"doc_id": 100, "text": "the quick brown fox jumps over the lazy dog and runs far away today"}\n'
+        '{"doc_id": 101, "text": "brand new prose about watermark state eviction in streaming joins"}\n'
+    )
+    run_foreach_batch(_stream(), sink, str(tmp_path / "ck"))
+    assert sorted(r.doc_id for r in wh.read("curated_docs").collect()) == [101]
+
+    (src / "b2.jsonl").write_text(
+        '{"doc_id": 200, "text": "brand new prose about watermark state eviction in streaming joins indeed"}\n'
+        '{"doc_id": 201, "text": "totally unrelated sentences describing parquet footer statistics"}\n'
+    )
+    run_foreach_batch(_stream(), sink, str(tmp_path / "ck"))
+    # 200 near-duplicates batch-1's absorbed 101 -> only 201 appended
+    assert sorted(r.doc_id for r in wh.read("curated_docs").collect()) == [101, 201]
