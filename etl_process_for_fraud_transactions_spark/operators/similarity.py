@@ -356,6 +356,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     sim_round: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: score centroids per query (tiny cross join),
     keep the nprobe best cells, then search only those cells' vectors.
@@ -366,9 +367,17 @@ def ivf_topk(
     cut) and the final cosine (before the top-k rank) to this many
     decimals, with id tie-breaks — makes the whole cascade replayable
     by an external verifier whose float sums may differ in the last
-    ulp. None (default) ranks on raw doubles."""
+    ulp. None (default) ranks on raw doubles.
+
+    centroids: precomputed (cell_col, centroid) frame — pass the
+    persisted table from IvfIndex so serving never re-aggregates the
+    corpus; None recomputes in-plan (one-shot use)."""
     _r = (lambda c: F.round(c, sim_round)) if sim_round is not None else (lambda c: c)
-    cents = ivf_centroids(corpus, cell_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, cell_col, vec_col)
+    )
     q = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col).alias("__qv"),
@@ -405,6 +414,122 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+class IvfIndex:
+    """Persisted IVF index — the serving shape of the similarity tier,
+    mirroring NearDupIndex for dedup: build once, query many times.
+
+    - `<name>_vectors`   : the assigned corpus, hive-PARTITIONED BY the
+      cell id, so a probe of nprobe cells reads nprobe directories —
+      dynamic partition pruning (the probe side broadcasts) skips the
+      rest of the corpus at the FILE level, not just the row level.
+    - `<name>_centroids` : (cell, centroid) — tiny; serving never
+      re-aggregates the corpus to recover the quantizer.
+
+    Rebuild cadence: centroids drift as the corpus grows; rebuild when
+    the fraction of vectors closer to a different centroid than their
+    assigned one exceeds tolerance (or simply with each major corpus
+    version). Appending new vectors assigned to existing cells
+    (`absorb`) is always safe for correctness — recall degrades
+    gracefully, never silently."""
+
+    def __init__(
+        self,
+        wh,
+        name: str = "ivf",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        cell_col: str = "ivf_cell",
+    ):
+        self.wh = wh
+        self.name = name
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.cell_col = cell_col
+
+    @property
+    def vectors_table(self) -> str:
+        return f"{self.name}_vectors"
+
+    @property
+    def centroids_table(self) -> str:
+        return f"{self.name}_centroids"
+
+    def build(
+        self,
+        corpus: DataFrame,
+        n_cells: int = 16,
+        seed: int = 42,
+        max_iter: int = 20,
+    ) -> None:
+        from ..sources.warehouse import atomic_overwrite
+
+        assigned = ivf_build(
+            corpus, n_cells, self.vec_col, self.cell_col, seed, max_iter
+        )
+        atomic_overwrite(
+            assigned,
+            self.wh.path(self.vectors_table),
+            partition_by=[self.cell_col],
+        )
+        # centroids from the PERSISTED assignment so both tables agree
+        self.wh.overwrite(
+            self.centroids_table,
+            ivf_centroids(
+                self.wh.read(self.vectors_table), self.cell_col, self.vec_col
+            ),
+        )
+
+    def absorb(self, new_vectors: DataFrame) -> None:
+        """Assign new vectors to their nearest EXISTING centroid and
+        append into the cell layout (centroids unchanged — see class
+        docstring for the rebuild policy)."""
+        cents = self.wh.read(self.centroids_table)
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.desc("__sim"), F.asc(self.cell_col)
+        )
+        assigned = (
+            new_vectors.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "__sim", cosine(F.col(self.vec_col), F.col("centroid"))
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__sim", "__rn", "centroid")
+        )
+        self.wh.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        assigned.write.mode("append").partitionBy(self.cell_col).parquet(
+            self.wh.path(self.vectors_table)
+        )
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 2,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        sim_round: int | None = None,
+    ) -> DataFrame:
+        """Serve approximate top-k from the persisted index: stored
+        centroids pick the probe cells, and the cell-partitioned
+        vectors table is read partition-pruned."""
+        return ivf_topk(
+            self.wh.read(self.vectors_table),
+            queries,
+            k=k,
+            nprobe=nprobe,
+            cell_col=self.cell_col,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            sim_round=sim_round,
+            centroids=self.wh.read(self.centroids_table),
+        )
 
 
 # --- int8 quantization -----------------------------------------------------

@@ -289,3 +289,64 @@ def test_near_dedup_embeddings_end_to_end(spark):
     # missed the cosine bar in some banding — at minimum it is not a
     # survivor of its own cluster unless isolated
     assert got[3][0] in (1, 3)
+
+
+def test_ivf_index_persisted_serving(spark, tmp_path, corpus, queries):
+    """Persisted IVF index: build -> serve from stored centroids +
+    cell-partitioned vectors; results equal the one-shot in-plan
+    cascade, and the vectors scan is partition-pruned (the probe side
+    broadcasts into the partition column -> dynamic pruning)."""
+    pytest.importorskip("numpy")
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = S.IvfIndex(wh)
+    idx.build(corpus.drop("label"), n_cells=3, seed=42)
+
+    served = idx.topk(queries, k=2, nprobe=2, sim_round=6)
+    fresh = S.ivf_topk(
+        wh.read(idx.vectors_table),
+        queries,
+        k=2,
+        nprobe=2,
+        cell_col="ivf_cell",
+        sim_round=6,
+    )
+    key = lambda r: (r.query_id, r.rank, r.vec_id, round(r.cos_sim, 6))
+    assert sorted(map(key, served.collect())) == sorted(map(key, fresh.collect()))
+
+    # layout: one directory per cell; scan of the vectors table carries
+    # a partition filter on the cell column
+    dirs = [p.name for p in (tmp_path / "wh" / "ivf_vectors").iterdir()
+            if p.name.startswith("ivf_cell=")]
+    assert len(dirs) >= 2
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_ivf_index_absorb_assigns_nearest_cell(spark, tmp_path, corpus, queries):
+    pytest.importorskip("numpy")
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = S.IvfIndex(wh)
+    idx.build(corpus.drop("label"), n_cells=3, seed=42)
+    before = wh.read(idx.vectors_table).count()
+
+    new = spark.createDataFrame(
+        [(100, [0.95, 0.05, 0.0])], "vec_id long, embedding array<double>"
+    )
+    idx.absorb(new)
+    vecs = wh.read(idx.vectors_table)
+    assert vecs.count() == before + 1
+    # the absorbed vector landed in the same cell as its nearest
+    # neighbor (vec_id 1 = [1,0,0])
+    cell_of = {r.vec_id: r.ivf_cell for r in vecs.collect()}
+    assert cell_of[100] == cell_of[1]
+    # and serving finds it for an aligned query
+    got = idx.topk(queries, k=3, nprobe=2).collect()
+    assert 100 in {r.vec_id for r in got if r.query_id == 100}
