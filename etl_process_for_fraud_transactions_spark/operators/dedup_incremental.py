@@ -81,6 +81,48 @@ class NearDupIndex:
     def shingles_table(self) -> str:
         return f"{self.name}_shingles"
 
+    @property
+    def meta_table(self) -> str:
+        return f"{self.name}_meta"
+
+    def _params(self) -> dict:
+        return {
+            "k": self.k,
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "portable": self.portable,
+        }
+
+    def _write_meta(self) -> None:
+        row = [tuple(self._params().values())]
+        self.wh.overwrite(
+            self.meta_table,
+            self.wh.spark.createDataFrame(
+                row, "k int, num_hashes int, bands int, portable boolean"
+            ),
+        )
+
+    def _validate_params(self) -> None:
+        """Candidates from mismatched hash families silently vanish, so
+        a store bootstrapped under different LSH parameters is a
+        correctness bug, not a tuning choice — fail loudly."""
+        if getattr(self, "_params_ok", False):
+            return
+        if not self.wh.exists(self.meta_table):
+            # pre-meta store (or external writer): nothing to check
+            self._params_ok = True
+            return
+        stored = self.wh.read(self.meta_table).collect()[0].asDict()
+        mine = self._params()
+        if stored != mine:
+            raise ValueError(
+                f"NearDupIndex '{self.name}' was built with {stored}, "
+                f"but this instance uses {mine} — candidates from "
+                "mismatched hash families silently vanish; rebuild the "
+                "index or match its parameters"
+            )
+        self._params_ok = True
+
     def _buckets(self, docs: DataFrame) -> DataFrame:
         return minhash_band_buckets(
             docs,
@@ -102,9 +144,12 @@ class NearDupIndex:
         daily path is absorb()."""
         self.wh.overwrite(self.buckets_table, self._buckets(corpus))
         self.wh.overwrite(self.shingles_table, self._shingles(corpus))
+        self._write_meta()
+        self._params_ok = True
 
     def absorb(self, accepted: DataFrame) -> None:
         """Append accepted batch documents to the index. O(batch)."""
+        self._validate_params()
         self.wh.append(self.buckets_table, self._buckets(accepted))
         self.wh.append(self.shingles_table, self._shingles(accepted))
 
@@ -113,6 +158,7 @@ class NearDupIndex:
         document by an indexed corpus document. The batch bucket frame
         broadcasts into the corpus index (the corpus never shuffles);
         corpus shingles are fetched only for candidate ids."""
+        self._validate_params()
         corpus_b = self.wh.read(self.buckets_table)
         batch_b = self._buckets(new_docs)
         cand = (

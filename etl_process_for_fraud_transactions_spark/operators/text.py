@@ -251,6 +251,96 @@ def chunk_documents(
     )
 
 
+#: stopwords for the Gopher "contains common words" rule
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", appendix A1.1) as one narrow
+    projection: per-rule boolean flags plus the conjunction
+    `passes_gopher`. Defaults are the published thresholds.
+
+    Rules: word count in [min,max]; mean word length in [3,10];
+    symbol-to-word ratio (# and ellipsis) <= 0.1; < 90% of lines start
+    with a bullet; < 30% end with an ellipsis; >= 80% of words contain
+    an alphabetic character; at least 2 distinct common English words
+    appear.
+
+    All higher-order array expressions over ONE whitespace split and
+    ONE line split — map-only, zero shuffles, scales with executors.
+    Compose with `quality_stats`/`profile_documents` (statistical
+    profile) — this is the hard gate, that is the dashboard."""
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda w: F.length(w) > 0)
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    toks = tokens(c)
+
+    def over(arr, pred):
+        return F.size(F.filter(arr, pred))
+
+    n_words = F.size(words)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    nd = n_words.cast("double")
+    mean_wl = (
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+        / F.greatest(n_words, F.lit(1))
+    )
+    n_symbols = over(words, lambda w: w.contains("#")) + over(
+        words, lambda w: w.contains("...") | w.contains("…")
+    )
+    bullet_frac = (
+        over(lines, lambda l: F.trim(l).startswith("-") | F.trim(l).startswith("•"))
+        / n_lines
+    )
+    ellipsis_frac = (
+        over(lines, lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"))
+        / n_lines
+    )
+    alpha_frac = over(words, lambda w: w.rlike("[A-Za-z]")) / F.greatest(
+        n_words, F.lit(1)
+    )
+    stop_hits = F.size(
+        F.array_distinct(
+            F.filter(toks, _marker_filter(list(GOPHER_STOPWORDS)))
+        )
+    )
+
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_symbol_ratio": (n_symbols / F.greatest(nd, F.lit(1.0)))
+        <= max_symbol_ratio,
+        "ok_bullet_lines": bullet_frac < max_bullet_frac,
+        "ok_ellipsis_lines": ellipsis_frac < max_ellipsis_frac,
+        "ok_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "ok_stopwords": stop_hits >= min_stopword_hits,
+    }
+    passes = None
+    for f in flags.values():
+        passes = f if passes is None else (passes & f)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        *[expr.alias(name) for name, expr in flags.items()],
+        passes.alias("passes_gopher"),
+    )
+
+
 # --- repetition removal (within-doc + corpus boilerplate) ------------------
 
 def dedup_paragraphs_within(

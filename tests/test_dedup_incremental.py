@@ -130,3 +130,13 @@ def test_corpus_index_never_shuffles(spark, wh):
         .toString()
     )
     assert "BroadcastHashJoin [band_id" in plan or "BroadcastHashJoin [band_hash" in plan
+
+def test_parameter_mismatch_fails_loudly(spark, wh):
+    """A store bootstrapped under one hash family must refuse an
+    instance with different LSH parameters — mismatched candidates
+    silently vanish otherwise."""
+    corpus = _docs(spark, [(i, t) for i, t in enumerate(BASE)])
+    NearDupIndex(wh, num_hashes=32, bands=8).bootstrap(corpus)
+    wrong = NearDupIndex(wh, num_hashes=16, bands=4)
+    with pytest.raises(ValueError, match="hash famil"):
+        wrong.check(_docs(spark, [(100, BASE[0])]), threshold=0.5)

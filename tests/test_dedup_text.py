@@ -307,3 +307,43 @@ def test_prefix_filter_jaccard_is_exact_at_the_boundary(spark):
         assert abs(got[pair] - j) < 1e-12, pair
     # the cross-source identical pair (1,5) must NOT appear
     assert (1, 5) not in got
+
+
+class TestGopherFlags:
+    def test_known_answers(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            gopher_quality_flags,
+        )
+
+        good = " ".join(
+            "the quick brown fox and that dog have fun with energy".split() * 6
+        )  # 66 words, all alpha, stopword-rich
+        bullets = "\n".join(f"- item {i}" for i in range(10))
+        symbols = " ".join(["word#tag"] * 30 + ["plain"] * 30)
+        short = "tiny text here"
+        rows = [(1, good), (2, bullets), (3, symbols), (4, short)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+
+        assert got[1].passes_gopher
+        assert got[1].n_words == 66
+        # bullets: every line starts with '-' -> bullet gate fails
+        assert not got[2].ok_bullet_lines and not got[2].passes_gopher
+        # symbols: 30/60 words carry '#' -> ratio 0.5 > 0.1
+        assert not got[3].ok_symbol_ratio and not got[3].passes_gopher
+        # short: word count gate
+        assert not got[4].ok_word_count and not got[4].passes_gopher
+
+    def test_map_only_plan(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            gopher_quality_flags,
+        )
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = (
+            gopher_quality_flags(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "Join" not in plan
