@@ -8,6 +8,7 @@ runs them.
       -> exact dedup                           (fingerprint shuffle)
       -> near-dup clustering, keep survivors   (LSH bands + components)
       -> quality gate (token count)            (narrow)
+      -> optional Gopher-rule gate             (narrow, gopher_gate=True)
       -> language filter                       (narrow)
       -> benchmark decontamination             (broadcast join)
       -> deterministic train/val split         (narrow)
@@ -53,6 +54,7 @@ def curate_corpus(
     boilerplate_min_docs: int = 10,
     decontaminate_k: int = 8,
     val_buckets: int = 2,
+    gopher_gate: bool = False,
 ) -> DataFrame:
     """Returns (id, text, n_tokens, pred_lang, split) — the curated,
     deduplicated, decontaminated, split corpus. `benchmark` (optional)
@@ -90,6 +92,16 @@ def curate_corpus(
             & F.col("pred_lang").isin(list(languages))
         )
     )
+
+    if gopher_gate:
+        # hard document-quality gate (published Gopher rules) on top of
+        # the min_tokens floor; map-only, so it fuses into the same stage
+        from .text import gopher_quality_flags
+
+        ok = gopher_quality_flags(gated, text_col, id_col).filter(
+            F.col("passes_gopher")
+        )
+        gated = gated.join(ok.select(id_col), id_col, "left_semi")
 
     if benchmark is not None:
         gated = decontaminate(

@@ -105,3 +105,15 @@ def test_curate_corpus_custom_id_col(spark, corpus):
     assert out.columns[0] == "page_id"
     ids = {r.page_id for r in out.collect()}
     assert ids == {1, 4} | {100 + i for i in range(12)}
+
+
+def test_curate_corpus_gopher_gate(spark, corpus):
+    """gopher_gate=True additionally drops documents failing the
+    published Gopher rules (every fixture doc is < 50 words, so the
+    word-count rule empties the corpus — proving the gate engages)."""
+    strict = curate_corpus(
+        corpus, near_dup_threshold=0.5, min_tokens=10, gopher_gate=True
+    )
+    assert strict.count() == 0
+    relaxed = curate_corpus(corpus, near_dup_threshold=0.5, min_tokens=10)
+    assert relaxed.count() > 0
