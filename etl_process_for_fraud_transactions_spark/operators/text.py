@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: token pattern: words (incl. unicode letters) or single non-space symbols —
 #: a cheap BPE-ish pre-tokenizer.
@@ -251,6 +252,69 @@ def chunk_documents(
     )
 
 
+#: PII patterns for scrub_pii — deliberately high-precision regexes
+#: (the curation trade-off: a missed phone number is survivable, a
+#: corpus full of "[PHONE]" where prices used to be is not)
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (
+        r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b",
+        "[IP]",
+    ),
+    "phone": (
+        r"(?<![\d.])(?:\+?\d{1,3}[ .-])?(?:\(\d{2,4}\)[ .-]?)?"
+        r"\d{3}[ .-]\d{3,4}(?:[ .-]\d{1,4})?(?![\d.])",
+        "[PHONE]",
+    ),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    "card": (r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "[CARD]"),
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "ssn", "card", "ipv4", "phone"),
+    count: bool = True,
+) -> DataFrame:
+    """Mask PII spans in `text_col` with typed placeholders — the
+    privacy-scrub stage of a training-data pipeline (emails, SSNs,
+    card numbers, IPv4s, phone-shaped numbers by default; order
+    matters — specific patterns run before the greedy phone regex so
+    an SSN doesn't half-match as a phone). Adds `n_pii_masked` (total
+    replacements across kinds) when count=True so downstream audits
+    can rank documents by PII density without re-scanning.
+
+    Chained regexp_replace expressions: map-only, zero shuffles, one
+    codegen stage at any corpus size. For long-tail PII (names,
+    addresses) swap in an NER model via mapInPandas — the column
+    contract stays the same."""
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    scrubbed = F.col(text_col)
+    n_masked = F.lit(0)
+    for kind in kinds:
+        pattern, token = PII_PATTERNS[kind]
+        if count:
+            # counted over the PARTIALLY scrubbed text so a span one
+            # kind already masked never double-counts under a later one
+            n_masked = n_masked + F.size(
+                F.regexp_extract_all(scrubbed, F.lit(pattern), 0)
+            )
+        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+    # one select evaluating BOTH expression trees against the original
+    # column — a withColumn chain would re-resolve the count against
+    # the already-replaced text and always yield 0
+    extra = [n_masked.alias("n_pii_masked")] if count else []
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        scrubbed.alias(text_col),
+        *extra,
+    )
+
+
 #: stopwords for the Gopher "contains common words" rule
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
@@ -338,6 +402,50 @@ def gopher_quality_flags(
         n_words.alias("n_words"),
         *[expr.alias(name) for name, expr in flags.items()],
         passes.alias("passes_gopher"),
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    token_col: str = "n_chunk_tokens",
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+    shards: int = 256,
+) -> DataFrame:
+    """Assign chunks to fixed-budget training sequences ("sequence
+    packing"): adds `pack_id` such that the chunks sharing a pack_id,
+    concatenated in `order_cols` order, form one training sequence of
+    ~max_tokens tokens. The standard last-mile between chunking
+    (`chunk_documents`) and a trainer that wants dense fixed-length
+    batches instead of one padded sequence per (variable-length) doc.
+
+    Distributed shape: exact greedy packing is inherently sequential,
+    so rows are first sharded deterministically (hash of the leading
+    order column, `shards`-way — each shard packs independently and
+    in parallel), then packed CONTIGUOUSLY within the shard by a
+    running-sum window: bin = floor(tokens_before / max_tokens). Each
+    pack's total is < max_tokens + max-chunk-size (bounded overflow —
+    trainers truncate the tail token; the alternative, bin-perfect
+    packing, serializes the corpus). One shuffle (the shard window),
+    deterministic under re-partitioning.
+
+    pack_id encodes (shard, bin) as shard * 2^32 + bin, so ids are
+    globally unique and stable."""
+    shard = F.pmod(F.xxhash64(F.col(order_cols[0])), F.lit(shards))
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_shard = df.withColumn("__shard", shard)
+    cum = F.sum(F.col(token_col)).over(w)
+    before = cum - F.col(token_col)
+    bin_id = F.floor(before / F.lit(max_tokens))
+    return (
+        with_shard.withColumn(
+            "pack_id", F.col("__shard") * F.lit(2**32) + bin_id
+        )
+        .drop("__shard")
     )
 
 

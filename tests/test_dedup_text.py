@@ -347,3 +347,67 @@ class TestGopherFlags:
             .toString()
         )
         assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestScrubPii:
+    def test_known_answers(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.text import scrub_pii
+
+        rows = [
+            (1, "contact bob@example.com or call 555-123-4567 today"),
+            (2, "ssn 123-45-6789 card 4111 1111 1111 1111 ip 192.168.1.1"),
+            (3, "no pii here just plain prose about spark joins"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in scrub_pii(df).collect()}
+        assert "[EMAIL]" in got[1].text and "bob@" not in got[1].text
+        assert "[PHONE]" in got[1].text and "4567" not in got[1].text
+        assert got[1].n_pii_masked == 2
+        assert "[SSN]" in got[2].text and "[CARD]" in got[2].text
+        assert "[IP]" in got[2].text
+        # the SSN masked as SSN, not half-eaten by the phone regex
+        assert "[PHONE]" not in got[2].text
+        assert got[3].text == rows[2][1]
+        assert got[3].n_pii_masked == 0
+
+    def test_map_only(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.text import scrub_pii
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestPackChunks:
+    def test_bounded_packs_and_determinism(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            chunk_documents,
+            pack_chunks,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(5 + (i * 7) % 40)))
+             for i in range(40)],
+            "doc_id long, text string",
+        )
+        chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
+        packed = pack_chunks(chunks, max_tokens=64, shards=4)
+        rows = packed.collect()
+        assert all(r.pack_id is not None for r in rows)
+        totals = {}
+        for r in rows:
+            totals[r.pack_id] = totals.get(r.pack_id, 0) + r.n_chunk_tokens
+        # bounded overflow: every pack < max + chunk size
+        assert all(t < 64 + 16 for t in totals.values())
+        # dense: a non-final pack spans a full max_tokens window minus
+        # at most one straddling chunk -> total >= max - chunk_size
+        by_shard = {}
+        for pid, t in totals.items():
+            by_shard.setdefault(pid // 2**32, []).append((pid, t))
+        for packs in by_shard.values():
+            for pid, t in sorted(packs)[:-1]:
+                assert t >= 64 - 16, (pid, t)
+        # deterministic under re-partitioning
+        again = pack_chunks(chunks.repartition(7), max_tokens=64, shards=4)
+        key = lambda r: (r.doc_id, r.chunk_id, r.pack_id)
+        assert sorted(map(key, again.collect())) == sorted(map(key, rows))
