@@ -78,6 +78,62 @@ def deterministic_sample(
     return df.filter(hash_fraction(id_col, seed) < F.lit(fraction))
 
 
+def sample_to_mixture(
+    df: DataFrame,
+    shares: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "0",
+) -> DataFrame:
+    """Downsample so the output follows a target source mixture — the
+    data-mixing step of training-corpus assembly ("60% web, 30% books,
+    10% code"). Sources absent from `shares` are dropped.
+
+    The output is the LARGEST mixture-correct subset: the binding
+    source (smallest availability/share ratio) is kept whole and every
+    other source is deterministically downsampled to match — no source
+    is ever upsampled (duplication is the dedup ladder's enemy).
+    Source counts come from one aggregate (rows = #sources, driver
+    cost bounded by the dict); membership is then a pure function of
+    (seed, id) via hash_fraction, so the mixture is reproducible
+    across runs and re-shards. Expected output size:
+    total_kept ≈ min_s(count_s / share_s).
+
+    Shares are normalized, so {web: 6, books: 3, code: 1} works."""
+    if not shares:
+        raise ValueError("shares must be non-empty")
+    if any(s <= 0 for s in shares.values()):
+        raise ValueError("shares must be positive")
+    total_share = float(sum(shares.values()))
+    norm = {k: v / total_share for k, v in shares.items()}
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(F.col(source_col).isin(list(shares)))
+        .groupBy(source_col)
+        .count()
+        .collect()
+    }
+    missing = [s for s in shares if counts.get(s, 0) == 0]
+    if missing:
+        raise ValueError(
+            f"sources {missing} have no rows — a mixture containing "
+            "them is unsatisfiable without upsampling"
+        )
+    # binding source determines the achievable total
+    target_total = min(counts[s] / norm[s] for s in shares)
+    fractions = {
+        s: min(1.0, (norm[s] * target_total) / counts[s]) for s in shares
+    }
+    return stratified_sample(
+        df.filter(F.col(source_col).isin(list(shares))),
+        fractions,
+        strata_col=source_col,
+        id_col=id_col,
+        default_fraction=0.0,
+        seed=seed,
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

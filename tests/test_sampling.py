@@ -85,3 +85,43 @@ def test_sample_plan_is_narrow(spark, ids):
         deterministic_sample(ids, 0.5)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestSampleToMixture:
+    def test_mixture_proportions(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.sampling import (
+            sample_to_mixture,
+        )
+
+        rows = (
+            [(i, "web") for i in range(6000)]
+            + [(10_000 + i, "books") for i in range(1000)]
+            + [(20_000 + i, "code") for i in range(3000)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        # books is binding: 1000/0.25 -> target total ~4000
+        out = sample_to_mixture(
+            df, {"web": 0.5, "books": 0.25, "code": 0.25}
+        )
+        got = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+        assert got["books"] == 1000  # binding source kept whole
+        assert abs(got["web"] - 2000) < 200   # hash sampling tolerance
+        assert abs(got["code"] - 1000) < 150
+        # deterministic
+        again = sample_to_mixture(df, {"web": 0.5, "books": 0.25, "code": 0.25})
+        assert sorted(r.doc_id for r in out.collect()) == sorted(
+            r.doc_id for r in again.collect()
+        )
+
+    def test_unlisted_sources_dropped_and_empty_raises(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.sampling import (
+            sample_to_mixture,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "web"), (2, "spam")], "doc_id long, source string"
+        )
+        out = sample_to_mixture(df, {"web": 1.0})
+        assert [r.source for r in out.collect()] == ["web"]
+        with pytest.raises(ValueError, match="unsatisfiable"):
+            sample_to_mixture(df, {"web": 0.5, "absent": 0.5})
