@@ -498,9 +498,6 @@ class IvfIndex:
             .filter(F.col("__rn") == 1)
             .drop("__sim", "__rn", "centroid")
         )
-        self.wh.spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
         assigned.write.mode("append").partitionBy(self.cell_col).parquet(
             self.wh.path(self.vectors_table)
         )
