@@ -35,6 +35,20 @@ dropped entirely (in the union run the corpus member is the
 min-id survivor), and corpus-clean batch clusters keep their min-id
 member (equivalence pinned by test, including the transitive
 batch-doc -> batch-doc -> corpus-doc chain case).
+
+Cross-day caveat — the equivalence above is PER BATCH, not global
+over a multi-day history: with the default cycle (absorb only the
+SURVIVORS of each batch) a day-2 document that near-duplicates a
+day-1 document which was itself dropped — but matches nothing that
+was indexed — survives, where a single near_dedup over all days
+would have linked it transitively through the dropped day-1 copy.
+Deployments that want the tighter cross-day closure can absorb the
+FULL batch instead of the survivors (`idx.absorb(batch)` after
+`kept = idx.filter_new(batch)`): absorb() indexes whatever it is
+given, so later batches then match dropped documents' signatures
+too, at the cost of index rows for documents that are not in the
+output corpus (check()'s `dup_id` may then name a dropped doc — fine
+for verdicts, mind it for attribution joins).
 """
 
 from __future__ import annotations
@@ -148,8 +162,17 @@ class NearDupIndex:
         self._params_ok = True
 
     def absorb(self, accepted: DataFrame) -> None:
-        """Append accepted batch documents to the index. O(batch)."""
+        """Append accepted batch documents to the index. O(batch).
+
+        `accepted` is typically the LAZY frame returned by
+        filter_new(); it is pinned (localCheckpoint) before either
+        append so both writes see the same rows — without it the
+        second append would recompute the whole filter_new plan
+        against a buckets table the first append already mutated,
+        and the index would stay consistent only by the accident of
+        append ordering."""
         self._validate_params()
+        accepted = accepted.localCheckpoint()
         self.wh.append(self.buckets_table, self._buckets(accepted))
         self.wh.append(self.shingles_table, self._shingles(accepted))
 

@@ -171,9 +171,15 @@ def _connected_components_star(
     slightly heavier round (two groupBy+join phases).
 
     Same loop mechanics as label propagation: per-round
-    localCheckpoint truncates the doubling lineage, convergence is an
-    exceptAll probe in both directions (set equality, not a count or
-    hash heuristic)."""
+    localCheckpoint truncates the doubling lineage. Convergence is
+    exact set equality, probed cheaply: the edge set shrinks toward
+    the star forest, so while the loop is making progress the edge
+    COUNT almost always changes — one cheap aggregate decides
+    "changed" and skips the two wide exceptAll set-differences; only
+    when counts agree (the candidate fixed point) does the
+    bidirectional exceptAll confirm true equality. The count is
+    cached across rounds so each round pays exactly one count() of
+    the new frame while converging."""
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -193,13 +199,20 @@ def _connected_components_star(
         .localCheckpoint()
     )
     try:
+        n_e = e.count()
         for _ in range(max_iter):
             new_e = _small_star(_large_star(e)).localCheckpoint()
+            n_new = new_e.count()
+            if n_new != n_e:
+                # still contracting: counts differ => sets differ, no
+                # need for the two wide exceptAll set-differences
+                e, n_e = new_e, n_new
+                continue
             changed = (
                 new_e.exceptAll(e).limit(1).count()
                 + e.exceptAll(new_e).limit(1).count()
             )
-            e, old = new_e, e
+            e, n_e = new_e, n_new
             if changed == 0:
                 # fixed point: e is (child, root) for every non-root
                 labels = nodes.join(

@@ -119,10 +119,18 @@ def sample_to_mixture(
             f"sources {missing} have no rows — a mixture containing "
             "them is unsatisfiable without upsampling"
         )
-    # binding source determines the achievable total
-    target_total = min(counts[s] / norm[s] for s in shares)
+    # The binding source (smallest availability/share ratio) determines
+    # the achievable total and is pinned to fraction EXACTLY 1.0: the
+    # algebraic roundtrip norm[s]*(counts[s]/norm[s])/counts[s] can land
+    # one float ulp below 1.0, and hash_fraction < 1-ulp would then drop
+    # a row of the source the docstring guarantees is kept whole.
+    # (Sources tied with the binding one get the computed ~1.0 value —
+    # only the argmin carries the kept-whole guarantee.)
+    binding = min(sorted(shares), key=lambda s: counts[s] / norm[s])
+    target_total = counts[binding] / norm[binding]
     fractions = {
-        s: min(1.0, (norm[s] * target_total) / counts[s]) for s in shares
+        s: 1.0 if s == binding else min(1.0, (norm[s] * target_total) / counts[s])
+        for s in shares
     }
     return stratified_sample(
         df.filter(F.col(source_col).isin(list(shares))),

@@ -410,7 +410,7 @@ def pack_chunks(
     max_tokens: int = 2048,
     token_col: str = "n_chunk_tokens",
     order_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
-    shards: int = 256,
+    shards: int | None = None,
 ) -> DataFrame:
     """Assign chunks to fixed-budget training sequences ("sequence
     packing"): adds `pack_id` such that the chunks sharing a pack_id,
@@ -430,7 +430,18 @@ def pack_chunks(
     deterministic under re-partitioning.
 
     pack_id encodes (shard, bin) as shard * 2^32 + bin, so ids are
-    globally unique and stable."""
+    globally unique and stable.
+
+    shards=None (default) derives the shard count from the input row
+    count — one count() action, then rows / ~200k-rows-per-shard
+    clamped to [32, 65536], so a shard's running-sum window (executed
+    as ONE task) stays memory-bounded from 60k test rows up to a
+    100 TB corpus. Pass an explicit `shards` for reproducible pack_ids
+    across corpus versions: the shard assignment is hash(id) % shards,
+    so pack_ids are stable for a GIVEN shard count but redistribute
+    when the auto-derived count changes with corpus growth."""
+    if shards is None:
+        shards = min(65536, max(32, df.count() // 200_000 + 1))
     shard = F.pmod(F.xxhash64(F.col(order_cols[0])), F.lit(shards))
     w = (
         Window.partitionBy("__shard")

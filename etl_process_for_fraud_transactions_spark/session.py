@@ -69,6 +69,13 @@ def cluster_profile(
       stage statistics is the single biggest scale knob; the planted
       hot-key study in BASELINE.md documents where explicit
       salt='auto' is still needed (pair-output skew AQE cannot see).
+    - dynamicAllocation.enabled + shuffleTracking.enabled +
+      maxExecutors: the three travel together — maxExecutors is inert
+      without the enable flag, and on clusters without an external
+      shuffle service (Kubernetes, most cloud deployments) dynamic
+      allocation refuses to release executors unless shuffle tracking
+      stands in for the service. A deployment that manages allocation
+      itself (static YARN queues) can override all three.
     - shuffle.compress / spill.compress default true; leave them.
 
     These are multiplicative with the operator-level choices (bucketed
@@ -82,6 +89,8 @@ def cluster_profile(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.executor.cores": str(cores_per_executor),
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
         "spark.dynamicAllocation.maxExecutors": str(executors),
     }
 

@@ -411,3 +411,25 @@ class TestPackChunks:
         again = pack_chunks(chunks.repartition(7), max_tokens=64, shards=4)
         key = lambda r: (r.doc_id, r.chunk_id, r.pack_id)
         assert sorted(map(key, again.collect())) == sorted(map(key, rows))
+
+    def test_auto_shards_scale_with_rows(self, spark):
+        """shards=None derives the count from input size (clamped to
+        >=32) and the result still satisfies the packing bounds; an
+        explicit shards value gives reproducible pack_ids."""
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            chunk_documents,
+            pack_chunks,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(30))) for i in range(20)],
+            "doc_id long, text string",
+        )
+        chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
+        packed = pack_chunks(chunks, max_tokens=64)  # auto shards -> 32
+        totals = {}
+        for r in packed.collect():
+            totals[r.pack_id] = totals.get(r.pack_id, 0) + r.n_chunk_tokens
+        assert all(t < 64 + 16 for t in totals.values())
+        # small input clamps to the 32-shard floor: shard ids < 32
+        assert all(pid // 2**32 < 32 for pid in totals)

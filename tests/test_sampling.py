@@ -113,6 +113,25 @@ class TestSampleToMixture:
             r.doc_id for r in again.collect()
         )
 
+    def test_binding_source_kept_whole_at_non_dyadic_shares(self, spark):
+        """The binding source's fraction is pinned to exactly 1.0, not
+        recovered through the norm*target/count float roundtrip: with
+        shares like 1/3 the roundtrip can land one ulp below 1.0 and
+        hash_fraction < 1-ulp would drop a 'kept whole' row."""
+        from etl_process_for_fraud_transactions_spark.operators.sampling import (
+            sample_to_mixture,
+        )
+
+        rows = (
+            [(i, "web") for i in range(900)]
+            + [(10_000 + i, "books") for i in range(100)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        # non-dyadic shares (2/3, 1/3): books binding at 100/(1/3)=300
+        out = sample_to_mixture(df, {"web": 2.0, "books": 1.0})
+        got = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+        assert got["books"] == 100  # exactly whole, ulp-proof
+
     def test_unlisted_sources_dropped_and_empty_raises(self, spark):
         from etl_process_for_fraud_transactions_spark.operators.sampling import (
             sample_to_mixture,
