@@ -432,7 +432,20 @@ class IvfIndex:
     assigned one exceeds tolerance (or simply with each major corpus
     version). Appending new vectors assigned to existing cells
     (`absorb`) is always safe for correctness — recall degrades
-    gracefully, never silently."""
+    gracefully, never silently.
+
+    Parameter guard (mirrors NearDupIndex._validate_params): build()
+    persists (id_col, vec_col, cell_col, n_cells, dim) in
+    `<name>_meta`; absorb()/topk() validate the instance's column
+    layout against it AND probe the incoming frame's vector length
+    against the stored dim — zip_with silently truncates to the
+    shorter array, so a dim-mismatched absorb or query would DEGRADE
+    RECALL SILENTLY (every dot product computed over a prefix) rather
+    than error. The dim probe is one small aggregate per call: absorb
+    is a daily batch op and query frames are broadcast-small, so the
+    cost is noise next to silent wrong answers. Pre-meta stores (built
+    before the guard existed, or by an external writer) skip
+    validation."""
 
     def __init__(
         self,
@@ -455,6 +468,69 @@ class IvfIndex:
     @property
     def centroids_table(self) -> str:
         return f"{self.name}_centroids"
+
+    @property
+    def meta_table(self) -> str:
+        return f"{self.name}_meta"
+
+    def _frame_dim(self, frame: DataFrame, vec_col: str) -> int:
+        """min/max vector length in one aggregate; raises on ragged."""
+        lo, hi = frame.select(
+            F.min(F.size(F.col(vec_col))), F.max(F.size(F.col(vec_col)))
+        ).first()
+        if lo is None:
+            return -1  # empty frame: nothing to validate
+        if lo != hi:
+            raise ValueError(
+                f"'{vec_col}' is ragged (lengths {lo}..{hi}) — an IVF "
+                "index requires a fixed embedding dimension"
+            )
+        return lo
+
+    def _write_meta(self, n_cells: int, dim: int) -> None:
+        self.wh.overwrite(
+            self.meta_table,
+            self.wh.spark.createDataFrame(
+                [(self.id_col, self.vec_col, self.cell_col, n_cells, dim)],
+                "id_col string, vec_col string, cell_col string, "
+                "n_cells int, dim int",
+            ),
+        )
+
+    def _validate(
+        self, frame: DataFrame | None = None, vec_col: str | None = None
+    ) -> None:
+        """Fail loudly on a column-layout mismatch with the persisted
+        store, and on a vector-length mismatch in `frame` — both would
+        otherwise degrade recall silently (see class docstring)."""
+        if not self.wh.exists(self.meta_table):
+            return  # pre-meta store: nothing to check
+        if not hasattr(self, "_stored_meta"):
+            self._stored_meta = self.wh.read(self.meta_table).collect()[0].asDict()
+        stored = self._stored_meta
+        mine = {
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "cell_col": self.cell_col,
+        }
+        diff = {k: (stored[k], v) for k, v in mine.items() if stored[k] != v}
+        if diff:
+            raise ValueError(
+                f"IvfIndex '{self.name}' was built with "
+                f"{ {k: s for k, (s, _) in diff.items()} }, but this "
+                f"instance uses { {k: m for k, (_, m) in diff.items()} } "
+                "— rebuild the index or match its layout"
+            )
+        if frame is not None:
+            d = self._frame_dim(frame, vec_col or self.vec_col)
+            if d not in (-1, stored["dim"]):
+                raise ValueError(
+                    f"IvfIndex '{self.name}' stores {stored['dim']}-dim "
+                    f"vectors but '{vec_col or self.vec_col}' has {d} — "
+                    "zip_with would silently truncate every dot product "
+                    "to the shorter length and degrade recall; fix the "
+                    "input or rebuild the index"
+                )
 
     def build(
         self,
@@ -480,11 +556,16 @@ class IvfIndex:
                 self.wh.read(self.vectors_table), self.cell_col, self.vec_col
             ),
         )
+        self._write_meta(
+            n_cells, self._frame_dim(self.wh.read(self.vectors_table), self.vec_col)
+        )
+        self._stored_meta = self.wh.read(self.meta_table).collect()[0].asDict()
 
     def absorb(self, new_vectors: DataFrame) -> None:
         """Assign new vectors to their nearest EXISTING centroid and
         append into the cell layout (centroids unchanged — see class
         docstring for the rebuild policy)."""
+        self._validate(new_vectors, self.vec_col)
         cents = self.wh.read(self.centroids_table)
         w = Window.partitionBy(self.id_col).orderBy(
             F.desc("__sim"), F.asc(self.cell_col)
@@ -514,6 +595,7 @@ class IvfIndex:
         """Serve approximate top-k from the persisted index: stored
         centroids pick the probe cells, and the cell-partitioned
         vectors table is read partition-pruned."""
+        self._validate(queries, query_vec_col)
         return ivf_topk(
             self.wh.read(self.vectors_table),
             queries,

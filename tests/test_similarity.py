@@ -350,3 +350,39 @@ def test_ivf_index_absorb_assigns_nearest_cell(spark, tmp_path, corpus, queries)
     # and serving finds it for an aligned query
     got = idx.topk(queries, k=3, nprobe=2).collect()
     assert 100 in {r.vec_id for r in got if r.query_id == 100}
+
+
+def test_ivf_index_param_guard(spark, tmp_path, corpus, queries):
+    """A dim- or layout-mismatched absorb/topk fails loudly instead of
+    silently truncating every dot product (zip_with stops at the
+    shorter array -> silent recall degradation)."""
+    pytest.importorskip("numpy")
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = S.IvfIndex(wh)
+    idx.build(corpus.drop("label"), n_cells=3, seed=42)  # 3-dim corpus
+
+    # wrong dimension on absorb
+    bad = spark.createDataFrame(
+        [(200, [0.9, 0.1])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="3-dim"):
+        idx.absorb(bad)
+
+    # wrong dimension on topk queries
+    badq = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="truncate"):
+        idx.topk(badq, k=1)
+
+    # mismatched column layout: fresh instance, different vec_col
+    idx2 = S.IvfIndex(wh, vec_col="emb")
+    with pytest.raises(ValueError, match="match its layout"):
+        idx2.topk(queries, k=1)
+
+    # matched instance still serves
+    assert S.IvfIndex(wh).topk(queries, k=1).count() > 0
