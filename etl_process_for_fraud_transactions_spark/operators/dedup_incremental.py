@@ -8,11 +8,23 @@ The store persists, via sources/warehouse.py:
 - `<name>_buckets`  : (id, band_id, band_hash) — minhash_band_buckets
   output, the candidate index. 8 bytes/band/doc regardless of text
   size.
-- `<name>_shingles` : (id, sh array<string>) — the verify side, so a
-  candidate hit never needs the corpus text again. This is the
-  self-contained choice; a deployment that can re-fetch text by id may
-  instead store xxhash64'd shingles (array<bigint>, ~10x smaller) and
-  verify on hashed sets — identical results up to 64-bit collisions.
+- `<name>_shingles` : the verify side, so a candidate hit never needs
+  the corpus text again. Two layouts, chosen by `store=`:
+  - 'raw' (default): (id, sh array<string>) — self-contained and
+    byte-exact, but ~k x the corpus text bytes at rest and through
+    every verify fetch;
+  - 'hashed': (id, sh array<bigint>) — xxhash64 per shingle, a fixed
+    8 bytes/shingle vs the string's k x avg-token bytes (~2x smaller
+    at k=3, ~6x at the k=8 prose-dedup setting) through every verify
+    fetch and shuffle. (At-rest parquet ratios vary with dictionary
+    encoding; the wire bytes are the cost that scales.) Jaccard is a
+    SET measure (array_intersect / array_union), so verifying on
+    hashed sets gives identical verdicts up to 64-bit collisions: a
+    false positive needs two distinct shingles of the SAME candidate
+    pair to collide — P < shingles_per_doc^2 / 2^64 per pair,
+    vanishing at any real document size. The right choice at 100 TB.
+  The layout is frozen in `<name>_meta` like every other parameter:
+  a 'hashed' reader on a 'raw' store (or vice versa) fails loudly.
 
 Daily cycle:
 
@@ -77,7 +89,10 @@ class NearDupIndex:
         num_hashes: int = 32,
         bands: int = 8,
         portable: bool = False,
+        store: str = "raw",
     ):
+        if store not in ("raw", "hashed"):
+            raise ValueError(f"store must be raw|hashed, got {store!r}")
         self.wh = wh
         self.name = name
         self.text_col = text_col
@@ -86,6 +101,7 @@ class NearDupIndex:
         self.num_hashes = num_hashes
         self.bands = bands
         self.portable = portable
+        self.store = store
 
     @property
     def buckets_table(self) -> str:
@@ -105,6 +121,7 @@ class NearDupIndex:
             "num_hashes": self.num_hashes,
             "bands": self.bands,
             "portable": self.portable,
+            "store": self.store,
         }
 
     def _write_meta(self) -> None:
@@ -112,7 +129,9 @@ class NearDupIndex:
         self.wh.overwrite(
             self.meta_table,
             self.wh.spark.createDataFrame(
-                row, "k int, num_hashes int, bands int, portable boolean"
+                row,
+                "k int, num_hashes int, bands int, portable boolean, "
+                "store string",
             ),
         )
 
@@ -127,6 +146,8 @@ class NearDupIndex:
             self._params_ok = True
             return
         stored = self.wh.read(self.meta_table).collect()[0].asDict()
+        # metas written before the store parameter existed are raw
+        stored = {"store": "raw", **stored}
         mine = self._params()
         if stored != mine:
             raise ValueError(
@@ -149,9 +170,10 @@ class NearDupIndex:
         )
 
     def _shingles(self, docs: DataFrame) -> DataFrame:
-        return docs.select(
-            F.col(self.id_col), shingles(self.text_col, self.k).alias("sh")
-        )
+        sh = shingles(self.text_col, self.k)
+        if self.store == "hashed":
+            sh = F.transform(sh, lambda s: F.xxhash64(s))
+        return docs.select(F.col(self.id_col), sh.alias("sh"))
 
     def bootstrap(self, corpus: DataFrame) -> None:
         """(Re)build the index from the full corpus — run once; the

@@ -131,6 +131,64 @@ def test_corpus_index_never_shuffles(spark, wh):
     )
     assert "BroadcastHashJoin [band_id" in plan or "BroadcastHashJoin [band_hash" in plan
 
+def test_hashed_store_equivalent_and_smaller(spark, wh, tmp_path):
+    """store='hashed' (xxhash64 per shingle, array<bigint>) must give
+    identical check/filter_new verdicts to the raw string store —
+    Jaccard is a set measure, so hashing elements preserves it up to
+    64-bit collisions — while persisting far fewer bytes."""
+    import os
+
+    from etl_process_for_fraud_transactions_spark.sources.testdata import (
+        load_table,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text", "source")
+    corpus = docs.filter(F.col("source") != "src0").drop("source")
+    batch = docs.filter(F.col("source") == "src0").drop("source")
+
+    wh_raw = Warehouse(spark, str(tmp_path / "raw"))
+    wh_hashed = Warehouse(spark, str(tmp_path / "hashed"))
+    raw = NearDupIndex(wh_raw, store="raw")
+    hashed = NearDupIndex(wh_hashed, store="hashed")
+    raw.bootstrap(corpus)
+    hashed.bootstrap(corpus)
+
+    key = lambda r: (r.new_id, r.dup_id, round(r.jaccard, 9))
+    got_raw = sorted(map(key, raw.check(batch, threshold=0.5).collect()))
+    got_hashed = sorted(map(key, hashed.check(batch, threshold=0.5).collect()))
+    assert got_raw == got_hashed and len(got_raw) > 0
+
+    kept_raw = sorted(r.doc_id for r in raw.filter_new(batch, 0.5).collect())
+    kept_hashed = sorted(r.doc_id for r in hashed.filter_new(batch, 0.5).collect())
+    assert kept_raw == kept_hashed
+
+    # size: the scale cost of the verify store is its LOGICAL bytes —
+    # what every verify fetch moves over the wire — not the parquet
+    # at-rest size (dictionary encoding can crush this fixture's
+    # low-vocab synthetic strings below 8 B/shingle; real prose
+    # shingles are diverse and don't dictionary-compress like that).
+    raw_b, n_sh = (
+        wh_raw.read(raw.shingles_table)
+        .select(
+            F.sum(
+                F.aggregate(
+                    "sh", F.lit(0).cast("long"), lambda a, s: a + F.length(s)
+                )
+            ),
+            F.sum(F.size("sh")),
+        )
+        .first()
+    )
+    hashed_b = 8 * n_sh
+    assert hashed_b < raw_b * 0.6, (hashed_b, raw_b)
+
+    # the layout is a frozen parameter: a raw reader on a hashed store
+    # (or vice versa) must refuse, not silently verify garbage
+    with pytest.raises(ValueError, match="hash famil"):
+        NearDupIndex(wh_hashed, store="raw").check(batch, threshold=0.5)
+
+
 def test_parameter_mismatch_fails_loudly(spark, wh):
     """A store bootstrapped under one hash family must refuse an
     instance with different LSH parameters — mismatched candidates
