@@ -73,11 +73,26 @@ from .dedup import jaccard, minhash_band_buckets, minhash_near_duplicates, shing
 from .graph import dedup_components
 
 
+#: Partition column carrying the epoch/batch stamp in partitioned mode.
+BATCH_COL = "__batch"
+
+
 class NearDupIndex:
     """Persisted MinHash+LSH index for incremental near-dedup. All LSH
     parameters are frozen at construction: buckets appended across
     days must come from the same hash family or candidates silently
-    vanish (the store is only valid under one parameterization)."""
+    vanish (the store is only valid under one parameterization).
+
+    partitioned=True lays both index tables out hive-partitioned by a
+    `__batch` stamp (a caller-supplied epoch id): every absorb is then
+    a DYNAMIC PARTITION OVERWRITE of that epoch's partition instead of
+    a blind append, and check/filter_new accept `exclude_batch=` to
+    read the index AS OF before an epoch. Together these make a
+    replayed epoch (Structured Streaming re-offers a failed batch id)
+    converge to exactly the first attempt's state from ANY partial
+    write — the streaming sink's exactly-once story
+    (streaming/upsert.py::near_dedup_sink). The default unpartitioned
+    layout keeps the simple append shape for the daily batch cycle."""
 
     def __init__(
         self,
@@ -90,6 +105,7 @@ class NearDupIndex:
         bands: int = 8,
         portable: bool = False,
         store: str = "raw",
+        partitioned: bool = False,
     ):
         if store not in ("raw", "hashed"):
             raise ValueError(f"store must be raw|hashed, got {store!r}")
@@ -102,6 +118,7 @@ class NearDupIndex:
         self.bands = bands
         self.portable = portable
         self.store = store
+        self.partitioned = partitioned
 
     @property
     def buckets_table(self) -> str:
@@ -122,6 +139,7 @@ class NearDupIndex:
             "bands": self.bands,
             "portable": self.portable,
             "store": self.store,
+            "partitioned": self.partitioned,
         }
 
     def _write_meta(self) -> None:
@@ -131,7 +149,7 @@ class NearDupIndex:
             self.wh.spark.createDataFrame(
                 row,
                 "k int, num_hashes int, bands int, portable boolean, "
-                "store string",
+                "store string, partitioned boolean",
             ),
         )
 
@@ -146,8 +164,8 @@ class NearDupIndex:
             self._params_ok = True
             return
         stored = self.wh.read(self.meta_table).collect()[0].asDict()
-        # metas written before the store parameter existed are raw
-        stored = {"store": "raw", **stored}
+        # metas written before these parameters existed take defaults
+        stored = {"store": "raw", "partitioned": False, **stored}
         mine = self._params()
         if stored != mine:
             raise ValueError(
@@ -175,36 +193,100 @@ class NearDupIndex:
             sh = F.transform(sh, lambda s: F.xxhash64(s))
         return docs.select(F.col(self.id_col), sh.alias("sh"))
 
-    def bootstrap(self, corpus: DataFrame) -> None:
+    def _stamp(self, df: DataFrame, batch) -> DataFrame:
+        return df.withColumn(BATCH_COL, F.lit(str(batch)))
+
+    def _read_index(self, table: str, exclude_batch=None) -> DataFrame:
+        df = self.wh.read(table)
+        if exclude_batch is not None:
+            if not self.partitioned:
+                raise ValueError(
+                    "exclude_batch requires a partitioned index "
+                    "(NearDupIndex(partitioned=True))"
+                )
+            # partition-pruned: __batch is the hive partition column
+            df = df.filter(F.col(BATCH_COL) != str(exclude_batch))
+        return df.drop(BATCH_COL) if self.partitioned else df
+
+    def bootstrap(self, corpus: DataFrame, batch="bootstrap") -> None:
         """(Re)build the index from the full corpus — run once; the
-        daily path is absorb()."""
-        self.wh.overwrite(self.buckets_table, self._buckets(corpus))
-        self.wh.overwrite(self.shingles_table, self._shingles(corpus))
+        daily path is absorb(). In partitioned mode the corpus lands
+        under the `batch` stamp (default 'bootstrap')."""
+        from ..sources.warehouse import atomic_overwrite
+
+        b = self._buckets(corpus)
+        s = self._shingles(corpus)
+        if self.partitioned:
+            atomic_overwrite(
+                self._stamp(b, batch),
+                self.wh.path(self.buckets_table),
+                partition_by=[BATCH_COL],
+            )
+            atomic_overwrite(
+                self._stamp(s, batch),
+                self.wh.path(self.shingles_table),
+                partition_by=[BATCH_COL],
+            )
+        else:
+            self.wh.overwrite(self.buckets_table, b)
+            self.wh.overwrite(self.shingles_table, s)
         self._write_meta()
         self._params_ok = True
 
-    def absorb(self, accepted: DataFrame) -> None:
-        """Append accepted batch documents to the index. O(batch).
+    def absorb(self, accepted: DataFrame, batch=None) -> None:
+        """Add accepted batch documents to the index. O(batch).
 
         `accepted` is typically the LAZY frame returned by
         filter_new(); it is pinned (localCheckpoint) before either
-        append so both writes see the same rows — without it the
-        second append would recompute the whole filter_new plan
-        against a buckets table the first append already mutated,
+        write so both index tables see the same rows — without it the
+        second write would recompute the whole filter_new plan
+        against a buckets table the first write already mutated,
         and the index would stay consistent only by the accident of
-        append ordering."""
+        append ordering.
+
+        Unpartitioned index: a plain append (pass no `batch`).
+        Partitioned index: `batch` is required, and the write is a
+        dynamic partition overwrite of that epoch's partition — a
+        replayed epoch REPLACES its own rows instead of duplicating
+        them (the streaming sink's idempotency contract)."""
         self._validate_params()
         accepted = accepted.localCheckpoint()
-        self.wh.append(self.buckets_table, self._buckets(accepted))
-        self.wh.append(self.shingles_table, self._shingles(accepted))
+        b = self._buckets(accepted)
+        s = self._shingles(accepted)
+        if self.partitioned:
+            if batch is None:
+                raise ValueError(
+                    "a partitioned index requires a batch id for absorb()"
+                )
+            self.wh.append_partitioned(
+                self.buckets_table, self._stamp(b, batch), BATCH_COL
+            )
+            self.wh.append_partitioned(
+                self.shingles_table, self._stamp(s, batch), BATCH_COL
+            )
+        else:
+            if batch is not None:
+                raise ValueError(
+                    "batch stamps need a partitioned index "
+                    "(NearDupIndex(partitioned=True))"
+                )
+            self.wh.append(self.buckets_table, b)
+            self.wh.append(self.shingles_table, s)
 
-    def check(self, new_docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    def check(
+        self, new_docs: DataFrame, threshold: float = 0.6, exclude_batch=None
+    ) -> DataFrame:
         """(new_id, dup_id, jaccard): every near-duplication of a new
         document by an indexed corpus document. The batch bucket frame
         broadcasts into the corpus index (the corpus never shuffles);
-        corpus shingles are fetched only for candidate ids."""
+        corpus shingles are fetched only for candidate ids.
+
+        exclude_batch (partitioned index only): ignore rows absorbed
+        under this stamp — reads the index AS OF before that epoch, so
+        a replayed epoch sees the same index state as its first
+        attempt regardless of partial writes."""
         self._validate_params()
-        corpus_b = self.wh.read(self.buckets_table)
+        corpus_b = self._read_index(self.buckets_table, exclude_batch)
         batch_b = self._buckets(new_docs)
         cand = (
             corpus_b.join(
@@ -216,7 +298,7 @@ class NearDupIndex:
             .select(F.col(self.id_col).alias("dup_id"), "new_id")
             .distinct()
         )
-        corpus_sh = self.wh.read(self.shingles_table).join(
+        corpus_sh = self._read_index(self.shingles_table, exclude_batch).join(
             cand.select(F.col("dup_id").alias(self.id_col)).distinct(),
             self.id_col,
             "left_semi",
@@ -243,7 +325,7 @@ class NearDupIndex:
         )
 
     def filter_new(
-        self, new_docs: DataFrame, threshold: float = 0.6
+        self, new_docs: DataFrame, threshold: float = 0.6, exclude_batch=None
     ) -> DataFrame:
         """Rows of `new_docs` that near-duplicate neither the indexed
         corpus nor a surviving earlier batch document — the incremental
@@ -254,7 +336,7 @@ class NearDupIndex:
         survivor would be the corpus copy), covering the transitive
         chain batch_a ~ batch_b ~ corpus case."""
         corpus_dups = (
-            self.check(new_docs, threshold)
+            self.check(new_docs, threshold, exclude_batch=exclude_batch)
             .select(F.col("new_id").alias(self.id_col))
             .distinct()
         )

@@ -81,25 +81,49 @@ def near_dedup_sink(
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch incremental NEAR-dedup: each micro-batch is checked
     against the persisted signature index
-    (operators.dedup_incremental.NearDupIndex) — kept documents are
-    appended to `out_table` and absorbed into the index so the NEXT
-    micro-batch dedups against them too. The streaming face of the
-    daily bootstrap/filter_new/absorb cycle: the corpus index never
-    shuffles (batch buckets broadcast), per-epoch cost is O(batch).
+    (operators.dedup_incremental.NearDupIndex) — kept documents land in
+    `out_table` and are absorbed into the index so the NEXT micro-batch
+    dedups against them too. The streaming face of the daily
+    bootstrap/filter_new/absorb cycle: the corpus index never shuffles
+    (batch buckets broadcast), per-epoch cost is O(batch).
 
-    Exactly-once caveat: foreachBatch re-offers a failed epoch under
-    the same batch_id; absorb() is an append, so a crash BETWEEN the
-    out_table append and the index absorb could double-index one batch
-    on replay. A doubled index entry only ADDS candidate pairs (the
-    verify filters them), so results stay correct — the standard
-    idempotency argument for signature stores."""
+    Exactly-once: requires a PARTITIONED index
+    (NearDupIndex(partitioned=True)). foreachBatch re-offers a failed
+    epoch under the same batch_id; this sink makes the whole epoch a
+    deterministic function of the pre-epoch state and then writes only
+    that epoch's partitions:
+
+    - filter_new(..., exclude_batch=batch_id) reads the index AS OF
+      before this epoch, so a replay after ANY partial write computes
+      the same kept set as the first attempt;
+    - `out_table` is partitioned by the batch stamp and written with
+      dynamic partition overwrite (the stamp doubles as batch lineage
+      on the curated output);
+    - absorb(kept, batch=batch_id) dynamic-overwrites the epoch's
+      index partitions.
+
+    Every write REPLACES the epoch's own partitions, so a crashed
+    epoch replays to exactly the committed state — no duplicate
+    curated rows, no duplicate index rows."""
+    if not getattr(idx, "partitioned", False):
+        raise ValueError(
+            "near_dedup_sink needs NearDupIndex(partitioned=True): with a "
+            "plain append-layout index a replayed epoch would duplicate "
+            "curated rows and index entries"
+        )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        kept = idx.filter_new(batch_df, threshold=threshold).localCheckpoint()
-        idx.wh.append(out_table, kept)
-        idx.absorb(kept)
+        kept = idx.filter_new(
+            batch_df, threshold=threshold, exclude_batch=batch_id
+        ).localCheckpoint()
+        idx.wh.append_partitioned(
+            out_table,
+            kept.withColumn("__batch", F.lit(str(batch_id))),
+            "__batch",
+        )
+        idx.absorb(kept, batch=batch_id)
 
     return apply
 

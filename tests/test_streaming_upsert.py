@@ -98,7 +98,7 @@ def test_near_dedup_sink_across_microbatches(spark, tmp_path):
     src = tmp_path / "docs_in"
     src.mkdir()
     wh = Warehouse(spark, str(tmp_path / "wh"))
-    idx = NearDupIndex(wh)
+    idx = NearDupIndex(wh, partitioned=True)
     corpus = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog and runs far away today")],
         "doc_id long, text string",
@@ -124,3 +124,87 @@ def test_near_dedup_sink_across_microbatches(spark, tmp_path):
     run_foreach_batch(_stream(), sink, str(tmp_path / "ck"))
     # 200 near-duplicates batch-1's absorbed 101 -> only 201 appended
     assert sorted(r.doc_id for r in wh.read("curated_docs").collect()) == [101, 201]
+
+
+def test_near_dedup_sink_replayed_epoch_is_idempotent(spark, tmp_path):
+    """foreachBatch re-offers a failed epoch under the same batch_id.
+    The sink must converge to the committed state from ANY partial
+    write — full replay, crash-before-absorb, and crash-mid-absorb all
+    end with zero duplicate curated rows and zero duplicate index
+    rows."""
+    from etl_process_for_fraud_transactions_spark.operators.dedup_incremental import (
+        NearDupIndex,
+    )
+    from etl_process_for_fraud_transactions_spark.streaming.upsert import (
+        near_dedup_sink,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = NearDupIndex(wh, partitioned=True)
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and runs far away today")],
+        "doc_id long, text string",
+    )
+    idx.bootstrap(corpus)
+    sink = near_dedup_sink(idx, "curated_docs", threshold=0.5)
+
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog and runs far away today"),
+            (101, "brand new prose about watermark state eviction in streaming joins"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def snapshot():
+        return (
+            sorted(r.doc_id for r in wh.read("curated_docs").collect()),
+            sorted(
+                (r.doc_id, r.band_id, r.band_hash)
+                for r in wh.read(idx.buckets_table).collect()
+            ),
+            sorted(
+                (r.doc_id, tuple(r.sh))
+                for r in wh.read(idx.shingles_table).collect()
+            ),
+        )
+
+    # committed epoch, then a full replay of the same batch_id
+    sink(batch, 7)
+    committed = snapshot()
+    assert committed[0] == [101]
+    sink(batch, 7)
+    assert snapshot() == committed
+
+    # crash BEFORE absorb: out_table written, index untouched -> replay
+    kept = idx.filter_new(batch, 0.5, exclude_batch=8).localCheckpoint()
+    from pyspark.sql import functions as F
+
+    wh.append_partitioned(
+        "curated_docs", kept.withColumn("__batch", F.lit("8")), "__batch"
+    )
+    sink(batch, 8)
+    after8 = snapshot()
+    assert after8[0] == [101]  # 101 now a dup of epoch 7's absorbed 101
+    assert len(after8[0]) == len(set(after8[0]))
+    sink(batch, 8)  # replay of the replay
+    assert snapshot() == after8
+
+    # crash MID-absorb: buckets partition written, shingles not
+    batch9 = spark.createDataFrame(
+        [(300, "totally unrelated sentences describing parquet footer statistics")],
+        "doc_id long, text string",
+    )
+    kept9 = idx.filter_new(batch9, 0.5, exclude_batch=9).localCheckpoint()
+    wh.append_partitioned(
+        idx.buckets_table,
+        idx._buckets(kept9).withColumn("__batch", F.lit("9")),
+        "__batch",
+    )
+    sink(batch9, 9)
+    after9 = snapshot()
+    assert 300 in after9[0]
+    # exactly one bucket row set and one shingle row for 300
+    assert len([r for r in after9[2] if r[0] == 300]) == 1
+    sink(batch9, 9)
+    assert snapshot() == after9
