@@ -210,30 +210,126 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_incremental_new_docs",
-    f"""
-    WITH corpus AS (
-        SELECT DISTINCT md5({_SQL_NORM}) AS fp FROM documents WHERE source <> 'src0'
+#: Batch/corpus split for the incremental NEAR-dedup row: corpus ids
+#: precede batch ids, matching NearDupIndex's documented invariant. At
+#: sf0.01 this yields cross near-dup pairs, several within-batch
+#: clusters, AND a transitive dirty cluster ({45, 267, 413}: 267~413
+#: inside the batch, both ~ corpus doc 45 -> the whole batch cluster
+#: must drop), so every leg of filter_new is exercised non-trivially.
+_NEARDUP_SPLIT = 250
+_NEARDUP_THRESHOLD = 0.5
+
+
+def _neardup_incremental_oracle_sql() -> str:
+    """Replays the FULL incremental cycle in DuckDB: the portable-md5
+    MinHash banding (shared _minhash_ctes), exact-Jaccard verify,
+    the corpus->batch check, recursive connected components over the
+    within-batch pairs, and the dirty-cluster drop — the independent
+    twin of NearDupIndex.check + filter_new."""
+    s, t = _NEARDUP_SPLIT, _NEARDUP_THRESHOLD
+    ctes = _minhash_ctes().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    return f"""
+    {ctes},
+    verified AS (
+        SELECT c.id_a, c.id_b, {_JACCARD_SQL} AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
     ),
-    fresh AS (
-        SELECT MIN(doc_id) AS doc_id
-        FROM (SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents WHERE source = 'src0') n
-        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = n.fp)
-        GROUP BY fp
+    pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {t}),
+    batch_docs AS (SELECT doc_id FROM documents WHERE doc_id >= {s}),
+    corp_dups AS (
+        SELECT id_b AS doc_id, COUNT(DISTINCT id_a) AS n_corpus_dups
+        FROM pairs WHERE id_a < {s} AND id_b >= {s}
+        GROUP BY id_b
+    ),
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs WHERE id_a >= {s}
+        UNION
+        SELECT id_b, id_a FROM pairs WHERE id_a >= {s}
+    ),
+    reach(id, r) AS (
+        SELECT DISTINCT u, u FROM sym
+        UNION
+        SELECT s2.v, reach.r FROM reach JOIN sym s2 ON reach.id = s2.u
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS survivor_id FROM reach GROUP BY id),
+    full_comp AS (
+        SELECT b.doc_id, COALESCE(c.survivor_id, b.doc_id) AS survivor_id
+        FROM batch_docs b LEFT JOIN comp c USING (doc_id)
+    ),
+    dirty AS (
+        SELECT DISTINCT f.survivor_id
+        FROM full_comp f JOIN corp_dups d USING (doc_id)
     )
-    SELECT d.doc_id AS doc_id, d.source AS source
-    FROM documents d JOIN fresh USING (doc_id)
-    """,
-)
-def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental corpus dedup: treat source='src0' as today's batch
-    and every other source as the existing corpus; keep batch rows
-    whose text is new (operators/dedup.py::dedup_against_corpus)."""
-    docs = load_table(spark, sf_dir, "documents")
-    new_docs = docs.filter(F.col("source") == "src0")
-    corpus = docs.filter(F.col("source") != "src0")
-    return D.dedup_against_corpus(new_docs, corpus).select("doc_id", "source")
+    SELECT f.doc_id,
+           CAST(COALESCE(d.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
+           (f.doc_id = f.survivor_id
+            AND f.survivor_id NOT IN (SELECT survivor_id FROM dirty)) AS kept
+    FROM full_comp f LEFT JOIN corp_dups d USING (doc_id)
+    """
+
+
+@query("neardup_incremental_filter", _neardup_incremental_oracle_sql())
+def neardup_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup through the persisted signature index
+    (operators/dedup_incremental.py::NearDupIndex), driver-hash-checked
+    end to end: docs with id < 250 are the bootstrapped corpus, the
+    rest are today's batch. The Spark side goes through the real
+    serving path — bootstrap writes the band-bucket + shingle tables
+    to a warehouse, check() broadcasts the batch buckets into the
+    corpus index (the corpus never shuffles), filter_new() adds the
+    within-batch LSH + connected components + dirty-cluster drop.
+    Portable md5-MinHash mode so the oracle replays the identical hash
+    cascade. Output per batch doc: how many indexed corpus documents
+    near-duplicate it, and whether the incremental filter keeps it.
+
+    (Supersedes the round-3..5 `dedup_incremental_new_docs` row, whose
+    exact fingerprint anti-join is a special case of this path and
+    stays covered by tests/test_dedup_text.py::dedup_against_corpus.)
+    """
+    import os
+    import re
+    import tempfile
+
+    from ..operators.dedup_incremental import NearDupIndex
+    from ..sources.warehouse import Warehouse
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < _NEARDUP_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= _NEARDUP_SPLIT)
+
+    # deterministic per-sf scratch path: the returned frame lazily reads
+    # the index tables, so the store must outlive this call (bootstrap
+    # re-overwrites atomically on every run — no unbounded temp growth)
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "neardup_idx_" + re.sub(r"\W+", "_", sf_dir).strip("_"),
+    )
+    idx = NearDupIndex(Warehouse(spark, scratch), portable=True)
+    idx.bootstrap(corpus)
+
+    n_dups = (
+        idx.check(batch, threshold=_NEARDUP_THRESHOLD)
+        .groupBy("new_id")
+        .agg(F.countDistinct("dup_id").alias("n_corpus_dups"))
+        .withColumnRenamed("new_id", "doc_id")
+    )
+    kept = (
+        idx.filter_new(batch, threshold=_NEARDUP_THRESHOLD)
+        .select("doc_id")
+        .withColumn("kept", F.lit(True))
+    )
+    return (
+        batch.select("doc_id")
+        .join(n_dups, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_corpus_dups", F.lit(0)).alias("n_corpus_dups"),
+            F.coalesce("kept", F.lit(False)).alias("kept"),
+        )
+    )
 
 
 @query(
