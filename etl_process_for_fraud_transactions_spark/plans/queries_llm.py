@@ -711,7 +711,10 @@ def simhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_oracle_sql(n_planes: int, bands: int, min_cosine: float, seed: int) -> str:
+def _lsh_pair_ctes(n_planes: int, bands: int, seed: int) -> str:
+    """CTEs through `sims`: literal-hyperplane sign-bit banding,
+    candidate self-join, exact cosine (rounded to 6 dp) — shared by
+    the pair-set and the near-dedup-verdict oracles."""
     planes = S._hyperplanes(64, n_planes, seed)
     chunk = n_planes // bands
     # round(projection, 9) BEFORE the sign test on both engines: an
@@ -724,7 +727,7 @@ def _lsh_oracle_sql(n_planes: int, bands: int, min_cosine: float, seed: int) -> 
         for p in planes
     )
     return f"""
-    WITH corpus AS (
+    corpus AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         FROM embeddings
     ),
@@ -751,33 +754,69 @@ def _lsh_oracle_sql(n_planes: int, bands: int, min_cosine: float, seed: int) -> 
                round(list_sum(list_transform(list_zip(va, vb), x -> x[1]*x[2]))
                      / (na * nb), 6) AS cos_sim
         FROM cand
-    )
-    SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= {min_cosine}
+    )"""
+
+
+def _lsh_neardup_oracle_sql(
+    n_planes: int, bands: int, min_cosine: float, seed: int
+) -> str:
+    """Pair CTEs + recursive connected components + per-vector verdict
+    — the DuckDB twin of similarity.near_dedup_embeddings plus the
+    per-vector neighbor stats that carry the pair evidence."""
+    return f"""
+    WITH RECURSIVE {_lsh_pair_ctes(n_planes, bands, seed)},
+    pairs AS (SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= {min_cosine}),
+    sym AS (
+        SELECT id_a AS u, id_b AS v, cos_sim FROM pairs
+        UNION ALL
+        SELECT id_b, id_a, cos_sim FROM pairs
+    ),
+    nbrs AS (
+        SELECT u AS vec_id, COUNT(*) AS n_neighbors, MAX(cos_sim) AS max_cos
+        FROM sym GROUP BY u
+    ),
+    reach(id, r) AS (
+        SELECT DISTINCT u, u FROM sym
+        UNION
+        SELECT s2.v, reach.r FROM reach JOIN sym s2 ON reach.id = s2.u
+    ),
+    comp AS (SELECT id AS vec_id, MIN(r) AS survivor_id FROM reach GROUP BY id)
+    SELECT c.vec_id,
+           CAST(COALESCE(n.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+           n.max_cos AS max_cos,
+           COALESCE(k.survivor_id, c.vec_id) AS survivor_id,
+           (COALESCE(k.survivor_id, c.vec_id) = c.vec_id) AS is_survivor
+    FROM corpus c
+    LEFT JOIN nbrs n USING (vec_id)
+    LEFT JOIN comp k USING (vec_id)
     """
 
 
-@query("lsh_embedding_neighbors", _lsh_oracle_sql(64, 4, 0.25, 42))
+@query("lsh_embedding_neighbors", _lsh_neardup_oracle_sql(64, 4, 0.25, 42))
 def lsh_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH near-neighbor pairs over embeddings. The
-    seeded hyperplanes are driver-side constants embedded as literals
-    in both plans, so the oracle replays the exact sign-bit banding,
-    and every projection is rounded to 9 dp BEFORE its sign test on
-    both engines (an ulp-of-0 projection can't flip a bucket).
+    """The embedding rung of the dedup ladder, driver-hash-checked end
+    to end: random-hyperplane LSH candidate pairs -> exact-cosine
+    verify -> connected components -> per-vector survivor verdict
+    (similarity.near_dedup_embeddings), with per-vector neighbor stats
+    (n_neighbors, max_cos) carrying the verified pair evidence through
+    the hash check. The seeded hyperplanes are driver-side constants
+    embedded as literals in both plans, so the oracle replays the
+    exact sign-bit banding; every projection is rounded to 9 dp BEFORE
+    its sign test (an ulp-of-0 projection can't flip a bucket), every
+    cosine to 6 dp before the threshold, and the oracle closes the
+    pairs with a WITH RECURSIVE reachability replay.
 
-    Round-3 re-parameterization: n_planes=64, bands=4 -> 16-bit band
-    keys (65,536 buckets/band), so the candidate join stays near-linear
-    at 100x corpus (expected collisions ~ n^2/2^16 per band vs the old
-    n^2/2^8 quadratic knee). The cost is recall at this corpus's low
-    similarity regime: the driver embeddings concentrate near cosine 0
-    (no pair reaches 0.5), and 16-bit AND-bands at c=0.25 collide with
-    probability 4*(1-acos(0.25)/pi)^16 ~ 1e-3 — the handful of
-    surviving pairs is the honest output of a scale-correct cascade,
-    not a bug; production moderate-c mining should raise `bands`, not
-    shrink the keys (see lsh_near_neighbors docstring)."""
+    Round-3 re-parameterization (kept): n_planes=64, bands=4 -> 16-bit
+    band keys, so the candidate join stays near-linear at 100x corpus.
+    The driver embeddings concentrate near cosine 0, so few pairs
+    survive c>=0.25 — the honest output of a scale-correct cascade;
+    the verdict output makes every vector a checked row regardless
+    (singletons included). Round 6 folds near_dedup_embeddings in
+    (driver 50-query cap)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    return S.lsh_near_neighbors(
+    pairs = S.lsh_near_neighbors(
         emb,
         dim=64,
         n_planes=64,
@@ -786,6 +825,29 @@ def lsh_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
         round_sim=6,
         round_proj=9,
+    ).localCheckpoint()  # pairs feed three consumers incl. an iterative CC
+    from ..operators.graph import dedup_components
+
+    verdicts = dedup_components(
+        pairs.select("id_a", "id_b"),
+        all_ids=emb.select("vec_id"),
+        id_col="vec_id",
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("vec_id"), "cos_sim"
+    ).unionAll(pairs.select(F.col("id_b").alias("vec_id"), "cos_sim"))
+    nbrs = sym.groupBy("vec_id").agg(
+        F.count("*").alias("n_neighbors"), F.max("cos_sim").alias("max_cos")
+    )
+    return (
+        verdicts.join(nbrs, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+            "max_cos",
+            "survivor_id",
+            "is_survivor",
+        )
     )
 
 
