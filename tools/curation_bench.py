@@ -1,0 +1,132 @@
+"""Round-6 BASELINE measurements: the round-5 curation operators plus
+the hashed-shingle store and the cheapened star-contraction probe.
+
+Usage: python tools/curation_bench.py [sf_dir]
+Prints one line per measurement: name, median seconds, runs.
+Noop sink = count() (or write to a tmp dir where the operator's cost
+IS the write), warm JVM, median-of-3.
+"""
+
+from __future__ import annotations
+
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from etl_process_for_fraud_transactions_spark.session import get_spark  # noqa: E402
+from etl_process_for_fraud_transactions_spark.sources.testdata import load_table  # noqa: E402
+
+
+def timed(fn, n=3, warm=1):
+    for _ in range(warm):
+        fn()
+    runs = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    return statistics.median(runs), runs
+
+
+def main(sf_dir: str) -> None:
+    spark = get_spark("curation-bench")
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint()
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    n_docs, n_vecs = docs.count(), emb.count()
+    print(f"sf_dir={sf_dir} docs={n_docs} vecs={n_vecs}")
+
+    from etl_process_for_fraud_transactions_spark.operators.sampling import (
+        sample_to_mixture,
+    )
+    from etl_process_for_fraud_transactions_spark.operators.similarity import (
+        near_dedup_embeddings,
+    )
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        chunk_documents,
+        gopher_quality_flags,
+        pack_chunks,
+        scrub_pii,
+    )
+
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    shares = {s: 1.0 for s in sources}
+
+    chunks = chunk_documents(docs, chunk_tokens=128, overlap=16).localCheckpoint()
+    n_chunks = chunks.count()
+    print(f"chunks(128/16)={n_chunks}")
+
+    cases = {
+        "gopher_quality_flags": lambda: gopher_quality_flags(docs).count(),
+        "scrub_pii": lambda: scrub_pii(docs).count(),
+        "pack_chunks (auto shards)": lambda: pack_chunks(
+            chunks, max_tokens=2048
+        ).count(),
+        "sample_to_mixture (uniform shares over all sources)": lambda: (
+            sample_to_mixture(docs, shares).count()
+        ),
+        "near_dedup_embeddings (64 planes, 4 bands, c>=0.7)": lambda: (
+            near_dedup_embeddings(emb, dim=64, min_cosine=0.7).count()
+        ),
+    }
+    for name, fn in cases.items():
+        med, runs = timed(fn)
+        print(f"{name}: median {med:.2f} s  runs={[round(r, 2) for r in runs]}")
+
+    # hashed vs raw shingle store: bootstrap a 90% corpus, check the
+    # 10% batch (matches the round-5 incremental row's split)
+    from etl_process_for_fraud_transactions_spark.operators.dedup_incremental import (
+        NearDupIndex,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import Warehouse
+
+    split = int(n_docs * 0.9)
+    corpus = docs.filter(F.col("doc_id") < split)
+    batch = docs.filter(F.col("doc_id") >= split).localCheckpoint()
+    for store in ("raw", "hashed"):
+        root = tempfile.mkdtemp(prefix=f"ndidx_{store}_")
+        try:
+            idx = NearDupIndex(Warehouse(spark, root), store=store)
+            t0 = time.perf_counter()
+            idx.bootstrap(corpus)
+            boot = time.perf_counter() - t0
+            logical = idx.wh.read(idx.shingles_table).select(
+                F.sum(
+                    F.aggregate(
+                        "sh",
+                        F.lit(0).cast("long"),
+                        lambda a, s: a
+                        + (
+                            F.length(s)
+                            if store == "raw"
+                            else F.lit(8).cast("long")
+                        ),
+                    )
+                )
+            ).first()[0]
+            med, runs = timed(lambda: idx.check(batch, threshold=0.5).count())
+            print(
+                f"NearDupIndex store={store}: bootstrap {boot:.2f} s, "
+                f"verify-store logical {logical / 1e6:.1f} MB, "
+                f"check median {med:.2f} s runs={[round(r, 2) for r in runs]}"
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
