@@ -131,6 +131,38 @@ def test_corpus_index_never_shuffles(spark, wh):
     )
     assert "BroadcastHashJoin [band_id" in plan or "BroadcastHashJoin [band_hash" in plan
 
+def test_cross_day_closure_with_absorb_all(spark, wh, tmp_path):
+    """Pins the documented cross-day caveat AND its documented fix.
+    Day-1 doc B near-duplicates the corpus (dropped). Day-2 doc C
+    near-duplicates B but nothing indexed. Default cycle (absorb only
+    survivors): C survives — per-batch equivalence, weaker than a
+    global near_dedup. absorb(full batch) instead: C is dropped,
+    matching the global multi-day closure."""
+    anchor = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = anchor.replace("mu", "nu")            # ~corpus
+    c = b.replace("alpha beta", "alpha bet")  # ~b, farther from corpus
+    corpus = _docs(spark, [(1, anchor)])
+    day1 = _docs(spark, [(100, b)])
+    day2 = _docs(spark, [(200, c)])
+
+    # default survivor-only cycle: C leaks through
+    idx = NearDupIndex(wh)
+    idx.bootstrap(corpus)
+    kept1 = idx.filter_new(day1, threshold=0.6)
+    assert kept1.count() == 0  # B is a corpus near-dup
+    idx.absorb(kept1)
+    assert [r.doc_id for r in idx.filter_new(day2, 0.6).collect()] == [200]
+
+    # absorb-all cycle: B's signatures are indexed despite being
+    # dropped, so day-2's C matches and is dropped too
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    idx2 = NearDupIndex(wh2)
+    idx2.bootstrap(corpus)
+    assert idx2.filter_new(day1, 0.6).count() == 0
+    idx2.absorb(day1)  # full batch, survivors or not
+    assert idx2.filter_new(day2, 0.6).count() == 0
+
+
 def test_hashed_store_equivalent_and_smaller(spark, wh, tmp_path):
     """store='hashed' (xxhash64 per shingle, array<bigint>) must give
     identical check/filter_new verdicts to the raw string store —
