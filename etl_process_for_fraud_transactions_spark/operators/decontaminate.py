@@ -48,19 +48,49 @@ def contamination_report(
     bench_id_col: str = "bench_id",
     k: int = 8,
     min_shared: int = 1,
+    prefilter: str | None = None,
+    bloom_fpp: float = 0.001,
 ) -> DataFrame:
     """(doc_id, bench_id, n_shared, bench_frac) for every document
     sharing >= min_shared distinct k-token shingles with a benchmark
     item. bench_frac = n_shared / that item's distinct-shingle count
     (1.0 = the document contains the whole item verbatim, modulo
     normalization). Benchmark shingles broadcast; the corpus never
-    shuffles before the match."""
+    shuffles before the match.
+
+    prefilter='bloom': the big-benchmark scale path. The default exact
+    broadcast needs the whole benchmark shingle set as a hash relation
+    on every executor — fine for thousands of eval items, not for a
+    mega-benchmark suite (10^8 shingles ~ GBs). The bloom cascade
+    broadcasts a ~1.2-bytes/key bitset instead (operators/bloom.py,
+    expression-only probe), prunes corpus shingles MAP-SIDE (no false
+    negatives), and exact-verifies only the survivors (true hits +
+    fpp of the probes) through a join AQE sizes from runtime stats.
+    Results are IDENTICAL to the exact path (pytest-pinned); only the
+    memory/shuffle envelope changes."""
     d = _distinct_shingles(docs, id_col, text_col, k)
     b = _distinct_shingles(benchmark, bench_id_col, bench_text_col, k)
     sizes = b.groupBy(bench_id_col).agg(F.count(F.lit(1)).alias("__n_bench"))
+    if prefilter == "bloom":
+        from .bloom import bloom_build, bloom_might_contain
+
+        bits_df, m, kh = bloom_build(
+            b.select("__shingle"), "__shingle", fpp=bloom_fpp
+        )
+        d = (
+            d.crossJoin(F.broadcast(bits_df))
+            .filter(
+                bloom_might_contain(F.col("__shingle"), F.col("__bloom_bits"), m, kh)
+            )
+            .drop("__bloom_bits")
+        )
+        matched = d.join(b, "__shingle")  # AQE picks the strategy
+    elif prefilter is None:
+        matched = d.join(F.broadcast(b), "__shingle")
+    else:
+        raise ValueError(f"prefilter must be None|'bloom', got {prefilter!r}")
     hits = (
-        d.join(F.broadcast(b), "__shingle")
-        .groupBy(id_col, bench_id_col)
+        matched.groupBy(id_col, bench_id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

@@ -119,3 +119,91 @@ def test_empty_benchmark_flags_nothing(spark, fixture):
     empty_bench = bench.limit(0)
     assert contamination_report(docs, empty_bench).count() == 0
     assert decontaminate(docs, empty_bench).count() == docs.count()
+
+
+class TestBloomPrefilter:
+    def test_bloom_no_false_negatives_and_bounded_fpp(self, spark):
+        """Every inserted key probes positive; random non-members
+        probe positive at roughly the built fpp (loose 5x bound)."""
+        from pyspark.sql import functions as F
+
+        from etl_process_for_fraud_transactions_spark.operators.bloom import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        rng = random.Random(13)
+        members = [f"key-{i}-{rng.randrange(10**9)}" for i in range(2000)]
+        others = [f"other-{i}-{rng.randrange(10**9)}" for i in range(4000)]
+        keys = spark.createDataFrame([(m,) for m in members], "k string")
+        bits_df, m, kh = bloom_build(keys, "k", fpp=0.01)
+        assert m % 64 == 0 and kh >= 1
+
+        probe = spark.createDataFrame(
+            [(v, v in set(members)) for v in members + others],
+            "k string, is_member boolean",
+        )
+        got = (
+            probe.crossJoin(F.broadcast(bits_df))
+            .select(
+                "is_member",
+                bloom_might_contain(F.col("k"), F.col("__bloom_bits"), m, kh).alias(
+                    "hit"
+                ),
+            )
+            .collect()
+        )
+        assert all(r.hit for r in got if r.is_member)  # no false negatives
+        fp = sum(1 for r in got if r.hit and not r.is_member)
+        assert fp <= 0.05 * 4000, fp  # 5x the 1% design point
+
+    def test_bloom_prefiltered_report_identical_to_exact(self, spark):
+        """The cascade must change the memory/shuffle envelope only:
+        bloom false positives die in the exact verify join, so the
+        report is row-identical to the exact broadcast path on a
+        corpus large enough for real fpp exposure."""
+        from etl_process_for_fraud_transactions_spark.sources.testdata import (
+            load_table,
+        )
+        from tests.conftest import SF_ORACLE
+
+        docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+        bench = (
+            docs.filter(docs.doc_id % 101 == 7)
+            .selectExpr("doc_id AS bench_id", "text")
+        )
+        key = lambda r: (r.doc_id, r.bench_id, r.n_shared, round(r.bench_frac, 9))
+        exact = sorted(map(key, contamination_report(docs, bench, k=8).collect()))
+        bloomed = sorted(
+            map(
+                key,
+                contamination_report(
+                    docs, bench, k=8, prefilter="bloom", bloom_fpp=0.01
+                ).collect(),
+            )
+        )
+        assert exact == bloomed and len(exact) > 0
+
+    def test_bloom_probe_plan_is_mapside_and_udf_free(self, spark):
+        """The prune stage must be a broadcast + filter on the corpus
+        scan — no hash-partition Exchange before the bloom test, no
+        Python evals anywhere."""
+        from pyspark.sql import functions as F
+
+        from etl_process_for_fraud_transactions_spark.operators.bloom import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        keys = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string")
+        bits_df, m, kh = bloom_build(keys, "k", fpp=0.01)
+        probe = spark.createDataFrame([(f"p{i}",) for i in range(10)], "k string")
+        plan = (
+            probe.crossJoin(F.broadcast(bits_df))
+            .filter(bloom_might_contain(F.col("k"), F.col("__bloom_bits"), m, kh))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        assert "hashpartitioning" not in plan  # prune is map-side only
