@@ -142,6 +142,27 @@ def sample_to_mixture(
     )
 
 
+def shuffle_deterministic(
+    df: DataFrame, id_col: str = "doc_id", seed: str = "0"
+) -> DataFrame:
+    """Reproducible global shuffle — the training-order primitive: a
+    trainer reading the output sequentially sees a pseudo-random
+    document order that is a PURE FUNCTION of (seed, id), so the same
+    corpus + seed yields the same order across runs, engines, cluster
+    layouts and restarts (resuming a crashed epoch mid-corpus stays
+    coherent), and a different seed is an independent permutation for
+    the next epoch. DataFrame.orderBy(rand()) re-rolls on every
+    recomputation; this doesn't.
+
+    Cost: ONE range shuffle (Spark's global sort = range partition +
+    in-partition sort), the same envelope as any write-time
+    re-clustering; compose with Warehouse-style partitioned writes so
+    each output file covers a contiguous slice of the shuffled order.
+    The id tie-break makes the order total even under (vanishingly
+    rare) 60-bit hash collisions."""
+    return df.orderBy(hash_fraction(id_col, seed), F.col(id_col))
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

@@ -87,6 +87,28 @@ def test_sample_plan_is_narrow(spark, ids):
     assert "Exchange" not in plan and "Join" not in plan
 
 
+class TestShuffleDeterministic:
+    def test_stable_pseudo_random_permutation(self, spark, ids):
+        from etl_process_for_fraud_transactions_spark.operators.sampling import (
+            shuffle_deterministic,
+        )
+
+        order1 = [r.doc_id for r in shuffle_deterministic(ids).collect()]
+        # same seed, different physical layout -> same order
+        order2 = [
+            r.doc_id
+            for r in shuffle_deterministic(ids.repartition(7)).collect()
+        ]
+        assert order1 == order2
+        assert sorted(order1) == sorted(r.doc_id for r in ids.collect())
+        assert order1 != sorted(order1)  # actually permuted
+        # different seed -> different permutation
+        order3 = [
+            r.doc_id for r in shuffle_deterministic(ids, seed="1").collect()
+        ]
+        assert order3 != order1 and sorted(order3) == sorted(order1)
+
+
 class TestSampleToMixture:
     def test_mixture_proportions(self, spark):
         from etl_process_for_fraud_transactions_spark.operators.sampling import (
