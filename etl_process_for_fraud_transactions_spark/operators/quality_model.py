@@ -1,0 +1,144 @@
+"""Learned document-quality scoring — the classifier stage of
+web-corpus curation (the GPT-3 "similarity to high-quality reference"
+filter, FineWeb/RefinedWeb quality models): heuristic gates
+(operators/text.py::gopher_quality_flags) catch structural junk, a
+trained model ranks the gray zone.
+
+Pipeline contract:
+
+    feats   = quality_features(docs)                # map-only
+    model   = train_quality_model(labeled_feats)    # small labeled set
+    scored  = score_quality(docs, model)            # map-only
+    kept    = scored.filter(F.col("quality_score") >= 0.5)
+
+Features are the engine's cheap per-document statistics (length,
+token count, mean token length, punctuation / uppercase / stopword
+ratios) — all JVM expressions, no tokenizer model, so FEATURIZING THE
+100 TB CORPUS IS A NARROW PROJECTION. Training runs on the labeled
+subset only (human or LLM judgments — thousands of rows, not
+billions): MLlib LogisticRegression, one small iterative map-reduce.
+Scoring broadcasts the coefficient vector inside the plan: the model
+is folded into a single sigmoid(w.x + b) EXPRESSION, so the corpus
+pass stays whole-stage-codegen — no MLlib transform (and its VectorUDT
+conversion) in the hot path, no Python.
+
+Gated behind an import-try like ivf_build (pyspark.ml needs numpy).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import quality_stats
+
+#: Feature order is part of the model contract: scoring folds
+#: coefficients positionally.
+FEATURE_COLS = (
+    "n_chars",
+    "n_tokens",
+    "mean_token_len",
+    "punct_ratio",
+    "upper_ratio",
+    "stopword_ratio",
+)
+
+
+@dataclass(frozen=True)
+class QualityModel:
+    """Portable fitted model: plain floats, engine-independent. Keep it
+    with the corpus version — scores are comparable only under one
+    model."""
+
+    weights: tuple[float, ...]
+    intercept: float
+    feature_cols: tuple[str, ...] = FEATURE_COLS
+
+    def score_expr(self, feature_of) -> Column:
+        """sigmoid(w.x + b) over feature COLUMNS (feature_of maps a
+        feature name to its Column) — one codegen'd expression."""
+        z = F.lit(float(self.intercept))
+        for w, name in zip(self.weights, self.feature_cols):
+            z = z + F.lit(float(w)) * feature_of(name).cast("double")
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    def score_py(self, feats: dict[str, float]) -> float:
+        """Driver-side replay (tests / spot audits)."""
+        z = self.intercept + sum(
+            w * feats[n] for w, n in zip(self.weights, self.feature_cols)
+        )
+        return 1.0 / (1.0 + math.exp(-z))
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, *FEATURE_COLS) — the model's input view; identical to
+    quality_stats, re-exported under the model contract name."""
+    return quality_stats(df, text_col, id_col)
+
+
+def train_quality_model(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+    standardize: bool = True,
+) -> QualityModel:
+    """Fit logistic regression on the labeled frame (id, text, label
+    in {0,1}) and return the portable QualityModel. The labeled set is
+    the small side by construction; featurization is the same narrow
+    projection the corpus pass uses, so train/serve skew is zero by
+    code identity."""
+    try:
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.feature import VectorAssembler
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pyspark.ml unavailable in this runtime") from exc
+
+    feats = quality_features(labeled, text_col, id_col).join(
+        labeled.select(id_col, label_col), id_col
+    )
+    assembled = VectorAssembler(
+        inputCols=list(FEATURE_COLS), outputCol="__features"
+    ).transform(feats)
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=standardize,
+    )
+    m = lr.fit(assembled)
+    return QualityModel(
+        weights=tuple(float(w) for w in m.coefficients),
+        intercept=float(m.intercept),
+    )
+
+
+def score_quality(
+    df: DataFrame,
+    model: QualityModel,
+    text_col: str = "text",
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """Adds `out_col` = P(high quality) to every row — the 100 TB hot
+    path: featurize + sigmoid folded into ONE let-bound expression
+    (the token array evaluates once per row), zero shuffles, zero
+    joins, zero Python, no MLlib in the plan (coefficients ride as
+    literals). All other columns pass through untouched."""
+    from .dedup import _let
+    from .text import _quality_expr_map, tokens
+
+    c = F.col(text_col)
+
+    def body(toks: Column) -> Column:
+        feats = _quality_expr_map(c, toks)
+        return model.score_expr(lambda n: feats[n])
+
+    return df.withColumn(out_col, _let(tokens(c), body))

@@ -98,7 +98,11 @@ def _with_tokens(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFr
     )
 
 
-def _quality_exprs_from(c: Column, toks: Column) -> list[Column]:
+def _quality_expr_map(c: Column, toks: Column) -> dict[str, Column]:
+    """Named quality-feature expressions from (text, token) attributes
+    — the single source both quality_stats and the learned quality
+    model (operators/quality_model.py) featurize with, so train/serve
+    skew is zero by code identity."""
     n_chars = F.length(c)
     n_tokens = F.size(toks)
     n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
@@ -106,18 +110,18 @@ def _quality_exprs_from(c: Column, toks: Column) -> list[Column]:
     n_stop = F.size(
         F.filter(toks, _marker_filter(LANG_MARKERS["en"]))
     )
-    return [
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        (n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))).alias(
-            "mean_token_len"
-        ),
-        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
-        (n_upper.cast("double") / F.greatest(n_chars, F.lit(1))).alias("upper_ratio"),
-        (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))).alias(
-            "stopword_ratio"
-        ),
-    ]
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)),
+        "punct_ratio": n_punct.cast("double") / F.greatest(n_chars, F.lit(1)),
+        "upper_ratio": n_upper.cast("double") / F.greatest(n_chars, F.lit(1)),
+        "stopword_ratio": n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)),
+    }
+
+
+def _quality_exprs_from(c: Column, toks: Column) -> list[Column]:
+    return [e.alias(n) for n, e in _quality_expr_map(c, toks).items()]
 
 
 def quality_stats(

@@ -1,0 +1,94 @@
+"""Learned quality classifier: separability on a planted fixture,
+expression-scoring vs driver-side sigmoid replay, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+pytest.importorskip("numpy")
+
+from etl_process_for_fraud_transactions_spark.operators.quality_model import (  # noqa: E402
+    FEATURE_COLS,
+    QualityModel,
+    quality_features,
+    score_quality,
+    train_quality_model,
+)
+
+GOOD_TEXTS = [
+    "the quiet harbor town wakes early as fishing boats slip past the "
+    "breakwater and the bakery fills the narrow street with warm bread",
+    "careful observation over many seasons taught the farmers when the "
+    "river would rise and which fields would hold the water longest",
+    "she explained the experiment twice so that every student could "
+    "repeat the measurement and understand where the uncertainty came from",
+    "the committee reviewed the proposal in detail and suggested three "
+    "changes that would make the study easier to reproduce next year",
+    "long walks through the old forest reveal how the light changes "
+    "with the hours and the seasons in ways a photograph rarely holds",
+]
+JUNK_TEXTS = [
+    "$$$ CLICK NOW!!! %%% @@@ ### !!! $$$ WIN WIN WIN !!! ### @@@ %%%",
+    "xqz jjf kkp zzw vvb nnm qqr ttl ppd ssk xqz jjf kkp zzw vvb nnm",
+    "!!!! ???? #### $$$$ %%%% ^^^^ &&&& **** (((( )))) ____ ++++ ====",
+    "BUY BUY BUY CHEAP CHEAP CHEAP NOW NOW NOW WOW WOW WOW AAA BBB CCC",
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z a b c d e f",
+]
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    rows = [(i, t, 1.0) for i, t in enumerate(GOOD_TEXTS)]
+    rows += [(100 + i, t, 0.0) for i, t in enumerate(JUNK_TEXTS)]
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+def test_model_separates_planted_classes(spark, labeled):
+    model = train_quality_model(labeled)
+    scored = {
+        r.doc_id: r.quality_score
+        for r in score_quality(labeled, model).collect()
+    }
+    for i in range(len(GOOD_TEXTS)):
+        assert scored[i] > 0.5, (i, scored[i])
+    for i in range(len(JUNK_TEXTS)):
+        assert scored[100 + i] < 0.5, (100 + i, scored[100 + i])
+
+
+def test_expression_score_matches_python_replay(spark, labeled):
+    """The folded sigmoid expression must equal the driver-side
+    score_py over the same features — the portability contract."""
+    model = train_quality_model(labeled)
+    feats = {
+        r["doc_id"]: {n: float(r[n]) for n in FEATURE_COLS}
+        for r in quality_features(labeled).collect()
+    }
+    scored = {
+        r.doc_id: r.quality_score
+        for r in score_quality(labeled, model).collect()
+    }
+    for doc_id, f in feats.items():
+        assert abs(scored[doc_id] - model.score_py(f)) < 1e-9
+
+
+def test_scoring_plan_is_narrow_and_udf_free(spark, labeled):
+    model = QualityModel(weights=(0.0,) * len(FEATURE_COLS), intercept=0.3)
+    plan = (
+        score_quality(labeled, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_model_is_portable_plain_floats(spark, labeled):
+    model = train_quality_model(labeled)
+    assert len(model.weights) == len(FEATURE_COLS)
+    assert all(isinstance(w, float) for w in model.weights)
+    assert isinstance(model.intercept, float)
+    # passthrough: scoring keeps every input column
+    cols = set(score_quality(labeled, model).columns)
+    assert cols == {"doc_id", "text", "label", "quality_score"}
