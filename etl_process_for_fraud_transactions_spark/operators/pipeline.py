@@ -9,6 +9,7 @@ runs them.
       -> near-dup clustering, keep survivors   (LSH bands + components)
       -> quality gate (token count)            (narrow)
       -> optional Gopher-rule gate             (narrow, gopher_gate=True)
+      -> optional learned quality gate         (narrow, quality_model=)
       -> language filter                       (narrow)
       -> benchmark decontamination             (broadcast join)
       -> deterministic train/val split         (narrow)
@@ -55,6 +56,8 @@ def curate_corpus(
     decontaminate_k: int = 8,
     val_buckets: int = 2,
     gopher_gate: bool = False,
+    quality_model=None,
+    min_quality: float = 0.5,
 ) -> DataFrame:
     """Returns (id, text, n_tokens, pred_lang, split) — the curated,
     deduplicated, decontaminated, split corpus. `benchmark` (optional)
@@ -102,6 +105,17 @@ def curate_corpus(
             F.col("passes_gopher")
         )
         gated = gated.join(ok.select(id_col), id_col, "left_semi")
+
+    if quality_model is not None:
+        # learned gray-zone ranking on top of the structural gates —
+        # one folded sigmoid expression, fuses into the same stage
+        from .quality_model import score_quality
+
+        gated = (
+            score_quality(gated, quality_model, text_col)
+            .filter(F.col("quality_score") >= min_quality)
+            .drop("quality_score")
+        )
 
     if benchmark is not None:
         gated = decontaminate(

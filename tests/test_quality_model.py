@@ -84,6 +84,34 @@ def test_scoring_plan_is_narrow_and_udf_free(spark, labeled):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
 
 
+def test_curate_corpus_quality_gate(spark, labeled):
+    """curate_corpus(quality_model=...) drops model-flagged junk that
+    the structural gates alone let through."""
+    from etl_process_for_fraud_transactions_spark.operators.pipeline import (
+        curate_corpus,
+    )
+
+    model = train_quality_model(labeled)
+    # junk crafted to pass every STRUCTURAL gate (8 normalized tokens
+    # >= min_tokens, one 'the' -> detected en) while the model's
+    # punct/upper features sink it (scores ~0.21 under this fixture)
+    sneaky = (
+        "the BUY BUY CHEAP CHEAP WOW NOW WIN $$$ ### !!! %%% @@@ "
+        "^^^ &&& *** ((( ))) ++++ ===="
+    )
+    docs = spark.createDataFrame(
+        [(1, GOOD_TEXTS[0]), (2, GOOD_TEXTS[1]), (3, sneaky)],
+        "doc_id long, text string",
+    )
+    base = {r.doc_id for r in curate_corpus(docs, min_tokens=5).collect()}
+    assert base == {1, 2, 3}  # structural gates admit the junk
+    gated = {
+        r.doc_id
+        for r in curate_corpus(docs, min_tokens=5, quality_model=model).collect()
+    }
+    assert gated == {1, 2}  # only the model catches it
+
+
 def test_model_is_portable_plain_floats(spark, labeled):
     model = train_quality_model(labeled)
     assert len(model.weights) == len(FEATURE_COLS)
