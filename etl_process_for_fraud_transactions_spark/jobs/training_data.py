@@ -119,8 +119,11 @@ def build_training_shards(
     finally:
         scrubbed.unpersist()
 
+    # schema-explicit read: an all-dropped corpus writes zero parquet
+    # files (only _SUCCESS) and schema inference would fail — the job
+    # should report zeros, not crash, when every stage filters out
     shard_stats = (
-        wh.read(out_table)
+        wh.spark.read.schema(out.schema).parquet(wh.path(out_table))
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("chunks"),

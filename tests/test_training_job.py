@@ -127,6 +127,20 @@ def test_build_training_shards_end_to_end(spark, raw_docs, tmp_path_factory):
     assert again == sorted((r.doc_id, r.chunk_id, r.pack_id, r.split) for r in rows)
 
 
+def test_all_dropped_corpus_reports_zeros(spark, tmp_path_factory):
+    """When every stage filters out (here: nothing passes min_tokens)
+    the job writes an empty table and reports zeros instead of
+    crashing on schema inference over a file-less parquet dir."""
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("wh")))
+    docs = spark.createDataFrame(
+        [(1, "tiny", "web"), (2, "small", "web")],
+        "doc_id long, text string, source string",
+    )
+    stats = build_training_shards(wh, docs, min_tokens=10)
+    assert stats["n_raw_docs"] == 2 and stats["n_curated_docs"] == 0
+    assert stats["per_split"] == {}
+
+
 def test_mixture_shares_respected(spark, raw_docs, tmp_path_factory):
     """With shares, the curated corpus is rebalanced by source before
     chunking; the binding source is kept whole."""
