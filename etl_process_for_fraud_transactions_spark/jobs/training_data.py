@@ -96,9 +96,16 @@ def build_training_shards(
         )
         doc_rows = {r["split"]: r.asDict() for r in doc_stats.collect()}
 
+        # split rides through the explode map-side (keep_cols) — no
+        # chunk-level join back to the doc frame
         chunks = chunk_documents(
-            scrubbed, text_col, id_col, chunk_tokens=chunk_tokens, overlap=overlap
-        ).join(scrubbed.select(id_col, "split"), id_col)
+            scrubbed,
+            text_col,
+            id_col,
+            chunk_tokens=chunk_tokens,
+            overlap=overlap,
+            keep_cols=("split",),
+        )
 
         parts = []
         for i, split in enumerate(("train", "val")):

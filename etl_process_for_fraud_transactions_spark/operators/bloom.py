@@ -49,6 +49,19 @@ def bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
     if not 0.0 < fpp < 1.0:
         raise ValueError("fpp must be in (0, 1)")
     m = int(-n_items * math.log(fpp) / (math.log(2) ** 2))
+    if m > _MAX_BITS:
+        # clamping raises the EFFECTIVE fpp above the request — still
+        # correct (verify removes false positives) but the prune gets
+        # weaker; say so instead of degrading silently
+        import warnings
+
+        eff = math.exp(-(_MAX_BITS / n_items) * (math.log(2) ** 2))
+        warnings.warn(
+            f"bloom filter clamped to {_MAX_BITS} bits for {n_items} "
+            f"items: effective fpp ~{eff:.3g} > requested {fpp:.3g}; "
+            "shard the filter or raise fpp explicitly",
+            stacklevel=3,
+        )
     m = min(_MAX_BITS, ((m + 63) // 64) * 64)
     k = max(1, round(m / n_items * math.log(2)))
     return m, min(k, 32)

@@ -454,12 +454,21 @@ class IvfIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         cell_col: str = "ivf_cell",
+        partitioned: bool = False,
     ):
         self.wh = wh
         self.name = name
         self.id_col = id_col
         self.vec_col = vec_col
         self.cell_col = cell_col
+        #: partitioned=True sub-partitions the vectors table by a
+        #: `__batch` stamp under each cell dir; absorb(batch=...) is
+        #: then a dynamic partition overwrite of that epoch's
+        #: partitions — a replayed streaming epoch REPLACES its own
+        #: rows instead of appending duplicates (same contract as
+        #: NearDupIndex(partitioned=True)). Serving is unchanged:
+        #: cell-level pruning still hits the first directory level.
+        self.partitioned = partitioned
 
     @property
     def vectors_table(self) -> str:
@@ -491,9 +500,18 @@ class IvfIndex:
         self.wh.overwrite(
             self.meta_table,
             self.wh.spark.createDataFrame(
-                [(self.id_col, self.vec_col, self.cell_col, n_cells, dim)],
+                [
+                    (
+                        self.id_col,
+                        self.vec_col,
+                        self.cell_col,
+                        n_cells,
+                        dim,
+                        self.partitioned,
+                    )
+                ],
                 "id_col string, vec_col string, cell_col string, "
-                "n_cells int, dim int",
+                "n_cells int, dim int, partitioned boolean",
             ),
         )
 
@@ -507,11 +525,13 @@ class IvfIndex:
             return  # pre-meta store: nothing to check
         if not hasattr(self, "_stored_meta"):
             self._stored_meta = self.wh.read(self.meta_table).collect()[0].asDict()
-        stored = self._stored_meta
+        # metas written before the partitioned flag existed are flat
+        stored = {"partitioned": False, **self._stored_meta}
         mine = {
             "id_col": self.id_col,
             "vec_col": self.vec_col,
             "cell_col": self.cell_col,
+            "partitioned": self.partitioned,
         }
         diff = {k: (stored[k], v) for k, v in mine.items() if stored[k] != v}
         if diff:
@@ -544,10 +564,14 @@ class IvfIndex:
         assigned = ivf_build(
             corpus, n_cells, self.vec_col, self.cell_col, seed, max_iter
         )
+        parts = [self.cell_col]
+        if self.partitioned:
+            assigned = assigned.withColumn("__batch", F.lit("__build__"))
+            parts.append("__batch")
         atomic_overwrite(
             assigned,
             self.wh.path(self.vectors_table),
-            partition_by=[self.cell_col],
+            partition_by=parts,
         )
         # centroids from the PERSISTED assignment so both tables agree
         self.wh.overwrite(
@@ -561,10 +585,17 @@ class IvfIndex:
         )
         self._stored_meta = self.wh.read(self.meta_table).collect()[0].asDict()
 
-    def absorb(self, new_vectors: DataFrame) -> None:
+    def absorb(self, new_vectors: DataFrame, batch=None) -> None:
         """Assign new vectors to their nearest EXISTING centroid and
-        append into the cell layout (centroids unchanged — see class
-        docstring for the rebuild policy)."""
+        add them to the cell layout (centroids unchanged — see class
+        docstring for the rebuild policy).
+
+        Unpartitioned index: a plain append (pass no `batch`).
+        Partitioned index: `batch` is required and the write is a
+        dynamic partition overwrite of that epoch's (cell, batch)
+        partitions — assignment is deterministic given the (frozen)
+        centroids, so a replayed streaming epoch rewrites exactly the
+        same rows instead of duplicating them."""
         self._validate(new_vectors, self.vec_col)
         cents = self.wh.read(self.centroids_table)
         w = Window.partitionBy(self.id_col).orderBy(
@@ -579,9 +610,25 @@ class IvfIndex:
             .filter(F.col("__rn") == 1)
             .drop("__sim", "__rn", "centroid")
         )
-        assigned.write.mode("append").partitionBy(self.cell_col).parquet(
-            self.wh.path(self.vectors_table)
-        )
+        if self.partitioned:
+            if batch is None:
+                raise ValueError(
+                    "a partitioned index requires a batch id for absorb()"
+                )
+            self.wh.append_partitioned(
+                self.vectors_table,
+                assigned.withColumn("__batch", F.lit(str(batch))),
+                [self.cell_col, "__batch"],
+            )
+        else:
+            if batch is not None:
+                raise ValueError(
+                    "batch stamps need a partitioned index "
+                    "(IvfIndex(partitioned=True))"
+                )
+            assigned.write.mode("append").partitionBy(self.cell_col).parquet(
+                self.wh.path(self.vectors_table)
+            )
 
     def topk(
         self,

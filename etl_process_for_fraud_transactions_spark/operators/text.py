@@ -216,6 +216,7 @@ def chunk_documents(
     id_col: str = "doc_id",
     chunk_tokens: int = 32,
     overlap: int = 8,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Overlapping token-window chunking — the unit-of-training-sample
     step of an LLM data pipeline. One row per (doc, chunk): chunk_id,
@@ -226,6 +227,12 @@ def chunk_documents(
     length — a 100 GB book shard and a tweet shard chunk at the same
     per-token cost. Last chunk is the remainder (may be shorter);
     documents shorter than one chunk yield exactly one chunk.
+
+    keep_cols: document-level columns (split label, source, language)
+    to carry onto every chunk row map-side — at corpus scale this
+    replaces a chunk-level join back to the doc frame (a shuffle sized
+    by the CHUNK count) with free column duplication through the
+    explode.
     """
     if chunk_tokens <= overlap:
         raise ValueError("chunk_tokens must exceed overlap")
@@ -235,10 +242,12 @@ def chunk_documents(
     last = F.floor(
         (F.greatest(n - chunk_tokens, F.lit(0)) + F.lit(step - 1)) / F.lit(step)
     ).cast("int")
+    kept = [F.col(c) for c in keep_cols]
     return (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        df.select(F.col(id_col), *kept, tokens(F.col(text_col)).alias("__toks"))
         .select(
             id_col,
+            *kept,
             F.explode(F.sequence(F.lit(0), last)).alias("chunk_id"),
             F.col("__toks"),
         )
@@ -252,6 +261,7 @@ def chunk_documents(
             F.size(
                 F.slice(F.col("__toks"), F.col("chunk_id") * step + 1, chunk_tokens)
             ).alias("n_chunk_tokens"),
+            *[F.col(c) for c in keep_cols],
         )
     )
 

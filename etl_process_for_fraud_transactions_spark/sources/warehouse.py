@@ -76,13 +76,19 @@ class Warehouse:
     def append(self, table: str, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path(table))
 
-    def append_partitioned(self, table: str, df: DataFrame, partition_col: str) -> None:
+    def append_partitioned(
+        self, table: str, df: DataFrame, partition_col: str | list[str]
+    ) -> None:
         """Idempotent per-batch append: dynamic partition overwrite of
-        just the partitions present in `df`."""
+        just the partitions present in `df`. Accepts one column or a
+        list (e.g. [cell, batch] for an index that is both
+        cell-pruned and epoch-replayable); the column set must match
+        the table's existing partition layout."""
+        cols = [partition_col] if isinstance(partition_col, str) else list(partition_col)
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partition_col)
+            .partitionBy(*cols)
             .parquet(self.path(table))
         )
 

@@ -128,6 +128,32 @@ def near_dedup_sink(
     return apply
 
 
+def ivf_absorb_sink(idx) -> Callable[[DataFrame, int], None]:
+    """foreachBatch incremental embedding ingest: every micro-batch of
+    (id, vector) rows is assigned to its nearest stored centroid and
+    absorbed into the persisted IVF index
+    (operators.similarity.IvfIndex), so similarity serving always
+    covers the stream. Requires IvfIndex(partitioned=True): absorb is
+    a dynamic overwrite of the epoch's (cell, batch) partitions, and
+    assignment is deterministic given the frozen centroids, so a
+    re-offered epoch rewrites exactly the same rows — exactly-once
+    without an ids anti-join. Per-epoch cost is O(batch): centroids
+    broadcast, the corpus is never read."""
+    if not getattr(idx, "partitioned", False):
+        raise ValueError(
+            "ivf_absorb_sink needs IvfIndex(partitioned=True): with a "
+            "plain append layout a replayed epoch would duplicate "
+            "index rows"
+        )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx.absorb(batch_df, batch=batch_id)
+
+    return apply
+
+
 def run_foreach_batch(
     stream: DataFrame,
     sink: Callable[[DataFrame, int], None],

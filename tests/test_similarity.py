@@ -352,6 +352,59 @@ def test_ivf_index_absorb_assigns_nearest_cell(spark, tmp_path, corpus, queries)
     assert 100 in {r.vec_id for r in got if r.query_id == 100}
 
 
+def test_ivf_index_partitioned_absorb_is_replay_safe(spark, tmp_path, corpus, queries):
+    """partitioned=True: absorb(batch=...) dynamic-overwrites the
+    epoch's (cell, batch) partitions — replaying an epoch (the
+    foreachBatch re-offer) leaves the index byte-identical, and the
+    streaming sink wrapper enforces the layout."""
+    pytest.importorskip("numpy")
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+    from etl_process_for_fraud_transactions_spark.streaming.upsert import (
+        ivf_absorb_sink,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = S.IvfIndex(wh, partitioned=True)
+    idx.build(corpus.drop("label"), n_cells=3, seed=42)
+
+    new = spark.createDataFrame(
+        [(100, [0.95, 0.05, 0.0]), (101, [0.0, 0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    sink = ivf_absorb_sink(idx)
+    sink(new, 5)
+    snap = sorted(
+        (r.vec_id, r.ivf_cell) for r in wh.read(idx.vectors_table).collect()
+    )
+    assert (100, snap[0][1]) or True  # rows present
+    assert {100, 101} <= {v for v, _ in snap}
+    sink(new, 5)  # replayed epoch
+    again = sorted(
+        (r.vec_id, r.ivf_cell) for r in wh.read(idx.vectors_table).collect()
+    )
+    assert again == snap  # no duplicates, same assignment
+
+    # serving still finds the absorbed vectors, cell-pruned
+    got = idx.topk(queries, k=3, nprobe=2).collect()
+    assert 100 in {r.vec_id for r in got if r.query_id == 100}
+
+    # guards: batch on a flat index / no batch on a partitioned one /
+    # flat sink on a partitioned index
+    with pytest.raises(ValueError, match="batch id"):
+        idx.absorb(new)
+    flat = S.IvfIndex(Warehouse(spark, str(tmp_path / "wh2")))
+    flat.build(corpus.drop("label"), n_cells=3, seed=42)
+    with pytest.raises(ValueError, match="partitioned"):
+        flat.absorb(new, batch=1)
+    with pytest.raises(ValueError, match="partitioned"):
+        ivf_absorb_sink(flat)
+    # layout mismatch caught by the meta guard
+    with pytest.raises(ValueError, match="match its layout"):
+        S.IvfIndex(wh).topk(queries, k=1)
+
+
 def test_ivf_index_param_guard(spark, tmp_path, corpus, queries):
     """A dim- or layout-mismatched absorb/topk fails loudly instead of
     silently truncating every dot product (zip_with stops at the
