@@ -605,3 +605,114 @@ def _cumulate_dropped(df: DataFrame, stage_dropped: Column) -> Column:
     if "n_paragraphs_dropped" in df.columns:
         stage_dropped = stage_dropped + F.col("n_paragraphs_dropped")
     return stage_dropped.alias("n_paragraphs_dropped")
+
+
+# --- cross-document repeated spans (token-window granularity) --------------
+
+def _window_hashes(toks: Column, span_tokens: int) -> Column:
+    """xxhash64 per `span_tokens`-token window of a token array —
+    array<bigint>, one element per start position (empty when the doc
+    is shorter than one window)."""
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - F.lit(span_tokens - 1), F.lit(0))
+    )
+    return F.transform(
+        starts,
+        lambda s: F.xxhash64(F.array_join(F.slice(toks, s, span_tokens), " ")),
+    )
+
+
+def span_doc_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(span_hash, n_docs) for every `span_tokens`-token window whose
+    text occurs in >= min_docs distinct documents — cross-document
+    repetition BELOW paragraph granularity (templated sentences, legal
+    disclaimers pasted mid-text, spun content), cf. the
+    exact-substring analysis of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better". Fixed-length token windows
+    instead of suffix arrays: any shared run of >= span_tokens tokens
+    necessarily contains a shared window (no false negatives at that
+    granularity), and windows hash to 8 bytes, so the ONLY
+    corpus-scale shuffle carries (hash, id) pairs — text never moves."""
+    toks = tokens(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_window_hashes(toks, span_tokens))).alias(
+            "span_hash"
+        ),
+    )
+    return (
+        exploded.groupBy("span_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def mask_frequent_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 16,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Remove every token covered by a corpus-frequent window (>=
+    min_docs documents) from every document — boilerplate semantics
+    (NO copy survives; for keep-one-copy duplicate-text semantics use
+    the near-dup ladder). The window-granular sibling of
+    strip_boilerplate_paragraphs, for repeated material that does not
+    respect paragraph boundaries. Rewrites `text_col` (normalized
+    tokens re-joined) and adds `n_span_tokens_dropped`.
+
+    Shuffle shape: one (hash, id) aggregation finds the frequent set
+    (tiny by construction — only true boilerplate crosses min_docs),
+    which joins back against each doc's flagged START POSITIONS and is
+    collected per doc (a second id-keyed shuffle bounded by flagged
+    positions, not text); the final token filter runs map-side over
+    each doc's own array. Overlapping flagged windows merge naturally
+    — a token is dropped if ANY flagged window covers it."""
+    frequent = span_doc_frequencies(
+        df, text_col, id_col, span_tokens, min_docs
+    ).select("span_hash")
+
+    toks = tokens(F.col(text_col))
+    positions = df.select(
+        F.col(id_col),
+        F.posexplode(_window_hashes(toks, span_tokens)).alias("pos0", "span_hash"),
+    )
+    flagged = (
+        positions.join(frequent, "span_hash", "left_semi")
+        .groupBy(id_col)
+        # pos0 is 0-based; store 1-based starts to match slice()
+        .agg(F.collect_list(F.col("pos0") + 1).alias("__starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__starts"), F.array()),
+                lambda s: F.sequence(s, s + F.lit(span_tokens - 1)),
+            )
+        )
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.array_contains(F.col("__covered"), (i + 1).cast("long")),
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    return (
+        df.join(flagged, id_col, "left")
+        .withColumn("__toks", toks)
+        .withColumn("__covered", covered.cast("array<long>"))
+        .withColumn("__kept", kept)
+        .select(
+            *out_cols,
+            F.array_join(F.col("__kept"), " ").alias(text_col),
+            (F.size(F.col("__toks")) - F.size(F.col("__kept"))).alias(
+                "n_span_tokens_dropped"
+            ),
+        )
+    )

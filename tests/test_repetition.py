@@ -112,3 +112,103 @@ def test_chained_stages_single_cumulative_drop_count(spark):
     got = {r.doc_id: r.n_paragraphs_dropped for r in out.collect()}
     assert got[50] == 2  # 1 within-doc + 1 boilerplate
     assert all(got[i] == 1 for i in range(10))  # boilerplate only
+
+
+class TestFrequentSpans:
+    def _docs(self, spark):
+        boiler = (
+            "this message and any attachments are confidential and intended "
+            "solely for the named recipient please delete it immediately"
+        )  # 19 tokens > span_tokens=16
+        rows = [
+            (1, "alpha beta gamma " + boiler + " delta epsilon zeta"),
+            (2, "one two three four five " + boiler),
+            (3, boiler + " completely different tail content here"),
+            (4, "clean document about spark adaptive execution with no "
+                "shared material inside it at all whatsoever today friends"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string"), boiler
+
+    def test_span_doc_frequencies_finds_cross_doc_windows(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            span_doc_frequencies,
+        )
+
+        docs, _ = self._docs(spark)
+        freq = span_doc_frequencies(docs, span_tokens=16, min_docs=3).collect()
+        assert len(freq) >= 1
+        assert all(r.n_docs == 3 for r in freq)
+
+    def test_mask_frequent_spans_removes_all_copies(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            mask_frequent_spans,
+        )
+
+        docs, boiler = self._docs(spark)
+        out = {
+            r.doc_id: r
+            for r in mask_frequent_spans(
+                docs, span_tokens=16, min_docs=3
+            ).collect()
+        }
+        for d in (1, 2, 3):
+            assert "confidential" not in out[d].text, out[d].text
+            assert out[d].n_span_tokens_dropped >= 16
+        # unique content survives
+        assert "alpha beta gamma" in out[1].text
+        assert "delta epsilon zeta" in out[1].text
+        assert "one two three four five" in out[2].text
+        assert "completely different tail content" in out[3].text
+        # untouched doc: identical normalized text, zero dropped
+        assert out[4].n_span_tokens_dropped == 0
+        assert "spark adaptive execution" in out[4].text
+
+    def test_mask_matches_python_bruteforce(self, spark):
+        """Seeded random corpus with planted shared runs vs an
+        independent python replay of the same window semantics."""
+        import random
+
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            mask_frequent_spans,
+        )
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(40)]
+        shared = [f"s{i}" for i in range(8)]  # planted 8-token run
+        rows = []
+        for d in range(12):
+            toks = [rng.choice(vocab) for _ in range(rng.randrange(10, 25))]
+            if d < 5:  # plant the shared run in 5 docs
+                at = rng.randrange(0, len(toks))
+                toks = toks[:at] + shared + toks[at:]
+            rows.append((d, " ".join(toks)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        L, M = 8, 4
+
+        # python replay
+        def windows(toks):
+            return [tuple(toks[i : i + L]) for i in range(len(toks) - L + 1)]
+
+        from collections import Counter
+
+        dfreq = Counter()
+        for _, t in rows:
+            for w in set(windows(t.split())):
+                dfreq[w] += 1
+        frequent = {w for w, c in dfreq.items() if c >= M}
+        expect = {}
+        for d, t in rows:
+            toks = t.split()
+            cov = set()
+            for i, w in enumerate(windows(toks)):
+                if w in frequent:
+                    cov.update(range(i, i + L))
+            expect[d] = " ".join(
+                t for i, t in enumerate(toks) if i not in cov
+            )
+
+        got = {
+            r.doc_id: r.text
+            for r in mask_frequent_spans(docs, span_tokens=L, min_docs=M).collect()
+        }
+        assert got == expect
