@@ -5,6 +5,7 @@ runs them.
     raw documents
       -> within-document paragraph dedup      (map-only)
       -> corpus boilerplate stripping          (freq shuffle + broadcast)
+      -> optional repeated-span masking        (hash shuffle, span_mask_min_docs=)
       -> exact dedup                           (fingerprint shuffle)
       -> near-dup clustering, keep survivors   (LSH bands + components)
       -> quality gate (token count)            (narrow)
@@ -58,6 +59,7 @@ def curate_corpus(
     gopher_gate: bool = False,
     quality_model=None,
     min_quality: float = 0.5,
+    span_mask_min_docs: int | None = None,
 ) -> DataFrame:
     """Returns (id, text, n_tokens, pred_lang, split) — the curated,
     deduplicated, decontaminated, split corpus. `benchmark` (optional)
@@ -70,6 +72,17 @@ def curate_corpus(
         id_col,
         min_docs=boilerplate_min_docs,
     ).drop("n_paragraphs_dropped")
+
+    if span_mask_min_docs is not None:
+        # sub-paragraph boilerplate (templated sentences, mid-text
+        # disclaimers); rewrites text to normalized tokens, so the
+        # char-level quality features downstream see normalized text
+        # when this stage is on
+        from .text import mask_frequent_spans
+
+        cleaned = mask_frequent_spans(
+            cleaned, text_col, id_col, min_docs=span_mask_min_docs
+        ).drop("n_span_tokens_dropped")
 
     exact = dedup_exact(cleaned, text_col, id_col)
     survivors = near_dedup(

@@ -212,3 +212,24 @@ class TestFrequentSpans:
             for r in mask_frequent_spans(docs, span_tokens=L, min_docs=M).collect()
         }
         assert got == expect
+
+    def test_curate_corpus_span_mask_stage(self, spark):
+        """curate_corpus(span_mask_min_docs=...) strips planted
+        mid-text boilerplate that paragraph-level stripping misses."""
+        from etl_process_for_fraud_transactions_spark.operators.pipeline import (
+            curate_corpus,
+        )
+
+        docs, boiler = self._docs(spark)
+        out = {
+            r.doc_id: r.text
+            for r in curate_corpus(
+                docs,
+                min_tokens=3,
+                span_mask_min_docs=3,
+                # fixture docs are stopword-light: some detect as 'und'
+                languages=("en", "und"),
+            ).collect()
+        }
+        assert all("confidential" not in t for t in out.values())
+        assert 4 in out  # clean doc survives
