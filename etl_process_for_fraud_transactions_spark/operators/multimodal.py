@@ -460,3 +460,143 @@ def make_asset_table(
             )
         )
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+# --- audio: RIFF/WAV PCM16 (pure-python, dependency-free) ------------------
+
+def encode_wav(sample_rate: int, channels: int, pcm16: bytes) -> bytes:
+    """Minimal RIFF/WAVE writer for 16-bit PCM — the test/fixture twin
+    of decode_wav, mirroring encode_ppm/encode_png for images."""
+    import struct
+
+    block = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, 16
+    )
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(pcm16)) + pcm16
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]] | None:
+    """Parse a RIFF/WAVE PCM16 payload -> (sample_rate, channels,
+    interleaved int16 samples); None for anything else (compressed
+    codecs, truncated files) — same contract as the image decoders:
+    the long tail belongs to torchaudio/ffmpeg behind this exact
+    signature, the distributed plumbing does not change."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1:
+                return None  # non-PCM
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or channels in (None, 0) or bits != 16 or data is None:
+        return None
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return rate, channels, samples
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def _audio_feature_row(payload: bytes) -> dict:
+    decoded = decode_wav(payload)
+    if decoded is None:
+        return {
+            "sample_rate": None,
+            "channels": None,
+            "n_frames": None,
+            "duration_s": None,
+            "rms": None,
+            "peak": None,
+            "zero_crossing_rate": None,
+        }
+    rate, channels, samples = decoded
+    frames = len(samples) // channels
+    # mono mixdown in float64: deterministic, replayable driver-side
+    mono = [
+        sum(samples[f * channels : (f + 1) * channels]) / channels
+        for f in range(frames)
+    ]
+    norm = [s / 32768.0 for s in mono]
+    rms = (sum(s * s for s in norm) / frames) ** 0.5 if frames else 0.0
+    peak = max((abs(s) for s in norm), default=0.0)
+    crossings = sum(
+        1
+        for a, b in zip(norm, norm[1:])
+        if (a >= 0) != (b >= 0)
+    )
+    zcr = crossings / (frames - 1) if frames > 1 else 0.0
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": frames,
+        "duration_s": frames / rate if rate else 0.0,
+        "rms": rms,
+        "peak": peak,
+        "zero_crossing_rate": zcr,
+    }
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched audio featurization (duration, RMS, peak,
+    zero-crossing rate) over WAV PCM16 payloads — the audio leg of the
+    modality plumbing, same mapInPandas shape as extract_features.
+    Undecodable payloads yield null feature columns (honest nulls to
+    filter on, rather than a fake fallback — audio features, unlike
+    the image byte-histogram, have no meaningful byte-level proxy)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_audio_feature_row(p or b"") for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else 0
+                    ),
+                    **{
+                        k: [f[k] for f in feats]
+                        for k in (
+                            "sample_rate",
+                            "channels",
+                            "n_frames",
+                            "duration_s",
+                            "rms",
+                            "peak",
+                            "zero_crossing_rate",
+                        )
+                    },
+                }
+            )
+            yield out
+
+    return assets.filter(F.col("modality") == "audio").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )

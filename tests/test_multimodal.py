@@ -238,3 +238,72 @@ def test_extract_features_real_decode_in_spark(spark):
     assert feats[1][0] == 0.5 and feats[1][3] == pytest.approx(0.5)
     # the raw payload takes the byte-histogram fallback (sums to 1)
     assert sum(feats[2]) == pytest.approx(1.0)
+
+
+class TestAudio:
+    def _wav(self, rate=8000, channels=1, samples=None):
+        import math
+        import struct
+
+        from etl_process_for_fraud_transactions_spark.operators.multimodal import (
+            encode_wav,
+        )
+
+        if samples is None:
+            # 0.1 s sine at 440 Hz, amplitude 0.5
+            samples = [
+                int(0.5 * 32767 * math.sin(2 * math.pi * 440 * t / rate))
+                for t in range(rate // 10)
+            ]
+        pcm = struct.pack(f"<{len(samples)}h", *samples)
+        return encode_wav(rate, channels, pcm), samples
+
+    def test_wav_roundtrip(self):
+        from etl_process_for_fraud_transactions_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        payload, samples = self._wav()
+        rate, channels, got = decode_wav(payload)
+        assert (rate, channels) == (8000, 1)
+        assert got == samples
+
+    def test_decode_rejects_non_wav(self):
+        from etl_process_for_fraud_transactions_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        assert decode_wav(b"\x00" * 64) is None
+        assert decode_wav(b"RIFF\x10\x00\x00\x00JUNK") is None
+
+    def test_audio_features_end_to_end(self, spark):
+        import math
+
+        from etl_process_for_fraud_transactions_spark.operators.multimodal import (
+            ASSET_SCHEMA,
+            audio_features,
+        )
+
+        sine, samples = self._wav()
+        silent, _ = self._wav(samples=[0] * 800)
+        rows = [
+            (1, "audio", "wav", sine, (None, None, None)),
+            (2, "audio", "wav", silent, (None, None, None)),
+            (3, "audio", "mp3", b"\xff\xfb junk", (None, None, None)),
+            (4, "image", "png", b"ignored", (8, 8, None)),
+        ]
+        assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+        got = {r.asset_id: r for r in audio_features(assets).collect()}
+        assert set(got) == {1, 2, 3}  # image row filtered out
+        r1 = got[1]
+        assert r1.sample_rate == 8000 and r1.channels == 1
+        assert abs(r1.duration_s - 0.1) < 1e-9
+        # python replay of rms/zcr — bit-exact float64 contract
+        norm = [s / 32768.0 for s in samples]
+        rms = (sum(s * s for s in norm) / len(norm)) ** 0.5
+        assert abs(r1.rms - rms) < 1e-12
+        assert 0.05 < r1.zero_crossing_rate < 0.25  # ~440 Hz at 8 kHz
+        assert got[2].rms == 0.0 and got[2].peak == 0.0
+        # undecodable -> honest nulls
+        assert got[3].sample_rate is None and got[3].rms is None
+        assert got[3].n_bytes > 0
