@@ -112,11 +112,14 @@ def decontaminate(
     k: int = 8,
     min_shared: int = 1,
     min_bench_frac: float = 0.0,
+    prefilter: str | None = None,
+    bloom_fpp: float = 0.001,
 ) -> DataFrame:
     """`docs` minus every document the contamination report flags
     (n_shared >= min_shared AND bench_frac >= min_bench_frac) — the
     drop-side twin of `contamination_report`, as a left-anti join on
-    the flagged id set."""
+    the flagged id set. prefilter='bloom' for mega-benchmark suites
+    (see contamination_report)."""
     flagged = (
         contamination_report(
             docs,
@@ -127,6 +130,8 @@ def decontaminate(
             bench_id_col,
             k,
             min_shared,
+            prefilter=prefilter,
+            bloom_fpp=bloom_fpp,
         )
         .filter(F.col("bench_frac") >= min_bench_frac)
         .select(id_col)
