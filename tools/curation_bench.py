@@ -128,5 +128,97 @@ def main(sf_dir: str) -> None:
     spark.stop()
 
 
+def round6(sf_dir: str) -> None:
+    """Round-6 operator measurements (run: python tools/curation_bench.py
+    --round6 [sf_dir])."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from etl_process_for_fraud_transactions_spark.operators.decontaminate import (
+        contamination_report,
+    )
+    from etl_process_for_fraud_transactions_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        audio_features,
+        encode_wav,
+    )
+    from etl_process_for_fraud_transactions_spark.operators.quality_model import (
+        score_quality,
+        train_quality_model,
+    )
+    from etl_process_for_fraud_transactions_spark.operators.sampling import (
+        shuffle_deterministic,
+    )
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        mask_frequent_spans,
+    )
+    from etl_process_for_fraud_transactions_spark.session import get_spark
+    from etl_process_for_fraud_transactions_spark.sources.testdata import load_table
+
+    spark = get_spark("curation-bench-r6")
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint()
+    n_docs = docs.count()
+    bench = (
+        docs.filter(F.col("doc_id") % 101 == 7)
+        .selectExpr("doc_id AS bench_id", "text")
+        .localCheckpoint()
+    )
+    print(f"sf_dir={sf_dir} docs={n_docs} bench_items={bench.count()}")
+
+    # tiny labeled set for the classifier (labels don't matter for speed)
+    labeled = docs.limit(200).withColumn(
+        "label", (F.col("doc_id") % 2).cast("double")
+    )
+    model = train_quality_model(labeled)
+
+    rate = 8000
+    sine = struct.pack(
+        f"<{rate // 10}h",
+        *[
+            int(0.5 * 32767 * math.sin(2 * math.pi * 440 * t / rate))
+            for t in range(rate // 10)
+        ],
+    )
+    assets = spark.createDataFrame(
+        [
+            (i, "audio", "wav", encode_wav(rate, 1, sine), (None, None, None))
+            for i in range(2000)
+        ],
+        ASSET_SCHEMA,
+    ).localCheckpoint()
+
+    cases = {
+        "mask_frequent_spans (L=16, min_docs=5)": lambda: mask_frequent_spans(
+            docs, span_tokens=16, min_docs=5
+        ).count(),
+        "contamination_report exact broadcast (k=8)": lambda: (
+            contamination_report(docs, bench, k=8).count()
+        ),
+        "contamination_report bloom cascade (k=8, fpp 1e-3)": lambda: (
+            contamination_report(docs, bench, k=8, prefilter="bloom").count()
+        ),
+        "score_quality (folded sigmoid)": lambda: (
+            score_quality(docs, model).count()
+        ),
+        "shuffle_deterministic (global order)": lambda: (
+            shuffle_deterministic(docs).write.format("noop").mode("overwrite").save()
+        ),
+        "audio_features (2000 wav assets, 0.1 s PCM16)": lambda: (
+            audio_features(assets).count()
+        ),
+    }
+    for name, fn in cases.items():
+        med, runs = timed(fn)
+        print(f"{name}: median {med:.2f} s  runs={[round(r, 2) for r in runs]}")
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = args[0] if args else "/root/testdata/sf0.1"
+    if "--round6" in sys.argv:
+        round6(sf)
+    else:
+        main(sf)
