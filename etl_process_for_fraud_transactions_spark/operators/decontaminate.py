@@ -39,6 +39,24 @@ def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> Dat
     )
 
 
+def build_benchmark_bloom(
+    benchmark: DataFrame,
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    k: int = 8,
+    fpp: float = 0.001,
+):
+    """Prebuild the benchmark-shingle Bloom triple (bits_df, m_bits,
+    k_hashes) for reuse across many `contamination_report(...,
+    prefilter='bloom', bloom=...)` calls — one pass over the benchmark
+    per suite version instead of per screened corpus. `k` must match
+    the report's shingle size or candidates silently vanish."""
+    from .bloom import bloom_build
+
+    b = _distinct_shingles(benchmark, bench_id_col, bench_text_col, k)
+    return bloom_build(b.select("__shingle"), "__shingle", fpp=fpp)
+
+
 def contamination_report(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -50,6 +68,7 @@ def contamination_report(
     min_shared: int = 1,
     prefilter: str | None = None,
     bloom_fpp: float = 0.001,
+    bloom=None,
 ) -> DataFrame:
     """(doc_id, bench_id, n_shared, bench_frac) for every document
     sharing >= min_shared distinct k-token shingles with a benchmark
@@ -67,14 +86,20 @@ def contamination_report(
     negatives), and exact-verifies only the survivors (true hits +
     fpp of the probes) through a join AQE sizes from runtime stats.
     Results are IDENTICAL to the exact path (pytest-pinned); only the
-    memory/shuffle envelope changes."""
+    memory/shuffle envelope changes.
+
+    bloom: a prebuilt (bits_df, m, k) triple from
+    `build_benchmark_bloom` — the bitset build costs one pass over the
+    benchmark shingles, so callers screening MANY corpora against one
+    benchmark suite should build once and reuse; None builds per
+    call."""
     d = _distinct_shingles(docs, id_col, text_col, k)
     b = _distinct_shingles(benchmark, bench_id_col, bench_text_col, k)
     sizes = b.groupBy(bench_id_col).agg(F.count(F.lit(1)).alias("__n_bench"))
     if prefilter == "bloom":
         from .bloom import bloom_build, bloom_might_contain
 
-        bits_df, m, kh = bloom_build(
+        bits_df, m, kh = bloom or bloom_build(
             b.select("__shingle"), "__shingle", fpp=bloom_fpp
         )
         d = (

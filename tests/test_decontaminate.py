@@ -184,6 +184,22 @@ class TestBloomPrefilter:
         )
         assert exact == bloomed and len(exact) > 0
 
+        # prebuilt-bloom reuse path: identical again
+        from etl_process_for_fraud_transactions_spark.operators.decontaminate import (
+            build_benchmark_bloom,
+        )
+
+        triple = build_benchmark_bloom(bench, k=8, fpp=0.01)
+        reused = sorted(
+            map(
+                key,
+                contamination_report(
+                    docs, bench, k=8, prefilter="bloom", bloom=triple
+                ).collect(),
+            )
+        )
+        assert reused == exact
+
     def test_bloom_probe_plan_is_mapside_and_udf_free(self, spark):
         """The prune stage must be a broadcast + filter on the corpus
         scan — no hash-partition Exchange before the bloom test, no
