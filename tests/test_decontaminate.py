@@ -223,3 +223,22 @@ class TestBloomPrefilter:
         )
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
         assert "hashpartitioning" not in plan  # prune is map-side only
+
+    def test_bloom_params_clamp_warns(self):
+        import warnings
+
+        from etl_process_for_fraud_transactions_spark.operators.bloom import (
+            _MAX_BITS,
+            bloom_params,
+        )
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            m, k = bloom_params(10**10, 0.001)
+        assert m == _MAX_BITS
+        assert any("effective fpp" in str(x.message) for x in w)
+        # unclamped sizing stays silent
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            bloom_params(1000, 0.01)
+        assert not w2
