@@ -142,3 +142,91 @@ def score_quality(
         return model.score_expr(lambda n: feats[n])
 
     return df.withColumn(out_col, _let(tokens(c), body))
+
+
+# --- unigram LM scoring (perplexity-proxy filter) --------------------------
+
+def train_unigram_lm(
+    corpus: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Fit the reference language model of a CCNet-style perplexity
+    filter, reduced to its scalable core: token unigram
+    log-probabilities over a trusted reference corpus (the real CCNet
+    uses a KenLM 5-gram; the unigram reduction keeps the shape — rank
+    documents by how "reference-like" their token distribution is —
+    while staying a pure aggregation). Lidstone-smoothed:
+    p(t) = (count + alpha) / (total + alpha * (V + 1)), with the +1
+    reserving mass for the OOV bucket.
+
+    Returns a ONE-ROW frame carrying (vocab array<string>,
+    logp array<double>, oov_logp double) — the same broadcast-one-row
+    pattern as the LSH hyperplanes and bloom bitset: constant plan
+    size, no literal explosion, ready for
+    `unigram_logprob_score(docs, lm)`. Training is one token explode +
+    one count shuffle, top-`vocab_size` by frequency (ties broken by
+    token for determinism)."""
+    import math
+
+    from .text import tokens
+
+    counts = (
+        corpus.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .count()
+    )
+    top = counts.orderBy(F.desc("count"), F.asc("t")).limit(vocab_size).collect()
+    total = sum(r["count"] for r in top)
+    denom = total + alpha * (len(top) + 1)
+    vocab = [r["t"] for r in top]
+    logp = [math.log((r["count"] + alpha) / denom) for r in top]
+    oov = math.log(alpha / denom)
+    return corpus.sparkSession.createDataFrame(
+        [(vocab, logp, oov)],
+        "__lm_vocab: array<string>, __lm_logp: array<double>, "
+        "__lm_oov: double",
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lm_logprob",
+) -> DataFrame:
+    """Adds `out_col` = mean token log-probability under the reference
+    unigram LM (higher = more reference-like; gate with
+    `F.col('lm_logprob') >= threshold`, threshold chosen from the
+    reference corpus' own score distribution). The vocab rides as one
+    broadcast map value; scoring is a single let-bound fold over the
+    token array — zero shuffles, zero Python, O(log V) per token via
+    map lookup. Empty documents score the OOV log-probability."""
+    from .dedup import _let
+    from .text import tokens
+
+    lm_map = lm.select(
+        F.map_from_arrays(F.col("__lm_vocab"), F.col("__lm_logp")).alias("__lm"),
+        "__lm_oov",
+    )
+
+    def body(toks: Column) -> Column:
+        toks_ne = F.filter(toks, lambda t: t != "")
+        n = F.size(toks_ne)
+        s = F.aggregate(
+            toks_ne,
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.coalesce(
+                F.element_at(F.col("__lm"), t), F.col("__lm_oov")
+            ),
+        )
+        return F.when(n > 0, s / n).otherwise(F.col("__lm_oov"))
+
+    return (
+        df.crossJoin(F.broadcast(lm_map))
+        .withColumn(out_col, _let(tokens(F.col(text_col)), body))
+        .drop("__lm", "__lm_oov")
+    )

@@ -120,3 +120,82 @@ def test_model_is_portable_plain_floats(spark, labeled):
     # passthrough: scoring keeps every input column
     cols = set(score_quality(labeled, model).columns)
     assert cols == {"doc_id", "text", "label", "quality_score"}
+
+
+class TestUnigramLM:
+    def test_scores_match_python_replay(self, spark):
+        import math
+
+        from etl_process_for_fraud_transactions_spark.operators.quality_model import (
+            train_unigram_lm,
+            unigram_logprob_score,
+        )
+
+        ref = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "the dog sat on the log")],
+            "doc_id long, text string",
+        )
+        lm = train_unigram_lm(ref, vocab_size=100, alpha=0.5)
+
+        # python replay of the smoothing
+        toks = "the cat sat on the mat the dog sat on the log".split()
+        from collections import Counter
+
+        c = Counter(toks)
+        total = sum(c.values())
+        denom = total + 0.5 * (len(c) + 1)
+        logp = {t: math.log((n + 0.5) / denom) for t, n in c.items()}
+        oov = math.log(0.5 / denom)
+
+        docs = spark.createDataFrame(
+            [
+                (10, "the cat sat"),            # all in-vocab
+                (11, "quantum flux capacitor"),  # all OOV
+                (12, ""),                        # empty -> oov_logp
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.lm_logprob
+            for r in unigram_logprob_score(docs, lm).collect()
+        }
+        want10 = (logp["the"] + logp["cat"] + logp["sat"]) / 3
+        assert abs(got[10] - want10) < 1e-12
+        assert abs(got[11] - oov) < 1e-12
+        assert abs(got[12] - oov) < 1e-12
+        # reference-like text outranks word soup
+        assert got[10] > got[11]
+
+    def test_vocab_cap_and_determinism(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.quality_model import (
+            train_unigram_lm,
+        )
+
+        ref = spark.createDataFrame(
+            [(i, f"tok{i % 7} tok{i % 3} common") for i in range(50)],
+            "doc_id long, text string",
+        )
+        lm1 = train_unigram_lm(ref, vocab_size=4).collect()[0]
+        lm2 = train_unigram_lm(ref.repartition(5), vocab_size=4).collect()[0]
+        assert len(lm1["__lm_vocab"]) == 4
+        assert lm1["__lm_vocab"] == lm2["__lm_vocab"]  # layout-independent
+        assert lm1["__lm_logp"] == lm2["__lm_logp"]
+
+    def test_scoring_plan_narrow_and_udf_free(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.quality_model import (
+            train_unigram_lm,
+            unigram_logprob_score,
+        )
+
+        ref = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        lm = train_unigram_lm(ref, vocab_size=10)
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        plan = (
+            unigram_logprob_score(docs, lm)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        # scoring side: broadcast + project only, no hash repartition
+        assert "hashpartitioning" not in plan
