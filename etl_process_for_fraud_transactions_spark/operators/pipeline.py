@@ -11,6 +11,7 @@ runs them.
       -> quality gate (token count)            (narrow)
       -> optional Gopher-rule gate             (narrow, gopher_gate=True)
       -> optional learned quality gate         (narrow, quality_model=)
+      -> optional unigram-LM perplexity gate   (narrow, unigram_lm=)
       -> language filter                       (narrow)
       -> benchmark decontamination             (broadcast join)
       -> deterministic train/val split         (narrow)
@@ -60,6 +61,8 @@ def curate_corpus(
     quality_model=None,
     min_quality: float = 0.5,
     span_mask_min_docs: int | None = None,
+    unigram_lm=None,
+    min_lm_logprob: float | None = None,
 ) -> DataFrame:
     """Returns (id, text, n_tokens, pred_lang, split) — the curated,
     deduplicated, decontaminated, split corpus. `benchmark` (optional)
@@ -128,6 +131,20 @@ def curate_corpus(
             score_quality(gated, quality_model, text_col)
             .filter(F.col("quality_score") >= min_quality)
             .drop("quality_score")
+        )
+
+    if unigram_lm is not None:
+        # perplexity-proxy gate: mean token log-prob under a trusted
+        # reference LM (train_unigram_lm); threshold chosen from the
+        # reference's own score distribution
+        if min_lm_logprob is None:
+            raise ValueError("unigram_lm needs min_lm_logprob")
+        from .quality_model import unigram_logprob_score
+
+        gated = (
+            unigram_logprob_score(gated, unigram_lm, text_col)
+            .filter(F.col("lm_logprob") >= min_lm_logprob)
+            .drop("lm_logprob")
         )
 
     if benchmark is not None:

@@ -181,6 +181,43 @@ class TestUnigramLM:
         assert lm1["__lm_vocab"] == lm2["__lm_vocab"]  # layout-independent
         assert lm1["__lm_logp"] == lm2["__lm_logp"]
 
+    def test_curate_corpus_lm_gate(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.pipeline import (
+            curate_corpus,
+        )
+        from etl_process_for_fraud_transactions_spark.operators.quality_model import (
+            train_unigram_lm,
+            unigram_logprob_score,
+        )
+
+        ref = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(GOOD_TEXTS)], "doc_id long, text string"
+        )
+        lm = train_unigram_lm(ref, vocab_size=1000)
+        # threshold between reference-like text and OOV word soup
+        soup = "zxqv wjfk plmd qrtx yhbn zxqv wjfk plmd qrtx yhbn the"
+        docs = spark.createDataFrame(
+            [(1, GOOD_TEXTS[0]), (2, soup)], "doc_id long, text string"
+        )
+        scores = {
+            r.doc_id: r.lm_logprob
+            for r in unigram_logprob_score(docs, lm).collect()
+        }
+        thr = (scores[1] + scores[2]) / 2
+        kept = {
+            r.doc_id
+            for r in curate_corpus(
+                docs,
+                min_tokens=5,
+                languages=("en", "und"),
+                unigram_lm=lm,
+                min_lm_logprob=thr,
+            ).collect()
+        }
+        assert kept == {1}
+        with pytest.raises(ValueError, match="min_lm_logprob"):
+            curate_corpus(docs, unigram_lm=lm)
+
     def test_scoring_plan_narrow_and_udf_free(self, spark):
         from etl_process_for_fraud_transactions_spark.operators.quality_model import (
             train_unigram_lm,
