@@ -155,3 +155,61 @@ def curate_corpus(
     return train_val_split(gated, id_col, val_buckets=val_buckets).select(
         id_col, text_col, "n_tokens", "pred_lang", "split"
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str | None = "source",
+) -> DataFrame:
+    """One-pass corpus health summary — the numbers a curation run
+    should log and alert on, per source plus an all-sources rollup
+    row (source = NULL):
+
+      n_docs, total_tokens, avg_doc_tokens, p50/p95_doc_tokens,
+      exact_dup_rate (1 - distinct fingerprints / docs),
+      pct_en (stopword language-ID), avg_quality-ish stopword ratio.
+
+    Shuffle shape: one map-side projection computes every per-doc
+    metric (fingerprint, token count, language) in a single codegen
+    stage, then ONE rollup aggregate keyed on the source — the only
+    shuffle, output rows = #sources + 1. source_col=None reports the
+    single global row."""
+    from .text import (
+        _lang_exprs_from,
+        _marker_filter,
+        LANG_MARKERS,
+        fingerprint_md5,
+        tokens,
+    )
+
+    toks = tokens(F.col(text_col))
+    _, pred = _lang_exprs_from(toks)
+    per_doc = docs.select(
+        *( [F.col(source_col)] if source_col else [] ),
+        fingerprint_md5(F.col(text_col)).alias("__fp"),
+        F.size(toks).alias("__n_tokens"),
+        pred.alias("__lang"),
+        (
+            F.size(F.filter(toks, _marker_filter(LANG_MARKERS["en"]))).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("__stop_ratio"),
+    )
+    grouping = (
+        per_doc.rollup(source_col) if source_col else per_doc.groupBy()
+    )
+    out = grouping.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n_tokens").alias("total_tokens"),
+        F.avg("__n_tokens").alias("avg_doc_tokens"),
+        F.percentile_approx("__n_tokens", 0.5).alias("p50_doc_tokens"),
+        F.percentile_approx("__n_tokens", 0.95).alias("p95_doc_tokens"),
+        (
+            F.lit(1.0)
+            - F.count_distinct("__fp").cast("double") / F.count(F.lit(1))
+        ).alias("exact_dup_rate"),
+        F.avg((F.col("__lang") == "en").cast("double")).alias("pct_en"),
+        F.avg("__stop_ratio").alias("avg_stopword_ratio"),
+    )
+    return out

@@ -117,3 +117,38 @@ def test_curate_corpus_gopher_gate(spark, corpus):
     assert strict.count() == 0
     relaxed = curate_corpus(corpus, near_dup_threshold=0.5, min_tokens=10)
     assert relaxed.count() > 0
+
+
+def test_corpus_report_known_answers(spark):
+    from pyspark.sql import functions as F
+
+    from etl_process_for_fraud_transactions_spark.operators.pipeline import (
+        corpus_report,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat and the dog sat too", "web"),
+        (2, "the cat sat on the mat and the dog sat too", "web"),   # exact dup
+        (3, "der schnelle braune fuchs und der faule hund ist da", "web"),
+        (4, "plant roses and tulips along the sunny side of the fence", "books"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in corpus_report(docs).collect()}
+
+    assert set(got) == {"web", "books", None}
+    web = got["web"]
+    assert web.n_docs == 3
+    assert abs(web.exact_dup_rate - (1 - 2 / 3)) < 1e-12
+    assert abs(web.pct_en - 2 / 3) < 1e-12  # doc 3 is German
+    assert got["books"].n_docs == 1 and got["books"].exact_dup_rate == 0.0
+    total = got[None]
+    assert total.n_docs == 4
+    assert total.total_tokens == sum(len(t.split()) for _, t, _ in rows)
+
+    # global-only mode
+    one = corpus_report(docs, source_col=None).collect()
+    assert len(one) == 1 and one[0].n_docs == 4
+
+    # one-shuffle shape: a single Expand+aggregate, no joins
+    plan = corpus_report(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
