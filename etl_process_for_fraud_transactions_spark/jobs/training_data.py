@@ -52,6 +52,11 @@ def build_training_shards(
     languages: tuple[str, ...] = ("en",),
     near_dup_threshold: float = 0.6,
     gopher_gate: bool = False,
+    quality_model=None,
+    min_quality: float = 0.5,
+    unigram_lm=None,
+    min_lm_logprob: float | None = None,
+    span_mask_min_docs: int | None = None,
     chunk_tokens: int = 512,
     overlap: int = 64,
     max_tokens: int = 2048,
@@ -72,6 +77,11 @@ def build_training_shards(
         languages=languages,
         near_dup_threshold=near_dup_threshold,
         gopher_gate=gopher_gate,
+        quality_model=quality_model,
+        min_quality=min_quality,
+        unigram_lm=unigram_lm,
+        min_lm_logprob=min_lm_logprob,
+        span_mask_min_docs=span_mask_min_docs,
     )
     scrubbed = scrub_pii(curated, text_col)
 
