@@ -612,10 +612,14 @@ def _cumulate_dropped(df: DataFrame, stage_dropped: Column) -> Column:
 def _window_hashes(toks: Column, span_tokens: int) -> Column:
     """xxhash64 per `span_tokens`-token window of a token array —
     array<bigint>, one element per start position (empty when the doc
-    is shorter than one window)."""
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size(toks) - F.lit(span_tokens - 1), F.lit(0))
-    )
+    is shorter than one window). The start list must be gated on
+    n >= span_tokens: sequence(1, 0) yields a DESCENDING [1, 0] in
+    Spark (step inferred from the bounds), and slice(toks, 0, L) then
+    raises — the short-doc case needs an explicit empty array."""
+    n_starts = F.greatest(F.size(toks) - F.lit(span_tokens - 1), F.lit(0))
+    starts = F.when(
+        n_starts > 0, F.sequence(F.lit(1), n_starts)
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         starts,
         lambda s: F.xxhash64(F.array_join(F.slice(toks, s, span_tokens), " ")),

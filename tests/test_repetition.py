@@ -213,6 +213,27 @@ class TestFrequentSpans:
         }
         assert got == expect
 
+    def test_short_docs_pass_through_untouched(self, spark):
+        """Documents shorter than one window must flow through both
+        span operators unharmed — regression: sequence(1, 0) is a
+        DESCENDING [1, 0] in Spark and slice(toks, 0, L) raises."""
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            mask_frequent_spans,
+            span_doc_frequencies,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "short doc"), (2, "also tiny"), (3, "")],
+            "doc_id long, text string",
+        )
+        assert span_doc_frequencies(docs, span_tokens=16, min_docs=1).count() == 0
+        out = {
+            r.doc_id: r
+            for r in mask_frequent_spans(docs, span_tokens=16, min_docs=2).collect()
+        }
+        assert out[1].text == "short doc"
+        assert all(r.n_span_tokens_dropped == 0 for r in out.values())
+
     def test_curate_corpus_span_mask_stage(self, spark):
         """curate_corpus(span_mask_min_docs=...) strips planted
         mid-text boilerplate that paragraph-level stripping misses."""
