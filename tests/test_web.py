@@ -1,0 +1,90 @@
+"""URL/domain curation operators: known answers + plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_process_for_fraud_transactions_spark.operators.web import (
+    dedup_by_url,
+    filter_blocklisted_domains,
+    normalize_url,
+    registered_domain,
+    url_features,
+)
+
+
+def _one(spark, url, expr):
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(expr.alias("v")).first().v
+
+
+def test_registered_domain_heuristic_and_psl_suffixes(spark):
+    cases = {
+        "https://www.example.com/a": "example.com",
+        "http://news.bbc.co.uk/page": "bbc.co.uk",
+        "https://a.b.deep.example.com/": "example.com",
+        "http://shop.com.au.evil.org/x": "evil.org",
+        "http://192.168.10.1/admin": "192.168.10.1",
+    }
+    for url, want in cases.items():
+        got = _one(spark, url, registered_domain(F.col("url")))
+        assert got == want, (url, got, want)
+
+
+def test_url_features(spark):
+    df = spark.createDataFrame(
+        [(1, "https://www.Example.com/a/b/c?x=1"), (2, "http://ex.org")],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r for r in url_features(df).collect()}
+    assert got[1].url_host == "example.com"
+    assert got[1].url_path_depth == 3 and got[1].url_has_query
+    assert got[2].url_path_depth == 0 and not got[2].url_has_query
+
+
+def test_normalize_url_collapses_tracking_variants(spark):
+    a = "https://www.example.com/story/?utm_source=x&utm_medium=y"
+    b = "http://example.com/story"
+    c = "https://example.com/story?id=7&utm_source=z"
+    na = _one(spark, a, normalize_url(F.col("url")))
+    nb = _one(spark, b, normalize_url(F.col("url")))
+    nc = _one(spark, c, normalize_url(F.col("url")))
+    assert na == nb == "example.com/story"
+    assert nc == "example.com/story?id=7"  # real params survive
+
+
+def test_dedup_by_url_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "https://www.example.com/story/?utm_source=x"),
+            (1, "http://example.com/story"),
+            (2, "http://example.com/other"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(r.doc_id for r in dedup_by_url(df).collect())
+    assert kept == [1, 2]
+
+
+def test_filter_blocklisted_domains_covers_subdomains(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/x"),
+            (2, "https://deep.a.spam-site.org/y"),
+            (3, "https://fine.org/z"),
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("example.com",), ("SPAM-SITE.org",)], "domain string"
+    )
+    kept = [r.doc_id for r in filter_blocklisted_domains(df, bl).collect()]
+    assert kept == [3]
+    # plan: blocklist broadcasts; corpus stays map-side
+    plan = (
+        filter_blocklisted_domains(df, bl)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Broadcast" in plan and "SortMergeJoin" not in plan
