@@ -136,3 +136,29 @@ def filter_blocklisted_domains(
         .join(F.broadcast(b), F.col("__dom") == F.col("__blocked"), "left_anti")
         .drop("__dom")
     )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_docs: int = 1000,
+) -> DataFrame:
+    """Keep at most `max_docs` documents per registered domain
+    (deterministic: smallest ids win) — the anti-dominance policy of
+    web-corpus assembly: without it a handful of mega-domains
+    (user-content farms, mirrors) supply an outsized share of the
+    corpus. One shuffle keyed on the short domain string; a hot
+    mega-domain partition holds only (id, domain) pairs plus the
+    row_number state, and AQE skew-join/partition handling covers the
+    rest. Compose with `deterministic_sample` instead when a RANDOM
+    per-domain subsample is wanted rather than the min-id prefix."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__dom").orderBy(F.asc(id_col))
+    return (
+        df.withColumn("__dom", registered_domain(F.col(url_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_docs)
+        .drop("__dom", "__rn")
+    )

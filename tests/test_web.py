@@ -88,3 +88,15 @@ def test_filter_blocklisted_domains_covers_subdomains(spark):
         .toString()
     )
     assert "Broadcast" in plan and "SortMergeJoin" not in plan
+
+
+def test_cap_per_domain(spark):
+    from etl_process_for_fraud_transactions_spark.operators.web import (
+        cap_per_domain,
+    )
+
+    rows = [(i, f"https://big.example.com/p{i}") for i in range(10)]
+    rows += [(100, "https://small.org/x"), (101, "https://small.org/y")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(r.doc_id for r in cap_per_domain(df, max_docs=3).collect())
+    assert kept == [0, 1, 2, 100, 101]  # min ids win; small.org untouched
