@@ -94,7 +94,12 @@ def normalize_url(url: Column | str) -> Column:
     base = F.concat(
         url_host(c), F.regexp_replace(path, r"/$", "")
     )
-    return F.when(kept_q != "", F.concat(base, F.lit("?"), kept_q)).otherwise(base)
+    norm = F.when(kept_q != "", F.concat(base, F.lit("?"), kept_q)).otherwise(base)
+    # a scheme-less/malformed URL has no parseable host -> norm is
+    # NULL, and a null-keyed dedup would collapse ALL malformed rows
+    # into one survivor; fall back to the raw string (identity only
+    # with itself) so malformed rows are never merged
+    return F.coalesce(norm, F.lower(c))
 
 
 def dedup_by_url(

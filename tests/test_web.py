@@ -100,3 +100,14 @@ def test_cap_per_domain(spark):
     df = spark.createDataFrame(rows, "doc_id long, url string")
     kept = sorted(r.doc_id for r in cap_per_domain(df, max_docs=3).collect())
     assert kept == [0, 1, 2, 100, 101]  # min ids win; small.org untouched
+
+
+def test_malformed_urls_never_merge(spark):
+    """Scheme-less URLs have no parseable host; they must dedup only
+    against identical raw strings, never collapse as a null group."""
+    df = spark.createDataFrame(
+        [(1, "example.com/x"), (2, "other.org/y"), (3, "example.com/x")],
+        "doc_id long, url string",
+    )
+    kept = sorted(r.doc_id for r in dedup_by_url(df).collect())
+    assert kept == [1, 2]
