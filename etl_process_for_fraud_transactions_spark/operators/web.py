@@ -2,7 +2,8 @@
 rung of a training-data pipeline (FineWeb/RefinedWeb-style): domain
 blocklists, URL-identity dedup, per-domain caps. Everything is
 `parse_url` + regexp expressions (JVM, whole-stage codegen); the only
-shuffles are keyed on short domain/URL-hash strings, never the text.
+corpus-scale shuffles are keyed on short domain/URL/id strings, never
+the text.
 
 Registered-domain caveat: the default extraction is the last-two-label
 heuristic ('news.example.co.uk' -> 'co.uk' is WRONG for public-suffix
@@ -27,31 +28,68 @@ MULTI_LABEL_SUFFIXES = (
     "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
 )
 
-#: tracking query parameters stripped by normalize_url
+#: tracking query parameters stripped by normalize_url. Deliberately
+#: restricted to parameters that NEVER select a different resource
+#: (utm_* are analytics annotations; gclid/fbclid are click ids).
+#: 'ref' is NOT here: GitHub-style '?ref=branch' pages are distinct
+#: resources — pass AGGRESSIVE_TRACKING_PARAMS to opt in when the
+#: corpus is known to use 'ref' only as a referrer tag.
 TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign", "utm_term",
-                   "utm_content", "gclid", "fbclid", "ref")
+                   "utm_content", "gclid", "fbclid")
+
+#: opt-in superset: TRACKING_PARAMS plus ambiguous referrer-style
+#: parameters that on SOME sites select distinct resources.
+AGGRESSIVE_TRACKING_PARAMS = TRACKING_PARAMS + ("ref",)
 
 
 def url_host(url: Column | str) -> Column:
-    """Lowercased host with any leading 'www.' stripped."""
+    """Lowercased host with any leading 'www.' stripped (no port —
+    parse_url's HOST part excludes it; normalize_url keeps the port
+    via the AUTHORITY part)."""
     c = F.col(url) if isinstance(url, str) else url
     return F.regexp_replace(
-        F.lower(F.parse_url(c, F.lit("HOST"))), r"^www\.", ""
+        F.lower(F.try_parse_url(c, F.lit("HOST"))), r"^www\.", ""
     )
+
+
+def _host_with_port(c: Column) -> Column:
+    """Lowercased host:port identity from the AUTHORITY part —
+    userinfo stripped, leading 'www.' stripped, the two default ports
+    (:80, :443) dropped so 'host' and 'host:80' collapse while
+    'host:8080' stays a distinct origin."""
+    auth = F.lower(F.try_parse_url(c, F.lit("AUTHORITY")))
+    auth = F.regexp_replace(auth, r"^[^@/]*@", "")
+    auth = F.regexp_replace(auth, r"^www\.", "")
+    return F.regexp_replace(auth, r":(80|443)$", "")
 
 
 def registered_domain(
     url: Column | str, suffixes: tuple[str, ...] = MULTI_LABEL_SUFFIXES
 ) -> Column:
     """eTLD+1: the last two host labels, or three when the last two
-    form a known multi-label suffix (see module docstring re the PSL)."""
-    h = url_host(url)
+    form a known multi-label suffix (see module docstring re the PSL).
+
+    Fallback chain for hosts with no two-label extraction: a
+    single-label host (localhost, intranet names) IS its own domain;
+    a host-less/malformed URL falls back to the raw string (identity
+    only with itself) — so cap_per_domain / blocklist grouping never
+    lumps all intranet or malformed rows into one ''/null mega-group.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    h = url_host(c)
     two = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
     three = F.regexp_extract(h, r"([^.]+\.[^.]+\.[^.]+)$", 1)
     is_multi = two.isin(*suffixes)
     # IP hosts have no registered domain concept: pass through whole
     is_ip = h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
-    return F.when(is_ip, h).when(is_multi & (three != ""), three).otherwise(two)
+    base = (
+        F.when(is_ip, h)
+        .when(is_multi & (three != ""), three)
+        .otherwise(two)
+    )
+    return F.coalesce(
+        F.nullif(base, F.lit("")), F.nullif(h, F.lit("")), F.lower(c)
+    )
 
 
 def url_features(
@@ -61,7 +99,7 @@ def url_features(
     presence — the planning-time columns URL policies filter on
     (per-domain caps, path-depth heuristics) without touching text."""
     c = F.col(url_col)
-    path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
     return (
         df.withColumn("url_host", url_host(c))
         .withColumn("url_domain", registered_domain(c))
@@ -70,29 +108,35 @@ def url_features(
             F.size(F.filter(F.split(path, "/"), lambda p: p != "")),
         )
         .withColumn(
-            "url_has_query", F.parse_url(c, F.lit("QUERY")).isNotNull()
+            "url_has_query", F.try_parse_url(c, F.lit("QUERY")).isNotNull()
         )
     )
 
 
-def normalize_url(url: Column | str) -> Column:
-    """Canonical URL identity for exact URL dedup: lowercase scheme
-    and host, strip 'www.', drop fragments, drop tracking parameters
-    (TRACKING_PARAMS), strip a trailing slash. Two fetches of the same
-    logical page under different tracking decorations collapse."""
+def normalize_url(
+    url: Column | str,
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
+) -> Column:
+    """Canonical URL identity for exact URL dedup: the SCHEME IS
+    DROPPED DELIBERATELY (http/https fetches of one page collapse),
+    host is lowercased with 'www.' stripped, the port is KEPT (an
+    ':8080' origin is a different resource; only the default :80/:443
+    collapse), fragments drop, `tracking_params` query parameters
+    drop, and a trailing slash strips. Two fetches of the same logical
+    page under different tracking decorations collapse."""
     c = F.col(url) if isinstance(url, str) else url
-    path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
-    query = F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
+    query = F.coalesce(F.try_parse_url(c, F.lit("QUERY")), F.lit(""))
     kept_q = F.array_join(
         F.filter(
             F.split(query, "&"),
             lambda kv: (kv != "")
-            & ~F.split(kv, "=")[0].isin(*TRACKING_PARAMS),
+            & ~F.split(kv, "=")[0].isin(*tracking_params),
         ),
         "&",
     )
     base = F.concat(
-        url_host(c), F.regexp_replace(path, r"/$", "")
+        _host_with_port(c), F.regexp_replace(path, r"/$", "")
     )
     norm = F.when(kept_q != "", F.concat(base, F.lit("?"), kept_q)).otherwise(base)
     # a scheme-less/malformed URL has no parseable host -> norm is
@@ -103,21 +147,44 @@ def normalize_url(url: Column | str) -> Column:
 
 
 def dedup_by_url(
-    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
 ) -> DataFrame:
     """Keep one row (min id) per normalized URL — the cheapest dedup
     rung, upstream of content fingerprints: refetches and tracking
-    variants collapse before any text is hashed. One shuffle keyed on
-    the normalized URL string."""
-    from pyspark.sql.window import Window
+    variants collapse before any text is hashed.
 
-    w = Window.partitionBy("__nurl").orderBy(F.asc(id_col))
-    return (
-        df.withColumn("__nurl", normalize_url(F.col(url_col)))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__nurl", "__rn")
+    Shuffle shape: the survivor set comes from a (url, id) PROJECTION
+    — min-id aggregation with map-side partial combine, so a URL
+    refetched millions of times reduces locally instead of straggling
+    one sort partition — and joins back left_semi on the id. The text
+    shuffles once (the join-back), keyed on the id, never on the URL.
+    """
+    ids = df.select(
+        F.col(id_col), normalize_url(F.col(url_col), tracking_params).alias("__nurl")
     )
+    keep = ids.groupBy("__nurl").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+def _host_suffix_chain(h: Column) -> Column:
+    """All dot-suffixes of the host with >= 2 labels, plus nothing
+    shorter (a bare TLD in a blocklist would otherwise block the
+    whole web): ['a.spam.blogspot.com', 'spam.blogspot.com',
+    'blogspot.com']. Single-label and IP hosts contribute only
+    themselves (partial-IP suffixes like '3.4' must never match).
+    Bounded: hosts have ~2-6 labels, so the explode is O(1) per row.
+    """
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    is_ip = h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    chain = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+    return F.when(is_ip | (n < 2), F.array(h)).otherwise(chain)
 
 
 def filter_blocklisted_domains(
@@ -125,22 +192,38 @@ def filter_blocklisted_domains(
     blocklist: DataFrame,
     url_col: str = "url",
     domain_col: str = "domain",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Drop rows whose registered domain (or any parent domain: a
-    block on 'example.com' also blocks 'a.b.example.com') appears in
-    the blocklist. The blocklist broadcasts (domain lists are
-    millions of short strings at worst — MBs); the corpus side stays
-    map-side with a left_anti join on the extracted domain. For
-    blocklists too big to broadcast, build a bloom over the domains
+    """Drop rows whose host, or ANY parent domain of it, appears in
+    the blocklist: a block on 'example.com' blocks 'a.b.example.com',
+    and a HOST-LEVEL entry finer than eTLD+1 ('spam.blogspot.com',
+    the common shape in real lists like UT1) blocks exactly its
+    subtree — sibling subdomains of the same registered domain
+    survive.
+
+    Shape: each row explodes its bounded host-suffix chain (<= ~6
+    short strings, ids-only projection), left_semi joins the
+    BROADCAST blocklist (domain lists are millions of short strings
+    at worst — MBs), and the blocked-id set anti-joins back on the
+    id. The text never shuffles on a domain key. For blocklists too
+    big to broadcast, build a bloom over the domains
     (operators/bloom.py) and exact-verify the hits — same cascade as
     decontamination."""
-    dom = registered_domain(F.col(url_col))
-    b = blocklist.select(F.lower(F.col(domain_col)).alias("__blocked")).distinct()
-    return (
-        df.withColumn("__dom", dom)
-        .join(F.broadcast(b), F.col("__dom") == F.col("__blocked"), "left_anti")
-        .drop("__dom")
+    b = blocklist.select(
+        F.regexp_replace(
+            F.lower(F.col(domain_col)), r"^www\.", ""
+        ).alias("__blocked")
+    ).distinct()
+    sfx = df.select(
+        F.col(id_col),
+        F.explode(_host_suffix_chain(url_host(F.col(url_col)))).alias("__sfx"),
     )
+    blocked = (
+        sfx.join(F.broadcast(b), F.col("__sfx") == F.col("__blocked"), "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(blocked, id_col, "left_anti")
 
 
 def cap_per_domain(
@@ -148,22 +231,41 @@ def cap_per_domain(
     url_col: str = "url",
     id_col: str = "doc_id",
     max_docs: int = 1000,
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """Keep at most `max_docs` documents per registered domain
     (deterministic: smallest ids win) — the anti-dominance policy of
     web-corpus assembly: without it a handful of mega-domains
     (user-content farms, mirrors) supply an outsized share of the
-    corpus. One shuffle keyed on the short domain string; a hot
-    mega-domain partition holds only (id, domain) pairs plus the
-    row_number state, and AQE skew-join/partition handling covers the
-    rest. Compose with `deterministic_sample` instead when a RANDOM
+    corpus.
+
+    Two-phase top-k, because a single row_number window over the
+    domain key puts EVERY document of a mega-domain into one sort
+    partition and AQE cannot split a window partition (it splits
+    skewed join/shuffle-read partitions only): phase 1 ranks within
+    (domain, salt) — a mega-domain fans out over `salt_buckets`
+    bounded partitions — and keeps each bucket's min-id `max_docs`
+    prefix; phase 2 ranks the surviving <= salt_buckets * max_docs
+    rows per domain globally. Both windows run on an (id, domain)
+    PROJECTION; the kept-id set left_semi joins back on the id, so
+    text shuffles once, keyed on the id, never on the domain.
+    Compose with `deterministic_sample` instead when a RANDOM
     per-domain subsample is wanted rather than the min-id prefix."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("__dom").orderBy(F.asc(id_col))
-    return (
-        df.withColumn("__dom", registered_domain(F.col(url_col)))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_docs)
-        .drop("__dom", "__rn")
+    ids = df.select(
+        F.col(id_col), registered_domain(F.col(url_col)).alias("__dom")
+    ).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
     )
+    w1 = Window.partitionBy("__dom", "__salt").orderBy(F.asc(id_col))
+    pre = ids.withColumn("__rn", F.row_number().over(w1)).filter(
+        F.col("__rn") <= max_docs
+    )
+    w2 = Window.partitionBy("__dom").orderBy(F.asc(id_col))
+    keep = (
+        pre.withColumn("__rn2", F.row_number().over(w2))
+        .filter(F.col("__rn2") <= max_docs)
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")

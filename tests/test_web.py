@@ -5,6 +5,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_process_for_fraud_transactions_spark.operators.web import (
+    AGGRESSIVE_TRACKING_PARAMS,
+    cap_per_domain,
     dedup_by_url,
     filter_blocklisted_domains,
     normalize_url,
@@ -31,6 +33,20 @@ def test_registered_domain_heuristic_and_psl_suffixes(spark):
         assert got == want, (url, got, want)
 
 
+def test_registered_domain_single_label_and_malformed_fallback(spark):
+    """Single-label hosts are their own domain; host-less URLs fall
+    back to the raw string — no ''/null mega-group under the cap or
+    the blocklist."""
+    cases = {
+        "http://localhost/admin": "localhost",
+        "http://intranet:8080/wiki": "intranet",
+        "not a url at all": "not a url at all",
+    }
+    for url, want in cases.items():
+        got = _one(spark, url, registered_domain(F.col("url")))
+        assert got == want, (url, got, want)
+
+
 def test_url_features(spark):
     df = spark.createDataFrame(
         [(1, "https://www.Example.com/a/b/c?x=1"), (2, "http://ex.org")],
@@ -51,6 +67,33 @@ def test_normalize_url_collapses_tracking_variants(spark):
     nc = _one(spark, c, normalize_url(F.col("url")))
     assert na == nb == "example.com/story"
     assert nc == "example.com/story?id=7"  # real params survive
+
+
+def test_normalize_url_keeps_nondefault_port(spark):
+    """host:8080 is a distinct origin; :80/:443 collapse to host."""
+    assert (
+        _one(spark, "http://example.com:8080/x", normalize_url(F.col("url")))
+        == "example.com:8080/x"
+    )
+    assert (
+        _one(spark, "http://example.com:80/x", normalize_url(F.col("url")))
+        == "example.com/x"
+    )
+    assert (
+        _one(spark, "https://example.com:443/x", normalize_url(F.col("url")))
+        == "example.com/x"
+    )
+
+
+def test_normalize_url_ref_param_survives_by_default(spark):
+    """GitHub-style ?ref=branch selects a distinct resource — kept
+    unless the caller opts into AGGRESSIVE_TRACKING_PARAMS."""
+    u = "https://example.com/tree?ref=main"
+    assert _one(spark, u, normalize_url(F.col("url"))) == "example.com/tree?ref=main"
+    assert (
+        _one(spark, u, normalize_url(F.col("url"), AGGRESSIVE_TRACKING_PARAMS))
+        == "example.com/tree"
+    )
 
 
 def test_dedup_by_url_keeps_min_id(spark):
@@ -80,26 +123,68 @@ def test_filter_blocklisted_domains_covers_subdomains(spark):
     )
     kept = [r.doc_id for r in filter_blocklisted_domains(df, bl).collect()]
     assert kept == [3]
-    # plan: blocklist broadcasts; corpus stays map-side
+    # plan: the blocklist side joins as a broadcast hash join
     plan = (
         filter_blocklisted_domains(df, bl)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "Broadcast" in plan and "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+
+
+def test_filter_blocklisted_domains_host_level_entry_blocks_subtree(spark):
+    """An entry finer than eTLD+1 (the UT1 shape) blocks exactly its
+    subtree; sibling subdomains of the same registered domain and an
+    IP host whose partial suffix resembles an entry both survive."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.blogspot.com/p/1"),
+            (2, "https://x.spam.blogspot.com/p/2"),
+            (3, "https://nice.blogspot.com/p/3"),
+            (4, "http://10.20.3.4/x"),
+            (5, "http://localhost/x"),
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("spam.blogspot.com",), ("3.4",), ("localhost",)], "domain string"
+    )
+    kept = sorted(r.doc_id for r in filter_blocklisted_domains(df, bl).collect())
+    assert kept == [3, 4]  # subtree blocked; sibling + IP survive; localhost exact-matches
 
 
 def test_cap_per_domain(spark):
-    from etl_process_for_fraud_transactions_spark.operators.web import (
-        cap_per_domain,
-    )
-
     rows = [(i, f"https://big.example.com/p{i}") for i in range(10)]
     rows += [(100, "https://small.org/x"), (101, "https://small.org/y")]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     kept = sorted(r.doc_id for r in cap_per_domain(df, max_docs=3).collect())
     assert kept == [0, 1, 2, 100, 101]  # min ids win; small.org untouched
+
+
+def test_cap_per_domain_two_phase_matches_single_window(spark):
+    """The salted two-phase top-k must equal the plain global window
+    answer on a planted mega-domain regardless of salt fan-out."""
+    from pyspark.sql.window import Window
+
+    rows = [(i * 13 % 997, f"https://mega.example.com/p{i}") for i in range(400)]
+    rows += [(10_000 + i, f"https://site{i % 7}.org/x{i}") for i in range(70)]
+    rows = [(i, u) for i, u in dict(rows).items()]  # unique ids
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    for salt in (1, 4, 64):
+        got = sorted(
+            r.doc_id
+            for r in cap_per_domain(df, max_docs=5, salt_buckets=salt).collect()
+        )
+        w = Window.partitionBy("__d").orderBy(F.asc("doc_id"))
+        want = sorted(
+            r.doc_id
+            for r in df.withColumn("__d", registered_domain(F.col("url")))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 5)
+            .collect()
+        )
+        assert got == want, salt
 
 
 def test_malformed_urls_never_merge(spark):
