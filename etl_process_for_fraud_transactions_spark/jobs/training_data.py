@@ -119,9 +119,12 @@ def build_training_shards(
 
         parts = []
         for i, split in enumerate(("train", "val")):
+            # order_cols must follow id_col: the default ('doc_id',
+            # 'chunk_id') raises AnalysisException under any renamed id
             packed = pack_chunks(
                 chunks.filter(F.col("split") == split),
                 max_tokens=max_tokens,
+                order_cols=(id_col, "chunk_id"),
             )
             parts.append(
                 packed.withColumn(

@@ -139,12 +139,15 @@ def decontaminate(
     min_bench_frac: float = 0.0,
     prefilter: str | None = None,
     bloom_fpp: float = 0.001,
+    bloom=None,
 ) -> DataFrame:
     """`docs` minus every document the contamination report flags
     (n_shared >= min_shared AND bench_frac >= min_bench_frac) — the
     drop-side twin of `contamination_report`, as a left-anti join on
-    the flagged id set. prefilter='bloom' for mega-benchmark suites
-    (see contamination_report)."""
+    the flagged id set. prefilter='bloom' for mega-benchmark suites;
+    `bloom` is the prebuilt build_benchmark_bloom triple, threaded
+    through exactly as contamination_report accepts it (one bitset
+    build per benchmark suite, reused across screened corpora)."""
     flagged = (
         contamination_report(
             docs,
@@ -157,6 +160,7 @@ def decontaminate(
             min_shared,
             prefilter=prefilter,
             bloom_fpp=bloom_fpp,
+            bloom=bloom,
         )
         .filter(F.col("bench_frac") >= min_bench_frac)
         .select(id_col)

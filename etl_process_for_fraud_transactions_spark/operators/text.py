@@ -609,20 +609,34 @@ def _cumulate_dropped(df: DataFrame, stage_dropped: Column) -> Column:
 
 # --- cross-document repeated spans (token-window granularity) --------------
 
-def _window_hashes(toks: Column, span_tokens: int) -> Column:
-    """xxhash64 per `span_tokens`-token window of a token array —
+def _window_hashes(
+    toks: Column, span_tokens: int, portable: bool = False
+) -> Column:
+    """Hash per `span_tokens`-token window of a token array —
     array<bigint>, one element per start position (empty when the doc
     is shorter than one window). The start list must be gated on
     n >= span_tokens: sequence(1, 0) yields a DESCENDING [1, 0] in
     Spark (step inferred from the bounds), and slice(toks, 0, L) then
-    raises — the short-doc case needs an explicit empty array."""
+    raises — the short-doc case needs an explicit empty array.
+
+    portable=False hashes with xxhash64 (the engine-internal fast
+    default); portable=True derives the 60-bit hash from md5
+    (portable_hash60) so an external oracle can replay the window set
+    exactly — the same fast/portable twin `minhash_signature` has,
+    and for the same reason (hash values that cross the oracle
+    boundary must be engine-independent)."""
     n_starts = F.greatest(F.size(toks) - F.lit(span_tokens - 1), F.lit(0))
     starts = F.when(
         n_starts > 0, F.sequence(F.lit(1), n_starts)
     ).otherwise(F.array().cast("array<int>"))
+    h = (
+        (lambda s: portable_hash60(s))
+        if portable
+        else (lambda s: F.xxhash64(s))
+    )
     return F.transform(
         starts,
-        lambda s: F.xxhash64(F.array_join(F.slice(toks, s, span_tokens), " ")),
+        lambda s: h(F.array_join(F.slice(toks, s, span_tokens), " ")),
     )
 
 
@@ -632,6 +646,7 @@ def span_doc_frequencies(
     id_col: str = "doc_id",
     span_tokens: int = 16,
     min_docs: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """(span_hash, n_docs) for every `span_tokens`-token window whose
     text occurs in >= min_docs distinct documents — cross-document
@@ -642,13 +657,16 @@ def span_doc_frequencies(
     instead of suffix arrays: any shared run of >= span_tokens tokens
     necessarily contains a shared window (no false negatives at that
     granularity), and windows hash to 8 bytes, so the ONLY
-    corpus-scale shuffle carries (hash, id) pairs — text never moves."""
+    corpus-scale shuffle carries (hash, id) pairs — text never moves.
+    portable=True swaps xxhash64 for the md5-derived 60-bit hash so an
+    external oracle can replay the frequency table (slower; identical
+    verdicts — pytest-pinned)."""
     toks = tokens(F.col(text_col))
     exploded = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(_window_hashes(toks, span_tokens))).alias(
-            "span_hash"
-        ),
+        F.explode(
+            F.array_distinct(_window_hashes(toks, span_tokens, portable))
+        ).alias("span_hash"),
     )
     return (
         exploded.groupBy("span_hash")
@@ -663,6 +681,7 @@ def mask_frequent_spans(
     id_col: str = "doc_id",
     span_tokens: int = 16,
     min_docs: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """Remove every token covered by a corpus-frequent window (>=
     min_docs documents) from every document — boilerplate semantics
@@ -678,15 +697,19 @@ def mask_frequent_spans(
     collected per doc (a second id-keyed shuffle bounded by flagged
     positions, not text); the final token filter runs map-side over
     each doc's own array. Overlapping flagged windows merge naturally
-    — a token is dropped if ANY flagged window covers it."""
+    — a token is dropped if ANY flagged window covers it.
+    portable=True threads the oracle-replayable md5 window hash
+    through both passes (identical masked output — pytest-pinned)."""
     frequent = span_doc_frequencies(
-        df, text_col, id_col, span_tokens, min_docs
+        df, text_col, id_col, span_tokens, min_docs, portable
     ).select("span_hash")
 
     toks = tokens(F.col(text_col))
     positions = df.select(
         F.col(id_col),
-        F.posexplode(_window_hashes(toks, span_tokens)).alias("pos0", "span_hash"),
+        F.posexplode(_window_hashes(toks, span_tokens, portable)).alias(
+            "pos0", "span_hash"
+        ),
     )
     flagged = (
         positions.join(frequent, "span_hash", "left_semi")

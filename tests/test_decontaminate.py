@@ -224,6 +224,60 @@ class TestBloomPrefilter:
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
         assert "hashpartitioning" not in plan  # prune is map-side only
 
+    def test_decontaminate_threads_prebuilt_bloom(self, spark, fixture):
+        """The drop-side twin accepts the prebuilt triple exactly as
+        contamination_report does — one bitset build per benchmark
+        suite, reused across every screened corpus."""
+        from etl_process_for_fraud_transactions_spark.operators.decontaminate import (
+            build_benchmark_bloom,
+        )
+
+        _, _, docs, bench = fixture
+        triple = build_benchmark_bloom(bench, k=8, fpp=0.01)
+        exact = sorted(r.doc_id for r in decontaminate(docs, bench, k=8).collect())
+        reused = sorted(
+            r.doc_id
+            for r in decontaminate(
+                docs, bench, k=8, prefilter="bloom", bloom=triple
+            ).collect()
+        )
+        assert reused == exact
+
+    def test_undersized_bloom_stays_exact(self, spark):
+        """An undersized bitset (the clamp's effect: effective fpp far
+        above the request) only weakens the PRUNE — the verify join
+        still removes every false positive, so results are identical
+        to the exact path."""
+        from pyspark.sql import functions as F
+
+        from etl_process_for_fraud_transactions_spark.operators.bloom import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        rng = random.Random(5)
+        members = [f"m-{i}-{rng.randrange(10**9)}" for i in range(500)]
+        others = [f"o-{i}-{rng.randrange(10**9)}" for i in range(2000)]
+        keys = spark.createDataFrame([(m,) for m in members], "k string")
+        # lie about the cardinality: 10 items' worth of bits for 500 keys
+        bits_df, m, kh = bloom_build(keys, "k", fpp=0.01, n_items=10)
+        probe = spark.createDataFrame(
+            [(v,) for v in members + others], "k string"
+        )
+        pruned = (
+            probe.crossJoin(F.broadcast(bits_df))
+            .filter(bloom_might_contain(F.col("k"), F.col("__bloom_bits"), m, kh))
+            .drop("__bloom_bits")
+        )
+        # no false negatives even though the filter is saturated
+        hits = {r.k for r in pruned.collect()}
+        assert set(members) <= hits
+        # cascade: exact verify after the weak prune == exact join
+        verified = sorted(
+            r.k for r in pruned.join(keys, "k", "left_semi").collect()
+        )
+        assert verified == sorted(members)
+
     def test_bloom_params_clamp_warns(self):
         import warnings
 

@@ -213,6 +213,45 @@ class TestFrequentSpans:
         }
         assert got == expect
 
+    def test_portable_hash_mode_same_verdicts(self, spark):
+        """portable=True (md5-derived window hashes, the oracle-
+        replayable twin) must mask exactly the same tokens as the
+        xxhash64 default — only the hash VALUES differ, never the
+        frequency verdicts or the rewritten text."""
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            mask_frequent_spans,
+            span_doc_frequencies,
+        )
+
+        docs, _ = self._docs(spark)
+        fast = {
+            r.doc_id: (r.text, r.n_span_tokens_dropped)
+            for r in mask_frequent_spans(
+                docs, span_tokens=16, min_docs=3, portable=False
+            ).collect()
+        }
+        port = {
+            r.doc_id: (r.text, r.n_span_tokens_dropped)
+            for r in mask_frequent_spans(
+                docs, span_tokens=16, min_docs=3, portable=True
+            ).collect()
+        }
+        assert fast == port
+        # frequency tables agree on (count, multiplicity) shape
+        f1 = sorted(
+            r.n_docs
+            for r in span_doc_frequencies(
+                docs, span_tokens=16, min_docs=3, portable=False
+            ).collect()
+        )
+        f2 = sorted(
+            r.n_docs
+            for r in span_doc_frequencies(
+                docs, span_tokens=16, min_docs=3, portable=True
+            ).collect()
+        )
+        assert f1 == f2 and len(f1) >= 1
+
     def test_short_docs_pass_through_untouched(self, spark):
         """Documents shorter than one window must flow through both
         span operators unharmed — regression: sequence(1, 0) is a

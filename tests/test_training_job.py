@@ -156,3 +156,24 @@ def test_mixture_shares_respected(spark, raw_docs, tmp_path_factory):
         max_tokens=64,
     )
     assert 0 < stats["n_curated_docs"] <= 14
+
+
+def test_renamed_id_col_packs_without_error(spark, raw_docs, tmp_path_factory):
+    """pack_chunks must receive order_cols derived from the job's
+    id_col — with the hard-coded ('doc_id', 'chunk_id') default a
+    renamed id raised AnalysisException at the packing stage."""
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("wh")))
+    docs = raw_docs.withColumnRenamed("doc_id", "uid")
+    stats = build_training_shards(
+        wh,
+        docs,
+        id_col="uid",
+        min_tokens=10,
+        near_dup_threshold=0.5,
+        chunk_tokens=16,
+        overlap=4,
+        max_tokens=64,
+    )
+    assert stats["n_curated_docs"] > 0
+    out = spark.read.parquet(wh.path("training_shards"))
+    assert "uid" in out.columns and out.count() > 0
