@@ -360,16 +360,83 @@ _SQL_SHINGLES8 = """
     END"""
 
 
-@query(
-    "corpus_curation_pipeline",
-    f"""
-    WITH survivors AS (
+#: Frozen registered-literal parameters for the curation row's learned
+#: gates — the kmeans_anomaly_scores frozen-centroid precedent: both
+#: serving paths are plain float folds, so embedding the SAME literals
+#: in the Spark plan and the oracle SQL makes the gates exactly
+#: replayable. Weights/log-probs are dyadic rationals (multiples of
+#: 1/64) so every sum is EXACT in double regardless of fold order; the
+#: only engine-rounded steps are the final divisions and exp(), with
+#: thresholds chosen >= 1e-4 away from every document's score at
+#: sf0.001/0.01/0.1 (measured) so a last-ulp exp() divergence cannot
+#: flip a gate.
+_CUR_SPAN_TOKENS = 16
+_CUR_SPAN_MIN_DOCS = 3
+_CUR_QM_INTERCEPT = -1.0
+#: weight per FEATURE_COLS position: (n_chars, n_tokens,
+#: mean_token_len, punct_ratio, upper_ratio, stopword_ratio)
+_CUR_QM_WEIGHTS = (0.0, 0.03125, -0.25, -4.0, -2.0, 2.0)
+_CUR_MIN_QUALITY = 0.3
+_CUR_LM_TIER1 = (
+    "join", "hash", "row", "batch", "scan", "customer", "column",
+    "filter", "small", "slow", "merge", "order", "vector", "line",
+    "data", "table", "agg", "value", "key", "stream",
+)
+_CUR_LM_TIER2 = (
+    "window", "spark", "a", "group", "part", "big", "sort", "query",
+    "fast", "the",
+)
+_CUR_LM_LOGP1, _CUR_LM_LOGP2, _CUR_LM_OOV = -3.0, -3.5, -6.5
+_CUR_MIN_LM = -3.203125
+
+
+def _curation_oracle_sql() -> str:
+    """DuckDB twin of the full curation ladder. The span-mask stage is
+    replayed on window STRINGS (md5 is injective modulo collisions, so
+    counting the strings themselves is the independent twin of the
+    engine's portable md5-hash path); every learned-gate float is the
+    same registered literal the Spark plan folds in."""
+    L = _CUR_SPAN_TOKENS
+    t1 = ", ".join(f"'{w}'" for w in _CUR_LM_TIER1)
+    t2 = ", ".join(f"'{w}'" for w in _CUR_LM_TIER2)
+    b, w = _CUR_QM_INTERCEPT, _CUR_QM_WEIGHTS
+    lm_of = (
+        f"CASE WHEN x IN ({t1}) THEN CAST({_CUR_LM_LOGP1} AS DOUBLE) "
+        f"WHEN x IN ({t2}) THEN CAST({_CUR_LM_LOGP2} AS DOUBLE) "
+        f"ELSE CAST({_CUR_LM_OOV} AS DOUBLE) END"
+    )
+    return f"""
+    WITH toks0 AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    wins AS (
+        SELECT doc_id, CAST(i AS INT) AS i,
+               array_to_string(t[i:i+{L - 1}], ' ') AS win
+        FROM toks0, unnest(range(1, greatest(len(t) - {L} + 1, 0) + 1)) AS u(i)
+    ),
+    freq AS (
+        SELECT win
+        FROM (SELECT win, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY win)
+        WHERE nd >= {_CUR_SPAN_MIN_DOCS}
+    ),
+    starts AS (
+        SELECT doc_id, list(i) AS ss FROM wins
+        WHERE win IN (SELECT win FROM freq) GROUP BY doc_id
+    ),
+    masked AS (
+        SELECT toks0.doc_id,
+               array_to_string(
+                   CASE WHEN ss IS NULL THEN t
+                        ELSE list_filter(t, (tok, p) ->
+                            len(list_filter(ss, s -> p >= s AND p <= s + {L - 1})) = 0)
+                   END, ' ') AS text
+        FROM toks0 LEFT JOIN starts USING (doc_id)
+    ),
+    survivors AS (
         SELECT MIN(doc_id) AS doc_id
-        FROM (SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents)
+        FROM (SELECT doc_id, md5({_SQL_NORM}) AS fp FROM masked)
         GROUP BY fp
     ),
     kept AS (
-        SELECT d.doc_id, d.text FROM documents d JOIN survivors USING (doc_id)
+        SELECT m.doc_id, m.text FROM masked m JOIN survivors USING (doc_id)
     ),
     bench_sh AS (
         SELECT DISTINCT unnest({_SQL_SHINGLES8}) AS shingle
@@ -387,49 +454,103 @@ _SQL_SHINGLES8 = """
         WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
     ),
     scored AS (
-        SELECT doc_id,
+        SELECT doc_id, text, {_SQL_TOKS} AS tk,
                len({_SQL_TOKS}) AS n_tokens,
                len(list_filter({_SQL_TOKS}, x -> x IN ('der','die','und','das','ist'))) AS s_de,
                len(list_filter({_SQL_TOKS}, x -> x IN ('the','and','of','to','is'))) AS s_en,
                len(list_filter({_SQL_TOKS}, x -> x IN ('el','la','los','es','y'))) AS s_es,
                len(list_filter({_SQL_TOKS}, x -> x IN ('le','la','et','les','est'))) AS s_fr
         FROM clean
+    ),
+    langed AS (
+        SELECT * FROM scored
+        WHERE n_tokens >= 10
+          AND greatest(s_de, s_en, s_es, s_fr) > 0
+          AND s_en = greatest(s_de, s_en, s_es, s_fr)
+          AND NOT (s_de = greatest(s_de, s_en, s_es, s_fr))
+    ),
+    qual AS (
+        SELECT doc_id, tk, n_tokens,
+               1.0 / (1.0 + exp(-(({b})
+                   + ({w[0]}) * length(text)
+                   + ({w[1]}) * n_tokens
+                   + ({w[2]}) * (CAST(length(text) AS DOUBLE) / greatest(n_tokens, 1))
+                   + ({w[3]}) * (CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / greatest(length(text), 1))
+                   + ({w[4]}) * (CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / greatest(length(text), 1))
+                   + ({w[5]}) * (CAST(s_en AS DOUBLE) / greatest(n_tokens, 1))))) AS q
+        FROM langed
+    ),
+    lmed AS (
+        SELECT doc_id, n_tokens, q,
+               CASE WHEN len(list_filter(tk, x -> x != '')) > 0
+                    THEN list_sum(list_transform(list_filter(tk, x -> x != ''),
+                                                 x -> {lm_of}))
+                         / len(list_filter(tk, x -> x != ''))
+                    ELSE CAST({_CUR_LM_OOV} AS DOUBLE) END AS lmscore
+        FROM qual
+        WHERE q >= {_CUR_MIN_QUALITY}
     )
     SELECT doc_id, n_tokens,
+           round(q, 6) AS quality_score,
+           round(lmscore, 6) AS lm_logprob,
            CASE WHEN instr('0123456789abcdef',
                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 >= 14
                 THEN 'val' ELSE 'train' END AS split
-    FROM scored
-    WHERE n_tokens >= 10
-      AND greatest(s_de, s_en, s_es, s_fr) > 0
-      AND s_en = greatest(s_de, s_en, s_es, s_fr)
-      AND NOT (s_de = greatest(s_de, s_en, s_es, s_fr))
-    """,
-)
+    FROM lmed
+    WHERE lmscore >= {_CUR_MIN_LM}
+    """
+
+
+@query("corpus_curation_pipeline", _curation_oracle_sql())
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation, the composition the individual
-    operators exist for: exact dedup -> benchmark decontamination ->
-    token-count quality gate -> English-only language filter ->
-    deterministic train/val split.
+    operators exist for: cross-document span masking (portable-hash
+    mode) -> exact dedup -> benchmark decontamination -> token-count
+    quality gate -> English-only language filter -> LEARNED quality
+    gate (frozen logistic model, one folded sigmoid expression) ->
+    unigram-LM perplexity-proxy gate (fixed reference vocab, one
+    broadcast map + fold) -> deterministic train/val split.
+
+    Round 7 folds in the round-6 flagship gates with frozen
+    registered-literal parameters (the kmeans_anomaly_scores
+    precedent): at sf0.01 the span mask rewrites the ~63 windows
+    shared by >= 3 documents, the sigmoid gate drops ~120 of the 376
+    language-gated docs and the LM gate ~29 more — every stage
+    demonstrably active, every float replayed by the oracle (see
+    _curation_oracle_sql for the exactness argument).
 
     The decontamination stage (round 5, driver-hash-checked) treats
     documents with doc_id % 101 == 7 as the held-out eval set: any
-    surviving document sharing >= 1 distinct 8-token shingle with an
-    eval item — including the eval docs themselves — is dropped via
-    operators.decontaminate (benchmark shingles BROADCAST; the corpus
-    side never shuffles for the match). The oracle replays the same
-    shingle overlap in SQL.
+    surviving document sharing >= 1 distinct 8-token shingle with a
+    RAW eval item — including the eval docs themselves — is dropped
+    via operators.decontaminate (benchmark shingles BROADCAST; the
+    corpus side never shuffles for the match).
 
-    Shuffle accounting at 100 TB: dedup's fingerprint groupBy + id
-    semi-join, plus the (matched-pairs-sized) contamination aggregate;
-    tokenization, language scoring and the split label remain narrow
-    projections fused by whole-stage codegen. (The oracle's de-vs-en
-    CASE mirrors pred_lang's alphabetical tie-break: 'de' wins ties.)"""
+    Shuffle accounting at 100 TB: the span mask's (hash, id)
+    aggregation + bounded flagged-starts join-back, dedup's
+    fingerprint groupBy + id semi-join, the (matched-pairs-sized)
+    contamination aggregate; tokenization, language scoring, BOTH
+    learned gates (coefficients/vocab ride as literals / one broadcast
+    map row) and the split label remain narrow projections fused by
+    whole-stage codegen. (The oracle's de-vs-en CASE mirrors
+    pred_lang's alphabetical tie-break: 'de' wins ties.)"""
     from ..operators.decontaminate import decontaminate
+    from ..operators.quality_model import (
+        QualityModel,
+        score_quality,
+        unigram_logprob_score,
+    )
     from ..operators.sampling import train_val_split
+    from ..operators.text import mask_frequent_spans
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = D.dedup_exact(docs)
+    masked = mask_frequent_spans(
+        docs.select("doc_id", "text"),
+        span_tokens=_CUR_SPAN_TOKENS,
+        min_docs=_CUR_SPAN_MIN_DOCS,
+        portable=True,
+    ).drop("n_span_tokens_dropped")
+    kept = D.dedup_exact(masked)
     bench = docs.filter((F.col("doc_id") % 101) == 7).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
@@ -440,11 +561,32 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, pred = X._lang_exprs_from(F.col("__toks"))
     enriched = toksed.select(
         "doc_id",
+        F.col("__text").alias("text"),
         F.size(F.col("__toks")).alias("n_tokens"),
         pred.alias("pred_lang"),
     ).filter((F.col("n_tokens") >= 10) & (F.col("pred_lang") == "en"))
-    return train_val_split(enriched, "doc_id", val_buckets=2).select(
-        "doc_id", "n_tokens", "split"
+    model = QualityModel(weights=_CUR_QM_WEIGHTS, intercept=_CUR_QM_INTERCEPT)
+    scored = score_quality(enriched, model, "text").filter(
+        F.col("quality_score") >= _CUR_MIN_QUALITY
+    )
+    lm = spark.createDataFrame(
+        [(
+            list(_CUR_LM_TIER1 + _CUR_LM_TIER2),
+            [_CUR_LM_LOGP1] * len(_CUR_LM_TIER1)
+            + [_CUR_LM_LOGP2] * len(_CUR_LM_TIER2),
+            _CUR_LM_OOV,
+        )],
+        "__lm_vocab: array<string>, __lm_logp: array<double>, __lm_oov: double",
+    )
+    lmed = unigram_logprob_score(scored, lm, "text").filter(
+        F.col("lm_logprob") >= _CUR_MIN_LM
+    )
+    return train_val_split(lmed, "doc_id", val_buckets=2).select(
+        "doc_id",
+        "n_tokens",
+        F.round("quality_score", 6).alias("quality_score"),
+        F.round("lm_logprob", 6).alias("lm_logprob"),
+        "split",
     )
 
 
