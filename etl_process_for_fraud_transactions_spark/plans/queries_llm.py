@@ -591,32 +591,104 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "train_val_split_counts",
+    "url_curation",
     """
-    WITH labeled AS (
+    WITH u AS (
         SELECT doc_id, source,
-               CASE WHEN instr('0123456789abcdef',
-                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 >= 14
-                    THEN 'val' ELSE 'train' END AS split
+               CASE CAST(doc_id % 4 AS INT)
+                    WHEN 0 THEN 'www' WHEN 1 THEN 'blog'
+                    WHEN 2 THEN 'shop' ELSE 'news' END AS sub,
+               doc_id % 300 AS page
         FROM documents
+    ),
+    ident AS (
+        SELECT doc_id, source, sub, page,
+               source || '.com' AS dom,
+               CASE WHEN sub = 'www' THEN source || '.com'
+                    ELSE sub || '.' || source || '.com' END AS host,
+               (CASE WHEN sub = 'www' THEN '' ELSE sub || '.' END)
+                 || source || '.com'
+                 || (CASE WHEN page % 13 = 5 THEN ':8080' ELSE '' END)
+                 || '/p/' || CAST(page AS VARCHAR)
+                 || (CASE WHEN doc_id % 10 = 2
+                          THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+                          ELSE '' END) AS nurl
+        FROM u
+    ),
+    surv AS (SELECT MIN(doc_id) AS doc_id FROM ident GROUP BY nurl),
+    dd AS (SELECT i.* FROM ident i JOIN surv USING (doc_id)),
+    unblocked AS (
+        SELECT * FROM dd
+        WHERE NOT (source = 'src7' OR (source = 'src11' AND sub = 'blog'))
+    ),
+    capped AS (
+        SELECT *, row_number() OVER (PARTITION BY dom ORDER BY doc_id) AS rn
+        FROM unblocked
     )
-    SELECT source, split, COUNT(*) AS n_docs
-    FROM labeled GROUP BY source, split
+    SELECT doc_id, host AS url_host, dom AS url_domain,
+           CAST(2 AS INT) AS url_path_depth,
+           (doc_id % 3 = 0 OR doc_id % 10 = 2) AS url_has_query
+    FROM capped WHERE rn <= 8
     """,
 )
-def train_val_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash train/val split (operators/sampling.py):
-    md5-keyed, so the assignment is reproducible across engines and
-    re-partitioning — unlike randomSplit. The oracle recomputes the
-    same bucketing in SQL; counts per (source, split) must agree
-    exactly."""
-    from ..operators.sampling import train_val_split
+def url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL/domain provenance rung (operators/web.py) under the
+    driver gate: deterministic synthetic URLs are built per document
+    (subdomain from doc_id % 4 incl. a strippable 'www', domain from
+    the source, page id from doc_id % 300 so refetch collisions exist (source is doc_id % 20, so identity is a function of doc_id mod 300: 300 survivors at sf0.01, 200 URL-duplicate drops),
+    a ':8080' origin variant, a trailing-slash variant, utm tracking
+    decorations and a real '?id=' parameter), then the REAL operators
+    run: normalize_url identity dedup (tracking variants and 'www.'
+    collapse, the real parameter and the non-default port survive),
+    host-suffix blocklist filtering (a whole-domain entry 'src7.com'
+    AND a host-level entry 'blog.src11.com' — the UT1 shape — each
+    demonstrably dropping rows), and the salted two-phase per-domain
+    cap (max 8 min-id docs per registered domain — binding on every
+    domain at sf0.01). The oracle replays the identity, the block
+    rules and the cap analytically from the same generation formulas
+    — an independent twin, not a re-run of parse_url.
+
+    Replaces the former `train_val_split_counts` row under the
+    driver's 50-query cap: the md5-bucket split surface is hash-
+    checked per-document (strictly stronger than counts) inside
+    corpus_curation_pipeline, and stays pytest-covered in
+    tests/test_sampling.py."""
+    from ..operators.web import (
+        cap_per_domain,
+        dedup_by_url,
+        filter_blocklisted_domains,
+        url_features,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        train_val_split(docs, "doc_id", val_buckets=2)
-        .groupBy("source", "split")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    sub = F.element_at(
+        F.array(F.lit("www"), F.lit("blog"), F.lit("shop"), F.lit("news")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    page = F.col("doc_id") % 300
+    port = F.when(page % 13 == 5, F.lit(":8080")).otherwise(F.lit(""))
+    real = F.when(
+        F.col("doc_id") % 10 == 2, F.concat(F.lit("id="), F.col("doc_id") % 5)
+    )
+    track = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("utm_source=feed&utm_medium=m")
+    )
+    q = F.concat_ws("&", real, track)
+    url = F.concat(
+        F.lit("https://"), sub, F.lit("."), F.col("source"), F.lit(".com"),
+        port, F.lit("/p/"), page,
+        F.when(F.col("doc_id") % 6 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    withu = docs.select("doc_id", "source").withColumn("url", url)
+    deduped = dedup_by_url(withu)
+    bl = spark.createDataFrame(
+        [("src7.com",), ("blog.src11.com",)], "domain string"
+    )
+    filtered = filter_blocklisted_domains(deduped, bl)
+    capped = cap_per_domain(filtered, max_docs=8)
+    return url_features(capped).select(
+        "doc_id", "url_host", "url_domain", "url_path_depth", "url_has_query"
     )
 
 
