@@ -1200,7 +1200,7 @@ def _mm_oracle_sql() -> str:
         FROM imgsum
     ),
     rawb AS (
-        SELECT asset_id, len,
+        SELECT asset_id, m, len,
                list_transform(range(1, len + 1),
                               i -> ascii(substr(text, CAST(i AS INT), 1))) AS b
         FROM base WHERE m <> 0
@@ -1210,12 +1210,35 @@ def _mm_oracle_sql() -> str:
            {raw_hist}
         FROM rawb
     ),
+    audio AS (
+        SELECT asset_id,
+               CAST(44 + 2 * len AS INT) AS a_n_bytes,
+               CAST(8000 AS INT) AS a_sample_rate,
+               CAST(len AS INT) AS a_n_frames,
+               len / 8000.0 AS a_duration_s,
+               round(CASE WHEN len = 0 THEN 0.0 ELSE
+                   sqrt(list_sum(list_transform(b,
+                       v -> ((v - 128) / 128.0) * ((v - 128) / 128.0))) / len)
+               END, 6) AS a_rms,
+               CASE WHEN len = 0 THEN 0.0 ELSE
+                   list_max(list_transform(b, v -> abs(v - 128) / 128.0))
+               END AS a_peak,
+               CASE WHEN len <= 1 THEN 0.0 ELSE
+                   len(list_filter(range(1, len),
+                       i -> (b[CAST(i AS INT)] >= 128) <> (b[CAST(i + 1 AS INT)] >= 128)))
+                   / CAST(len - 1 AS DOUBLE)
+               END AS a_zcr
+        FROM rawb WHERE m = 1
+    ),
     features AS (SELECT * FROM img UNION ALL SELECT * FROM rawf)
     SELECT base.asset_id,
            CASE base.m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS modality,
-           {fcols}
+           {fcols},
+           a.a_n_bytes, a.a_sample_rate, a.a_n_frames, a.a_duration_s,
+           a.a_rms, a.a_peak, a.a_zcr
     FROM base JOIN features f ON base.asset_id = f.asset_id
+    LEFT JOIN audio a ON base.asset_id = a.asset_id
     """
 
 
@@ -1231,10 +1254,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-histogram fallback. Known-answer codec tests (PPM/BMP24/PNG
     incl. all five scanline filters) live in tests/test_multimodal.py.
 
+    Round 7 adds the AUDIO leg under the same identity trick: audio-
+    modality rows are additionally wrapped into REAL RIFF/WAV PCM16
+    payloads (one 8 kHz mono sample per text byte: (byte-128)*256, so
+    normalized samples are exact dyadic (byte-128)/128 values) and
+    decoded by operators/multimodal.py::audio_features — duration,
+    RMS, peak and zero-crossing rate ride as a_* columns (null for
+    image/video rows) that the oracle recomputes byte-by-byte; any
+    defect in the RIFF chunk walk, fmt parse or sample decode shifts
+    them and fails the value hash. Dyadic sums keep rms's sum-of-
+    squares exact in any order; rms alone is rounded to 6 dp for the
+    sqrt-vs-pow last ulp.
+
     HASH-CHECKED since round 5 (the last former `no_oracle` row): the
     16 feature dims ride as double columns f00..f15 and the DuckDB twin
     recomputes their exact expected values from the text bytes — see
     _mm_oracle_sql for why the PNG roundtrip makes that sound."""
+    import struct
+
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1278,13 +1315,53 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    def wrap_audio_as_wav(batches):
+        for pdf in batches:
+            payloads = []
+            for pay in pdf["payload"]:
+                raw = bytes(pay) if pay is not None else b""
+                pcm = struct.pack(
+                    f"<{len(raw)}h", *((b - 128) * 256 for b in raw)
+                )
+                payloads.append(M.encode_wav(8000, 1, pcm))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "media_format": ["wav"] * len(payloads),
+                    "payload": payloads,
+                    "meta": pdf["meta"],
+                }
+            )
+
+    wav_assets = assets.filter(F.col("modality") == "audio").mapInPandas(
+        wrap_audio_as_wav, M.ASSET_SCHEMA
+    )
+    audio = M.audio_features(wav_assets).select(
+        "asset_id",
+        F.col("n_bytes").alias("a_n_bytes"),
+        F.col("sample_rate").alias("a_sample_rate"),
+        F.col("n_frames").alias("a_n_frames"),
+        F.col("duration_s").alias("a_duration_s"),
+        F.round("rms", 6).alias("a_rms"),
+        F.col("peak").alias("a_peak"),
+        F.col("zero_crossing_rate").alias("a_zcr"),
+    )
+
     assets = assets.mapInPandas(wrap_images_as_png, M.ASSET_SCHEMA)
     feats = M.extract_features(assets)
-    return feats.select(
+    return feats.join(audio, "asset_id", "left").select(
         "asset_id",
         "modality",
         *[
             F.element_at("feature", i + 1).alias(f"f{i:02d}")
             for i in range(M.FEATURE_DIM)
         ],
+        "a_n_bytes",
+        "a_sample_rate",
+        "a_n_frames",
+        "a_duration_s",
+        "a_rms",
+        "a_peak",
+        "a_zcr",
     )
