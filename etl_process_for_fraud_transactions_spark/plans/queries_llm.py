@@ -1365,3 +1365,127 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_peak",
         "a_zcr",
     )
+
+
+def _corpus_report_oracle_sql() -> str:
+    """DuckDB twin of corpus_health_report: every non-sketch column is
+    an EXACT value (integer sums, int/int divisions, decimal-cast
+    stopword average — all bit-deterministic), and the two
+    percentile_approx columns become bound-verdict booleans the oracle
+    expects TRUE (the approx_sketch_stats pattern: a sketch landing
+    outside the exact q +/- 0.05 interpolated band flips the boolean
+    and fails the value hash)."""
+    en = "x IN ('the','and','of','to','is')"
+    de = "x IN ('der','die','und','das','ist')"
+    es = "x IN ('el','la','los','es','y')"
+    fr = "x IN ('le','la','et','les','est')"
+    return f"""
+    WITH per AS (
+        SELECT source,
+               len({_SQL_TOKS}) AS nt,
+               md5({_SQL_NORM}) AS fp,
+               len(list_filter({_SQL_TOKS}, x -> {de})) AS s_de,
+               len(list_filter({_SQL_TOKS}, x -> {en})) AS s_en,
+               len(list_filter({_SQL_TOKS}, x -> {es})) AS s_es,
+               len(list_filter({_SQL_TOKS}, x -> {fr})) AS s_fr,
+               CAST(len(list_filter({_SQL_TOKS}, x -> {en})) AS DOUBLE)
+                   / greatest(len({_SQL_TOKS}), 1) AS stop_r
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS avg_doc_tokens,
+           1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS exact_dup_rate,
+           AVG(CAST((greatest(s_de, s_en, s_es, s_fr) > 0
+                     AND s_de <> greatest(s_de, s_en, s_es, s_fr)
+                     AND s_en = greatest(s_de, s_en, s_es, s_fr)) AS DOUBLE)) AS pct_en,
+           CAST(SUM(CAST(stop_r AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+               AS avg_stopword_ratio_exact,
+           TRUE AS stopword_avg_ok,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok
+    FROM per
+    GROUP BY ROLLUP(source)
+    """
+
+
+@query("corpus_health_report", _corpus_report_oracle_sql())
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus observability artifact (operators/pipeline.py::
+    corpus_report) under the driver gate: per-source rows plus the
+    all-sources rollup (source = NULL), exactly as a curation run
+    would log and alert on them.
+
+    Check structure (the approx_sketch_stats precedent): n_docs,
+    total_tokens, avg_doc_tokens, exact_dup_rate and pct_en are
+    exact — integer sums and int/int divisions, plus 0/1 averages
+    whose double sums are exact in any order — and hash-compare
+    directly. The float average avg_stopword_ratio is re-computed
+    through per-row DECIMAL casts (deterministic) as
+    avg_stopword_ratio_exact, with a verdict boolean pinning the
+    operator's double-summed value to it within 1e-9. The two
+    percentile_approx columns (p50/p95 doc tokens) are engine-specific
+    sketches, so they ride as bound verdicts: the sketch value must
+    land inside the exact interpolated [q-0.05, q+0.05] quantile band
+    (clamped to [0, 1]) computed in the same pass — generous enough
+    for every group size at sf0.01 (+-1.25 ranks at n=25), tight
+    enough that a broken sketch (min, max, garbage) flips it.
+
+    Takes the driver slot of the former `user_event_type_arrays`
+    (50-query cap; that row's array-agg surface stays hash-checked by
+    grouped_result_mix and event_type_set_ops).
+
+    Scale shape: the operator is one map-side projection + ONE rollup
+    shuffle (#sources + 1 rows out); the verdict frame adds a second
+    aggregate over the same projection and a broadcast-sized join of
+    (#sources + 1) rows."""
+    from ..operators.pipeline import corpus_report
+    from ..operators.text import LANG_MARKERS, _marker_filter, tokens
+    from .queries import dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = corpus_report(docs)
+
+    toks = tokens(F.col("text"))
+    per = docs.select(
+        "source",
+        F.size(toks).alias("nt"),
+        (
+            F.size(F.filter(toks, _marker_filter(LANG_MARKERS["en"]))).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("stop_r"),
+    )
+    n = F.count(F.lit(1))
+    exact = per.rollup("source").agg(
+        (dsum(F.col("stop_r"), 12) / n).alias("__stop_exact"),
+        F.percentile(
+            "nt",
+            F.array(*[F.lit(q) for q in (0.45, 0.55, 0.90, 1.0)]),
+        ).alias("__band"),
+    )
+    key = F.coalesce(F.col("source"), F.lit("<ALL>"))
+    joined = rep.withColumn("__k", key).join(
+        exact.withColumn("__k", key).drop("source"), "__k"
+    )
+
+    def within(col, lo_i, hi_i):
+        v = F.col(col).cast("double")
+        return (v >= F.element_at("__band", lo_i)) & (
+            v <= F.element_at("__band", hi_i)
+        )
+
+    return joined.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "avg_doc_tokens",
+        "exact_dup_rate",
+        "pct_en",
+        F.col("__stop_exact").alias("avg_stopword_ratio_exact"),
+        (
+            F.abs(F.col("avg_stopword_ratio") - F.col("__stop_exact")) <= 1e-9
+        ).alias("stopword_avg_ok"),
+        within("p50_doc_tokens", 1, 2).alias("p50_ok"),
+        within("p95_doc_tokens", 3, 4).alias("p95_ok"),
+    )

@@ -341,26 +341,11 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "user_event_type_arrays",
-    """
-    SELECT user_id,
-           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
-           COUNT(DISTINCT event_type) AS n_types
-    FROM events
-    GROUP BY user_id
-    """,
-)
-def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-aggregation surface: collect_set -> sort_array -> array_join.
-    collect_set order is nondeterministic in any distributed engine, so
-    the deterministic sort happens before serialization — the same
-    discipline SURVEY §5.2 applies to row_number ties."""
-    ev = load_events(spark, sf_dir)
-    return ev.groupBy("user_id").agg(
-        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_seen"),
-        F.countDistinct("event_type").alias("n_types"),
-    )
+# (The former `user_event_type_arrays` row was folded out in round 7
+# under the driver's 50-query cap: its collect_set -> sort_array ->
+# array_join surface is already hash-checked by `grouped_result_mix`
+# (array_agg + ANY membership) and `event_type_set_ops`; the slot now
+# carries `corpus_health_report` in queries_llm.py.)
 
 
 @query(
