@@ -57,6 +57,8 @@ def build_training_shards(
     unigram_lm=None,
     min_lm_logprob: float | None = None,
     span_mask_min_docs: int | None = None,
+    decontaminate_prefilter: str | None = None,
+    decontaminate_bloom=None,
     chunk_tokens: int = 512,
     overlap: int = 64,
     max_tokens: int = 2048,
@@ -82,6 +84,8 @@ def build_training_shards(
         unigram_lm=unigram_lm,
         min_lm_logprob=min_lm_logprob,
         span_mask_min_docs=span_mask_min_docs,
+        decontaminate_prefilter=decontaminate_prefilter,
+        decontaminate_bloom=decontaminate_bloom,
     )
     scrubbed = scrub_pii(curated, text_col)
 

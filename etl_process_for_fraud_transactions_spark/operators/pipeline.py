@@ -63,6 +63,8 @@ def curate_corpus(
     span_mask_min_docs: int | None = None,
     unigram_lm=None,
     min_lm_logprob: float | None = None,
+    decontaminate_prefilter: str | None = None,
+    decontaminate_bloom=None,
 ) -> DataFrame:
     """Returns (id, text, n_tokens, pred_lang, split) — the curated,
     deduplicated, decontaminated, split corpus. `benchmark` (optional)
@@ -148,8 +150,16 @@ def curate_corpus(
         )
 
     if benchmark is not None:
+        # prefilter/bloom: the mega-benchmark cascade, threaded through
+        # so one prebuilt bitset serves every screened corpus
         gated = decontaminate(
-            gated, benchmark, text_col, id_col, k=decontaminate_k
+            gated,
+            benchmark,
+            text_col,
+            id_col,
+            k=decontaminate_k,
+            prefilter=decontaminate_prefilter,
+            bloom=decontaminate_bloom,
         )
 
     return train_val_split(gated, id_col, val_buckets=val_buckets).select(

@@ -215,10 +215,179 @@ def round6(sf_dir: str) -> None:
     spark.stop()
 
 
+def round7(sf_dir: str) -> None:
+    """Round-7 measurements (run: python tools/curation_bench.py
+    --round7 [sf_dir]): the cap_per_domain mega-domain straggler fix,
+    the bloom-vs-exact-broadcast crossover at the 10^7-key scale the
+    cascade exists for, and the portable span-hash premium."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl_process_for_fraud_transactions_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        mask_frequent_spans,
+    )
+    from etl_process_for_fraud_transactions_spark.operators.web import (
+        cap_per_domain,
+        registered_domain,
+    )
+    from etl_process_for_fraud_transactions_spark.session import get_spark
+    from etl_process_for_fraud_transactions_spark.sources.testdata import load_table
+
+    spark = get_spark("curation-bench-r7")
+
+    # --- planted mega-domain WITH text payload: the shape the round-6
+    # `weak` was about — a single window over the domain key shuffles
+    # FULL rows, so the whole corpus' text moves keyed on the domain
+    # and a mega-domain becomes one sort task; the hot-domain-isolated
+    # rewrite counts per domain on an (id, domain) projection,
+    # broadcasts the over-cap domain list, ranks only the over-cap
+    # pairs and applies the policy in ONE map-side pass. Text must be
+    # INCOMPRESSIBLE (md5 chains): constant filler compresses ~1000x
+    # in the lz4 shuffle files and hides the cost being measured.
+    import shutil as _sh
+    import tempfile as _tmp
+
+    def _gen(root, mega_rows, total=2_000_000):
+        (
+            spark.range(total)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(
+                    F.col("id") < mega_rows,
+                    F.concat(F.lit("https://mega.example.com/p"), F.col("id")),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("https://d"),
+                        F.col("id") % 10_000,
+                        F.lit(".org/x"),
+                        F.col("id"),
+                    )
+                )
+                .alias("url"),
+                F.expr(
+                    "concat_ws(' ', transform(sequence(1, 32),"
+                    " i -> md5(concat(cast(id as string), '-', i))))"
+                ).alias("text"),
+            )
+            .write.mode("overwrite")
+            .parquet(root)
+        )
+        return spark.read.parquet(root)
+
+    def _single_window(urls):
+        # the round-6 shape the fix replaced
+        w = Window.partitionBy("__dom").orderBy(F.asc("doc_id"))
+        return (
+            urls.withColumn("__dom", registered_domain(F.col("url")))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 1000)
+            .drop("__dom", "__rn")
+            # sum(length(text)) forces the text through the plan —
+            # count() would let Catalyst prune it out of the window
+            # shuffle and hide exactly the cost being measured
+            .agg(F.sum(F.length("text")))
+            .collect()
+        )
+
+    def _iso(urls):
+        return (
+            cap_per_domain(urls, max_docs=1000)
+            .agg(F.sum(F.length("text")))
+            .collect()
+        )
+
+    for label, mega in (("10pct-mega (realistic)", 200_000),
+                        ("80pct-mega (adversarial)", 1_600_000)):
+        root = _tmp.mkdtemp(prefix="capbench_")
+        try:
+            urls = _gen(root, mega)
+            for name, fn in (
+                ("cap single-window (r6 shape)", _single_window),
+                ("cap hot-domain-isolated (r7)", _iso),
+            ):
+                med, runs = timed(lambda f=fn, u=urls: f(u))
+                print(
+                    f"{name} {label}: median {med:.2f} s  "
+                    f"runs={[round(r, 2) for r in runs]}"
+                )
+        finally:
+            _sh.rmtree(root, ignore_errors=True)
+
+    # --- bloom crossover at 10^7 keys --------------------------------
+    keys = (
+        spark.range(10_000_000)
+        .select(F.concat(F.lit("key-"), F.col("id")).alias("k"))
+        .localCheckpoint()
+    )
+    # rare-hit membership — the decontamination / blocklist shape the
+    # cascade exists for: 1% of probes are members, so the verify join
+    # sees ~1% + fpp of the probe side instead of half of it
+    probe = (
+        spark.range(10_000_000)
+        .select(
+            F.when(
+                F.col("id") % 100 == 0, F.concat(F.lit("key-"), F.col("id"))
+            )
+            .otherwise(F.concat(F.lit("miss-"), F.col("id")))
+            .alias("k")
+        )
+        .localCheckpoint()
+    )
+
+    def exact_broadcast():
+        return probe.join(F.broadcast(keys), "k", "left_semi").count()
+
+    t0 = time.perf_counter()
+    bits_df, m, kh = bloom_build(keys, "k", fpp=0.01, n_items=10_000_000)
+    build_s = time.perf_counter() - t0
+    print(
+        f"bloom_build 10^7 keys fpp=0.01: {build_s:.2f} s  "
+        f"bitset={m // 8 / 1e6:.0f} MB k={kh}"
+    )
+
+    def bloom_cascade():
+        pruned = (
+            probe.crossJoin(F.broadcast(bits_df))
+            .filter(
+                bloom_might_contain(F.col("k"), F.col("__bloom_bits"), m, kh)
+            )
+            .drop("__bloom_bits")
+        )
+        return pruned.join(keys, "k", "left_semi").count()
+
+    for name, fn in (
+        ("membership 10^7 probe vs 10^7 keys, exact broadcast", exact_broadcast),
+        ("membership 10^7 probe vs 10^7 keys, bloom prune + verify", bloom_cascade),
+    ):
+        med, runs = timed(fn)
+        print(f"{name}: median {med:.2f} s  runs={[round(r, 2) for r in runs]}")
+
+    # --- portable span-hash premium ----------------------------------
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint()
+    for name, portable in (
+        ("mask_frequent_spans xxhash64 (fast path)", False),
+        ("mask_frequent_spans portable md5 (oracle path)", True),
+    ):
+        med, runs = timed(
+            lambda p=portable: mask_frequent_spans(
+                docs, span_tokens=16, min_docs=3, portable=p
+            ).count()
+        )
+        print(f"{name}: median {med:.2f} s  runs={[round(r, 2) for r in runs]}")
+    spark.stop()
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf = args[0] if args else "/root/testdata/sf0.1"
-    if "--round6" in sys.argv:
+    if "--round7" in sys.argv:
+        round7(sf)
+    elif "--round6" in sys.argv:
         round6(sf)
     else:
         main(sf)
