@@ -82,23 +82,26 @@ def registered_domain(
     from .dedup import _let
 
     c = F.col(url) if isinstance(url, str) else url
+    return F.coalesce(
+        _let(url_host(c), lambda h: _regdom_of_host(h, suffixes)), F.lower(c)
+    )
 
-    def body(h: Column) -> Column:
-        two = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
-        three = F.regexp_extract(h, r"([^.]+\.[^.]+\.[^.]+)$", 1)
-        is_multi = two.isin(*suffixes)
-        # IP hosts have no registered domain concept: pass through whole
-        is_ip = h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
-        base = (
-            F.when(is_ip, h)
-            .when(is_multi & (three != ""), three)
-            .otherwise(two)
-        )
-        return F.coalesce(
-            F.nullif(base, F.lit("")), F.nullif(h, F.lit(""))
-        )
 
-    return F.coalesce(_let(url_host(c), body), F.lower(c))
+def _regdom_of_host(h: Column, suffixes: tuple[str, ...]) -> Column:
+    """registered_domain's core over an already-evaluated host
+    attribute (or _let-bound variable): null when no extraction
+    applies so callers choose their own fallback."""
+    two = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    three = F.regexp_extract(h, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    is_multi = two.isin(*suffixes)
+    # IP hosts have no registered domain concept: pass through whole
+    is_ip = h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    base = (
+        F.when(is_ip, h)
+        .when(is_multi & (three != ""), three)
+        .otherwise(two)
+    )
+    return F.coalesce(F.nullif(base, F.lit("")), F.nullif(h, F.lit("")))
 
 
 def url_features(
@@ -106,12 +109,20 @@ def url_features(
 ) -> DataFrame:
     """Adds host, registered domain, path depth, and query-string
     presence — the planning-time columns URL policies filter on
-    (per-domain caps, path-depth heuristics) without touching text."""
+    (per-domain caps, path-depth heuristics) without touching text.
+    url_domain derives from the url_host ATTRIBUTE (one parse_url for
+    both columns) with registered_domain's raw-string fallback."""
     c = F.col(url_col)
     path = F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
     return (
         df.withColumn("url_host", url_host(c))
-        .withColumn("url_domain", registered_domain(c))
+        .withColumn(
+            "url_domain",
+            F.coalesce(
+                _regdom_of_host(F.col("url_host"), MULTI_LABEL_SUFFIXES),
+                F.lower(c),
+            ),
+        )
         .withColumn(
             "url_path_depth",
             F.size(F.filter(F.split(path, "/"), lambda p: p != "")),

@@ -139,3 +139,40 @@ def test_zscore_broadcasts_stats_back(spark):
     plan = _plan(spark, "amount_zscore_outliers")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cap_per_domain_text_never_shuffles_on_domain(spark):
+    """Hot-domain isolation (round 7): the corpus' text column must
+    never enter a domain-keyed exchange — only the (id, domain)
+    projection shuffles (count + over-cap ranking); the full-row pass
+    is two broadcast joins + a filter."""
+    from pyspark.sql import functions as F
+
+    from etl_process_for_fraud_transactions_spark.operators.web import (
+        cap_per_domain,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://d"), F.col("id") % 5, F.lit(".org/x")).alias(
+            "url"
+        ),
+        F.lit("some document text payload").alias("text"),
+    )
+    out = cap_per_domain(df, max_docs=10)
+    qe = out._jdf.queryExecution()
+    formatted = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # formatted explain lists each node's Input attributes: every
+    # shuffle Exchange must carry only projected short columns — the
+    # text attribute rides only through broadcast joins
+    blocks = re.split(r"\n\(\d+\) ", formatted)
+    shuffle_blocks = [b for b in blocks if b.startswith("Exchange")]
+    assert shuffle_blocks, formatted
+    for b in shuffle_blocks:
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+        assert m and "text" not in m.group(1), b
+    assert "BroadcastHashJoin" in formatted
