@@ -623,3 +623,48 @@ def near_dedup(
         max_iter=max_iter,
         algorithm=cc_algorithm,
     )
+
+
+def minhash_band_params(
+    threshold: float,
+    max_hashes: int = 112,
+    fp_weight: float = 1.0,
+    fn_weight: float = 1.0,
+) -> tuple[int, int, int]:
+    """Choose (num_hashes, bands, rows_per_band) for the banding
+    S-curve at a target Jaccard `threshold` — the datasketch-style
+    parameter sweep, so callers stop hand-picking 32/8 for thresholds
+    the default curve is wrong for.
+
+    A (b bands x r rows) scheme makes a pair with similarity s a
+    candidate with p(s) = 1 - (1 - s^r)^b; its crossover sits near
+    (1/b)^(1/r). This sweeps every (b, r) with b*r <= max_hashes and
+    minimizes the weighted integral of false positives below the
+    threshold plus false negatives above it (trapezoid over a fixed
+    s-grid — deterministic, no RNG). fp_weight > fn_weight biases
+    toward fewer spurious candidates (cheaper verify stage);
+    fn_weight > fp_weight toward recall. The 112-hash cap mirrors
+    minhash_signature's BIGINT overflow guard.
+
+    Returns (num_hashes, bands, rows_per_band) with
+    num_hashes = bands * rows_per_band; feed them straight into
+    minhash_near_duplicates / near_dedup."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    grid = [i / 200.0 for i in range(1, 200)]
+    best = None
+    for r in range(1, max_hashes + 1):
+        for b in range(1, max_hashes // r + 1):
+            err = 0.0
+            for s in grid:
+                p = 1.0 - (1.0 - s**r) ** b
+                if s < threshold:
+                    err += fp_weight * p
+                else:
+                    err += fn_weight * (1.0 - p)
+            err /= len(grid)
+            # prefer smaller hash budgets on ties: cheaper signatures
+            key = (err, b * r)
+            if best is None or key < best[0]:
+                best = (key, (b * r, b, r))
+    return best[1]

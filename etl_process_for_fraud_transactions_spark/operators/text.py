@@ -286,6 +286,67 @@ PII_PATTERNS = {
 }
 
 
+#: common named HTML entities decoded by strip_html (the head of the
+#: real-web distribution; numeric &#NNN; forms need a char table and
+#: stay encoded — a full parser belongs behind this signature).
+_HTML_ENTITIES = (
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&mdash;", "—"),
+    ("&ndash;", "–"), ("&hellip;", "…"), ("&copy;", "©"), ("&reg;", "®"),
+)
+
+
+def strip_html(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+) -> DataFrame:
+    """Visible-text extraction from HTML-ish payloads — the step
+    BEFORE every other text operator when the corpus is raw web
+    crawl. Pure chained regexp_replace expressions (JVM, one codegen
+    stage, no shuffle):
+
+      1. script/style/noscript/head/template subtrees drop whole
+         (their text is never content);
+      2. HTML comments drop;
+      3. block-level boundaries (p, div, br, li, tr, headings,
+         section, article, blockquote, pre) become newlines so
+         paragraph structure survives for dedup_paragraphs_within /
+         strip_boilerplate_paragraphs downstream;
+      4. every remaining tag becomes a space;
+      5. the common named entities decode (_HTML_ENTITIES);
+      6. horizontal whitespace collapses to single spaces, 3+
+         newlines collapse to the paragraph separator "\\n\\n".
+
+    This is deliberately a REGEXP extractor, not an HTML parser: it
+    is the scalable 95% path (same trade the PII scrubber makes), and
+    malformed markup degrades to extra whitespace rather than errors.
+    A DOM-fidelity extractor (trafilatura-class readability scoring,
+    boilerplate DOM pruning) belongs behind this exact signature as
+    an Arrow-batched stage. Plain text without markup passes through
+    whitespace-normalized but otherwise unchanged."""
+    c = F.col(html_col)
+    s = F.regexp_replace(
+        c, r"(?is)<(script|style|noscript|template|head)\b.*?</\1\s*>", " "
+    )
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(
+        s,
+        r"(?i)<\s*/?\s*(p|div|br|li|tr|h[1-6]|section|article|blockquote|pre|ul|ol|table)\b[^>]*>",
+        "\n",
+    )
+    s = F.regexp_replace(s, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    s = F.regexp_replace(s, r"[ \t\r]+", " ")
+    s = F.regexp_replace(s, r" ?\n ?", "\n")
+    s = F.regexp_replace(s, r"\n{3,}", "\n\n")
+    # trim() strips spaces only — boundary newlines need the regex
+    s = F.regexp_replace(s, r"^\s+|\s+$", "")
+    out_cols = [col for col in df.columns if col not in (html_col, out_col)]
+    return df.select(*out_cols, s.alias(out_col))
+
+
 def scrub_pii(
     df: DataFrame,
     text_col: str = "text",

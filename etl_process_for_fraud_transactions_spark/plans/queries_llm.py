@@ -592,7 +592,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "url_curation",
-    """
+    f"""
     WITH u AS (
         SELECT doc_id, source,
                CASE CAST(doc_id % 4 AS INT)
@@ -624,11 +624,20 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped AS (
         SELECT *, row_number() OVER (PARTITION BY dom ORDER BY doc_id) AS rn
         FROM unblocked
+    ),
+    stripped AS (
+        SELECT c.doc_id, c.host, c.dom,
+               'Doc & ' || CAST(c.doc_id AS VARCHAR) || chr(10) || chr(10)
+                 || d.text || chr(10) || chr(10) || 'footer' AS text
+        FROM capped c JOIN documents d ON c.doc_id = d.doc_id
+        WHERE c.rn <= 8
     )
     SELECT doc_id, host AS url_host, dom AS url_domain,
            CAST(2 AS INT) AS url_path_depth,
-           (doc_id % 3 = 0 OR doc_id % 10 = 2) AS url_has_query
-    FROM capped WHERE rn <= 8
+           (doc_id % 3 = 0 OR doc_id % 10 = 2) AS url_has_query,
+           md5(text) AS stripped_fp,
+           CAST(len({_SQL_TOKS}) AS INT) AS n_stripped_tokens
+    FROM stripped
     """,
 )
 def url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,17 +651,28 @@ def url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse, the real parameter and the non-default port survive),
     host-suffix blocklist filtering (a whole-domain entry 'src7.com'
     AND a host-level entry 'blog.src11.com' — the UT1 shape — each
-    demonstrably dropping rows), and the salted two-phase per-domain
-    cap (max 8 min-id docs per registered domain — binding on every
-    domain at sf0.01). The oracle replays the identity, the block
-    rules and the cap analytically from the same generation formulas
-    — an independent twin, not a re-run of parse_url.
+    demonstrably dropping rows), and the hot-domain-isolated
+    per-domain cap (max 8 min-id docs per registered domain — binding
+    on every domain at sf0.01). The oracle replays the identity, the
+    block rules and the cap analytically from the same generation
+    formulas — an independent twin, not a re-run of parse_url.
+
+    Round 7 also folds in the HTML-extraction leg under the PNG/WAV
+    identity trick: each surviving doc's text is wrapped in a fixed
+    HTML template (head subtree carrying title/style/script junk, an
+    entity in the heading, block structure around the body text),
+    the REAL strip_html runs, and the md5 + token count of the
+    extracted text hash-check against the analytically known
+    'Doc & {id}\\n\\n{text}\\n\\nfooter' — a regression in subtree
+    dropping, tag unwrapping, entity decoding or whitespace
+    collapsing shifts the fingerprint.
 
     Replaces the former `train_val_split_counts` row under the
     driver's 50-query cap: the md5-bucket split surface is hash-
     checked per-document (strictly stronger than counts) inside
     corpus_curation_pipeline, and stays pytest-covered in
     tests/test_sampling.py."""
+    from ..operators.text import strip_html
     from ..operators.web import (
         cap_per_domain,
         dedup_by_url,
@@ -680,15 +700,37 @@ def url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 6 == 1, F.lit("/")).otherwise(F.lit("")),
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
-    withu = docs.select("doc_id", "source").withColumn("url", url)
+    withu = docs.select("doc_id", "source", "text").withColumn("url", url)
     deduped = dedup_by_url(withu)
     bl = spark.createDataFrame(
         [("src7.com",), ("blog.src11.com",)], "domain string"
     )
     filtered = filter_blocklisted_domains(deduped, bl)
     capped = cap_per_domain(filtered, max_docs=8)
-    return url_features(capped).select(
-        "doc_id", "url_host", "url_domain", "url_path_depth", "url_has_query"
+    # HTML-extraction identity (the PNG/WAV trick): wrap each surviving
+    # doc's text in a fixed HTML template whose head subtree carries
+    # script/style junk and whose visible text is analytically known
+    # ('Doc & {id}\n\n{text}\n\nfooter'), run the REAL strip_html, and
+    # hash the result — any regression in subtree dropping, tag
+    # unwrapping, entity decoding or whitespace collapsing shifts the
+    # md5 and fails the row
+    html = F.concat(
+        F.lit("<html><head><title>t"), F.col("doc_id"),
+        F.lit("</title><style>p{color:red}</style><script>var x=1;"
+              "</script></head><body><h1>Doc &amp; "),
+        F.col("doc_id"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><div>footer</div></body></html>"),
+    )
+    stripped = strip_html(capped.withColumn("html", html))
+    return url_features(stripped).select(
+        "doc_id",
+        "url_host",
+        "url_domain",
+        "url_path_depth",
+        "url_has_query",
+        F.md5("text").alias("stripped_fp"),
+        X.token_count("text").alias("n_stripped_tokens"),
     )
 
 

@@ -433,3 +433,94 @@ class TestPackChunks:
         assert all(t < 64 + 16 for t in totals.values())
         # small input clamps to the 32-shard floor: shard ids < 32
         assert all(pid // 2**32 < 32 for pid in totals)
+
+
+class TestStripHtml:
+    def test_extracts_visible_text_and_structure(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            strip_html,
+        )
+
+        html = (
+            "<html><head><title>junk</title><style>p{color:red}</style></head>"
+            "<body><script>var x = '<p>not text</p>';</script>"
+            "<!-- a comment -->"
+            "<h1>Header &amp; Title</h1>"
+            "<p>First &quot;paragraph&quot; text.</p>"
+            "<div>Second<br>line with a <a href='x'>link label</a>.</div>"
+            "<ul><li>alpha</li><li>beta</li></ul>"
+            "</body></html>"
+        )
+        df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+        got = strip_html(df).first().text
+        assert "junk" not in got          # head subtree dropped
+        assert "color:red" not in got     # style dropped
+        assert "not text" not in got      # script content dropped whole
+        assert "comment" not in got
+        assert "Header & Title" in got    # entity decoded
+        assert 'First "paragraph" text.' in got
+        assert "link label" in got        # inline tag unwrapped, text kept
+        # block boundaries became line structure: header and paragraph
+        # are separate lines
+        lines = got.split("\n")
+        assert any(line.strip() == "Header & Title" for line in lines)
+        assert "alpha" in got and "beta" in got
+
+    def test_plain_text_passes_through(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            strip_html,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "just a plain sentence with  extra   spaces")],
+            "doc_id long, html string",
+        )
+        assert (
+            strip_html(df).first().text
+            == "just a plain sentence with extra spaces"
+        )
+
+    def test_map_only_plan(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            strip_html,
+        )
+
+        df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+        plan = strip_html(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestMinhashBandParams:
+    def test_crossover_tracks_threshold(self):
+        from etl_process_for_fraud_transactions_spark.operators.dedup import (
+            minhash_band_params,
+        )
+
+        for t in (0.3, 0.5, 0.7, 0.9):
+            n, b, r = minhash_band_params(t)
+            assert n == b * r and n <= 112
+            crossover = (1 / b) ** (1 / r)
+            assert abs(crossover - t) < 0.15, (t, b, r, crossover)
+
+    def test_weights_shift_the_curve(self):
+        from etl_process_for_fraud_transactions_spark.operators.dedup import (
+            minhash_band_params,
+        )
+
+        _, b_fp, r_fp = minhash_band_params(0.5, fp_weight=5.0)
+        _, b_fn, r_fn = minhash_band_params(0.5, fn_weight=5.0)
+        # penalizing FPs pushes the crossover up (stricter candidates);
+        # penalizing FNs pushes it down (looser candidates)
+        assert (1 / b_fp) ** (1 / r_fp) > (1 / b_fn) ** (1 / r_fn)
+
+    def test_rejects_degenerate_threshold(self):
+        import pytest
+
+        from etl_process_for_fraud_transactions_spark.operators.dedup import (
+            minhash_band_params,
+        )
+
+        with pytest.raises(ValueError):
+            minhash_band_params(0.0)
+        with pytest.raises(ValueError):
+            minhash_band_params(1.0)
