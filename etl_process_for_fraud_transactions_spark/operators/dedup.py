@@ -600,6 +600,7 @@ def near_dedup(
     portable: bool = False,
     max_iter: int = 25,
     cc_algorithm: str = "label",
+    auto_band: bool = False,
 ) -> DataFrame:
     """End-to-end near-duplicate clustering: MinHash+LSH candidate
     pairs -> exact-Jaccard verify -> connected components (transitive
@@ -610,9 +611,18 @@ def near_dedup(
     lineage. Composes minhash_near_duplicates with
     operators.graph.dedup_components — see both for the scale
     arguments (banded candidate join; checkpointed label
-    propagation)."""
+    propagation).
+
+    auto_band=True derives (num_hashes, bands) from the threshold via
+    minhash_band_params instead of the 32/8 default — recall does not
+    silently degrade when the caller moves the threshold far from the
+    default curve's ~0.55 crossover. Exact-Jaccard verification makes
+    precision threshold-exact either way; banding only controls which
+    candidate pairs surface."""
     from .graph import dedup_components
 
+    if auto_band:
+        num_hashes, bands, _ = minhash_band_params(threshold)
     pairs = minhash_near_duplicates(
         df, text_col, id_col, k, num_hashes, bands, threshold, portable=portable
     )

@@ -210,6 +210,53 @@ def detect_language(
     )
 
 
+#: Unicode block ranges per writing system — character classes both
+#: Java regex (Spark) and RE2 (DuckDB) accept as literal ranges, so
+#: script detection is oracle-replayable without \p{script=} dialect
+#: differences. CJK folds Han + kana + Hangul: one coarse class for
+#: "needs a CJK-aware pipeline", not a language verdict.
+SCRIPT_RANGES = {
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "arabic": "[؀-ۿ]",
+    "devanagari": "[ऀ-ॿ]",
+    "cjk": "[぀-ヿ㐀-䶿一-鿿가-힯]",
+}
+
+
+def script_ratios(col: Column | str) -> dict[str, Column]:
+    """Per-script character ratios (share of LETTER characters in each
+    SCRIPT_RANGES class) — the signal that routes documents to
+    script-appropriate pipelines before any tokenization: the
+    stopword language heuristic (pred_lang) is blind outside Latin
+    text, and whitespace tokenization itself is wrong for CJK. Pure
+    regexp_extract_all counts, map-only."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_letters = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"\p{L}"), 0)), F.lit(1)
+    )
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(rng), 0)).cast("double")
+        / n_letters
+        for name, rng in SCRIPT_RANGES.items()
+    }
+
+
+def dominant_script(col: Column | str, min_ratio: float = 0.5) -> Column:
+    """The script holding > `min_ratio` of the letters, else 'mixed';
+    'und' when the text has no letters at all. Deterministic: the
+    SCRIPT_RANGES iteration order breaks exact ties (dict order is
+    the declaration order)."""
+    c = F.col(col) if isinstance(col, str) else col
+    ratios = script_ratios(c)
+    no_letters = F.size(F.regexp_extract_all(c, F.lit(r"\p{L}"), 0)) == 0
+    expr = F.lit("mixed")
+    for name in reversed(list(ratios)):
+        expr = F.when(ratios[name] > min_ratio, F.lit(name)).otherwise(expr)
+    return F.when(no_letters, F.lit("und")).otherwise(expr)
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

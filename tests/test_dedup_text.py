@@ -524,3 +524,86 @@ class TestMinhashBandParams:
             minhash_band_params(0.0)
         with pytest.raises(ValueError):
             minhash_band_params(1.0)
+
+
+class TestScriptDetection:
+    def test_dominant_script_known_answers(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            dominant_script,
+        )
+
+        rows = [
+            (1, "plain english text with words"),
+            (2, "Привет мир это русский текст"),
+            (3, "这是一段中文文本内容测试"),
+            (4, "これは日本語のテキストです"),
+            (5, "한국어 텍스트 샘플 문장"),
+            (6, "هذا نص عربي للاختبار"),
+            (7, "Ελληνικό κείμενο εδώ"),
+            (8, "यह हिंदी पाठ है"),
+            (9, "1234 5678 !!!"),
+            (10, "abcdefghij клмнопрсту"),  # exactly half each script
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.s
+            for r in df.select(
+                "doc_id", dominant_script("text").alias("s")
+            ).collect()
+        }
+        assert got[1] == "latin"
+        assert got[2] == "cyrillic"
+        assert got[3] == "cjk" and got[4] == "cjk" and got[5] == "cjk"
+        assert got[6] == "arabic"
+        assert got[7] == "greek"
+        assert got[8] == "devanagari"
+        assert got[9] == "und"          # no letters at all
+        assert got[10] == "mixed"       # neither script holds > 50%
+
+    def test_script_ratios_sum_and_plan(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            script_ratios,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "abc это mixed")], "doc_id long, text string"
+        )
+        sel = df.select(
+            *[v.alias(k) for k, v in script_ratios("text").items()]
+        )
+        row = sel.first()
+        assert 0.0 < row.latin < 1.0 and 0.0 < row.cyrillic < 1.0
+        assert abs(row.latin + row.cyrillic - 1.0) < 1e-9
+        plan = sel._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_near_dedup_auto_band_matches_explicit(spark):
+    """auto_band=True must equal the explicit (num_hashes, bands)
+    minhash_band_params picks for the threshold — same candidates,
+    same verdicts."""
+    from etl_process_for_fraud_transactions_spark.operators.dedup import (
+        minhash_band_params,
+        near_dedup,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the creek"),
+        (3, "a completely different document about spark physical plans"),
+        (4, "another unrelated text concerning parquet row group pruning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n, b, _ = minhash_band_params(0.8)
+    auto = sorted(
+        (r.doc_id, r.survivor_id)
+        for r in near_dedup(df, threshold=0.8, auto_band=True).collect()
+    )
+    explicit = sorted(
+        (r.doc_id, r.survivor_id)
+        for r in near_dedup(
+            df, threshold=0.8, num_hashes=n, bands=b
+        ).collect()
+    )
+    assert auto == explicit
+    assert any(s != d for d, s in auto)  # the near-pair clustered
