@@ -84,10 +84,21 @@ def sample_to_mixture(
     source_col: str = "source",
     id_col: str = "doc_id",
     seed: str = "0",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Downsample so the output follows a target source mixture — the
     data-mixing step of training-corpus assembly ("60% web, 30% books,
     10% code"). Sources absent from `shares` are dropped.
+
+    weight_col (e.g. 'n_tokens') switches the mixture target from DOC
+    COUNTS to the WEIGHT TOTALS — what trainers actually budget: a
+    source of long books and a source of short posts with equal doc
+    counts are nowhere near a 50/50 token mix. Availability per
+    source becomes SUM(weight); sampling stays row-level and
+    deterministic (hash_fraction), so the realized weighted share is
+    the expectation fraction * weight_s, concentrated by the usual
+    bounded-increment argument when no single document dominates its
+    source's weight.
 
     The output is the LARGEST mixture-correct subset: the binding
     source (smallest availability/share ratio) is kept whole and every
@@ -106,11 +117,16 @@ def sample_to_mixture(
         raise ValueError("shares must be positive")
     total_share = float(sum(shares.values()))
     norm = {k: v / total_share for k, v in shares.items()}
+    avail = (
+        F.sum(F.col(weight_col)).alias("n")
+        if weight_col
+        else F.count(F.lit(1)).alias("n")
+    )
     counts = {
         r[0]: r[1]
         for r in df.filter(F.col(source_col).isin(list(shares)))
         .groupBy(source_col)
-        .count()
+        .agg(avail)
         .collect()
     }
     missing = [s for s in shares if counts.get(s, 0) == 0]

@@ -166,3 +166,41 @@ class TestSampleToMixture:
         assert [r.source for r in out.collect()] == ["web"]
         with pytest.raises(ValueError, match="unsatisfiable"):
             sample_to_mixture(df, {"web": 0.5, "absent": 0.5})
+
+
+def test_token_weighted_mixture(spark):
+    """weight_col='n_tokens' targets the TOKEN mix: long-doc and
+    short-doc sources with equal doc counts must downsample to
+    near-equal token totals, which a doc-count mixture would miss by
+    the length ratio."""
+    from etl_process_for_fraud_transactions_spark.operators.sampling import (
+        sample_to_mixture,
+    )
+
+    rows = [(i, "books", 1000) for i in range(500)]
+    rows += [(10_000 + i, "web", 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = sample_to_mixture(
+        df, {"books": 1.0, "web": 1.0}, weight_col="n_tokens"
+    )
+    got = {
+        r.source: r.toks
+        for r in out.groupBy("source").agg(
+            F.sum("n_tokens").alias("toks")
+        ).collect()
+    }
+    # web (50k tokens) binds and is kept whole; books downsamples to
+    # ~50k tokens (=~50 of its 500 docs, hash-sampled: allow slack)
+    assert got["web"] == 50_000
+    assert abs(got["books"] - got["web"]) / got["web"] < 0.35
+    # doc-count mixture on the same frame keeps everything (counts are
+    # already equal) — the token mix stays 10:1, proving the two
+    # targets genuinely differ
+    out_docs = sample_to_mixture(df, {"books": 1.0, "web": 1.0})
+    doc_toks = {
+        r.source: r.toks
+        for r in out_docs.groupBy("source").agg(
+            F.sum("n_tokens").alias("toks")
+        ).collect()
+    }
+    assert doc_toks["books"] == 10 * doc_toks["web"]
