@@ -45,6 +45,7 @@ def build_training_shards(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
     shares: dict[str, float] | None = None,
+    mixture_weight_col: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
@@ -94,8 +95,16 @@ def build_training_shards(
         scrubbed = scrubbed.join(
             docs.select(id_col, source_col), id_col
         )
+        # mixture_weight_col='n_tokens' targets the TOKEN mix the
+        # trainer budgets rather than doc counts (curate_corpus always
+        # emits n_tokens)
         scrubbed = sample_to_mixture(
-            scrubbed, shares, source_col=source_col, id_col=id_col, seed=seed
+            scrubbed,
+            shares,
+            source_col=source_col,
+            id_col=id_col,
+            seed=seed,
+            weight_col=mixture_weight_col,
         ).drop(source_col)
 
     # the curated doc-level corpus is reused by the stats aggregate,

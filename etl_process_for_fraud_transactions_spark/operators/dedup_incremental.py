@@ -196,6 +196,19 @@ class NearDupIndex:
     def _stamp(self, df: DataFrame, batch) -> DataFrame:
         return df.withColumn(BATCH_COL, F.lit(str(batch)))
 
+    def _read_index_or_none(self, table: str, exclude_batch=None):
+        """_read_index, or None when the table has no readable data —
+        the day-zero state: bootstrapping an EMPTY corpus (or a
+        stream's first epoch) writes no parquet files, and schema
+        inference over a file-less directory raises instead of
+        yielding zero rows."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self._read_index(table, exclude_batch)
+        except AnalysisException:
+            return None
+
     def _read_index(self, table: str, exclude_batch=None) -> DataFrame:
         df = self.wh.read(table)
         if exclude_batch is not None:
@@ -286,7 +299,21 @@ class NearDupIndex:
         a replayed epoch sees the same index state as its first
         attempt regardless of partial writes."""
         self._validate_params()
-        corpus_b = self._read_index(self.buckets_table, exclude_batch)
+        corpus_b = self._read_index_or_none(self.buckets_table, exclude_batch)
+        corpus_sh_all = self._read_index_or_none(
+            self.shingles_table, exclude_batch
+        )
+        if corpus_b is None or corpus_sh_all is None:
+            # day-zero index (bootstrap of an EMPTY corpus writes no
+            # parquet files — a stream can legitimately start from
+            # nothing): no corpus, no duplicates; the empty result
+            # frame takes its id type from the batch itself
+            return (
+                new_docs.select(F.col(self.id_col).alias("new_id"))
+                .withColumn("dup_id", F.col("new_id"))
+                .withColumn("jaccard", F.lit(0.0).cast("double"))
+                .limit(0)
+            )
         batch_b = self._buckets(new_docs)
         cand = (
             corpus_b.join(
@@ -298,7 +325,7 @@ class NearDupIndex:
             .select(F.col(self.id_col).alias("dup_id"), "new_id")
             .distinct()
         )
-        corpus_sh = self._read_index(self.shingles_table, exclude_batch).join(
+        corpus_sh = corpus_sh_all.join(
             cand.select(F.col("dup_id").alias(self.id_col)).distinct(),
             self.id_col,
             "left_semi",

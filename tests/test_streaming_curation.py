@@ -1,0 +1,118 @@
+"""Streaming curation: the stateless gates run inside the streaming
+plan; the stateful near-dedup runs in the foreachBatch sink; batch
+and stream agree on the gate verdicts."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_process_for_fraud_transactions_spark.streaming.curation import curate_stream
+
+SCHEMA = "doc_id long, html string"
+
+GOOD = (
+    "<p>the quick brown fox jumps over the lazy dog and then the fox "
+    "runs far away into the green hills to rest for the day</p>"
+)
+NEAR = (
+    "<p>the quick brown fox jumps over the lazy dog and then the fox "
+    "runs far away into the blue hills to rest for the day</p>"
+)
+OTHER = (
+    "<p>cook rice and beans with garlic in the small red kitchen pot "
+    "while the bread bakes and the soup simmers on the stove top</p>"
+)
+
+
+def _write(src, name, rows):
+    (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_stateless_gates_stream_and_match_batch(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "html": GOOD},
+        {"doc_id": 2, "html": "<p>tiny</p>"},                      #短 -> token floor
+        {"doc_id": 3, "html": "<p>der hund und die katze ist das "
+                              "haus und der baum und die sonne</p>"},  # de
+        {"doc_id": 4, "html": OTHER},
+    ]
+    _write(src, "b1.jsonl", rows)
+
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        curate_stream(stream, html_col="html")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert sorted(got) == [1, 4]          # token floor + language gate fired
+    assert "<p>" not in got[1].text       # html stripped in-stream
+    assert got[1].pred_lang == "en"
+
+    # batch/stream parity: the same frame through the same function
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["html"]) for r in rows], SCHEMA
+    )
+    bgot = {
+        r.doc_id: (r.text, r.n_tokens, r.pred_lang)
+        for r in curate_stream(batch, html_col="html").collect()
+    }
+    assert bgot == {
+        d: (r.text, r.n_tokens, r.pred_lang) for d, r in got.items()
+    }
+
+
+def test_full_streaming_pipeline_with_near_dedup_sink(spark, tmp_path):
+    """curate_stream -> near_dedup_sink: gates drop junk in-stream,
+    the index drops a cross-micro-batch near duplicate, and the
+    curated table accumulates exactly the survivors."""
+    from etl_process_for_fraud_transactions_spark.operators.dedup_incremental import (
+        NearDupIndex,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import Warehouse
+    from etl_process_for_fraud_transactions_spark.streaming.upsert import (
+        near_dedup_sink,
+        run_foreach_batch,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = NearDupIndex(wh, partitioned=True)
+    # empty bootstrap: the stream IS the corpus from day one
+    idx.bootstrap(
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    ckpt = str(tmp_path / "ck")
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        run_foreach_batch(
+            curate_stream(stream, html_col="html"),
+            near_dedup_sink(idx, "curated", threshold=0.5),
+            ckpt,
+        )
+        return sorted(
+            r.doc_id for r in wh.read("curated").collect()
+        )
+
+    _write(src, "b1.jsonl", [{"doc_id": 1, "html": GOOD},
+                             {"doc_id": 2, "html": "<p>tiny</p>"}])
+    assert run() == [1]
+
+    # second micro-batch: a near-dup of doc 1 (dropped by the INDEX,
+    # across epochs) and a genuinely new doc (kept)
+    _write(src, "b2.jsonl", [{"doc_id": 5, "html": NEAR},
+                             {"doc_id": 6, "html": OTHER}])
+    assert run() == [1, 6]
