@@ -325,3 +325,66 @@ def cap_per_domain(
         .filter(F.col("__overcap").isNull() | F.col("__kept").isNotNull())
         .drop("__dom", "__overcap", "__kept")
     )
+
+
+#: file extensions whose URLs are (almost) never prose content —
+#: assets, feeds, machine formats; the RefinedWeb-style URL prefilter
+#: drops them before any fetch/text processing.
+NON_CONTENT_EXTENSIONS = (
+    "css", "js", "json", "xml", "rss", "atom",
+    "jpg", "jpeg", "png", "gif", "webp", "svg", "ico",
+    "mp3", "mp4", "avi", "mov", "webm",
+    "zip", "gz", "tar", "rar", "7z",
+    "exe", "dmg", "apk", "woff", "woff2", "ttf",
+)
+
+
+def url_quality_flags(
+    df: DataFrame,
+    url_col: str = "url",
+    max_path_depth: int = 8,
+    max_query_len: int = 120,
+    max_digit_ratio: float = 0.4,
+) -> DataFrame:
+    """URL-shape quality heuristics — the pre-fetch prefilter of a
+    web-corpus pipeline (cf. the URL filtering stage of
+    RefinedWeb/FineWeb): adds boolean flag columns plus a combined
+    `url_ok`, all pure expressions over one let-bound host parse:
+
+      - url_is_content:   path extension not in NON_CONTENT_EXTENSIONS
+      - url_depth_ok:     path depth <= max_path_depth (deep trees are
+                          calendars/facet explosions)
+      - url_query_ok:     query string length <= max_query_len
+                          (session/state dumps)
+      - url_host_digits_ok: digit share of the host <= max_digit_ratio
+                          (machine-generated hosts, IP-ish vhosts)
+      - url_ok:           all of the above
+
+    Flags, not a filter: callers audit flag rates per source before
+    committing to a drop policy (df.filter(F.col('url_ok'))). Rows
+    with no parseable host fail url_host_digits_ok conservatively
+    only when the raw string itself is digit-heavy."""
+    c = F.col(url_col)
+    path = F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
+    query = F.coalesce(F.try_parse_url(c, F.lit("QUERY")), F.lit(""))
+    ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]{1,6})$", 1))
+    host = F.coalesce(url_host(c), F.lower(c))
+    n_host = F.greatest(F.length(host), F.lit(1))
+    digit_ratio = (
+        F.size(F.regexp_extract_all(host, F.lit(r"[0-9]"), 0)).cast("double")
+        / n_host
+    )
+    depth = F.size(F.filter(F.split(path, "/"), lambda p: p != ""))
+    flags = {
+        "url_is_content": ~ext.isin(*NON_CONTENT_EXTENSIONS),
+        "url_depth_ok": depth <= max_path_depth,
+        "url_query_ok": F.length(query) <= max_query_len,
+        "url_host_digits_ok": digit_ratio <= max_digit_ratio,
+    }
+    out = df
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    ok = None
+    for name in flags:
+        ok = F.col(name) if ok is None else (ok & F.col(name))
+    return out.withColumn("url_ok", ok)

@@ -196,3 +196,29 @@ def test_malformed_urls_never_merge(spark):
     )
     kept = sorted(r.doc_id for r in dedup_by_url(df).collect())
     assert kept == [1, 2]
+
+
+def test_url_quality_flags(spark):
+    from etl_process_for_fraud_transactions_spark.operators.web import (
+        url_quality_flags,
+    )
+
+    rows = [
+        (1, "https://example.com/articles/how-to-cook-rice"),
+        (2, "https://example.com/static/site.css"),
+        (3, "https://example.com/" + "/".join(f"d{i}" for i in range(12))),
+        (4, "https://example.com/p?" + "&".join(f"k{i}=v{i}" for i in range(40))),
+        (5, "https://123456789012.example.com/x"),
+        (6, "https://example.com/photo.jpg"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r for r in url_quality_flags(df).collect()}
+    assert got[1].url_ok
+    assert not got[2].url_is_content and not got[2].url_ok
+    assert not got[3].url_depth_ok
+    assert not got[4].url_query_ok
+    assert not got[5].url_host_digits_ok
+    assert not got[6].url_is_content
+    # flags are expressions only: map-side plan
+    plan = url_quality_flags(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
