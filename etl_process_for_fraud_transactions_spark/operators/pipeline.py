@@ -65,12 +65,20 @@ def curate_corpus(
     min_lm_logprob: float | None = None,
     decontaminate_prefilter: str | None = None,
     decontaminate_bloom=None,
+    html_col: str | None = None,
 ) -> DataFrame:
     """Returns (id, text, n_tokens, pred_lang, split) — the curated,
     deduplicated, decontaminated, split corpus. `benchmark` (optional)
     is an eval-set frame with (bench_id, text) used for leakage
-    removal. See module docstring for stage order rationale; each
-    stage is individually tested and plan-audited in its own module."""
+    removal. `html_col` (optional) runs strip_html first, so a raw
+    web-crawl corpus enters the ladder as visible text — the batch
+    twin of streaming.curation.curate_stream(html_col=...). See
+    module docstring for stage order rationale; each stage is
+    individually tested and plan-audited in its own module."""
+    if html_col is not None:
+        from .text import strip_html
+
+        docs = strip_html(docs, html_col, text_col)
     cleaned = strip_boilerplate_paragraphs(
         dedup_paragraphs_within(docs, text_col, id_col),
         text_col,

@@ -152,3 +152,22 @@ def test_corpus_report_known_answers(spark):
     # one-shuffle shape: a single Expand+aggregate, no joins
     plan = corpus_report(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_curate_corpus_html_entry(spark):
+    """html_col runs strip_html before the ladder — the batch twin of
+    curate_stream's HTML entry point."""
+    from etl_process_for_fraud_transactions_spark.operators.pipeline import (
+        curate_corpus,
+    )
+
+    rows = [
+        (1, "<html><head><style>p{}</style></head><body><p>the quick "
+            "brown fox jumps over the lazy dog and then the fox runs "
+            "far away into the green hills to rest</p></body></html>"),
+        (2, "<p>tiny</p>"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, html string")
+    out = curate_corpus(docs, html_col="html").collect()
+    assert [r.doc_id for r in out] == [1]
+    assert "<p>" not in out[0].text and "fox" in out[0].text
