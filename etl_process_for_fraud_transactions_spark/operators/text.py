@@ -368,6 +368,11 @@ def strip_html(
     This is deliberately a REGEXP extractor, not an HTML parser: it
     is the scalable 95% path (same trade the PII scrubber makes), and
     malformed markup degrades to extra whitespace rather than errors.
+    Known limit (pinned by test): an UNCLOSED <script>/<style> tag
+    cannot be subtree-dropped (the non-greedy block match needs its
+    terminator), so only the tag itself is stripped and the orphaned
+    code text survives — detectable downstream via the quality gates'
+    punctuation ratio rather than silently truncating the document.
     A DOM-fidelity extractor (trafilatura-class readability scoring,
     boilerplate DOM pruning) belongs behind this exact signature as
     an Arrow-batched stage. Plain text without markup passes through

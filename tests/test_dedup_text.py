@@ -607,3 +607,22 @@ def test_near_dedup_auto_band_matches_explicit(spark):
     )
     assert auto == explicit
     assert any(s != d for d, s in auto)  # the near-pair clustered
+
+    def test_unclosed_script_documented_behavior(self, spark):
+        """Pinned limit: an unclosed <script> can't be subtree-dropped
+        (no terminator for the block match) — the tag strips, the
+        orphaned code text survives, and the document is NOT
+        truncated. The quality gates catch the leaked code via
+        punctuation ratio."""
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            strip_html,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "<p>real text</p><script>var x = 1; leaked()")],
+            "doc_id long, html string",
+        )
+        got = strip_html(df).first().text
+        assert "real text" in got          # document not truncated
+        assert "leaked()" in got           # honest leak, not silent drop
+        assert "<script>" not in got       # the tag itself strips
