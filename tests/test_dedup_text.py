@@ -626,3 +626,27 @@ def test_near_dedup_auto_band_matches_explicit(spark):
         assert "real text" in got          # document not truncated
         assert "leaked()" in got           # honest leak, not silent drop
         assert "<script>" not in got       # the tag itself strips
+
+
+def test_compression_ratio_separates_spam_from_prose(spark):
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        compression_ratio,
+    )
+
+    prose = (
+        "the committee reviewed seventeen distinct proposals before "
+        "narrowing the field to three finalists whose budgets differed "
+        "substantially in scope, staffing and projected maintenance cost"
+    )
+    spam = "buy cheap pills now " * 40
+    df = spark.createDataFrame(
+        [(1, prose), (2, spam), (3, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.compression_ratio for r in compression_ratio(df).collect()}
+    assert got[2] < 0.2 < got[1]          # spam compresses far below prose
+    assert got[3] == 1.0                  # empty text: nothing repetitive
+    # python replay: exact zlib contract
+    import zlib
+
+    raw = prose.encode()
+    assert got[1] == len(zlib.compress(raw, 6)) / len(raw)
