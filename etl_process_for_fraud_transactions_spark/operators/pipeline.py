@@ -66,6 +66,7 @@ def curate_corpus(
     decontaminate_prefilter: str | None = None,
     decontaminate_bloom=None,
     html_col: str | None = None,
+    min_compression_ratio: float | None = None,
 ) -> DataFrame:
     """Returns (id, text, n_tokens, pred_lang, split) — the curated,
     deduplicated, decontaminated, split corpus. `benchmark` (optional)
@@ -155,6 +156,18 @@ def curate_corpus(
             unigram_logprob_score(gated, unigram_lm, text_col)
             .filter(F.col("lm_logprob") >= min_lm_logprob)
             .drop("lm_logprob")
+        )
+
+    if min_compression_ratio is not None:
+        # zlib repetitiveness gate — the one Python (Arrow-batched)
+        # stage in the ladder, so it runs LAST among the quality
+        # gates, over the already-thinned corpus
+        from .text import compression_ratio
+
+        gated = (
+            compression_ratio(gated, text_col)
+            .filter(F.col("compression_ratio") >= min_compression_ratio)
+            .drop("compression_ratio")
         )
 
     if benchmark is not None:

@@ -171,3 +171,27 @@ def test_curate_corpus_html_entry(spark):
     out = curate_corpus(docs, html_col="html").collect()
     assert [r.doc_id for r in out] == [1]
     assert "<p>" not in out[0].text and "fox" in out[0].text
+
+
+def test_curate_corpus_compression_gate(spark):
+    """min_compression_ratio drops machine-repetitive text the other
+    gates pass (valid tokens, valid language, plausible lengths)."""
+    from etl_process_for_fraud_transactions_spark.operators.pipeline import (
+        curate_corpus,
+    )
+
+    prose = (
+        "the committee reviewed seventeen proposals and the board is "
+        "expected to announce the final decision before the end of "
+        "the quarter according to people familiar with the matter"
+    )
+    spam = ("the best offer is the best offer is " * 12).strip()
+    docs = spark.createDataFrame(
+        [(1, prose), (2, spam)], "doc_id long, text string"
+    )
+    out = curate_corpus(docs, min_compression_ratio=0.35).collect()
+    assert [r.doc_id for r in out] == [1]
+    # without the gate the spam passes (en markers + enough tokens)
+    assert sorted(
+        r.doc_id for r in curate_corpus(docs).collect()
+    ) == [1, 2]
