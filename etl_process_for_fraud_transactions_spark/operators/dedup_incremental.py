@@ -303,7 +303,17 @@ class NearDupIndex:
         corpus_sh_all = self._read_index_or_none(
             self.shingles_table, exclude_batch
         )
-        if corpus_b is None or corpus_sh_all is None:
+        if (corpus_b is None) != (corpus_sh_all is None):
+            # exactly ONE table readable = a half-written or corrupted
+            # index (e.g. bootstrap crashed between the two writes):
+            # treating it as day-zero would silently admit every
+            # near-duplicate of the indexed corpus — fail loudly
+            raise ValueError(
+                f"NearDupIndex '{self.name}' is inconsistent: one of "
+                "(buckets, shingles) is readable and the other is not "
+                "— re-run bootstrap() to rebuild the pair"
+            )
+        if corpus_b is None:
             # day-zero index (bootstrap of an EMPTY corpus writes no
             # parquet files — a stream can legitimately start from
             # nothing): no corpus, no duplicates; the empty result

@@ -122,8 +122,11 @@ def sample_to_mixture(
         if weight_col
         else F.count(F.lit(1)).alias("n")
     )
+    # `or 0`: a source whose every weight is NULL sums to None — fold
+    # it into the unsatisfiable-mixture error below instead of letting
+    # the binding-source arithmetic raise a raw TypeError
     counts = {
-        r[0]: r[1]
+        r[0]: r[1] or 0
         for r in df.filter(F.col(source_col).isin(list(shares)))
         .groupBy(source_col)
         .agg(avail)

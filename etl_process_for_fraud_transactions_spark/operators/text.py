@@ -225,20 +225,27 @@ SCRIPT_RANGES = {
 }
 
 
+def _script_count(c: Column, rng: str) -> Column:
+    """Count of characters of a range class via length difference —
+    no per-character array materialization (regexp_extract_all builds
+    one element per hit; a length diff is a single scan)."""
+    return F.length(c) - F.length(F.regexp_replace(c, rng, ""))
+
+
 def script_ratios(col: Column | str) -> dict[str, Column]:
     """Per-script character ratios (share of LETTER characters in each
     SCRIPT_RANGES class) — the signal that routes documents to
     script-appropriate pipelines before any tokenization: the
     stopword language heuristic (pred_lang) is blind outside Latin
-    text, and whitespace tokenization itself is wrong for CJK. Pure
-    regexp_extract_all counts, map-only."""
+    text, and whitespace tokenization itself is wrong for CJK.
+    Length-difference counts, map-only; each returned Column scans the
+    text twice (its class + the letter total) — callers combining ALL
+    ratios in one expression should prefer dominant_script, which
+    let-binds the counts."""
     c = F.col(col) if isinstance(col, str) else col
-    n_letters = F.greatest(
-        F.size(F.regexp_extract_all(c, F.lit(r"\p{L}"), 0)), F.lit(1)
-    )
+    n_letters = F.greatest(_script_count(c, r"\p{L}"), F.lit(1))
     return {
-        name: F.size(F.regexp_extract_all(c, F.lit(rng), 0)).cast("double")
-        / n_letters
+        name: _script_count(c, rng).cast("double") / n_letters
         for name, rng in SCRIPT_RANGES.items()
     }
 
@@ -247,14 +254,28 @@ def dominant_script(col: Column | str, min_ratio: float = 0.5) -> Column:
     """The script holding > `min_ratio` of the letters, else 'mixed';
     'und' when the text has no letters at all. Deterministic: the
     SCRIPT_RANGES iteration order breaks exact ties (dict order is
-    the declaration order)."""
+    the declaration order). All 7 counts are LET-BOUND as one array
+    (see dedup._let), so the text scans once per class instead of
+    once per reference in the when-chain."""
+    from .dedup import _let
+
     c = F.col(col) if isinstance(col, str) else col
-    ratios = script_ratios(c)
-    no_letters = F.size(F.regexp_extract_all(c, F.lit(r"\p{L}"), 0)) == 0
-    expr = F.lit("mixed")
-    for name in reversed(list(ratios)):
-        expr = F.when(ratios[name] > min_ratio, F.lit(name)).otherwise(expr)
-    return F.when(no_letters, F.lit("und")).otherwise(expr)
+    names = list(SCRIPT_RANGES)
+    counts = F.array(
+        _script_count(c, r"\p{L}").cast("double"),
+        *[_script_count(c, SCRIPT_RANGES[n]).cast("double") for n in names],
+    )
+
+    def body(arr: Column) -> Column:
+        total = F.greatest(arr[0], F.lit(1.0))
+        expr = F.lit("mixed")
+        for i in range(len(names) - 1, -1, -1):
+            expr = F.when(
+                arr[i + 1] / total > min_ratio, F.lit(names[i])
+            ).otherwise(expr)
+        return F.when(arr[0] == 0.0, F.lit("und")).otherwise(expr)
+
+    return _let(counts, body)
 
 
 def chunk_documents(
@@ -336,10 +357,14 @@ PII_PATTERNS = {
 #: common named HTML entities decoded by strip_html (the head of the
 #: real-web distribution; numeric &#NNN; forms need a char table and
 #: stay encoded — a full parser belongs behind this signature).
+#: '&amp;' MUST decode LAST: decoding it first turns escaped entities
+#: ('&amp;lt;' — visible text '&lt;') into live ones that the later
+#: replacements then double-decode into real markup characters.
 _HTML_ENTITIES = (
-    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
     ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&mdash;", "—"),
     ("&ndash;", "–"), ("&hellip;", "…"), ("&copy;", "©"), ("&reg;", "®"),
+    ("&amp;", "&"),
 )
 
 

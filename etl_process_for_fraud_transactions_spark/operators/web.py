@@ -181,30 +181,27 @@ def dedup_by_url(
     refetched millions of times reduces locally instead of straggling
     one sort partition — and joins back left_semi on the id. The text
     shuffles once (the join-back), keyed on the id, never on the URL.
-    """
+
+    Rows with a NULL url have no fetch identity and pass through
+    untouched — a null group key would otherwise merge EVERY
+    url-less row into one survivor."""
     ids = df.select(
         F.col(id_col), normalize_url(F.col(url_col), tracking_params).alias("__nurl")
     )
-    keep = ids.groupBy("__nurl").agg(F.min(id_col).alias(id_col)).select(id_col)
+    keep = (
+        ids.filter(F.col("__nurl").isNotNull())
+        .groupBy("__nurl")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+        .unionByName(ids.filter(F.col("__nurl").isNull()).select(id_col))
+    )
     return df.join(keep, id_col, "left_semi")
 
 
-def _host_suffix_chain(h: Column) -> Column:
-    """All dot-suffixes of the host with >= 2 labels, plus nothing
-    shorter (a bare TLD in a blocklist would otherwise block the
-    whole web): ['a.spam.blogspot.com', 'spam.blogspot.com',
-    'blogspot.com']. Single-label and IP hosts contribute only
-    themselves (partial-IP suffixes like '3.4' must never match).
-    Bounded: hosts have ~2-6 labels, so the explode is O(1) per row.
-    """
-    labels = F.split(h, r"\.")
-    n = F.size(labels)
-    is_ip = h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
-    chain = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
-    )
-    return F.when(is_ip | (n < 2), F.array(h)).otherwise(chain)
+#: deepest label-suffix the blocklist matcher probes: entries up to 6
+#: labels ('x.y.spam.blogspot.co.uk') match anywhere in their subtree;
+#: deeper entries still match their exact host.
+_MAX_SUFFIX_LABELS = 6
 
 
 def filter_blocklisted_domains(
@@ -221,29 +218,39 @@ def filter_blocklisted_domains(
     subtree — sibling subdomains of the same registered domain
     survive.
 
-    Shape: each row explodes its bounded host-suffix chain (<= ~6
-    short strings, ids-only projection), left_semi joins the
-    BROADCAST blocklist (domain lists are millions of short strings
-    at worst — MBs), and the blocked-id set anti-joins back on the
-    id. The text never shuffles on a domain key. For blocklists too
-    big to broadcast, build a bloom over the domains
-    (operators/bloom.py) and exact-verify the hits — same cascade as
-    decontamination."""
+    Shape — fully MAP-SIDE, the corpus never shuffles on any key: the
+    host parses ONCE into a projected attribute, the bounded suffix
+    set (exact host + last-2..last-{_MAX_SUFFIX_LABELS} labels) comes
+    off it as plain columns, and each position left_anti joins the
+    same BROADCAST blocklist (domain lists are millions of short
+    strings at worst — MBs; the broadcast exchange is reused across
+    the chained joins). Partial-IP suffixes never probe (gated), and
+    a blocklist entry deeper than {_MAX_SUFFIX_LABELS} labels still
+    matches its exact host. For blocklists too big to broadcast,
+    build a bloom over the domains (operators/bloom.py) and
+    exact-verify the hits — same cascade as decontamination."""
     b = blocklist.select(
         F.regexp_replace(
             F.lower(F.col(domain_col)), r"^www\.", ""
         ).alias("__blocked")
     ).distinct()
-    sfx = df.select(
-        F.col(id_col),
-        F.explode(_host_suffix_chain(url_host(F.col(url_col)))).alias("__sfx"),
-    )
-    blocked = (
-        sfx.join(F.broadcast(b), F.col("__sfx") == F.col("__blocked"), "left_semi")
-        .select(id_col)
-        .distinct()
-    )
-    return df.join(blocked, id_col, "left_anti")
+    h = F.col("__h")
+    is_ip = h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    sfx_cols = {"__sfx_host": h}
+    for k in range(2, _MAX_SUFFIX_LABELS + 1):
+        pat = r"([^.]+(?:\.[^.]+){%d})$" % (k - 1)
+        sfx = F.nullif(F.regexp_extract(h, pat, 1), F.lit(""))
+        # a partial-IP suffix ('20.3.4') must never match an entry;
+        # full-host matching covers IPs via __sfx_host
+        sfx_cols[f"__sfx_{k}"] = F.when(~is_ip, sfx)
+    out = df.withColumn("__h", url_host(F.col(url_col)))
+    for name, expr in sfx_cols.items():
+        out = out.withColumn(name, expr)
+    for name in sfx_cols:
+        out = out.join(
+            F.broadcast(b), F.col(name) == F.col("__blocked"), "left_anti"
+        )
+    return out.drop("__h", *sfx_cols)
 
 
 def cap_per_domain(
@@ -286,7 +293,11 @@ def cap_per_domain(
     prefix."""
     from pyspark.sql.window import Window
 
-    dom = registered_domain(F.col(url_col))
+    # NULL urls yield a NULL domain, and null keys never match the
+    # equi-joins below — coalesce to a sentinel so the url-less group
+    # is capped as ONE domain (the window semantics this replaced)
+    # instead of bypassing the cap entirely
+    dom = F.coalesce(registered_domain(F.col(url_col)), F.lit("\x00<no-url>"))
     ids = df.select(F.col(id_col), dom.alias("__dom"))
     over = (
         ids.groupBy("__dom")
@@ -363,16 +374,21 @@ def url_quality_flags(
     Flags, not a filter: callers audit flag rates per source before
     committing to a drop policy (df.filter(F.col('url_ok'))). Rows
     with no parseable host fail url_host_digits_ok conservatively
-    only when the raw string itself is digit-heavy."""
+    only when the raw string itself is digit-heavy. The host parse is
+    let-bound inside the digit-ratio expression (the only flag that
+    references it, twice)."""
+    from .dedup import _let
+
     c = F.col(url_col)
     path = F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
     query = F.coalesce(F.try_parse_url(c, F.lit("QUERY")), F.lit(""))
     ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]{1,6})$", 1))
-    host = F.coalesce(url_host(c), F.lower(c))
-    n_host = F.greatest(F.length(host), F.lit(1))
-    digit_ratio = (
-        F.size(F.regexp_extract_all(host, F.lit(r"[0-9]"), 0)).cast("double")
-        / n_host
+    digit_ratio = _let(
+        F.coalesce(url_host(c), F.lower(c)),
+        lambda host: (
+            F.length(host) - F.length(F.regexp_replace(host, r"[0-9]", ""))
+        ).cast("double")
+        / F.greatest(F.length(host), F.lit(1)),
     )
     depth = F.size(F.filter(F.split(path, "/"), lambda p: p != ""))
     flags = {

@@ -608,24 +608,40 @@ def test_near_dedup_auto_band_matches_explicit(spark):
     assert auto == explicit
     assert any(s != d for d, s in auto)  # the near-pair clustered
 
-    def test_unclosed_script_documented_behavior(self, spark):
-        """Pinned limit: an unclosed <script> can't be subtree-dropped
-        (no terminator for the block match) — the tag strips, the
-        orphaned code text survives, and the document is NOT
-        truncated. The quality gates catch the leaked code via
-        punctuation ratio."""
-        from etl_process_for_fraud_transactions_spark.operators.text import (
-            strip_html,
-        )
 
-        df = spark.createDataFrame(
-            [(1, "<p>real text</p><script>var x = 1; leaked()")],
-            "doc_id long, html string",
-        )
-        got = strip_html(df).first().text
-        assert "real text" in got          # document not truncated
-        assert "leaked()" in got           # honest leak, not silent drop
-        assert "<script>" not in got       # the tag itself strips
+def test_unclosed_script_documented_behavior(spark):
+    """Pinned limit: an unclosed <script> can't be subtree-dropped
+    (no terminator for the block match) — the tag strips, the
+    orphaned code text survives, and the document is NOT truncated.
+    The quality gates catch the leaked code via punctuation ratio."""
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        strip_html,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "<p>real text</p><script>var x = 1; leaked()")],
+        "doc_id long, html string",
+    )
+    got = strip_html(df).first().text
+    assert "real text" in got          # document not truncated
+    assert "leaked()" in got           # honest leak, not silent drop
+    assert "<script>" not in got       # the tag itself strips
+
+
+def test_escaped_entities_decode_once(spark):
+    """'&amp;lt;' is the VISIBLE text '&lt;' — decoding '&amp;' before
+    '&lt;' would double-decode it into a live '<' and reintroduce
+    markup after tag stripping."""
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        strip_html,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "<p>use &amp;lt;div&amp;gt; to mark &amp; join</p>")],
+        "doc_id long, html string",
+    )
+    got = strip_html(df).first().text
+    assert got == "use &lt;div&gt; to mark & join"
 
 
 def test_compression_ratio_separates_spam_from_prose(spark):

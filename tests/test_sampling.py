@@ -204,3 +204,20 @@ def test_token_weighted_mixture(spark):
         ).collect()
     }
     assert doc_toks["books"] == 10 * doc_toks["web"]
+
+
+def test_mixture_all_null_weights_fail_loudly(spark):
+    """A source whose every weight is NULL is unsatisfiable — the
+    descriptive ValueError, not a TypeError from None arithmetic."""
+    from etl_process_for_fraud_transactions_spark.operators.sampling import (
+        sample_to_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "web", 100), (2, "books", None)],
+        "doc_id long, source string, n_tokens long",
+    )
+    with pytest.raises(ValueError, match="books"):
+        sample_to_mixture(
+            df, {"web": 1.0, "books": 1.0}, weight_col="n_tokens"
+        )

@@ -222,3 +222,53 @@ def test_url_quality_flags(spark):
     # flags are expressions only: map-side plan
     plan = url_quality_flags(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_null_urls_pass_dedup_and_get_capped(spark):
+    """NULL urls have no fetch identity: dedup passes them through
+    untouched (they must never merge into one survivor), while the
+    cap treats them as ONE url-less group (they must not bypass the
+    anti-dominance policy)."""
+    rows = [(i, None) for i in range(10)]
+    rows += [(100, "https://a.org/x"), (101, "https://a.org/x")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    deduped = sorted(r.doc_id for r in dedup_by_url(df).collect())
+    assert deduped == list(range(10)) + [100]   # nulls kept, real dup merged
+    capped = sorted(
+        r.doc_id for r in cap_per_domain(df, max_docs=3).collect()
+    )
+    assert capped == [0, 1, 2, 100, 101]        # url-less group capped at 3
+
+
+def test_blocklist_filter_is_fully_map_side(spark):
+    """The round-7 rewrite's contract: chained broadcast anti joins,
+    no shuffle Exchange anywhere — the corpus text never moves."""
+    df = spark.createDataFrame(
+        [(1, "https://spam.example.com/x"), (2, "https://fine.org/y")],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    out = filter_blocklisted_domains(df, bl)
+    assert [r.doc_id for r in out.collect()] == [2]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    # the only shuffle allowed is the tiny blocklist's distinct();
+    # no exchange may be keyed on a corpus column
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "__blocked" in m.group(1), m.group(0)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_blocklist_deep_entry_matches_exact_host(spark):
+    """Entries deeper than _MAX_SUFFIX_LABELS still match their exact
+    host (via the full-host probe), just not their subtree."""
+    deep = "a.b.c.d.e.f.g.example.com"
+    df = spark.createDataFrame(
+        [(1, f"https://{deep}/x"), (2, f"https://extra.{deep}/y")],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([(deep,)], "domain string")
+    kept = sorted(r.doc_id for r in filter_blocklisted_domains(df, bl).collect())
+    assert kept == [2]  # exact host blocked; 10-label subtree child documented as kept
