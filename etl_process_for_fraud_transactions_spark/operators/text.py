@@ -225,6 +225,42 @@ SCRIPT_RANGES = {
 }
 
 
+#: CJK character class (Han + kana + Hangul) shared by SCRIPT_RANGES
+#: and the unicode tokenizer.
+_CJK = "一-鿿぀-ヿ㐀-䶿가-힯"
+
+
+def normalize_text_unicode(col: Column | str) -> Column:
+    """Script-preserving twin of normalize_text: lowercase, collapse
+    every non-letter/non-digit run (ANY script) to single spaces,
+    trim. The ASCII default exists because it is exactly replayable
+    by the DuckDB oracle's [^a-z0-9] class; it also DELETES non-Latin
+    text, so CJK/Cyrillic corpora must use this variant."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}]+", " "))
+
+
+def tokens_unicode(col: Column | str) -> Column:
+    """Script-aware tokenization: Latin-style scripts split on word
+    runs, CJK characters become ONE TOKEN EACH — whitespace carries
+    no word boundaries in Chinese/Japanese, so whitespace tokens
+    would treat a whole sentence as one 'word' (wrong token counts,
+    useless shingles). Single-char CJK tokens are the standard cheap
+    approximation (real segmentation is a model, not a regex) and
+    make shingle/MinHash machinery meaningful on CJK text: a k-token
+    shingle becomes a k-character window."""
+    c = F.col(col) if isinstance(col, str) else col
+    # alternation order matters: the CJK single-char branch must win
+    # before the word-run branch; the run class EXCLUDES CJK via Java
+    # regex class intersection so runs can't swallow CJK characters
+    pat = f"[{_CJK}]|[\\p{{L}}\\p{{N}}&&[^{_CJK}]]+"
+    return F.regexp_extract_all(F.lower(c), F.lit(pat), 0)
+
+
+def token_count_unicode(col: Column | str) -> Column:
+    return F.size(tokens_unicode(col))
+
+
 def _script_count(c: Column, rng: str) -> Column:
     """Count of characters of a range class via length difference —
     no per-character array materialization (regexp_extract_all builds

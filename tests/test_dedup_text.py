@@ -666,3 +666,32 @@ def test_compression_ratio_separates_spam_from_prose(spark):
 
     raw = prose.encode()
     assert got[1] == len(zlib.compress(raw, 6)) / len(raw)
+
+
+def test_tokens_unicode_cjk_and_latin(spark):
+    """CJK chars tokenize one-per-char, Latin words as runs — the
+    whitespace default would treat a whole CJK sentence as one token
+    (and normalize_text would delete it outright)."""
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        token_count_unicode,
+        tokens_unicode,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "我爱Spark引擎"),
+            (2, "hello world 123"),
+            (3, "日本語のテキスト"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.t for r in df.select(
+        "doc_id", tokens_unicode("text").alias("t")).collect()}
+    assert got[1] == ["我", "爱", "spark", "引", "擎"]
+    assert got[2] == ["hello", "world", "123"]
+    assert len(got[3]) == 8          # each CJK char its own token
+    assert got[4] == []
+    n = {r.doc_id: r.n for r in df.select(
+        "doc_id", token_count_unicode("text").alias("n")).collect()}
+    assert n[1] == 5 and n[2] == 3 and n[4] == 0
