@@ -127,12 +127,19 @@ def _let(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
-def shingles(col: Column | str, k: int = 3) -> Column:
+def shingles(col: Column | str, k: int = 3, unicode: bool = False) -> Column:
     """k-token shingles (space-joined) of the normalized text; documents
     shorter than k tokens contribute their full token string. The token
     array is let-bound so tokenization runs once per document, not once
     per shingle position (measured 2x end-to-end on the documents
-    table)."""
+    table).
+
+    unicode=True tokenizes with text.tokens_unicode (Latin word runs +
+    one token per CJK character) instead of the ASCII default — the
+    ASCII normalizer DELETES non-Latin text, so CJK/Cyrillic corpora
+    near-dedup to nothing without it; a k-token shingle then spans k
+    CJK characters, which is exactly the granularity CJK substring
+    overlap needs."""
 
     def body(toks: Column) -> Column:
         n = F.size(toks)
@@ -145,7 +152,9 @@ def shingles(col: Column | str, k: int = 3) -> Column:
             )
         )
 
-    return _let(tokens(col), body)
+    from .text import tokens_unicode
+
+    return _let(tokens_unicode(col) if unicode else tokens(col), body)
 
 
 def minhash_signature(
@@ -229,6 +238,7 @@ def minhash_band_buckets(
     num_hashes: int = 32,
     bands: int = 8,
     portable: bool = False,
+    unicode: bool = False,
 ) -> DataFrame:
     """(id, band_id, band_hash) — one row per document per band. Rows
     sharing (band_id, band_hash) are near-dup candidates. The band key
@@ -239,7 +249,9 @@ def minhash_band_buckets(
     candidate that the exact-Jaccard verify then filters, so the result
     set is unchanged."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(text_col, k), num_hashes, portable=portable)
+    sig = minhash_signature(
+        shingles(text_col, k, unicode=unicode), num_hashes, portable=portable
+    )
     with_sig = df.select(F.col(id_col), sig.alias("sig"))
 
     def _band_key(b):
@@ -280,6 +292,7 @@ def minhash_near_duplicates(
     threshold: float = 0.6,
     portable: bool = False,
     persist_signatures: bool = True,
+    unicode: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold):
     LSH band-bucket join for candidates, exact n-gram Jaccard verify.
@@ -294,7 +307,8 @@ def minhash_near_duplicates(
     pattern MLlib's MinHashLSH uses. Spark evicts it LRU; pass False
     for one-shot plans embedded in larger cached pipelines."""
     buckets = minhash_band_buckets(
-        df, text_col, id_col, k, num_hashes, bands, portable=portable
+        df, text_col, id_col, k, num_hashes, bands,
+        portable=portable, unicode=unicode,
     )
     if persist_signatures:
         buckets = buckets.persist()
@@ -311,7 +325,9 @@ def minhash_near_duplicates(
         )
         .distinct()
     )
-    sh = df.select(F.col(id_col), shingles(text_col, k).alias("sh"))
+    sh = df.select(
+        F.col(id_col), shingles(text_col, k, unicode=unicode).alias("sh")
+    )
     return (
         cand.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
@@ -601,6 +617,7 @@ def near_dedup(
     max_iter: int = 25,
     cc_algorithm: str = "label",
     auto_band: bool = False,
+    unicode: bool = False,
 ) -> DataFrame:
     """End-to-end near-duplicate clustering: MinHash+LSH candidate
     pairs -> exact-Jaccard verify -> connected components (transitive
@@ -624,7 +641,8 @@ def near_dedup(
     if auto_band:
         num_hashes, bands, _ = minhash_band_params(threshold)
     pairs = minhash_near_duplicates(
-        df, text_col, id_col, k, num_hashes, bands, threshold, portable=portable
+        df, text_col, id_col, k, num_hashes, bands, threshold,
+        portable=portable, unicode=unicode,
     )
     return dedup_components(
         pairs.select("id_a", "id_b"),

@@ -695,3 +695,36 @@ def test_tokens_unicode_cjk_and_latin(spark):
     n = {r.doc_id: r.n for r in df.select(
         "doc_id", token_count_unicode("text").alias("n")).collect()}
     assert n[1] == 5 and n[2] == 3 and n[4] == 0
+
+
+def test_near_dedup_unicode_catches_cjk_near_dups(spark):
+    """The ASCII normalizer deletes CJK text, so the default ladder
+    sees empty token sets; unicode=True shingles over per-character
+    tokens and finds the CJK near-pair."""
+    from etl_process_for_fraud_transactions_spark.operators.dedup import (
+        minhash_near_duplicates,
+        near_dedup,
+    )
+
+    a = "今天的天气非常好我们一起去公园散步吧然后喝茶"
+    b = "今天的天气非常好我们一起去公园散步吧然后喝水"  # 1 char differs
+    c = "完全不同的一段中文内容讲的是机器学习系统设计"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    # default ladder: ASCII normalize kills the text -> no pairs...
+    # (all three become EMPTY shingle sets; identical empties must not
+    # explode into pairs either way, but the point is recall is zero)
+    pairs_uni = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            docs, threshold=0.5, unicode=True
+        ).collect()
+    }
+    assert (1, 2) in pairs_uni
+    assert all(3 not in p for p in pairs_uni)
+    verdict = {
+        r.doc_id: r.is_survivor
+        for r in near_dedup(docs, threshold=0.5, unicode=True).collect()
+    }
+    assert verdict == {1: True, 2: False, 3: True}
