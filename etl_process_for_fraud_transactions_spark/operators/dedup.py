@@ -349,6 +349,7 @@ def ngram_jaccard_pairs_exact(
     k: int = 3,
     threshold: float = 0.5,
     group_col: str | None = None,
+    unicode: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard >= threshold pairs (id_a < id_b) via prefix
     filtering (the AllPairs/PPJoin candidate scheme: Bayardo et al.,
@@ -380,7 +381,10 @@ def ngram_jaccard_pairs_exact(
         F.col(id_col),
         *[F.col(g) for g in grp],
         F.array_distinct(
-            F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
+            F.transform(
+                shingles(text_col, k, unicode=unicode),
+                lambda s: F.xxhash64(s),
+            )
         ).alias("shd"),
     ).withColumn("n_sh", F.size("shd"))
     ex = sh.select(id_col, *grp, F.explode("shd").alias("s"), "n_sh")
@@ -440,7 +444,8 @@ def ngram_jaccard_pairs_exact(
 # --- simhash ---------------------------------------------------------------
 
 def simhash_signature(
-    col: Column | str, bits: int = 64, portable: bool = False
+    col: Column | str, bits: int = 64, portable: bool = False,
+    unicode: bool = False,
 ) -> Column:
     """SimHash: per token, a 64-bit hash contributes ±1 to each bit
     position; signature bit = 1 where the sum is positive. Returns an
@@ -463,7 +468,9 @@ def simhash_signature(
     the fold, which measured ~1.6x slower for identical output."""
     if portable and bits > 60:
         raise ValueError("portable simhash supports at most 60 bits")
-    toks = tokens(col)
+    from .text import tokens_unicode
+
+    toks = tokens_unicode(col) if unicode else tokens(col)
 
     def body(th: Column) -> Column:
         n = F.size(th)
@@ -488,7 +495,8 @@ def simhash_signature(
 
 
 def simhash_signature_packed(
-    col: Column | str, bits: int = 64, portable: bool = False
+    col: Column | str, bits: int = 64, portable: bool = False,
+    unicode: bool = False,
 ) -> Column:
     """SimHash signature packed into ONE long (bit b of the long is
     bit b of the signature; requires bits <= 64). The packed form is
@@ -500,7 +508,9 @@ def simhash_signature_packed(
         raise ValueError("packed simhash supports at most 64 bits")
     if portable and bits > 60:
         raise ValueError("portable simhash supports at most 60 bits")
-    toks = tokens(col)
+    from .text import tokens_unicode
+
+    toks = tokens_unicode(col) if unicode else tokens(col)
 
     def body(th: Column) -> Column:
         n = F.size(th)
@@ -545,6 +555,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     portable: bool = False,
     persist_signatures: bool = True,
+    unicode: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the signature into `bands`
     chunks (a pair within Hamming distance < bands must share at least
@@ -561,7 +572,9 @@ def simhash_near_duplicates(
     mask = (1 << chunk) - 1
     sig_df = df.select(
         F.col(id_col),
-        simhash_signature_packed(text_col, bits, portable=portable).alias("sig"),
+        simhash_signature_packed(
+            text_col, bits, portable=portable, unicode=unicode
+        ).alias("sig"),
     )
     if persist_signatures:
         sig_df = sig_df.persist()

@@ -728,3 +728,34 @@ def test_near_dedup_unicode_catches_cjk_near_dups(spark):
         for r in near_dedup(docs, threshold=0.5, unicode=True).collect()
     }
     assert verdict == {1: True, 2: False, 3: True}
+
+
+def test_simhash_and_exact_jaccard_unicode(spark):
+    """The unicode option reaches SimHash and the exact-Jaccard join
+    too: CJK near-pairs surface under both, a distinct doc does not."""
+    from etl_process_for_fraud_transactions_spark.operators.dedup import (
+        ngram_jaccard_pairs_exact,
+        simhash_near_duplicates,
+    )
+
+    a = "今天的天气非常好我们一起去公园散步吧然后喝茶"
+    b = "今天的天气非常好我们一起去公园散步吧然后喝水"
+    c = "完全不同的一段中文内容讲的是机器学习系统设计"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    sim = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_duplicates(
+            docs, max_hamming=10, unicode=True
+        ).collect()
+    }
+    assert (1, 2) in sim and all(3 not in p for p in sim)
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_exact(
+            docs, threshold=0.5, unicode=True
+        ).collect()
+    }
+    assert (1, 2) in jac and jac[(1, 2)] > 0.8
+    assert all(3 not in p for p in jac)
