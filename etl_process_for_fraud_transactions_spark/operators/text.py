@@ -216,7 +216,12 @@ def detect_language(
 #: differences. CJK folds Han + kana + Hangul: one coarse class for
 #: "needs a CJK-aware pipeline", not a language verdict.
 SCRIPT_RANGES = {
-    "latin": "[A-Za-zÀ-ɏ]",
+    # À-Ö / Ø-ö / ø-ɏ instead of À-ɏ: the full Latin-1 run includes
+    # the NON-letters U+00D7 (×) and U+00F7 (÷), which would let the
+    # latin count exceed the \p{L} letter total (ratios > 1, and a
+    # digit-and-×-heavy string misreported as latin-dominant) — the
+    # split ranges are exactly how Unicode defines Latin-1 letters
+    "latin": "[A-Za-zÀ-ÖØ-öø-ɏ]",
     "cyrillic": "[Ѐ-ӿ]",
     "greek": "[Ͱ-Ͽ]",
     "arabic": "[؀-ۿ]",
@@ -434,10 +439,22 @@ def strip_html(
     terminator), so only the tag itself is stripped and the orphaned
     code text survives — detectable downstream via the quality gates'
     punctuation ratio rather than silently truncating the document.
+    Tag bodies are QUOTE-AWARE (round 8): the tag pattern consumes
+    "..."/'...' attribute values whole, so a '>' inside a quoted
+    attribute (<a title="a>b">, inline JSON attrs, onclick handlers —
+    common in real crawl HTML) no longer truncates the tag and leaks
+    the attribute tail into the corpus text (pinned by test); an
+    UNQUOTED '>' inside an attribute value remains the parser-grade
+    residual.
     A DOM-fidelity extractor (trafilatura-class readability scoring,
     boilerplate DOM pruning) belongs behind this exact signature as
     an Arrow-batched stage. Plain text without markup passes through
     whitespace-normalized but otherwise unchanged."""
+    # quote-aware tag body: plain chars, or a full "..."/'...' run —
+    # the alternatives are disjoint on their first character, so the
+    # match is deterministic (no exponential backtracking on
+    # unclosed/garbage tags)
+    tag_body = "(?:[^>\"']|\"[^\"]*\"|'[^']*')"
     c = F.col(html_col)
     s = F.regexp_replace(
         c, r"(?is)<(script|style|noscript|template|head)\b.*?</\1\s*>", " "
@@ -445,10 +462,12 @@ def strip_html(
     s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
     s = F.regexp_replace(
         s,
-        r"(?i)<\s*/?\s*(p|div|br|li|tr|h[1-6]|section|article|blockquote|pre|ul|ol|table)\b[^>]*>",
+        r"(?i)<\s*/?\s*(p|div|br|li|tr|h[1-6]|section|article|blockquote|pre|ul|ol|table)\b"
+        + tag_body
+        + r"*>",
         "\n",
     )
-    s = F.regexp_replace(s, r"(?s)<[^>]+>", " ")
+    s = F.regexp_replace(s, r"(?s)<" + tag_body + r"+>", " ")
     for ent, rep in _HTML_ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(rep))
     s = F.regexp_replace(s, r"[ \t\r]+", " ")

@@ -210,6 +210,7 @@ def filter_blocklisted_domains(
     url_col: str = "url",
     domain_col: str = "domain",
     id_col: str = "doc_id",
+    suffixes: tuple[str, ...] = MULTI_LABEL_SUFFIXES,
 ) -> DataFrame:
     """Drop rows whose host, or ANY parent domain of it, appears in
     the blocklist: a block on 'example.com' blocks 'a.b.example.com',
@@ -217,6 +218,14 @@ def filter_blocklisted_domains(
     the common shape in real lists like UT1) blocks exactly its
     subtree — sibling subdomains of the same registered domain
     survive.
+
+    Public-suffix safety: a blocklist entry that is ITSELF a public
+    suffix ('co.uk', 'com.au' — junk entries do occur in real lists
+    like UT1) must not wipe every host under that suffix, so suffix
+    probe positions equal to a known public suffix (`suffixes`; pass
+    the full PSL-derived set in production, same contract as
+    registered_domain) are skipped — such an entry still matches a
+    host EXACTLY equal to it via the full-host probe, nothing more.
 
     Shape — fully MAP-SIDE, the corpus never shuffles on any key: the
     host parses ONCE into a projected attribute, the bounded suffix
@@ -241,8 +250,9 @@ def filter_blocklisted_domains(
         pat = r"([^.]+(?:\.[^.]+){%d})$" % (k - 1)
         sfx = F.nullif(F.regexp_extract(h, pat, 1), F.lit(""))
         # a partial-IP suffix ('20.3.4') must never match an entry;
-        # full-host matching covers IPs via __sfx_host
-        sfx_cols[f"__sfx_{k}"] = F.when(~is_ip, sfx)
+        # full-host matching covers IPs via __sfx_host. A suffix that
+        # IS a public suffix never probes either (see docstring).
+        sfx_cols[f"__sfx_{k}"] = F.when(~is_ip & ~sfx.isin(*suffixes), sfx)
     out = df.withColumn("__h", url_host(F.col(url_col)))
     for name, expr in sfx_cols.items():
         out = out.withColumn(name, expr)
@@ -259,6 +269,7 @@ def cap_per_domain(
     id_col: str = "doc_id",
     max_docs: int = 1000,
     salt_buckets: int = 64,
+    broadcast_max_rows: int = 4_000_000,
 ) -> DataFrame:
     """Keep at most `max_docs` documents per registered domain
     (deterministic: smallest ids win) — the anti-dominance policy of
@@ -281,16 +292,34 @@ def cap_per_domain(
        <= salt_buckets * max_docs survivors per domain, yielding the
        kept-id set (<= over-cap-domains * max_docs rows);
     4. ONE pass over the corpus applies the policy: a row survives if
-       its domain is not in the broadcast over-cap list OR its id is
-       in the kept set (AQE broadcasts it at any sane cap). The text
-       NEVER shuffles and the corpus scans once.
+       its domain is not in the over-cap list OR its id is in the
+       kept set. The text never shuffles in the broadcast regime and
+       the corpus scans once.
+
+    The broadcast hints are GATED, never forced blind: a hinted
+    broadcast does not fall back past autoBroadcastJoinThreshold (the
+    multihop_revenue lesson, plans/queries.py), and the kept-id set
+    is "bounded by construction" only relative to the over-cap-domain
+    count — a FineWeb-shaped corpus (10^10+ docs, cap 1000) plausibly
+    has 10^5-10^6 over-cap domains, i.e. 10^8-10^9 kept ids, a
+    multi-GB forced broadcast that would abort at exactly the scale
+    the operator targets. So the over-cap domain count is MEASURED
+    (one count() over the already-persisted bounded aggregate): the
+    over-cap list broadcasts when its rows <= `broadcast_max_rows`,
+    the kept-id set when over_cap_domains * max_docs fits the same
+    budget (the default, 4M rows of ids/short strings, is ~100 MB —
+    comfortably inside a 1-2 GB executor broadcast envelope). Past
+    either gate the join runs UNHINTED and AQE picks the strategy
+    from runtime stats — small relations still broadcast at runtime;
+    genuinely huge kept sets degrade to an id-keyed shuffle join, the
+    same accepted shape as dedup_by_url's join-back ("the text
+    shuffles once, keyed on the id"), instead of an executor OOM.
 
     Degenerate corner: a tiny max_docs over a huge domain count makes
-    the over-cap list approach the full domain list — still a
-    short-string broadcast (the blocklist envelope), but prefer a
-    sane cap. Compose with `deterministic_sample` instead when a
-    RANDOM per-domain subsample is wanted rather than the min-id
-    prefix."""
+    the over-cap list approach the full domain list — the gate then
+    simply stops hinting. Compose with `deterministic_sample` instead
+    when a RANDOM per-domain subsample is wanted rather than the
+    min-id prefix."""
     from pyspark.sql.window import Window
 
     # NULL urls yield a NULL domain, and null keys never match the
@@ -299,13 +328,25 @@ def cap_per_domain(
     # instead of bypassing the cap entirely
     dom = F.coalesce(registered_domain(F.col(url_col)), F.lit("\x00<no-url>"))
     ids = df.select(F.col(id_col), dom.alias("__dom"))
+    # persisted: referenced by the ranking pass, the final policy join
+    # AND the hint gate's count() — bounded (<= total_docs / max_docs
+    # short strings), LRU-evictable like any persist
     over = (
         ids.groupBy("__dom")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .filter(F.col("__cnt") > max_docs)
         .select("__dom")
+        .persist()
     )
-    over_ids = ids.join(F.broadcast(over), "__dom").withColumn(
+    # the hint gate: measured, not assumed (see docstring) — a forced
+    # broadcast never falls back, so it must be provably small first
+    n_over = over.count()
+    hint_over = n_over <= broadcast_max_rows
+    hint_keep = n_over * max_docs <= broadcast_max_rows
+
+    over_ids = ids.join(
+        F.broadcast(over) if hint_over else over, "__dom"
+    ).withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
     )
     w1 = Window.partitionBy("__dom", "__salt").orderBy(F.asc(id_col))
@@ -318,18 +359,17 @@ def cap_per_domain(
         .filter(F.col("__rn2") <= max_docs)
         .select(id_col)
     )
+    over_flag = over.withColumn("__overcap", F.lit(True))
+    keep_flag = keep.withColumn("__kept", F.lit(True))
     return (
         df.withColumn("__dom", dom)
         .join(
-            F.broadcast(over.withColumn("__overcap", F.lit(True))),
+            F.broadcast(over_flag) if hint_over else over_flag,
             "__dom",
             "left",
         )
         .join(
-            # bounded by construction (<= over-cap-domains * max_docs
-            # ids), so the hint is safe and keeps the corpus map-side
-            # instead of a full-frame sort-merge join on the id
-            F.broadcast(keep.withColumn("__kept", F.lit(True))),
+            F.broadcast(keep_flag) if hint_keep else keep_flag,
             id_col,
             "left",
         )
@@ -376,10 +416,20 @@ def url_quality_flags(
     with no parseable host fail url_host_digits_ok conservatively
     only when the raw string itself is digit-heavy. The host parse is
     let-bound inside the digit-ratio expression (the only flag that
-    references it, twice)."""
+    references it, twice).
+
+    A NULL url gets an explicit FALSE for every flag (and url_ok),
+    never NULL: under three-valued logic a NULL url_ok makes
+    df.filter(F.col('url_ok')) silently drop url-less rows while
+    flag-rate averages undercount them — defined semantics, the same
+    choice dedup_by_url (pass-through) and cap_per_domain (one
+    url-less group) make. A url-less row has no fetch identity to
+    judge, so it fails the URL gate visibly; callers that want to
+    keep such rows anyway filter on `url_ok | url.isNull()`."""
     from .dedup import _let
 
     c = F.col(url_col)
+    no_url = c.isNull()
     path = F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
     query = F.coalesce(F.try_parse_url(c, F.lit("QUERY")), F.lit(""))
     ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]{1,6})$", 1))
@@ -399,7 +449,9 @@ def url_quality_flags(
     }
     out = df
     for name, expr in flags.items():
-        out = out.withColumn(name, expr)
+        out = out.withColumn(
+            name, F.when(no_url, F.lit(False)).otherwise(expr)
+        )
     ok = None
     for name in flags:
         ok = F.col(name) if ok is None else (ok & F.col(name))

@@ -759,3 +759,53 @@ def test_simhash_and_exact_jaccard_unicode(spark):
     }
     assert (1, 2) in jac and jac[(1, 2)] > 0.8
     assert all(3 not in p for p in jac)
+
+
+def test_quoted_attribute_gt_does_not_leak(spark):
+    """Round 8: the tag pattern is quote-aware — a '>' inside a quoted
+    attribute value (<a title="a>b">, inline JSON attrs) no longer
+    truncates the tag and leaks the attribute tail into the text."""
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        strip_html,
+    )
+
+    html = (
+        '<p>before <a title="a>b" href=\'x>y\'>label</a>'
+        " <span data-json='{\"k\": \"v>w\"}'>inner</span> after</p>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = strip_html(df).first().text
+    assert "label" in got and "inner" in got and "before" in got
+    assert 'b"' not in got and "y'" not in got    # no attribute tail leaks
+    assert "v>w" not in got
+    assert got.replace("\n", " ").split() == ["before", "label", "inner", "after"]
+
+
+def test_latin_range_excludes_multiply_divide_signs(spark):
+    """Round 8: U+00D7 (×) and U+00F7 (÷) are NOT letters — they must
+    not count as latin, so ratios stay <= 1 and a digit-and-× heavy
+    string is never reported latin-dominant."""
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        dominant_script,
+        script_ratios,
+    )
+
+    rows = [
+        (1, "3×4÷5 ×××× 12÷6"),            # no letters at all
+        (2, "ab ×÷ это текст кир"),         # cyrillic letters dominate
+        (3, "Ärger übt Çå"),                # accented latin still latin
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", dominant_script("text").alias("s")).collect()
+    }
+    assert got[1] == "und"
+    assert got[2] == "cyrillic"
+    assert got[3] == "latin"
+    ratios = df.select(
+        "doc_id", *[v.alias(k) for k, v in script_ratios("text").items()]
+    )
+    for r in ratios.collect():
+        for name in ("latin", "cyrillic", "cjk"):
+            assert getattr(r, name) <= 1.0 + 1e-9, (r.doc_id, name)

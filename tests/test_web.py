@@ -272,3 +272,98 @@ def test_blocklist_deep_entry_matches_exact_host(spark):
     bl = spark.createDataFrame([(deep,)], "domain string")
     kept = sorted(r.doc_id for r in filter_blocklisted_domains(df, bl).collect())
     assert kept == [2]  # exact host blocked; 10-label subtree child documented as kept
+
+
+def test_cap_per_domain_unhinted_path_matches_and_adapts(spark):
+    """Round 8: the broadcast hints are gated on the MEASURED over-cap
+    count — with the gate forced shut (broadcast_max_rows=0) the
+    answer is identical and the plan still converges (AQE picks
+    broadcast at this scale from runtime stats instead of a forced
+    hint that cannot fall back; at genuine web scale the same path
+    degrades to an id-keyed shuffle join rather than an OOM)."""
+    rows = [(i, f"https://mega.example.com/p{i}") for i in range(50)]
+    rows += [(1000 + i, f"https://site{i % 5}.org/x{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, url string").withColumn(
+        "text", F.lit("payload text")
+    )
+    hinted = sorted(r.doc_id for r in cap_per_domain(df, max_docs=7).collect())
+    out = cap_per_domain(df, max_docs=7, broadcast_max_rows=0)
+    unhinted = sorted(r.doc_id for r in out.collect())
+    assert hinted == unhinted
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # no broadcast HINT survives in the optimized plan — whatever
+    # broadcasting happens is AQE's runtime choice, which CAN fall back
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt
+
+
+def test_cap_per_domain_gated_broadcast_still_keeps_text_map_side(spark):
+    """With the gate open (the default budget), the policy joins stay
+    broadcast and the corpus text never enters any exchange — the
+    round-7 invariant is unchanged by the round-8 gating."""
+    import re as _re
+
+    rows = [(i, f"https://d{i % 3}.org/p{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, url string").withColumn(
+        "text", F.lit("payload text")
+    )
+    out = cap_per_domain(df, max_docs=10)
+    qe = out._jdf.queryExecution()
+    formatted = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    blocks = _re.split(r"\n\(\d+\) ", formatted)
+    for b in [b for b in blocks if b.startswith("Exchange")]:
+        m = _re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+        assert m and "text" not in m.group(1), b
+    assert "BroadcastHashJoin" in formatted
+
+
+def test_blocklist_public_suffix_entry_is_inert(spark):
+    """Round 8: a junk blocklist entry that IS a public suffix
+    ('co.uk' — real lists like UT1 do contain such rows) must not
+    wipe every host under that suffix; it still matches a host
+    EXACTLY equal to it, and ordinary entries keep working."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://news.bbc.co.uk/page"),
+            (2, "https://www.gov.scot.co.uk/x"),
+            (3, "http://co.uk/landing"),
+            (4, "https://spam.example.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("co.uk",), ("example.com",)], "domain string"
+    )
+    kept = sorted(r.doc_id for r in filter_blocklisted_domains(df, bl).collect())
+    # subtree survives the suffix entry; the exact host and the
+    # ordinary entry's subtree are blocked
+    assert kept == [1, 2]
+
+
+def test_url_quality_flags_null_url_is_defined_false(spark):
+    """Round 8: a NULL url yields explicit FALSE on every flag and on
+    url_ok — never NULL — so filter(url_ok) and flag-rate audits see
+    defined semantics (the dedup_by_url/cap_per_domain precedent)."""
+    from etl_process_for_fraud_transactions_spark.operators.web import (
+        url_quality_flags,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "https://example.com/fine")],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r for r in url_quality_flags(df).collect()}
+    for flag in (
+        "url_is_content",
+        "url_depth_ok",
+        "url_query_ok",
+        "url_host_digits_ok",
+        "url_ok",
+    ):
+        assert getattr(got[1], flag) is False, flag
+        assert getattr(got[2], flag) is True, flag
