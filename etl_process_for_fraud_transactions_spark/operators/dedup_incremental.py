@@ -69,7 +69,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.warehouse import Warehouse
-from .dedup import jaccard, minhash_band_buckets, minhash_near_duplicates, shingles
+from .dedup import (
+    jaccard,
+    minhash_band_buckets,
+    minhash_band_params,
+    minhash_near_duplicates,
+    shingles,
+)
 from .graph import dedup_components
 
 
@@ -82,6 +88,18 @@ class NearDupIndex:
     parameters are frozen at construction: buckets appended across
     days must come from the same hash family or candidates silently
     vanish (the store is only valid under one parameterization).
+
+    auto_band_threshold: when set, (num_hashes, bands) are DERIVED
+    from this target Jaccard threshold via minhash_band_params (the
+    batch ladder's near_dedup(auto_band=True) twin) instead of the
+    hand-picked 32/8 default — a non-default threshold index gets the
+    banding S-curve centered where its verify threshold actually is,
+    so candidate recall does not silently degrade. The derived family
+    freezes into `<name>_meta` exactly like explicit parameters (a
+    reader with a different threshold — hence a different derived
+    family — fails the meta guard loudly), and check()/filter_new()
+    default their `threshold` to it so the index's candidate curve
+    and its verify gate stay in lockstep.
 
     partitioned=True lays both index tables out hive-partitioned by a
     `__batch` stamp (a caller-supplied epoch id): every absorb is then
@@ -106,9 +124,13 @@ class NearDupIndex:
         portable: bool = False,
         store: str = "raw",
         partitioned: bool = False,
+        auto_band_threshold: float | None = None,
     ):
         if store not in ("raw", "hashed"):
             raise ValueError(f"store must be raw|hashed, got {store!r}")
+        if auto_band_threshold is not None:
+            num_hashes, bands, _ = minhash_band_params(auto_band_threshold)
+        self.auto_band_threshold = auto_band_threshold
         self.wh = wh
         self.name = name
         self.text_col = text_col
@@ -197,16 +219,40 @@ class NearDupIndex:
         return df.withColumn(BATCH_COL, F.lit(str(batch)))
 
     def _read_index_or_none(self, table: str, exclude_batch=None):
-        """_read_index, or None when the table has no readable data —
-        the day-zero state: bootstrapping an EMPTY corpus (or a
-        stream's first epoch) writes no parquet files, and schema
+        """_read_index, or None when the table legitimately has no
+        data — the day-zero state: bootstrapping an EMPTY corpus (or
+        a stream's first epoch) writes no parquet files, and schema
         inference over a file-less directory raises instead of
-        yielding zero rows."""
+        yielding zero rows.
+
+        Day-zero is accepted ONLY when the `<name>_meta` marker proves
+        a bootstrap COMPLETED (bootstrap writes meta LAST, after both
+        index tables, and writes it even for an empty corpus). Without
+        that guard, an index unreadable for an ENVIRONMENTAL reason —
+        wrong warehouse root, moved/renamed tables — would be treated
+        as an empty corpus and silently admit every near-duplicate of
+        everything ever indexed. The catch is also narrowed to the
+        two "no data here" error classes; any other AnalysisException
+        (corrupt footers, permission failures surfaced as analysis
+        errors) re-raises."""
         from pyspark.errors import AnalysisException
 
         try:
             return self._read_index(table, exclude_batch)
-        except AnalysisException:
+        except AnalysisException as e:
+            cond = e.getCondition() if hasattr(e, "getCondition") else None
+            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                raise
+            if not self.wh.exists(self.meta_table):
+                raise ValueError(
+                    f"NearDupIndex '{self.name}': '{table}' has no "
+                    f"readable data and no '{self.meta_table}' bootstrap "
+                    "marker — the index was never bootstrapped or the "
+                    "warehouse root is wrong; treating this as an empty "
+                    "corpus would silently admit every near-duplicate. "
+                    "Run bootstrap() (it writes the marker even for an "
+                    "empty corpus) or fix the warehouse root."
+                ) from e
             return None
 
     def _read_index(self, table: str, exclude_batch=None) -> DataFrame:
@@ -286,18 +332,32 @@ class NearDupIndex:
             self.wh.append(self.buckets_table, b)
             self.wh.append(self.shingles_table, s)
 
+    def _resolve_threshold(self, threshold: float | None) -> float:
+        """None -> the auto_band_threshold the family was tuned for,
+        else the 0.6 legacy default — so a tuned index verifies at the
+        same point its candidate S-curve was centered on."""
+        if threshold is not None:
+            return threshold
+        if self.auto_band_threshold is not None:
+            return self.auto_band_threshold
+        return 0.6
+
     def check(
-        self, new_docs: DataFrame, threshold: float = 0.6, exclude_batch=None
+        self, new_docs: DataFrame, threshold: float | None = None,
+        exclude_batch=None,
     ) -> DataFrame:
         """(new_id, dup_id, jaccard): every near-duplication of a new
         document by an indexed corpus document. The batch bucket frame
         broadcasts into the corpus index (the corpus never shuffles);
         corpus shingles are fetched only for candidate ids.
+        threshold=None verifies at the tuned/default point (see
+        _resolve_threshold).
 
         exclude_batch (partitioned index only): ignore rows absorbed
         under this stamp — reads the index AS OF before that epoch, so
         a replayed epoch sees the same index state as its first
         attempt regardless of partial writes."""
+        threshold = self._resolve_threshold(threshold)
         self._validate_params()
         corpus_b = self._read_index_or_none(self.buckets_table, exclude_batch)
         corpus_sh_all = self._read_index_or_none(
@@ -362,7 +422,8 @@ class NearDupIndex:
         )
 
     def filter_new(
-        self, new_docs: DataFrame, threshold: float = 0.6, exclude_batch=None
+        self, new_docs: DataFrame, threshold: float | None = None,
+        exclude_batch=None,
     ) -> DataFrame:
         """Rows of `new_docs` that near-duplicate neither the indexed
         corpus nor a surviving earlier batch document — the incremental
@@ -372,6 +433,7 @@ class NearDupIndex:
         with any corpus-duplicated member is dropped whole (its union
         survivor would be the corpus copy), covering the transitive
         chain batch_a ~ batch_b ~ corpus case."""
+        threshold = self._resolve_threshold(threshold)
         corpus_dups = (
             self.check(new_docs, threshold, exclude_batch=exclude_batch)
             .select(F.col("new_id").alias(self.id_col))

@@ -230,3 +230,50 @@ def test_parameter_mismatch_fails_loudly(spark, wh):
     wrong = NearDupIndex(wh, num_hashes=16, bands=4)
     with pytest.raises(ValueError, match="hash famil"):
         wrong.check(_docs(spark, [(100, BASE[0])]), threshold=0.5)
+
+
+def test_unbootstrapped_index_fails_loudly(spark, wh):
+    """Round 8: an index with NO bootstrap marker must not be treated
+    as an empty corpus — a wrong warehouse root would otherwise
+    silently admit every near-duplicate of the indexed corpus."""
+    idx = NearDupIndex(wh)
+    batch = _docs(spark, [(100, BASE[0])])
+    with pytest.raises(ValueError, match="bootstrap marker"):
+        idx.check(batch, threshold=0.5).collect()
+
+
+def test_empty_corpus_bootstrap_is_legitimate_day_zero(spark, wh):
+    """bootstrap() of an EMPTY corpus writes the meta marker even
+    though the index tables have no parquet files — check() then
+    correctly reports zero duplicates instead of raising."""
+    idx = NearDupIndex(wh, partitioned=True)
+    idx.bootstrap(_docs(spark, []).limit(0), batch="bootstrap")
+    batch = _docs(spark, [(100, BASE[0]), (101, BASE[1])])
+    assert idx.check(batch, threshold=0.5).count() == 0
+    kept = sorted(r.doc_id for r in idx.filter_new(batch, threshold=0.5).collect())
+    assert kept == [100, 101]
+
+
+def test_auto_band_threshold_tunes_family_and_meta_guards(spark, wh):
+    """Round 8: auto_band_threshold derives (num_hashes, bands) via
+    minhash_band_params, freezes them in the meta, defaults the verify
+    threshold, and the guard still rejects a default-family reader."""
+    from etl_process_for_fraud_transactions_spark.operators.dedup import (
+        minhash_band_params,
+    )
+
+    n, b, _ = minhash_band_params(0.8)
+    assert (n, b) != (32, 8)  # a non-default threshold gets a new family
+    idx = NearDupIndex(wh, auto_band_threshold=0.8)
+    assert (idx.num_hashes, idx.bands) == (n, b)
+    corpus = _docs(spark, [(i, t) for i, t in enumerate(BASE)])
+    idx.bootstrap(corpus)
+    # same threshold -> same derived family -> accepted
+    twin = NearDupIndex(wh, auto_band_threshold=0.8)
+    near = _docs(spark, [(100, BASE[0] + " indeed")])
+    got = twin.check(near).collect()  # threshold defaults to 0.8
+    assert {r.new_id for r in got} <= {100}
+    # explicit default family mismatches the tuned one -> loud failure
+    wrong = NearDupIndex(wh)
+    with pytest.raises(ValueError, match="hash famil"):
+        wrong.check(near, threshold=0.8)
