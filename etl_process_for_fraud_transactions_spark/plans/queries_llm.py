@@ -39,53 +39,109 @@ _PORTABLE_H = "('0x' || substr(md5({seed} || ':' || {val}), 1, 15))::UBIGINT::BI
 _MINHASH_SEEDS = 32
 _MINHASH_BANDS = 8
 
+# --- deterministic CJK identity mapping (round 8) --------------------------
+# The driver corpus is pure ASCII, so the Unicode/CJK rung
+# (tokens_unicode, dominant_script, near_dedup(unicode=True)) would
+# stay pytest-only without synthesis. The PNG/WAV identity precedent:
+# ONE translate() maps every normalized character (a-z0-9 + space)
+# into the CJK Unified Ideographs block at codepoint 0x4E00 + ascii —
+# real Han text with analytically known structure exists inside the
+# query, and the oracle rebuilds the identical string independently
+# via chr(ord(c) + 19968) in DuckDB.
+_CJK_SRC = "abcdefghijklmnopqrstuvwxyz0123456789 "
+_CJK_DST = "".join(chr(0x4E00 + ord(ch)) for ch in _CJK_SRC)
 
-def _minhash_ctes() -> str:
+
+def _cjk_of(col):
+    """Spark side of the CJK identity: Han-map a normalized column."""
+    return F.translate(col, _CJK_SRC, _CJK_DST)
+
+
+#: DuckDB side of the CJK identity — independent construction
+#: (chr/ord per character, not translate) of the same mapping.
+_SQL_CJK_OF = (
+    "array_to_string(list_transform(list_filter(string_split({val}, ''),"
+    " c -> c <> ''), c -> chr(ord(c) + 19968)), '')"
+)
+
+#: RE2-portable CJK class (the SCRIPT_RANGES 'cjk' entry verbatim:
+#: kana + CJK-ext-A + Han + Hangul) — explicit block ranges, NOT the
+#: Java-only [\p{L}&&[^...]] class intersection of tokens_unicode.
+_SQL_CJK_CLASS = "[぀-ヿ㐀-䶿一-鿿가-힯]"
+
+#: CJK shingle width: 8 single-char tokens per window (~ a 2-3 word
+#: shingle); 3-char windows over the mapped 37-symbol alphabet would
+#: make nearly every document pair "similar".
+_CJK_SHINGLE_K = 8
+
+#: Oracle twin of tokens_unicode for ASCII+Han inputs: single CJK
+#: chars, else lowercase alphanumeric runs. Exactly equivalent to the
+#: Java pattern ON THIS DATA because the non-CJK side of every probe
+#: is plain ASCII (the driver corpus) — the Java class intersection
+#: [\p{L}\p{N}&&[^CJK]]+ degenerates to [a-z0-9]+ after lower().
+_SQL_UTOKS = "regexp_extract_all(lower({val}), '{cls}|[a-z0-9]+')".format(
+    val="{val}", cls=_SQL_CJK_CLASS
+)
+
+
+def _minhash_ctes(
+    suffix: str = "", toks_sql: str | None = None, k: int = 3
+) -> str:
     """Shared oracle CTEs replaying portable-mode MinHash banding:
-    toks -> 3-token shingles (with source) -> per-shingle (h1, h2)
+    toks -> k-token shingles (with source) -> per-shingle (h1, h2)
     double-hash parts (ONE md5 each, mirroring the engine's Kirsch-
     Mitzenmacher construction) -> 32-hash signature h1 + s*h2 ->
-    8-band buckets -> distinct candidate pairs."""
+    8-band buckets -> distinct candidate pairs.
+
+    `suffix` renames every CTE (toks{suffix}, sh{suffix}, ...) so two
+    tokenizations can coexist in one oracle (the round-8 unicode leg);
+    `toks_sql` swaps the token expression (default: the ASCII
+    normalize/split twin); `k` is the shingle width (the unicode leg
+    uses 8 — an 8-character window over single-char CJK tokens,
+    roughly the granularity of a 2-3 word shingle; 3-char windows
+    over a 37-symbol alphabet collide on nearly every pair)."""
     rpb = _MINHASH_SEEDS // _MINHASH_BANDS
+    toks_sql = _SQL_TOKS if toks_sql is None else toks_sql
+    s_ = suffix
     sig_exprs = ",\n             ".join(
         f"list_min(list_transform(hp, h -> h.h1 + {s} * h.h2))"
         for s in range(_MINHASH_SEEDS)
     )
     return f"""
-    WITH toks AS (
-        SELECT doc_id, source, {_SQL_TOKS} AS t FROM documents
+    WITH toks{s_} AS (
+        SELECT doc_id, source, {toks_sql} AS t FROM documents
     ),
-    sh AS (
+    sh{s_} AS (
         SELECT doc_id, source,
-               CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-                    ELSE list_transform(range(1, len(t) - 1),
-                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               CASE WHEN len(t) <= {k} THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(range(1, len(t) - {k - 2}),
+                                        i -> array_to_string(t[i:i+{k - 1}], ' '))
                END AS shs
-        FROM toks
+        FROM toks{s_}
     ),
-    hp AS (
+    hp{s_} AS (
         SELECT doc_id, shs,
                list_transform(shs, x -> {{
                    'h1': ('0x' || substr(md5(x), 1, 15))::UBIGINT::BIGINT,
                    'h2': ('0x' || substr(md5(x), 16, 14))::UBIGINT::BIGINT
                }}) AS hp
-        FROM sh
+        FROM sh{s_}
     ),
-    sig AS (
+    sig{s_} AS (
         SELECT doc_id, shs,
                [{sig_exprs}] AS sig
-        FROM hp
+        FROM hp{s_}
     ),
-    banded AS (
+    banded{s_} AS (
         SELECT doc_id, b.band_id,
                array_to_string(list_transform(
                    sig[b.band_id*{rpb}+1 : b.band_id*{rpb}+{rpb}],
                    v -> v::VARCHAR), ',') AS band_hash
-        FROM sig, (SELECT unnest(range({_MINHASH_BANDS})) AS band_id) b
+        FROM sig{s_}, (SELECT unnest(range({_MINHASH_BANDS})) AS band_id) b
     ),
-    cand AS (
+    cand{s_} AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b
+        FROM banded{s_} a JOIN banded{s_} b
           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
     )"""
@@ -108,6 +164,39 @@ def _minhash_oracle_sql(threshold: float) -> str:
         JOIN sh sb ON sb.doc_id = c.id_b
     )
     SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+    """
+
+
+def _minhash_modes_oracle_sql(threshold: float) -> str:
+    """Two full portable-MinHash replays in one oracle: the ASCII
+    word-shingle ladder (mode='ascii') and the round-8 unicode leg
+    (mode='cjk') over the Han-mapped corpus, where each character is
+    one token (the single-char-CJK-token rule of tokens_unicode) so a
+    3-token shingle is a 3-character window. The CJK token set is
+    re-derived with an RE2 block-range class — deliberately NOT the
+    Java-only [\\p{{L}}&&[^...]] intersection (SCRIPT_RANGES design)."""
+    cjk_norm = _SQL_CJK_OF.format(val=_SQL_NORM)
+    cjk_toks = f"regexp_extract_all({cjk_norm}, '{_SQL_CJK_CLASS}')"
+    cjk_ctes = _minhash_ctes("_c", cjk_toks, k=_CJK_SHINGLE_K).strip()
+    assert cjk_ctes.startswith("WITH ")
+    return f"""
+    {_minhash_ctes()},
+    {cjk_ctes[5:]},
+    pa AS (
+        SELECT 'ascii' AS mode, c.id_a, c.id_b, {_JACCARD_SQL} AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+    ),
+    pc AS (
+        SELECT 'cjk' AS mode, c.id_a, c.id_b, {_JACCARD_SQL} AS jaccard
+        FROM cand_c c
+        JOIN sh_c sa ON sa.doc_id = c.id_a
+        JOIN sh_c sb ON sb.doc_id = c.id_b
+    )
+    SELECT mode, id_a, id_b, jaccard FROM pa WHERE jaccard >= {threshold}
+    UNION ALL
+    SELECT mode, id_a, id_b, jaccard FROM pc WHERE jaccard >= {threshold}
     """
 
 
@@ -147,6 +236,24 @@ def _exact_jaccard_oracle_sql_same_source(threshold: float) -> str:
 @query(
     "doc_fingerprints",
     f"""
+    WITH probe AS (
+        SELECT doc_id, text,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN text
+                    WHEN 1 THEN {_SQL_CJK_OF.format(val=_SQL_NORM)}
+                    ELSE {_SQL_NORM} || ' ' || {_SQL_CJK_OF.format(
+                        val=f"regexp_replace({_SQL_NORM}, '[^a-z]', '', 'g')"
+                    )}
+               END AS p
+        FROM documents
+    ),
+    counted AS (
+        SELECT doc_id, text, p,
+               length(p) - length(regexp_replace(p, '[\\p{{L}}]', '', 'g')) AS lt,
+               length(p) - length(regexp_replace(p, '[A-Za-zÀ-ÖØ-öø-ɏ]', '', 'g')) AS latin,
+               length(p) - length(regexp_replace(p, '{_SQL_CJK_CLASS}', '', 'g')) AS cjk
+        FROM probe
+    )
     SELECT doc_id,
            md5({_SQL_NORM}) AS fingerprint,
            list_reduce(
@@ -154,8 +261,14 @@ def _exact_jaccard_oracle_sql_same_source(threshold: float) -> str:
                             list_transform(split({_SQL_NORM}, ''), c -> CAST(ord(c) AS BIGINT))),
                (a, b) -> (a * 31 + b) % 2147483647
            ) AS rhash,
-           len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens
-    FROM documents
+           len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens,
+           CAST(len({_SQL_UTOKS.format(val='p')}) AS INT) AS n_unicode_tokens,
+           CASE WHEN lt = 0 THEN 'und'
+                WHEN 2 * latin > lt THEN 'latin'
+                WHEN 2 * cjk > lt THEN 'cjk'
+                ELSE 'mixed'
+           END AS dominant_script
+    FROM counted
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,13 +278,40 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd aggregate expression) and the BPE-ish token count.
 
     Round 3: absorbs the former `doc_rolling_hash` entry — same scan,
-    same stage, zero shuffles either way (driver 50-query cap)."""
+    same stage, zero shuffles either way (driver 50-query cap).
+
+    Round 8 absorbs the per-document Unicode rung (VERDICT r7 item 2):
+    a probe text cycles through three analytically known script
+    classes — raw ASCII (doc_id%3==0), the Han-mapped normalized text
+    (==1, the deterministic CJK identity _cjk_of), and a half-and-half
+    mix whose latin letter count EXACTLY equals its CJK count (==2,
+    mapping only the letters), so the REAL token_count_unicode and
+    dominant_script demonstrably produce 'latin'/'cjk'/'mixed' under
+    the driver with exact token counts. The oracle rebuilds the probe
+    independently (chr/ord), re-tokenizes with the RE2 block-range
+    class (never the Java-only intersection — it degenerates to
+    [a-z0-9]+ on the ASCII side of every probe), and replays the
+    >0.5-ratio dominance test in exact INTEGER arithmetic
+    (2*count > total ⟺ count/total > 0.5; only latin/cjk can be
+    nonzero on this data, so the two-branch CASE equals the full
+    six-script precedence). Still one map-side projection: the probe
+    materializes as an attribute, metrics come off the attribute."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    norm = X.normalize_text(F.col("text"))
+    letters = F.regexp_replace(norm, "[^a-z]", "")
+    probe = (
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .when(F.col("doc_id") % 3 == 1, _cjk_of(norm))
+        .otherwise(F.concat(norm, F.lit(" "), _cjk_of(letters)))
+    )
+    withp = docs.select("doc_id", "text", probe.alias("__probe"))
+    return withp.select(
         "doc_id",
         X.fingerprint_md5("text").alias("fingerprint"),
         X.rolling_hash("text").alias("rhash"),
         X.bpe_ish_token_count("text").alias("bpe_tokens"),
+        X.token_count_unicode(F.col("__probe")).alias("n_unicode_tokens"),
+        X.dominant_script(F.col("__probe")).alias("dominant_script"),
     )
 
 
@@ -636,7 +776,14 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(2 AS INT) AS url_path_depth,
            (doc_id % 3 = 0 OR doc_id % 10 = 2) AS url_has_query,
            md5(text) AS stripped_fp,
-           CAST(len({_SQL_TOKS}) AS INT) AS n_stripped_tokens
+           CAST(len({_SQL_TOKS}) AS INT) AS n_stripped_tokens,
+           CAST(doc_id % 5 AS INT) <> 0 AS url_is_content,
+           CAST(doc_id % 7 AS INT) <> 1 AS url_depth_ok,
+           CAST(doc_id % 11 AS INT) <> 2 AS url_query_ok,
+           CAST(doc_id % 13 AS INT) <> 3 AS url_host_digits_ok,
+           (CAST(doc_id % 5 AS INT) <> 0 AND CAST(doc_id % 7 AS INT) <> 1
+            AND CAST(doc_id % 11 AS INT) <> 2
+            AND CAST(doc_id % 13 AS INT) <> 3) AS url_ok
     FROM stripped
     """,
 )
@@ -671,13 +818,24 @@ def url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's 50-query cap: the md5-bucket split surface is hash-
     checked per-document (strictly stronger than counts) inside
     corpus_curation_pipeline, and stays pytest-covered in
-    tests/test_sampling.py."""
+    tests/test_sampling.py.
+
+    Round 8 folds in url_quality_flags (VERDICT r7 item 4): each
+    surviving doc gets a PROBE url with deterministic pathologies
+    (doc_id%5==0 -> .css asset path, %7==1 -> 10-deep path, %11==2 ->
+    132-char query, %13==3 -> digit-heavy host; ratio >= 9/16 > 0.4,
+    vs <= 2/10 on the clean 'w{{source}}.org' hosts), the REAL
+    operator computes the five flags, and the oracle replays them
+    analytically from the same residue formulas — every flag
+    demonstrably False on some rows at sf0.01. NULL-url semantics
+    (explicit False) stay pytest-pinned (no NULL urls survive here)."""
     from ..operators.text import strip_html
     from ..operators.web import (
         cap_per_domain,
         dedup_by_url,
         filter_blocklisted_domains,
         url_features,
+        url_quality_flags,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -707,6 +865,25 @@ def url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filtered = filter_blocklisted_domains(deduped, bl)
     capped = cap_per_domain(filtered, max_docs=8)
+    probe_url = F.concat(
+        F.lit("https://"),
+        F.when(
+            F.col("doc_id") % 13 == 3,
+            F.concat(F.lit("h"), F.col("doc_id") % 1000, F.lit("12345678.org")),
+        ).otherwise(F.concat(F.lit("w"), F.col("source"), F.lit(".org"))),
+        F.when(F.col("doc_id") % 7 == 1, F.lit("/d/d/d/d/d/d/d/d/d")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/style.css")).otherwise(
+            F.lit("/page")
+        ),
+        F.when(
+            F.col("doc_id") % 11 == 2,
+            F.concat(F.lit("?k="), F.repeat(F.lit("x"), 130)),
+        ).otherwise(F.lit("")),
+    )
+    flagged = url_quality_flags(capped.withColumn("__probe_url", probe_url),
+                                url_col="__probe_url")
     # HTML-extraction identity (the PNG/WAV trick): wrap each surviving
     # doc's text in a fixed HTML template whose head subtree carries
     # script/style junk and whose visible text is analytically known
@@ -722,7 +899,7 @@ def url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</h1><p>"), F.col("text"),
         F.lit("</p><div>footer</div></body></html>"),
     )
-    stripped = strip_html(capped.withColumn("html", html))
+    stripped = strip_html(flagged.withColumn("html", html))
     return url_features(stripped).select(
         "doc_id",
         "url_host",
@@ -731,6 +908,11 @@ def url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_has_query",
         F.md5("text").alias("stripped_fp"),
         X.token_count("text").alias("n_stripped_tokens"),
+        "url_is_content",
+        "url_depth_ok",
+        "url_query_ok",
+        "url_host_digits_ok",
+        "url_ok",
     )
 
 
@@ -901,13 +1083,36 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # portable mode costs ~3-4x per hash and exists exactly for this kind
 # of external verification.
 
-@query("minhash_near_duplicates", _minhash_oracle_sql(0.5))
+@query("minhash_near_duplicates", _minhash_modes_oracle_sql(0.5))
 def minhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs in portable-hash mode: the oracle
     replays shingling, all 32 min-hashes, the 8-band bucketing AND the
-    exact-Jaccard verify, so the hash-match covers the full cascade."""
+    exact-Jaccard verify, so the hash-match covers the full cascade.
+
+    Round 8 absorbs the Unicode/CJK rung (VERDICT r7 item 2) as a
+    second leg under the same slot: the corpus is Han-mapped via the
+    deterministic CJK identity (_cjk_of — the PNG/WAV trick) and the
+    REAL near-dup ladder runs with unicode=True, so tokens_unicode's
+    one-token-per-CJK-character rule, the CJK-aware shingling and the
+    banding all execute hash-checked under the driver; a CJK near-pair
+    demonstrably surfaces (the corpus' duplicate structure survives
+    the character bijection). The oracle rebuilds the Han text
+    independently (chr/ord) and re-tokenizes it with an RE2
+    block-range class — never the Java-only class intersection.
+    Output: (mode, id_a, id_b, jaccard), mode in ('ascii', 'cjk')."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_near_duplicates(docs, threshold=0.5, portable=True)
+    ascii_pairs = D.minhash_near_duplicates(
+        docs, threshold=0.5, portable=True
+    ).withColumn("mode", F.lit("ascii"))
+    cjk_docs = docs.select(
+        "doc_id", _cjk_of(X.normalize_text(F.col("text"))).alias("text")
+    )
+    cjk_pairs = D.minhash_near_duplicates(
+        cjk_docs, k=_CJK_SHINGLE_K, threshold=0.5, portable=True, unicode=True
+    ).withColumn("mode", F.lit("cjk"))
+    return ascii_pairs.unionByName(cjk_pairs).select(
+        "mode", "id_a", "id_b", "jaccard"
+    )
 
 
 _SIMHASH_BITS = 60
@@ -1416,14 +1621,27 @@ def _corpus_report_oracle_sql() -> str:
     percentile_approx columns become bound-verdict booleans the oracle
     expects TRUE (the approx_sketch_stats pattern: a sketch landing
     outside the exact q +/- 0.05 interpolated band flips the boolean
-    and fails the value hash)."""
+    and fails the value hash).
+
+    Round 8 legs: n_gopher_pass is the EXACT per-source count of
+    synthesized stopword-structured probes passing the real Gopher
+    gate — the probe's word count is 5 * (6 + 2*(doc_id%10)), so
+    passes_gopher reduces analytically to doc_id%10 >= 2 (every other
+    published rule passes by construction: mean word length 3.6,
+    stopword hits {{'the','and'}}, zero symbols/bullets/ellipses,
+    100% alpha words). compression_separates_ok is a bound verdict:
+    DuckDB has no zlib, so the oracle expects TRUE that every doc's
+    8x-repeated text compresses below 0.30 (measured max 0.143 at
+    sf0.01) while its 8-round md5-chain filler stays above 0.45
+    (measured min 0.601) — a broken DEFLATE stage or a swapped
+    payload flips the boolean and fails the value hash."""
     en = "x IN ('the','and','of','to','is')"
     de = "x IN ('der','die','und','das','ist')"
     es = "x IN ('el','la','los','es','y')"
     fr = "x IN ('le','la','et','les','est')"
     return f"""
     WITH per AS (
-        SELECT source,
+        SELECT source, doc_id,
                len({_SQL_TOKS}) AS nt,
                md5({_SQL_NORM}) AS fp,
                len(list_filter({_SQL_TOKS}, x -> {de})) AS s_de,
@@ -1446,7 +1664,10 @@ def _corpus_report_oracle_sql() -> str:
                AS avg_stopword_ratio_exact,
            TRUE AS stopword_avg_ok,
            TRUE AS p50_ok,
-           TRUE AS p95_ok
+           TRUE AS p95_ok,
+           CAST(SUM(CASE WHEN CAST(doc_id % 10 AS INT) >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gopher_pass,
+           TRUE AS compression_separates_ok
     FROM per
     GROUP BY ROLLUP(source)
     """
@@ -1478,12 +1699,36 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (50-query cap; that row's array-agg surface stays hash-checked by
     grouped_result_mix and event_type_set_ops).
 
+    Round 8 folds in two previously pytest-only gates (VERDICT r7
+    items 5 and 6), both running the REAL operators over synthesized
+    known-answer payloads:
+    - Gopher (operators/text.py::gopher_quality_flags): the driver
+      corpus fails the published rules wholesale (documented in
+      BASELINE), so each doc gets a stopword-structured probe
+      ('the rain and kept dogs ' x (6 + 2*(doc_id%10))) whose ONLY
+      varying rule is the >=50 word count — the gate demonstrably
+      separates (passes iff doc_id%10 >= 2), and n_gopher_pass is an
+      exact hash-checked per-source count.
+    - compression_ratio (the Arrow-batched zlib stage): DuckDB has no
+      zlib, so the known-answer classes ride as a bound verdict
+      (the approx_sketch_stats pattern): text*8 must compress < 0.30,
+      the 8-round md5-chain filler must stay > 0.45 (measured
+      0.143 / 0.601 extremes — wide margins for any zlib build).
+
     Scale shape: the operator is one map-side projection + ONE rollup
     shuffle (#sources + 1 rows out); the verdict frame adds a second
     aggregate over the same projection and a broadcast-sized join of
-    (#sources + 1) rows."""
+    (#sources + 1) rows; the round-8 legs add one Arrow-batched
+    map stage + an id-keyed join of two narrow projections and a
+    third rollup of the same bounded width."""
     from ..operators.pipeline import corpus_report
-    from ..operators.text import LANG_MARKERS, _marker_filter, tokens
+    from ..operators.text import (
+        LANG_MARKERS,
+        _marker_filter,
+        compression_ratio,
+        gopher_quality_flags,
+        tokens,
+    )
     from .queries import dsum
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1506,9 +1751,41 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(q) for q in (0.45, 0.55, 0.90, 1.0)]),
         ).alias("__band"),
     )
+    # round-8 known-answer legs: synthesized probes through the REAL
+    # gopher gate and the REAL zlib stage (see docstring)
+    md5s = [F.md5(F.col("text"))]
+    for _ in range(7):
+        md5s.append(F.md5(md5s[-1]))
+    pay = docs.select(
+        "doc_id",
+        "source",
+        F.repeat(
+            F.lit("the rain and kept dogs "),
+            ((F.col("doc_id") % 10) * 2 + 6).cast("int"),
+        ).alias("__synth"),
+        F.repeat(F.col("text"), 8).alias("__rep_txt"),
+        F.concat(*md5s).alias("__inc_txt"),
+    )
+    pay = compression_ratio(pay, "__rep_txt", "__r_rep")
+    pay = compression_ratio(pay, "__inc_txt", "__r_inc")
+    gflags = gopher_quality_flags(pay, text_col="__synth", id_col="doc_id")
+    probes = pay.select("doc_id", "source", "__r_rep", "__r_inc").join(
+        gflags.select("doc_id", "passes_gopher"), "doc_id"
+    )
+    extra = probes.rollup("source").agg(
+        F.sum(F.col("passes_gopher").cast("int")).cast("bigint").alias(
+            "n_gopher_pass"
+        ),
+        F.bool_and(
+            (F.col("__r_rep") < 0.30) & (F.col("__r_inc") > 0.45)
+        ).alias("compression_separates_ok"),
+    )
+
     key = F.coalesce(F.col("source"), F.lit("<ALL>"))
-    joined = rep.withColumn("__k", key).join(
-        exact.withColumn("__k", key).drop("source"), "__k"
+    joined = (
+        rep.withColumn("__k", key)
+        .join(exact.withColumn("__k", key).drop("source"), "__k")
+        .join(extra.withColumn("__k", key).drop("source"), "__k")
     )
 
     def within(col, lo_i, hi_i):
@@ -1530,4 +1807,6 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stopword_avg_ok"),
         within("p50_doc_tokens", 1, 2).alias("p50_ok"),
         within("p95_doc_tokens", 3, 4).alias("p95_ok"),
+        "n_gopher_pass",
+        "compression_separates_ok",
     )
