@@ -67,19 +67,36 @@ def curate_corpus(
     decontaminate_bloom=None,
     html_col: str | None = None,
     min_compression_ratio: float | None = None,
+    html_extractor: str = "regex",
 ) -> DataFrame:
     """Returns (id, text, n_tokens, pred_lang, split) — the curated,
     deduplicated, decontaminated, split corpus. `benchmark` (optional)
     is an eval-set frame with (bench_id, text) used for leakage
-    removal. `html_col` (optional) runs strip_html first, so a raw
-    web-crawl corpus enters the ladder as visible text — the batch
-    twin of streaming.curation.curate_stream(html_col=...). See
+    removal. `html_col` (optional) runs HTML->text extraction first,
+    so a raw web-crawl corpus enters the ladder as visible text — the
+    batch twin of streaming.curation.curate_stream(html_col=...).
+    `html_extractor` picks the extraction rung: 'regex' (strip_html —
+    keep-everything chained expressions, one codegen stage) or 'dom'
+    (extract.extract_main_content — boilerpipe-classifier +
+    semantic-chrome pruning via Arrow-batched mapInPandas, drops
+    nav/sidebar/footer chrome at the price of a Python stage). See
     module docstring for stage order rationale; each stage is
     individually tested and plan-audited in its own module."""
     if html_col is not None:
-        from .text import strip_html
+        if html_extractor == "regex":
+            from .text import strip_html
 
-        docs = strip_html(docs, html_col, text_col)
+            docs = strip_html(docs, html_col, text_col)
+        elif html_extractor == "dom":
+            from .extract import extract_main_content
+
+            docs = extract_main_content(docs, html_col, text_col).drop(
+                "n_content_blocks", "n_boilerplate_blocks"
+            )
+        else:
+            raise ValueError(
+                f"html_extractor must be regex|dom, got {html_extractor!r}"
+            )
     cleaned = strip_boilerplate_paragraphs(
         dedup_paragraphs_within(docs, text_col, id_col),
         text_col,

@@ -446,9 +446,11 @@ def strip_html(
     the attribute tail into the corpus text (pinned by test); an
     UNQUOTED '>' inside an attribute value remains the parser-grade
     residual.
-    A DOM-fidelity extractor (trafilatura-class readability scoring,
-    boilerplate DOM pruning) belongs behind this exact signature as
-    an Arrow-batched stage. Plain text without markup passes through
+    The DOM-fidelity sibling EXISTS behind this exact signature:
+    operators/extract.py::extract_main_content (boilerpipe-classifier
+    + semantic-chrome pruning, Arrow-batched) — swap it in via
+    curate_corpus(html_extractor='dom') when boilerplate recall
+    matters more than keep-every-character fidelity. Plain text without markup passes through
     whitespace-normalized but otherwise unchanged."""
     # quote-aware tag body: plain chars, or a full "..."/'...' run —
     # the alternatives are disjoint on their first character, so the

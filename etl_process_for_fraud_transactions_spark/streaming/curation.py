@@ -43,6 +43,7 @@ def curate_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     html_col: str | None = None,
+    html_extractor: str = "regex",
     min_tokens: int = 10,
     languages: tuple[str, ...] = ("en",),
     quality_model=None,
@@ -57,13 +58,28 @@ def curate_stream(
     on a batch frame (the expressions don't know the difference),
     which is how the equivalence test pins batch/stream parity.
 
-    html_col: when set, strip_html extracts `text_col` from it first.
+    html_col: when set, HTML->text extraction produces `text_col`
+    first — 'regex' (strip_html, in-plan chained expressions) or
+    'dom' (extract.extract_main_content; mapInPandas is
+    streaming-legal as a stateless map, so boilerplate pruning works
+    in-stream too). Same switch as curate_corpus(html_extractor=...).
     quality_model / unigram_lm: the same frozen-serving objects
     curate_corpus takes; their serving paths are pure expressions /
     one broadcast row, so they are streaming-legal as-is."""
     df = stream
     if html_col is not None:
-        df = strip_html(df, html_col, text_col)
+        if html_extractor == "regex":
+            df = strip_html(df, html_col, text_col)
+        elif html_extractor == "dom":
+            from ..operators.extract import extract_main_content
+
+            df = extract_main_content(df, html_col, text_col).drop(
+                "n_content_blocks", "n_boilerplate_blocks"
+            )
+        else:
+            raise ValueError(
+                f"html_extractor must be regex|dom, got {html_extractor!r}"
+            )
 
     toks = tokens(F.col(text_col))
     _, pred = _lang_exprs_from(toks)

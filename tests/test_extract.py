@@ -1,0 +1,170 @@
+"""DOM-fidelity main-content extraction (operators/extract.py):
+boilerplate-vs-content verdicts on a realistic page shape, entity
+handling, malformed-markup degradation, plain-text passthrough, and
+the map-only plan contract."""
+
+from __future__ import annotations
+
+from etl_process_for_fraud_transactions_spark.operators.extract import (
+    extract_main_content,
+    extract_text,
+)
+
+_ARTICLE_P1 = (
+    "The committee published its findings on Tuesday after a nine month "
+    "review of the agency procurement practices and internal audits."
+)
+_ARTICLE_P2 = (
+    "Officials said the report would lead to new oversight rules for "
+    "contractors and a public registry of awarded contracts by spring."
+)
+
+_PAGE = f"""
+<html><head><title>site title junk</title>
+<style>p {{color: red}}</style><script>var nav = 1;</script></head>
+<body>
+<nav><a href="/">Home</a> <a href="/news">News</a> <a href="/sports">Sports</a>
+ <a href="/about">About</a> <a href="/contact">Contact</a></nav>
+<div class="sidebar">
+  <li><a href="/x1">Trending story one</a></li>
+  <li><a href="/x2">Trending story two</a></li>
+</div>
+<h1>Report finds procurement failures</h1>
+<p>{_ARTICLE_P1}</p>
+<p>{_ARTICLE_P2}</p>
+<footer><a href="/terms">Terms</a> | <a href="/privacy">Privacy</a> |
+ Copyright 2026 Example Media</footer>
+</body></html>
+"""
+
+
+def test_article_kept_chrome_dropped():
+    text, n_content, n_boiler = extract_text(_PAGE)
+    assert _ARTICLE_P1 in text and _ARTICLE_P2 in text
+    assert "Trending story" not in text      # link-dense sidebar dropped
+    assert "Home" not in text                # nav dropped
+    assert "Privacy" not in text             # footer dropped
+    assert "site title junk" not in text     # head subtree never emits
+    assert "var nav" not in text
+    assert n_content >= 2 and n_boiler >= 3
+
+
+def test_heading_adjacent_to_content_kept():
+    # prev.words > 4 / next.words > 15 chains pull short headings in
+    text, _, _ = extract_text(_PAGE)
+    assert "Report finds procurement failures" in text
+
+
+def test_all_entities_decode():
+    html = "<p>Tom &amp; Jerry &mdash; r&eacute;sum&#233; at 3&#8239;pm</p>" \
+           "<p>" + _ARTICLE_P1 + "</p>"
+    text, _, _ = extract_text(html)
+    assert "Tom & Jerry — résumé" in text  # full entity table, not 12 names
+
+
+def test_malformed_markup_degrades_not_raises():
+    html = "<div><p>unclosed <a href='x>broken " + _ARTICLE_P1 + "<li>"
+    text, n_content, n_boiler = extract_text(html)
+    assert isinstance(text, str)  # no exception; whatever survives is text
+
+
+def test_plain_text_passes_through():
+    text, n_content, n_boiler = extract_text("just a short plain note")
+    assert text == "just a short plain note"
+    assert n_content == 1 and n_boiler == 0
+
+
+def test_pure_boilerplate_page_yields_empty():
+    html = ('<nav><a href="/">Home</a> <a href="/a">A</a></nav>'
+            '<footer><a href="/t">Terms</a></footer>')
+    text, n_content, n_boiler = extract_text(html)
+    assert text == "" and n_content == 0 and n_boiler >= 1
+
+
+def test_dataframe_stage_and_plan(spark):
+    df = spark.createDataFrame(
+        [(1, _PAGE), (2, "plain words only here"), (3, None)],
+        "doc_id long, html string",
+    )
+    out = extract_main_content(df)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert _ARTICLE_P1 in rows[1].text and rows[1].n_boilerplate_blocks >= 3
+    assert rows[2].text == "plain words only here"
+    assert rows[3].text == "" and rows[3].n_content_blocks == 0
+    assert set(out.columns) == {
+        "doc_id", "text", "n_content_blocks", "n_boilerplate_blocks"
+    }
+    # map-only: Arrow-batched python stage, no shuffle, no join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_contract_matches_strip_html_signature(spark):
+    """Both extractors share (df, html_col, out_col): a pipeline swaps
+    one line to trade keep-everything fidelity for boilerplate
+    recall."""
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        strip_html,
+    )
+
+    df = spark.createDataFrame([(1, _PAGE)], "doc_id long, html string")
+    regex_text = strip_html(df).first().text
+    dom_text = extract_main_content(df).first().text
+    # the regexp path keeps every visible character (nav included);
+    # the DOM path drops the chrome — same article either way
+    assert "Home" in regex_text and "Home" not in dom_text
+    assert _ARTICLE_P1 in regex_text and _ARTICLE_P1 in dom_text
+
+
+def test_prose_heavy_footer_pruned_by_semantic_tag():
+    """A footer whose text shape looks like content (low link density,
+    plenty of words) still drops — the page SAID it was chrome."""
+    html = (
+        "<p>" + _ARTICLE_P1 + "</p>"
+        "<footer>Copyright 2026 Example Media Group. All articles on "
+        "this site are the property of their respective authors and "
+        "may not be reproduced without written permission from the "
+        "editorial board of the company.</footer>"
+    )
+    text, _, _ = extract_text(html)
+    assert _ARTICLE_P1 in text
+    assert "editorial board" not in text
+
+
+def test_nested_chrome_and_unbalanced_close_tags():
+    html = (
+        "<nav><div><a href='/'>Home</a></div></nav></footer></nav>"
+        "<p>" + _ARTICLE_P1 + "</p>"
+    )
+    text, _, _ = extract_text(html)
+    assert "Home" not in text and _ARTICLE_P1 in text
+
+
+def test_curate_corpus_dom_extractor_option(spark):
+    from etl_process_for_fraud_transactions_spark.operators.pipeline import (
+        curate_corpus,
+    )
+
+    rows = [
+        (
+            i,
+            "<nav><a href='/'>Home</a> <a href='/a'>A</a></nav>"
+            f"<p>doc {i} "
+            + " ".join(f"word{i}x{j} the and of to is" for j in range(12))
+            + "</p><footer>Copyright Example</footer>",
+        )
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = curate_corpus(
+        df, html_col="html", html_extractor="dom", min_tokens=5
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        # chrome never reached the curated text
+        assert "home" not in r.text and "copyright" not in r.text
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="regex|dom"):
+        curate_corpus(df, html_col="html", html_extractor="bogus")

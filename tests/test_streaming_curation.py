@@ -116,3 +116,43 @@ def test_full_streaming_pipeline_with_near_dedup_sink(spark, tmp_path):
     _write(src, "b2.jsonl", [{"doc_id": 5, "html": NEAR},
                              {"doc_id": 6, "html": OTHER}])
     assert run() == [1, 6]
+
+
+def test_dom_extractor_runs_in_stream_and_matches_batch(spark, tmp_path):
+    """html_extractor='dom' (Arrow-batched mapInPandas) is a stateless
+    map — streaming-legal — and drops page chrome in-stream; batch and
+    stream agree."""
+    chrome = "<nav><a href='/'>Home</a> <a href='/a'>A</a></nav>"
+    footer = "<footer>Copyright Example Media editorial board</footer>"
+    rows = [
+        {"doc_id": 1, "html": chrome + GOOD + footer},
+        {"doc_id": 4, "html": chrome + OTHER + footer},
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(src, "b1.jsonl", rows)
+
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        curate_stream(stream, html_col="html", html_extractor="dom")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert sorted(got) == [1, 4]
+    for r in got.values():
+        assert "Home" not in r.text and "Copyright" not in r.text
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["html"]) for r in rows], SCHEMA
+    )
+    bgot = {
+        r.doc_id: (r.text, r.n_tokens, r.pred_lang)
+        for r in curate_stream(batch, html_col="html", html_extractor="dom").collect()
+    }
+    assert bgot == {d: (r.text, r.n_tokens, r.pred_lang) for d, r in got.items()}
