@@ -382,10 +382,72 @@ def round7(sf_dir: str) -> None:
     spark.stop()
 
 
+def round8(sf_dir: str) -> None:
+    """Round-8 measurements (run: python tools/curation_bench.py
+    --round8 [sf_dir]): the HTML->text extraction rungs head-to-head —
+    the regexp keep-everything path (strip_html, in-plan codegen) vs
+    the DOM-fidelity boilerplate-pruning path (extract_main_content,
+    Arrow-batched Python) on the sf documents wrapped in a realistic
+    chrome template (nav + sidebar + footer around the body text)."""
+    from pyspark.sql import functions as F
+
+    from etl_process_for_fraud_transactions_spark.operators.extract import (
+        extract_main_content,
+    )
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        strip_html,
+    )
+    from etl_process_for_fraud_transactions_spark.session import get_spark
+    from etl_process_for_fraud_transactions_spark.sources.testdata import load_table
+
+    spark = get_spark("curation-bench-r8")
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>t</title><style>p{color:red}</style>"
+            "<script>var x=1;</script></head><body>"
+            "<nav><a href='/'>Home</a> <a href='/n'>News</a> "
+            "<a href='/s'>Sports</a> <a href='/a'>About</a></nav>"
+            "<div><li><a href='/x1'>Trending one</a></li>"
+            "<li><a href='/x2'>Trending two</a></li></div><h1>Doc "
+        ),
+        F.col("doc_id"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            "</p><footer><a href='/t'>Terms</a> | <a href='/p'>Privacy"
+            "</a> | Copyright Example Media</footer></body></html>"
+        ),
+    )
+    pages = docs.select("doc_id", html.alias("html")).localCheckpoint()
+    n = pages.count()
+    print(f"sf_dir={sf_dir} pages={n}")
+    sink = lambda df: df.select(  # noqa: E731 — non-prunable sink
+        F.sum(F.length("text"))
+    ).collect()
+    med, runs = timed(lambda: sink(strip_html(pages)))
+    print(f"strip_html (regexp, codegen): median {med:.2f} s runs={[round(r,2) for r in runs]}")
+    med, runs = timed(lambda: sink(extract_main_content(pages)))
+    print(f"extract_main_content (DOM, Arrow python): median {med:.2f} s runs={[round(r,2) for r in runs]}")
+    # verdict sanity: the DOM path must actually be dropping chrome
+    r = (
+        extract_main_content(pages)
+        .select(
+            F.sum("n_content_blocks").alias("c"),
+            F.sum("n_boilerplate_blocks").alias("b"),
+        )
+        .first()
+    )
+    print(f"blocks: content={r.c} boilerplate={r.b}")
+    spark.stop()
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf = args[0] if args else "/root/testdata/sf0.1"
-    if "--round7" in sys.argv:
+    if "--round8" in sys.argv:
+        round8(sf)
+    elif "--round7" in sys.argv:
         round7(sf)
     elif "--round6" in sys.argv:
         round6(sf)
