@@ -168,3 +168,39 @@ def test_curate_corpus_dom_extractor_option(spark):
 
     with _pytest.raises(ValueError, match="regex|dom"):
         curate_corpus(df, html_col="html", html_extractor="bogus")
+
+
+# --- fuzz: the extractor must never raise and must stay deterministic ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_fuzz_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),  # no lone surrogates
+    max_size=400,
+)
+_fuzz_html = st.lists(
+    st.one_of(
+        _fuzz_text,
+        st.sampled_from([
+            "<p>", "</p>", "<div class='x'>", "</div>", "<a href='/'>",
+            "</a>", "<nav>", "</nav>", "<footer>", "<script>", "</script>",
+            "<br/>", "<li>", "<!--", "-->", "<a title=\"a>b\">", "<", ">",
+            "&amp;", "&#9731;", "</footer>", "<style>", "</style>",
+        ]),
+    ),
+    max_size=30,
+).map("".join)
+
+
+@given(_fuzz_html)
+@settings(max_examples=300, deadline=None)
+def test_extract_text_total_and_deterministic(html):
+    """Garbage-tolerant contract: any input (broken tags, stray
+    entities, unbalanced chrome, raw unicode) yields a result — no
+    exception — with consistent counts, and re-running is identical."""
+    text, n_content, n_boiler = extract_text(html)
+    assert isinstance(text, str)
+    assert n_content >= 0 and n_boiler >= 0
+    assert (text == "") == (n_content == 0)
+    assert extract_text(html) == (text, n_content, n_boiler)
