@@ -171,12 +171,24 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def orders_without_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join family (J8/J9): broadcast left-anti."""
+    """Anti-join family (J8/J9): left-anti against the distinct event-user
+    key set.
+
+    No broadcast hint (round 9): the key frame is derived from the
+    `events` fact table, so it scales with the data — at the 100× framing
+    the distinct-user set is 10^7-10^8 keys, and a hinted broadcast never
+    falls back past autoBroadcastJoinThreshold. AQE re-derives the
+    broadcast from runtime stats when the side is genuinely small (it is
+    at every test SF), and degrades to a shuffled join when it isn't —
+    the same adjudication as multihop_revenue's fact joins (round 5) and
+    cap_per_domain's gate (round 8). The reference's J9 small side
+    (main.py:392-396, a passport blacklist) IS bounded, so the engine
+    path in jobs/daily.py keeps its hint."""
     o = load_table(spark, sf_dir, "orders")
     ev = load_events(spark, sf_dir).select(F.col("user_id").alias("o_custkey")).distinct()
     return (
         o.filter(F.col("o_orderstatus") == "F")
-        .join(F.broadcast(ev), "o_custkey", "left_anti")
+        .join(ev, "o_custkey", "left_anti")
         .select("o_orderkey", "o_custkey")
     )
 
@@ -190,14 +202,20 @@ def orders_without_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customers_with_high_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-join family (J7/P8): broadcast left-semi."""
+    """Semi-join family (J7/P8): left-semi against the value>400 key set.
+
+    No broadcast hint (round 9): the key set is a filtered projection of
+    the `events` fact table — it scales with the data, so a forced
+    broadcast is a scale-killer by construction (see
+    orders_without_recent_events). AQE picks broadcast at runtime when
+    the filtered side is actually small."""
     c = load_table(spark, sf_dir, "customer")
     ev = (
         load_events(spark, sf_dir)
         .filter(F.col("value") > 400)
         .select(F.col("user_id").alias("c_custkey"))
     )
-    return c.join(F.broadcast(ev), "c_custkey", "left_semi").select(
+    return c.join(ev, "c_custkey", "left_semi").select(
         "c_custkey", "c_name"
     )
 
@@ -457,7 +475,13 @@ def brute_force_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per candidate window (the J6+A1/A2 candidate stage — the former
     `brute_force_candidates` entry, folded in round 3 for the driver's
     50-query cap) with `is_hit` marking the windows the full chain
-    confirms, so both stages are hash-checked in one query."""
+    confirms, so both stages are hash-checked in one query.
+
+    No broadcast hint on the hits frame (round 9): hits are derived from
+    the transaction fact table — the confirmed-fraud set grows with the
+    data, so a forced broadcast cannot fall back if a bad day produces
+    millions of hits. AQE broadcasts it at runtime when it is small
+    (the common case), shuffles when it isn't."""
     d = analog.domain_frames(spark, sf_dir)
     resolved = R.resolve_transactions(
         d["transactions"], d["cards"], d["accounts"], d["clients"]
@@ -474,7 +498,7 @@ def brute_force_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         candidates.join(
-            F.broadcast(hits),
+            hits,
             (F.col("client_id") == F.col("__hit_client"))
             & (F.col("trans_id_start") == F.col("__hit_trans")),
             "left",

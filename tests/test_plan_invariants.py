@@ -64,6 +64,57 @@ def test_multihop_revenue_physical_shape(spark):
     assert "SortMergeJoin" not in final
 
 
+def test_no_broadcast_hint_on_fact_derived_frames(spark):
+    """Round 9: the anti/semi-join demos and brute_force_hits derive
+    their small side from a FACT table (events / transactions) — those
+    frames scale with the data, so they must carry NO broadcast hint
+    (a hint never falls back past autoBroadcastJoinThreshold; a 100×
+    day would force a multi-GB broadcast and abort). AQE re-derives
+    the broadcast from runtime stats instead."""
+    # the pure anti/semi demos have no bounded dim anywhere — zero hints
+    for name in (
+        "orders_without_recent_events",
+        "customers_with_high_value_events",
+    ):
+        df = QUERIES[name](spark, SF_SMALL)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in opt, name
+    # brute_force_hits keeps its bounded-dim hints (cards/accounts/
+    # clients are SCD2 dims) but the hits-frame join (__hit_client)
+    # must not be hinted
+    opt = (
+        QUERIES["brute_force_hits"](spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for line in opt.splitlines():
+        if "__hit_client" in line and "Join" in line:
+            assert "strategy=broadcast" not in line, line
+
+
+def test_fact_derived_joins_still_broadcast_via_aqe(spark):
+    """...and at test scale AQE still picks broadcast for those sides
+    at runtime — dropping the hint costs nothing when the side is
+    genuinely small; it only removes the scale abort."""
+    for name in (
+        "orders_without_recent_events",
+        "customers_with_high_value_events",
+    ):
+        df = QUERIES[name](spark, SF_SMALL)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # AQE either broadcasts the runtime-small side, or — when the
+        # filtered side is empty at this SF — eliminates the join
+        # outright (EmptyRelation). Both beat a forced hint; what must
+        # NOT appear is a shuffled sort-merge join.
+        assert (
+            "BroadcastHashJoin" in final or "EmptyRelation" in final
+        ), name
+        assert "SortMergeJoin" not in final, name
+
+
 def test_no_cartesian_products_anywhere(spark):
     """CartesianProduct must never appear; BroadcastNestedLoopJoin only
     for the deliberate tiny-side cross joins (region grid, ANN query
