@@ -119,8 +119,8 @@ class NearDupIndex:
         text_col: str = "text",
         id_col: str = "doc_id",
         k: int = 3,
-        num_hashes: int = 32,
-        bands: int = 8,
+        num_hashes: int | None = None,
+        bands: int | None = None,
         portable: bool = False,
         store: str = "raw",
         partitioned: bool = False,
@@ -129,7 +129,18 @@ class NearDupIndex:
         if store not in ("raw", "hashed"):
             raise ValueError(f"store must be raw|hashed, got {store!r}")
         if auto_band_threshold is not None:
+            # a hand-picked family alongside a derivation target is a
+            # contradiction — refuse instead of silently discarding the
+            # caller's explicit parameters (ADVICE r8)
+            if num_hashes is not None or bands is not None:
+                raise ValueError(
+                    "auto_band_threshold derives (num_hashes, bands); "
+                    "pass one or the other, not both"
+                )
             num_hashes, bands, _ = minhash_band_params(auto_band_threshold)
+        else:
+            num_hashes = 32 if num_hashes is None else num_hashes
+            bands = 8 if bands is None else bands
         self.auto_band_threshold = auto_band_threshold
         self.wh = wh
         self.name = name

@@ -74,7 +74,7 @@ class _BlockParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[str, int, int, bool]] = []
         self._parts: list[str] = []
-        self._link_words = 0
+        self._link_parts: list[str] = []
         self._skip_depth = 0
         self._chrome_depth = 0
         self._link_depth = 0
@@ -83,12 +83,18 @@ class _BlockParser(HTMLParser):
     def _flush(self) -> None:
         text = " ".join("".join(self._parts).split())
         if text:
+            # link words are counted with the SAME join-then-split
+            # normalization as the block text, so inline tags inside a
+            # link ('foo<b>bar</b>' — data chunks "foo","bar") count as
+            # one word both ways and link_density can never exceed 1
+            # from chunk splitting (ADVICE r8)
+            n_link = len("".join(self._link_parts).split())
             self.blocks.append(
-                (text, len(text.split()), self._link_words,
+                (text, len(text.split()), n_link,
                  self._chrome_depth > 0)
             )
         self._parts = []
-        self._link_words = 0
+        self._link_parts = []
 
     def handle_starttag(self, tag, attrs):
         self.saw_markup = True
@@ -125,7 +131,7 @@ class _BlockParser(HTMLParser):
         if self._skip_depth == 0 and data:
             self._parts.append(data)
             if self._link_depth > 0:
-                self._link_words += len(data.split())
+                self._link_parts.append(data)
 
     def close(self):
         super().close()

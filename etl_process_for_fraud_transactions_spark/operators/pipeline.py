@@ -82,20 +82,22 @@ def curate_corpus(
     nav/sidebar/footer chrome at the price of a Python stage). See
     module docstring for stage order rationale; each stage is
     individually tested and plan-audited in its own module."""
+    # validated unconditionally: a typo'd extractor with no html_col
+    # must fail loudly, not silently no-op (ADVICE r8)
+    if html_extractor not in ("regex", "dom"):
+        raise ValueError(
+            f"html_extractor must be regex|dom, got {html_extractor!r}"
+        )
     if html_col is not None:
         if html_extractor == "regex":
             from .text import strip_html
 
             docs = strip_html(docs, html_col, text_col)
-        elif html_extractor == "dom":
+        else:
             from .extract import extract_main_content
 
             docs = extract_main_content(docs, html_col, text_col).drop(
                 "n_content_blocks", "n_boilerplate_blocks"
-            )
-        else:
-            raise ValueError(
-                f"html_extractor must be regex|dom, got {html_extractor!r}"
             )
     cleaned = strip_boilerplate_paragraphs(
         dedup_paragraphs_within(docs, text_col, id_col),

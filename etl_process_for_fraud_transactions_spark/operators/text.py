@@ -443,9 +443,21 @@ def strip_html(
     "..."/'...' attribute values whole, so a '>' inside a quoted
     attribute (<a title="a>b">, inline JSON attrs, onclick handlers —
     common in real crawl HTML) no longer truncates the tag and leaks
-    the attribute tail into the corpus text (pinned by test); an
-    UNQUOTED '>' inside an attribute value remains the parser-grade
-    residual.
+    the attribute tail into the corpus text (pinned by test).
+    Two parser-grade residuals, both pinned by test (round 9):
+      * an UNQUOTED '>' inside an attribute value (<img alt=a>b>)
+        terminates the tag early — the tail ('b>') leaks into the
+        text, exactly as the pre-quote-aware pattern behaved;
+      * an UNTERMINATED quote (<a href="x> with no later closing
+        quote) makes the quote-aware pattern unmatchable, so a
+        FALLBACK pass strips any remaining <...> span with the blunt
+        pre-round-8 tag pattern — the tag drops instead of leaking
+        verbatim. The fallback runs BEFORE entity decoding, so
+        decoded '&lt;div&gt;' visible text is never re-stripped.
+        When the unterminated quote IS closed much later in the
+        document, the quoted-run alternative can span real text —
+        ambiguous markup resolves in favor of the quote, as a real
+        parser would also have to guess.
     The DOM-fidelity sibling EXISTS behind this exact signature:
     operators/extract.py::extract_main_content (boilerpipe-classifier
     + semantic-chrome pruning, Arrow-batched) — swap it in via
@@ -470,6 +482,11 @@ def strip_html(
         "\n",
     )
     s = F.regexp_replace(s, r"(?s)<" + tag_body + r"+>", " ")
+    # fallback for tags the quote-aware pattern cannot match (an
+    # unterminated quote with no later closing quote): any remaining
+    # <...> span is malformed markup, not text — raw '<' in visible
+    # text would be '&lt;', which only decodes in the NEXT step
+    s = F.regexp_replace(s, r"(?s)<[^>]+>", " ")
     for ent, rep in _HTML_ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(rep))
     s = F.regexp_replace(s, r"[ \t\r]+", " ")

@@ -319,7 +319,18 @@ def cap_per_domain(
     the over-cap list approach the full domain list — the gate then
     simply stops hinting. Compose with `deterministic_sample` instead
     when a RANDOM per-domain subsample is wanted rather than the
-    min-id prefix."""
+    min-id prefix.
+
+    EAGER + CACHING (ADVICE r8, documented contract): the hint gate
+    runs one count() job at plan-CONSTRUCTION time (the measurement
+    is the point — a hint decided without data is the trap this gate
+    replaces), and the bounded over-cap aggregate stays persisted for
+    the lifetime of the returned plan (it is referenced by three
+    downstream joins; Spark's LRU evicts it under memory pressure,
+    and `spark.catalog.clearCache()` releases it explicitly). This
+    makes the function a batch operator, not a lazily-composable
+    fragment — for streams use streaming/curation.py's stateless
+    gates instead."""
     from pyspark.sql.window import Window
 
     # NULL urls yield a NULL domain, and null keys never match the

@@ -277,3 +277,17 @@ def test_auto_band_threshold_tunes_family_and_meta_guards(spark, wh):
     wrong = NearDupIndex(wh)
     with pytest.raises(ValueError, match="hash famil"):
         wrong.check(near, threshold=0.8)
+
+
+def test_auto_band_threshold_rejects_explicit_family(wh):
+    """Round 9 (ADVICE r8): a hand-picked (num_hashes, bands) alongside
+    auto_band_threshold was silently discarded — now it raises."""
+    with pytest.raises(ValueError, match="one or the other"):
+        NearDupIndex(wh, auto_band_threshold=0.8, num_hashes=64)
+    with pytest.raises(ValueError, match="one or the other"):
+        NearDupIndex(wh, auto_band_threshold=0.8, bands=16)
+    # explicit family WITHOUT a derivation target still works
+    idx = NearDupIndex(wh, num_hashes=64, bands=16)
+    assert (idx.num_hashes, idx.bands) == (64, 16)
+    # and the bare default remains 32/8
+    assert (NearDupIndex(wh).num_hashes, NearDupIndex(wh).bands) == (32, 8)

@@ -781,6 +781,46 @@ def test_quoted_attribute_gt_does_not_leak(spark):
     assert got.replace("\n", " ").split() == ["before", "label", "inner", "after"]
 
 
+def test_unquoted_gt_in_attribute_residual_pinned(spark):
+    """Round 9 pin: an UNQUOTED '>' inside an attribute value
+    terminates the tag early — the attribute tail leaks into the
+    text. This is the documented parser-grade residual (same behavior
+    as the pre-quote-aware pattern); quality gates catch it
+    downstream via punctuation ratio, like the unclosed-script leak."""
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        strip_html,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "<p>before <img alt=a>b> after</p>")],
+        "doc_id long, html string",
+    )
+    got = strip_html(df).first().text
+    assert "before" in got and "after" in got
+    assert "b>" in got                 # the pinned honest leak
+    assert "<img" not in got           # the truncated tag still strips
+
+
+def test_unterminated_quote_tag_strips_via_fallback(spark):
+    """Round 9: a tag with an unterminated quote and NO later closing
+    quote is unmatchable by the quote-aware pattern — the fallback
+    pass strips it with the blunt <[^>]+> pattern instead of leaking
+    the raw tag text verbatim into the corpus (ADVICE r8)."""
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        strip_html,
+    )
+
+    df = spark.createDataFrame(
+        [(1, '<p>keep this</p><a href="broken> tail text')],
+        "doc_id long, html string",
+    )
+    got = strip_html(df).first().text
+    assert "keep this" in got
+    assert "tail text" in got          # text after the bad tag survives
+    assert "<a href=" not in got       # the malformed tag does NOT leak
+    assert "broken" not in got
+
+
 def test_latin_range_excludes_multiply_divide_signs(spark):
     """Round 8: U+00D7 (×) and U+00F7 (÷) are NOT letters — they must
     not count as latin, so ratios stay <= 1 and a digit-and-× heavy

@@ -81,6 +81,32 @@ def test_pure_boilerplate_page_yields_empty():
     assert text == "" and n_content == 0 and n_boiler >= 1
 
 
+def test_link_words_normalized_like_block_words():
+    """Round 9 (ADVICE r8): inline tags inside a link split handle_data
+    into chunks ('foo<b>bar</b>' → "foo","bar") — link words must be
+    counted after the same join/split normalization as the block text,
+    so a fully-linked block has link_density exactly 1, never >1, and
+    borderline blocks aren't flipped to boilerplate by chunk counting."""
+    from etl_process_for_fraud_transactions_spark.operators.extract import (
+        _BlockParser,
+    )
+
+    p = _BlockParser()
+    p.feed("<p><a href='/x'>foo<b>bar</b></a></p>")
+    p.close()
+    [(text, n_words, n_link, _)] = p.blocks
+    assert text == "foobar"
+    assert n_words == 1
+    assert n_link == 1                     # was 2 before the fix
+
+    # and a genuinely multi-word link still counts fully
+    p = _BlockParser()
+    p.feed("<p><a href='/x'>two words</a> trailing prose here</p>")
+    p.close()
+    [(text, n_words, n_link, _)] = p.blocks
+    assert n_words == 5 and n_link == 2
+
+
 def test_dataframe_stage_and_plan(spark):
     df = spark.createDataFrame(
         [(1, _PAGE), (2, "plain words only here"), (3, None)],

@@ -173,6 +173,20 @@ def test_curate_corpus_html_entry(spark):
     assert "<p>" not in out[0].text and "fox" in out[0].text
 
 
+def test_curate_corpus_html_extractor_validated_unconditionally(spark):
+    """Round 9 (ADVICE r8): a typo'd html_extractor must raise even
+    when html_col is None — not silently no-op."""
+    import pytest
+
+    from etl_process_for_fraud_transactions_spark.operators.pipeline import (
+        curate_corpus,
+    )
+
+    docs = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="regex|dom"):
+        curate_corpus(docs, html_extractor="bogus")
+
+
 def test_curate_corpus_compression_gate(spark):
     """min_compression_ratio drops machine-repetitive text the other
     gates pass (valid tokens, valid language, plausible lengths)."""
