@@ -74,13 +74,41 @@ _SQL_CJK_CLASS = "[぀-ヿ㐀-䶿一-鿿가-힯]"
 #: make nearly every document pair "similar".
 _CJK_SHINGLE_K = 8
 
-#: Oracle twin of tokens_unicode for ASCII+Han inputs: single CJK
-#: chars, else lowercase alphanumeric runs. Exactly equivalent to the
-#: Java pattern ON THIS DATA because the non-CJK side of every probe
-#: is plain ASCII (the driver corpus) — the Java class intersection
-#: [\p{L}\p{N}&&[^CJK]]+ degenerates to [a-z0-9]+ after lower().
-_SQL_UTOKS = "regexp_extract_all(lower({val}), '{cls}|[a-z0-9]+')".format(
+#: Oracle twin of tokens_unicode for the probe inputs: single CJK
+#: chars, else letter/digit runs over the scripts the probes can
+#: actually contain (ASCII + the three round-9 identity blocks —
+#: cyrillic, greek, arabic). Exactly equivalent to the Java pattern
+#: ON THIS DATA because every probe character is either plain ASCII
+#: (the driver corpus) or a mapped letter inside one of these blocks
+#: — the Java class intersection [\p{L}\p{N}&&[^CJK]]+ degenerates
+#: to exactly this run class after lower().
+_SQL_UTOKS = "regexp_extract_all(lower({val}), '{cls}|[a-z0-9Ѐ-ӿͰ-Ͽ؀-ۿ]+')".format(
     val="{val}", cls=_SQL_CJK_CLASS
+)
+
+# --- single-script identity maps (round 9) --------------------------------
+# The CJK identity generalizes to any script block: ONE translate()
+# maps the 26 lowercase ASCII letters into a contiguous run of
+# LOWERCASE (or caseless) letters inside the target block — chosen so
+# lower() is a fixed point on the mapped text (а-я is lowercase
+# Cyrillic, α-ϊ lowercase Greek incl. final sigma, ء-غ caseless
+# Arabic) and every mapped codepoint is \p{L} inside the
+# SCRIPT_RANGES class. Digits and spaces pass through unmapped, so
+# token run structure (and hence token counts) are preserved
+# verbatim from the normalized ASCII text.
+_AZ = "abcdefghijklmnopqrstuvwxyz"
+_SCRIPT_BASES = {"cyrillic": 0x0430, "greek": 0x03B1, "arabic": 0x0621}
+_SCRIPT_DSTS = {
+    name: "".join(chr(base + i) for i in range(26))
+    for name, base in _SCRIPT_BASES.items()
+}
+
+#: DuckDB side of the script identities — independent per-character
+#: construction (chr/ord + offset), not translate.
+_SQL_SCRIPT_OF = (
+    "array_to_string(list_transform(list_filter(string_split({val}, ''),"
+    " c -> c <> ''), c -> CASE WHEN c >= 'a' AND c <= 'z'"
+    " THEN chr(ord(c) - 97 + {base}) ELSE c END), '')"
 )
 
 
@@ -238,11 +266,20 @@ def _exact_jaccard_oracle_sql_same_source(threshold: float) -> str:
     f"""
     WITH probe AS (
         SELECT doc_id, text,
-               CASE CAST(doc_id % 3 AS INT)
+               CASE CAST(doc_id % 6 AS INT)
                     WHEN 0 THEN text
                     WHEN 1 THEN {_SQL_CJK_OF.format(val=_SQL_NORM)}
-                    ELSE {_SQL_NORM} || ' ' || {_SQL_CJK_OF.format(
+                    WHEN 2 THEN {_SQL_NORM} || ' ' || {_SQL_CJK_OF.format(
                         val=f"regexp_replace({_SQL_NORM}, '[^a-z]', '', 'g')"
+                    )}
+                    WHEN 3 THEN {_SQL_SCRIPT_OF.format(
+                        val=_SQL_NORM, base=_SCRIPT_BASES["cyrillic"]
+                    )}
+                    WHEN 4 THEN {_SQL_SCRIPT_OF.format(
+                        val=_SQL_NORM, base=_SCRIPT_BASES["greek"]
+                    )}
+                    ELSE {_SQL_SCRIPT_OF.format(
+                        val=_SQL_NORM, base=_SCRIPT_BASES["arabic"]
                     )}
                END AS p
         FROM documents
@@ -251,6 +288,9 @@ def _exact_jaccard_oracle_sql_same_source(threshold: float) -> str:
         SELECT doc_id, text, p,
                length(p) - length(regexp_replace(p, '[\\p{{L}}]', '', 'g')) AS lt,
                length(p) - length(regexp_replace(p, '[A-Za-zÀ-ÖØ-öø-ɏ]', '', 'g')) AS latin,
+               length(p) - length(regexp_replace(p, '[Ѐ-ӿ]', '', 'g')) AS cyr,
+               length(p) - length(regexp_replace(p, '[Ͱ-Ͽ]', '', 'g')) AS grk,
+               length(p) - length(regexp_replace(p, '[؀-ۿ]', '', 'g')) AS arb,
                length(p) - length(regexp_replace(p, '{_SQL_CJK_CLASS}', '', 'g')) AS cjk
         FROM probe
     )
@@ -265,6 +305,9 @@ def _exact_jaccard_oracle_sql_same_source(threshold: float) -> str:
            CAST(len({_SQL_UTOKS.format(val='p')}) AS INT) AS n_unicode_tokens,
            CASE WHEN lt = 0 THEN 'und'
                 WHEN 2 * latin > lt THEN 'latin'
+                WHEN 2 * cyr > lt THEN 'cyrillic'
+                WHEN 2 * grk > lt THEN 'greek'
+                WHEN 2 * arb > lt THEN 'arabic'
                 WHEN 2 * cjk > lt THEN 'cjk'
                 ELSE 'mixed'
            END AS dominant_script
@@ -281,28 +324,40 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     same stage, zero shuffles either way (driver 50-query cap).
 
     Round 8 absorbs the per-document Unicode rung (VERDICT r7 item 2):
-    a probe text cycles through three analytically known script
-    classes — raw ASCII (doc_id%3==0), the Han-mapped normalized text
-    (==1, the deterministic CJK identity _cjk_of), and a half-and-half
-    mix whose latin letter count EXACTLY equals its CJK count (==2,
-    mapping only the letters), so the REAL token_count_unicode and
-    dominant_script demonstrably produce 'latin'/'cjk'/'mixed' under
-    the driver with exact token counts. The oracle rebuilds the probe
-    independently (chr/ord), re-tokenizes with the RE2 block-range
-    class (never the Java-only intersection — it degenerates to
-    [a-z0-9]+ on the ASCII side of every probe), and replays the
-    >0.5-ratio dominance test in exact INTEGER arithmetic
-    (2*count > total ⟺ count/total > 0.5; only latin/cjk can be
-    nonzero on this data, so the two-branch CASE equals the full
-    six-script precedence). Still one map-side projection: the probe
+    a probe text cycles through analytically known script classes —
+    raw ASCII (doc_id%6==0), the Han-mapped normalized text (==1, the
+    deterministic CJK identity _cjk_of), and a half-and-half mix whose
+    latin letter count EXACTLY equals its CJK count (==2, mapping only
+    the letters), so the REAL token_count_unicode and dominant_script
+    demonstrably produce 'latin'/'cjk'/'mixed' under the driver with
+    exact token counts. Round 9 (VERDICT r8 item 5) cycles THREE MORE
+    blocks through the same identity: cyrillic (==3, a-z -> а-я at
+    0x0430), greek (==4, -> α-ϊ at 0x03B1, lowercase incl. final
+    sigma), arabic (==5, -> ء-غ at 0x0621, caseless) — each mapping
+    chosen so lower() is a fixed point and every mapped codepoint is a
+    letter inside its SCRIPT_RANGES class; spaces/digits pass through,
+    so the token run structure of the ASCII text is preserved and the
+    token counts replay exactly. The oracle rebuilds each probe
+    independently (chr/ord + offset), re-tokenizes with the RE2
+    block-range run class (never the Java-only intersection — it
+    degenerates to exactly that run class on these probes), and
+    replays the >0.5-ratio dominance test in exact INTEGER arithmetic
+    (2*count > total ⟺ ratio > 0.5) through the full six-script
+    precedence — six of dominant_script's eight possible verdicts now
+    carry driver-hash evidence (latin/cjk/mixed/cyrillic/greek/
+    arabic; 'devanagari' and no-letter 'und' stay pytest-only). Still
+    one map-side projection: the probe
     materializes as an attribute, metrics come off the attribute."""
     docs = load_table(spark, sf_dir, "documents")
     norm = X.normalize_text(F.col("text"))
     letters = F.regexp_replace(norm, "[^a-z]", "")
     probe = (
-        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
-        .when(F.col("doc_id") % 3 == 1, _cjk_of(norm))
-        .otherwise(F.concat(norm, F.lit(" "), _cjk_of(letters)))
+        F.when(F.col("doc_id") % 6 == 0, F.col("text"))
+        .when(F.col("doc_id") % 6 == 1, _cjk_of(norm))
+        .when(F.col("doc_id") % 6 == 2, F.concat(norm, F.lit(" "), _cjk_of(letters)))
+        .when(F.col("doc_id") % 6 == 3, F.translate(norm, _AZ, _SCRIPT_DSTS["cyrillic"]))
+        .when(F.col("doc_id") % 6 == 4, F.translate(norm, _AZ, _SCRIPT_DSTS["greek"]))
+        .otherwise(F.translate(norm, _AZ, _SCRIPT_DSTS["arabic"]))
     )
     withp = docs.select("doc_id", "text", probe.alias("__probe"))
     return withp.select(
@@ -768,9 +823,14 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripped AS (
         SELECT c.doc_id, c.host, c.dom,
                'Doc & ' || CAST(c.doc_id AS VARCHAR) || chr(10) || chr(10)
-                 || d.text || chr(10) || chr(10) || 'footer' AS text
+                 || d.text || chr(10) || chr(10) || 'footer' AS text,
+               trim(regexp_replace(d.text, '[ \t\n\r]+', ' ', 'g')) AS nrm
         FROM capped c JOIN documents d ON c.doc_id = d.doc_id
         WHERE c.rn <= 8
+    ),
+    dom_leg AS (
+        SELECT *, len(regexp_split_to_array(nrm, ' ')) AS nw
+        FROM stripped
     )
     SELECT doc_id, host AS url_host, dom AS url_domain,
            CAST(2 AS INT) AS url_path_depth,
@@ -783,8 +843,17 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(doc_id % 13 AS INT) <> 3 AS url_host_digits_ok,
            (CAST(doc_id % 5 AS INT) <> 0 AND CAST(doc_id % 7 AS INT) <> 1
             AND CAST(doc_id % 11 AS INT) <> 2
-            AND CAST(doc_id % 13 AS INT) <> 3) AS url_ok
-    FROM stripped
+            AND CAST(doc_id % 13 AS INT) <> 3) AS url_ok,
+           CASE WHEN nw > 17
+                THEN md5('Doc ' || CAST(doc_id AS VARCHAR) || ' heading'
+                         || chr(10) || chr(10) || nrm)
+                WHEN nw > 16 THEN md5(nrm)
+                ELSE md5('') END AS dom_fp,
+           CAST(CASE WHEN nw > 17 THEN 2 WHEN nw > 16 THEN 1
+                     ELSE 0 END AS INT) AS n_content_blocks,
+           CAST(CASE WHEN nw > 17 THEN 3 WHEN nw > 16 THEN 4
+                     ELSE 5 END AS INT) AS n_boilerplate_blocks
+    FROM dom_leg
     """,
 )
 def url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -828,7 +897,19 @@ def url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator computes the five flags, and the oracle replays them
     analytically from the same residue formulas — every flag
     demonstrably False on some rows at sf0.01. NULL-url semantics
-    (explicit False) stay pytest-pinned (no NULL urls survive here)."""
+    (explicit False) stay pytest-pinned (no NULL urls survive here).
+
+    Round 9 folds in the DOM-extraction leg (operators/extract.py,
+    VERDICT r8 item 2): a probe page per surviving doc with
+    analytically known block structure runs through the REAL
+    extract_main_content, and the oracle replays the Kohlschütter
+    NumWordsRules verdicts from the doc's word count (see the inline
+    comment for the per-block derivation): dom_fp is the md5 of the
+    kept text, n_content_blocks/n_boilerplate_blocks the audit
+    counts. The footer probe is prose-heavy enough to pass the
+    shallow rules — its absence from dom_fp proves the semantic
+    chrome pruning, not just the link-density rule."""
+    from ..operators.extract import extract_main_content
     from ..operators.text import strip_html
     from ..operators.web import (
         cap_per_domain,
@@ -899,8 +980,37 @@ def url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</h1><p>"), F.col("text"),
         F.lit("</p><div>footer</div></body></html>"),
     )
-    stripped = strip_html(flagged.withColumn("html", html))
-    return url_features(stripped).select(
+    # DOM-extraction leg (round 9, VERDICT r8 item 2): a probe page per
+    # surviving doc with ANALYTICALLY KNOWN block structure — chrome
+    # blocks (<nav>, <footer>) with fixed text, a link-dense sidebar
+    # (link density 5/6 > 1/3 -> boilerplate by the shallow rule), a
+    # 3-word heading, and the doc text as the lone content-candidate
+    # block. The REAL extract_main_content runs; the oracle replays the
+    # NumWordsRules verdicts from the doc's SQL-computable word count:
+    # heading kept iff nw > 17 (link-dense-neighborhood rule: next
+    # block > 17 words), body kept iff nw > 16 (all three classes are
+    # populated at sf0.01: 467 / 4 / 29 docs). The prose-heavy footer
+    # (8 words, prev > 4 words) would be CONTENT by the shallow rules —
+    # only the semantic chrome pruning drops it, so the md5 proves that
+    # rule is load-bearing, not decorative.
+    dom_html = F.concat(
+        F.lit("<html><head><title>t"), F.col("doc_id"),
+        F.lit('</title><script>var n=1;</script></head><body>'
+              '<nav><a href="/">Home</a> <a href="/n">News</a> '
+              '<a href="/s">Sports</a></nav>'
+              '<div><a href="/t1">trending story one</a> '
+              '<a href="/t2">sports digest two</a></div>'
+              '<h1>Doc '),
+        F.col("doc_id"),
+        F.lit(" heading</h1><p>"), F.col("text"),
+        F.lit("</p><footer>Copyright 2026 Example Media all rights "
+              "reserved prose</footer></body></html>"),
+    )
+    stripped = strip_html(
+        flagged.withColumn("__dom_html", dom_html).withColumn("html", html)
+    )
+    extracted = extract_main_content(stripped, "__dom_html", "__dom_text")
+    return url_features(extracted).select(
         "doc_id",
         "url_host",
         "url_domain",
@@ -913,6 +1023,9 @@ def url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_query_ok",
         "url_host_digits_ok",
         "url_ok",
+        F.md5("__dom_text").alias("dom_fp"),
+        "n_content_blocks",
+        "n_boilerplate_blocks",
     )
 
 
