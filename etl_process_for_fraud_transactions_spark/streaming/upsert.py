@@ -77,7 +77,7 @@ def dedup_append_sink(
 def near_dedup_sink(
     idx,
     out_table: str,
-    threshold: float = 0.6,
+    threshold: float | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch incremental NEAR-dedup: each micro-batch is checked
     against the persisted signature index
@@ -86,6 +86,14 @@ def near_dedup_sink(
     dedups against them too. The streaming face of the daily
     bootstrap/filter_new/absorb cycle: the corpus index never shuffles
     (batch buckets broadcast), per-epoch cost is O(batch).
+
+    Band auto-tuning COMPOSES: the sink takes a prebuilt index, so a
+    NearDupIndex(auto_band_threshold=...) works unchanged — with
+    threshold=None (the default) each epoch verifies at the index's
+    own resolved threshold (the tuned target for an auto-banded
+    index, the 0.6 legacy default otherwise), keeping the candidate
+    S-curve and the verify gate in lockstep in-stream exactly as in
+    batch.
 
     Exactly-once: requires a PARTITIONED index
     (NearDupIndex(partitioned=True)). foreachBatch re-offers a failed
