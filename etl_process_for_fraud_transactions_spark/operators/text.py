@@ -637,6 +637,7 @@ def pack_chunks(
     token_col: str = "n_chunk_tokens",
     order_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
     shards: int | None = None,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Assign chunks to fixed-budget training sequences ("sequence
     packing"): adds `pack_id` such that the chunks sharing a pack_id,
@@ -665,10 +666,28 @@ def pack_chunks(
     100 TB corpus. Pass an explicit `shards` for reproducible pack_ids
     across corpus versions: the shard assignment is hash(id) % shards,
     so pack_ids are stable for a GIVEN shard count but redistribute
-    when the auto-derived count changes with corpus growth."""
-    if shards is None:
-        shards = min(65536, max(32, df.count() // 200_000 + 1))
-    shard = F.pmod(F.xxhash64(F.col(order_cols[0])), F.lit(shards))
+    when the auto-derived count changes with corpus growth.
+
+    shard_col names an EXISTING non-negative-int column to use as the
+    shard assignment instead of the hash — full caller control over
+    which rows pack together (curriculum grouping, per-source shards)
+    and, because the assignment is then engine-independent, an
+    externally replayable pack_id. The caller owns the balance
+    trade-off (a skewed shard_col serializes that shard's window into
+    one task). Mutually exclusive with `shards` — a silently ignored
+    hand-picked count would hide a real intent mismatch (the
+    auto_band_threshold precedent, dedup_incremental.py)."""
+    if shard_col is not None:
+        if shards is not None:
+            raise ValueError(
+                "pack_chunks: shard_col and shards are mutually "
+                "exclusive — the shard count IS the shard_col range"
+            )
+        shard = F.col(shard_col).cast("long")
+    else:
+        if shards is None:
+            shards = min(65536, max(32, df.count() // 200_000 + 1))
+        shard = F.pmod(F.xxhash64(F.col(order_cols[0])), F.lit(shards))
     w = (
         Window.partitionBy("__shard")
         .orderBy(*[F.asc(c) for c in order_cols])

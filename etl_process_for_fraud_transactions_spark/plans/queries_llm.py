@@ -266,10 +266,107 @@ def _exact_jaccard_oracle_sql_same_source(threshold: float) -> str:
 
 
 
+# --- PII scrub probe (round 9) ---------------------------------------------
+# The driver corpus contains no PII, so the scrub_pii rung synthesizes
+# it (the DOM probe-page precedent): per doc, k = 1 + doc_id%3 copies
+# of a doc_id-derived PII literal of kind doc_id%5 are appended to the
+# doc's DIGIT-STRIPPED text (stripping [0-9@] makes all five patterns
+# unmatchable in the carrier, so the injected spans are the only true
+# positives), plus one NEAR-MISS of the same kind that must survive
+# every pattern — cross-checked per kind (e.g. the bad-SSN shape
+# '12-34-56' has no 3-digit run, so the greedy phone regex cannot
+# claim it either; '999.999.999.999' would be claimed by the phone
+# pattern, hence the 256-octet shape). Order = doc_id % 5. The
+# survival assumption is pinned at unit level in
+# tests/test_dedup_text.py::test_driver_probe_near_misses....
+_PII_TOKENS = ("[EMAIL]", "[SSN]", "[CARD]", "[IP]", "[PHONE]")
+_PII_NEAR = ("user@@example..com", "12-34-56", "1234 5678 9012",
+             "256.1.1.1", "5551234567")
+_PII_KINDS = ("email", "ssn", "card", "ipv4", "phone")
+
+
+def _pii_probe_cols() -> tuple[Column, Column]:
+    """Engine side of the PII probe: (pii_kind, probe_text) columns
+    over documents' (doc_id, text) — the input scrub_pii runs on."""
+    doc_id = F.col("doc_id")
+    carrier = F.regexp_replace(F.col("text"), "[0-9@]", "")
+    cls = F.pmod(doc_id, F.lit(5)).cast("int")
+    k = (F.pmod(doc_id, F.lit(3)) + 1).cast("int")
+    d900 = (F.pmod(doc_id, F.lit(900)) + 100).cast("string")
+    d90 = (F.pmod(doc_id, F.lit(90)) + 10).cast("string")
+    d9000 = (F.pmod(doc_id, F.lit(9000)) + 1000).cast("string")
+    pii = (
+        F.when(cls == 0, F.concat(F.lit("user"), doc_id.cast("string"),
+                                  F.lit("@example.com")))
+        .when(cls == 1, F.concat(d900, F.lit("-"), d90, F.lit("-"), d9000))
+        .when(cls == 2, F.concat(F.lit("4"), d900, F.lit(" 1111 2222 "),
+                                 d9000))
+        .when(cls == 3, F.concat(F.lit("10."),
+                                 F.pmod(doc_id, F.lit(256)).cast("string"),
+                                 F.lit(".0."),
+                                 (F.pmod(doc_id, F.lit(254)) + 1)
+                                 .cast("string")))
+        .otherwise(F.concat(F.lit("555-"), d900, F.lit("-"), d9000))
+    )
+    near = F.element_at(F.array(*[F.lit(n) for n in _PII_NEAR]), cls + 1)
+    kind = F.element_at(F.array(*[F.lit(kd) for kd in _PII_KINDS]), cls + 1)
+    probe = F.concat(
+        carrier, F.lit(" "),
+        F.repeat(F.concat(pii, F.lit(" q ")), k),
+        near, F.lit(" z"),
+    )
+    return kind, probe
+
+
+def _pii_oracle_cte() -> str:
+    """DuckDB replay of the PII probe as a `piis` CTE (doc_id,
+    pii_kind, n_pii_masked, scrub_fp): rebuild the identical probe
+    string, then replace the injected literal EXACTLY — plain
+    substring replace, because the Java-regex lookarounds in
+    PII_PATTERNS have no RE2 twin. The md5 matching proves the
+    engine's regexes masked precisely the k injected spans and
+    nothing else (carrier and near-miss intact, each counted once)."""
+    tok = " ".join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(_PII_TOKENS))
+    near = " ".join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(_PII_NEAR))
+    kind = " ".join(f"WHEN {i} THEN '{k}'" for i, k in enumerate(_PII_KINDS))
+    return f"""
+    pii_base AS (
+      SELECT doc_id,
+             regexp_replace(text, '[0-9@]', '', 'g') AS carrier,
+             doc_id % 5 AS cls,
+             CAST(doc_id % 3 + 1 AS INT) AS k,
+             CAST(doc_id % 900 + 100 AS VARCHAR) AS d900,
+             CAST(doc_id % 90 + 10 AS VARCHAR) AS d90,
+             CAST(doc_id % 9000 + 1000 AS VARCHAR) AS d9000
+      FROM documents
+    ),
+    pii_built AS (
+      SELECT doc_id, cls, k, carrier,
+        CASE cls WHEN 0 THEN 'user' || doc_id || '@example.com'
+                 WHEN 1 THEN d900 || '-' || d90 || '-' || d9000
+                 WHEN 2 THEN '4' || d900 || ' 1111 2222 ' || d9000
+                 WHEN 3 THEN '10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.' || CAST(doc_id % 254 + 1 AS VARCHAR)
+                 ELSE '555-' || d900 || '-' || d9000 END AS pii,
+        CASE cls {tok} END AS tok,
+        CASE cls {near} END AS near
+      FROM pii_base
+    ),
+    piis AS (
+      SELECT doc_id,
+             CASE cls {kind} END AS pii_kind,
+             k AS n_pii_masked,
+             md5(replace(carrier || ' ' || repeat(pii || ' q ', k)
+                         || near || ' z', pii, tok)) AS scrub_fp
+      FROM pii_built
+    )"""
+
+
 @query(
     "doc_fingerprints",
     f"""
-    WITH probe AS (
+    WITH {_pii_oracle_cte().strip()},
+    probe AS (
         SELECT doc_id, text,
                CASE CAST(doc_id % 8 AS INT)
                     WHEN 0 THEN text
@@ -321,8 +418,9 @@ def _exact_jaccard_oracle_sql_same_source(threshold: float) -> str:
                 WHEN 2 * dev > lt THEN 'devanagari'
                 WHEN 2 * cjk > lt THEN 'cjk'
                 ELSE 'mixed'
-           END AS dominant_script
-    FROM counted
+           END AS dominant_script,
+           pii_kind, n_pii_masked, scrub_fp
+    FROM counted JOIN piis USING (doc_id)
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,7 +458,19 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedence — ALL EIGHT of dominant_script's possible verdicts now
     carry driver-hash evidence. Still one map-side projection: the
     probe materializes as an attribute, metrics come off the
-    attribute."""
+    attribute.
+
+    Round 9 absorbs the PII-scrub rung (operators/text.py::scrub_pii,
+    the privacy stage of jobs/training_data.py — the one curation
+    operator that still had only pytest evidence): the REAL
+    chained-regexp_replace scrubber runs over the synthesized PII
+    probe (see _pii_probe_cols above), and hash-green `scrub_fp` /
+    `n_pii_masked` columns mean the lookaround-guarded Java regexes
+    (no RE2 twin exists — the oracle replaces the injected literals
+    as exact substrings) masked exactly the k injected spans, counted
+    them once each, and left both the digit-stripped carrier and the
+    per-kind near-miss untouched. Same scan, still map-only — the
+    PII probe is a second derived attribute off the one projection."""
     docs = load_table(spark, sf_dir, "documents")
     norm = X.normalize_text(F.col("text"))
     letters = F.regexp_replace(norm, "[^a-z]", "")
@@ -374,14 +484,22 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 8 == 6, F.translate(norm, _AZ, _SCRIPT_DSTS["devanagari"]))
         .otherwise(F.regexp_replace(norm, "[a-z]", ""))
     )
-    withp = docs.select("doc_id", "text", probe.alias("__probe"))
-    return withp.select(
+    pii_kind, pii_probe = _pii_probe_cols()
+    withp = docs.select(
+        "doc_id", "text", probe.alias("__probe"),
+        pii_kind.alias("pii_kind"), pii_probe.alias("__pii"),
+    )
+    scrubbed = X.scrub_pii(withp, "__pii")
+    return scrubbed.select(
         "doc_id",
         X.fingerprint_md5("text").alias("fingerprint"),
         X.rolling_hash("text").alias("rhash"),
         X.bpe_ish_token_count("text").alias("bpe_tokens"),
         X.token_count_unicode(F.col("__probe")).alias("n_unicode_tokens"),
         X.dominant_script(F.col("__probe")).alias("dominant_script"),
+        "pii_kind",
+        "n_pii_masked",
+        F.md5("__pii").alias("scrub_fp"),
     )
 
 
@@ -545,20 +663,47 @@ def neardup_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "document_chunks",
     f"""
-    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents)
-    SELECT doc_id, chunk_id,
-           array_to_string(l[chunk_id*24+1:chunk_id*24+32], ' ') AS chunk_text,
-           len(l[chunk_id*24+1:chunk_id*24+32]) AS n_chunk_tokens
-    FROM t, unnest(generate_series(
-             0, CAST(floor((greatest(len(l)-32,0)+23)/24) AS INT))) AS u(chunk_id)
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+    c AS (
+      SELECT doc_id, chunk_id,
+             array_to_string(l[chunk_id*24+1:chunk_id*24+32], ' ') AS chunk_text,
+             len(l[chunk_id*24+1:chunk_id*24+32]) AS n_chunk_tokens
+      FROM t, unnest(generate_series(
+               0, CAST(floor((greatest(len(l)-32,0)+23)/24) AS INT))) AS u(chunk_id)
+    )
+    SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens,
+           (doc_id % 8) * 4294967296
+             + CAST(floor(COALESCE(SUM(n_chunk_tokens) OVER (
+                   PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 128.0) AS BIGINT) AS pack_id
+    FROM c
     """,
 )
 def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (operators/text.py::
     chunk_documents): 32-token chunks, 8-token overlap — one training
-    sample per row, generated map-side with no shuffle."""
+    sample per row, generated map-side with no shuffle.
+
+    Round 9 absorbs sequence packing (operators/text.py::pack_chunks,
+    driver 50-query cap): every chunk also carries the pack_id
+    assigning it to a ~128-token training sequence. The row passes
+    pack_chunks an EXPLICIT shard_col (doc_id % 8) instead of the
+    default xxhash64 sharding, so the assignment is engine-independent
+    and the oracle replays the exact greedy semantics — shard *
+    2^32 + floor(running-sum-before / max_tokens) over the same
+    (doc_id, chunk_id) order — per chunk, in SQL. A single chunk
+    landing in the wrong pack anywhere in the corpus fails the hash.
+    The xxhash64 default is the same window with a different
+    partition key (equivalence + bounds in tests/test_dedup_text.py
+    ::TestPackChunks)."""
     docs = load_table(spark, sf_dir, "documents")
-    return X.chunk_documents(docs, chunk_tokens=32, overlap=8)
+    chunks = X.chunk_documents(docs, chunk_tokens=32, overlap=8)
+    return X.pack_chunks(
+        chunks.withColumn("__shard_key", F.pmod(F.col("doc_id"), F.lit(8))),
+        max_tokens=128,
+        shard_col="__shard_key",
+    ).drop("__shard_key")
 
 
 #: 8-token shingle list over a token-list column `t` (DuckDB) — the

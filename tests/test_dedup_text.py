@@ -370,6 +370,40 @@ class TestScrubPii:
         assert got[3].text == rows[2][1]
         assert got[3].n_pii_masked == 0
 
+    def test_driver_probe_near_misses_survive_all_patterns(self, spark):
+        """The pii_scrub_audit driver row (plans/queries_llm.py)
+        injects one near-miss per kind and its oracle assumes NONE of
+        the five regexes touches it — including cross-kind claims
+        (e.g. the greedy phone regex on the bad-SSN shape). Pin that
+        assumption at the unit level, and the positive twin: every
+        injected-literal shape masks fully in one replacement."""
+        from etl_process_for_fraud_transactions_spark.operators.text import scrub_pii
+        from etl_process_for_fraud_transactions_spark.plans.queries_llm import (
+            _PII_NEAR,
+            _PII_TOKENS,
+        )
+
+        near = spark.createDataFrame(
+            [(i, f"pad {n} z") for i, n in enumerate(_PII_NEAR)],
+            "doc_id long, text string",
+        )
+        for r in scrub_pii(near).collect():
+            assert r.n_pii_masked == 0, r
+            assert r.text == f"pad {_PII_NEAR[r.doc_id]} z", r
+
+        injected = [
+            "user7@example.com", "223-33-2223", "4223 1111 2222 2223",
+            "10.57.0.58", "555-223-2223",
+        ]
+        pos = spark.createDataFrame(
+            [(i, f"pad {p} q {p} z") for i, p in enumerate(injected)],
+            "doc_id long, text string",
+        )
+        for r in scrub_pii(pos).collect():
+            tok = _PII_TOKENS[r.doc_id]
+            assert r.n_pii_masked == 2, r
+            assert r.text == f"pad {tok} q {tok} z", r
+
     def test_map_only(self, spark):
         from etl_process_for_fraud_transactions_spark.operators.text import scrub_pii
 
@@ -433,6 +467,40 @@ class TestPackChunks:
         assert all(t < 64 + 16 for t in totals.values())
         # small input clamps to the 32-shard floor: shard ids < 32
         assert all(pid // 2**32 < 32 for pid in totals)
+
+    def test_shard_col_controls_assignment_and_replays(self, spark):
+        """shard_col makes the shard assignment caller-owned: pack_id
+        decodes to exactly the given column value, and the greedy bin
+        is replayable from a plain running sum — the contract the
+        document_chunks driver row's SQL oracle depends on."""
+        import pytest
+
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            chunk_documents,
+            pack_chunks,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(5 + (i * 7) % 40)))
+             for i in range(40)],
+            "doc_id long, text string",
+        )
+        chunks = chunk_documents(docs, chunk_tokens=16, overlap=4).withColumn(
+            "grp", F.pmod(F.col("doc_id"), F.lit(3))
+        )
+        packed = pack_chunks(chunks, max_tokens=64, shard_col="grp")
+        rows = sorted(packed.collect(), key=lambda r: (r.grp, r.doc_id, r.chunk_id))
+        running = {}
+        for r in rows:
+            assert r.pack_id // 2**32 == r.grp, r
+            before = running.get(r.grp, 0)
+            assert r.pack_id % 2**32 == before // 64, r
+            running[r.grp] = before + r.n_chunk_tokens
+        # user's column survives untouched
+        assert "grp" in packed.columns
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            pack_chunks(chunks, max_tokens=64, shard_col="grp", shards=4)
 
 
 class TestStripHtml:

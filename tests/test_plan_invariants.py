@@ -154,10 +154,16 @@ def test_doc_fingerprints_is_map_only(spark):
     assert "Exchange" not in plan
 
 
-def test_document_chunks_no_shuffle(spark):
+def test_document_chunks_single_pack_exchange(spark):
+    """Chunking itself is a generator (no join); since round 9 the row
+    also assigns pack_ids, whose running-sum window is the operator's
+    ONE documented shuffle — exactly one hash exchange on the shard
+    key, never a range/global sort."""
     plan = _plan(spark, "document_chunks")
-    assert "Exchange" not in plan
     assert "Generate explode" in plan  # generator, not a join
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
 
 
 def test_global_top_orders_takeordered(spark):
