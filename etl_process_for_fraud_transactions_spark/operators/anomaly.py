@@ -4,9 +4,9 @@ Two tiers:
 
 - z-score outliers: per-key standardized amounts from decimal-exact
   moments (sum / sum-of-squares), fully deterministic and thus
-  oracle-checkable. The two-pass form (aggregate then join) is a
-  broadcast join of tiny per-key stats back onto the fact — the fact
-  itself never reshuffles.
+  oracle-checkable. The two-pass form (aggregate then join) joins the
+  aggregated per-key stats back onto the fact; the join strategy is
+  deliberately left to AQE (see zscore_outliers docstring).
 - KMeans distance scores (MLlib): cluster engineered features
   (amount, hour-of-day, per-key rate) with a fixed seed, score each
   row by distance to its assigned centroid. The Spark-idiomatic
@@ -29,7 +29,17 @@ def zscore_outliers(
 ) -> DataFrame:
     """Rows whose value deviates > threshold sigmas from their key's
     mean. Moments come from decimal-exact sums (deterministic across
-    engines); sample variance via (sumsq - sum^2/n) / (n-1)."""
+    engines); sample variance via (sumsq - sum^2/n) / (n-1).
+
+    The stats-back join carries NO broadcast hint: the stats frame is
+    one row per key, and key_col's cardinality is the caller's — for
+    a bounded key (event type) AQE broadcasts it from runtime stats
+    anyway, while for a key that scales with the fact (user_id at
+    full corpus scale) a hinted broadcast would be a forced multi-GB
+    build that never falls back. Unhinted, the fallback is a shuffle
+    join on key_col whose stats side is ALREADY partitioned by the
+    groupBy — the same trade recorded for multihop_revenue (round 5)
+    and the demo anti/semi joins (round 9)."""
     stats = (
         df.groupBy(key_col)
         .agg(
@@ -46,7 +56,7 @@ def zscore_outliers(
     std = F.sqrt(var)
     z = (F.col(value_col) - mean) / std
     return (
-        df.join(F.broadcast(stats), key_col)
+        df.join(stats, key_col)
         .withColumn("z", z)
         .filter(F.abs(F.col("z")) > threshold)
         .select(key_col, value_col, F.col("z").alias("zscore"))

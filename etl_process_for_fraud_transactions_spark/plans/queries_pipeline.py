@@ -128,7 +128,11 @@ def kmeans_anomaly_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = ev.groupBy("user_id").agg(
         (F.count(F.lit(1)) / F.countDistinct(F.to_date("ts"))).alias("events_per_day")
     )
-    feats = ev.join(F.broadcast(rate), "user_id").select(
+    # no broadcast hint: `rate` is one row per user — it SCALES with
+    # the fact, so a hinted broadcast is the forced multi-GB build
+    # the round-9 demo-query fix removed; AQE re-derives the
+    # broadcast from runtime stats at any SF where it actually fits
+    feats = ev.join(rate, "user_id").select(
         "event_id",
         "user_id",
         F.col("value").alias("amount"),

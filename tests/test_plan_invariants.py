@@ -72,9 +72,14 @@ def test_no_broadcast_hint_on_fact_derived_frames(spark):
     day would force a multi-GB broadcast and abort). AQE re-derives
     the broadcast from runtime stats instead."""
     # the pure anti/semi demos have no bounded dim anywhere — zero hints
+    # no bounded dim anywhere in these rows — zero hints allowed:
+    # the anti/semi demos (r9) and the anomaly tier (late r9: per-key
+    # stats / per-user rate frames also scale with the fact)
     for name in (
         "orders_without_recent_events",
         "customers_with_high_value_events",
+        "amount_zscore_outliers",
+        "kmeans_anomaly_scores",
     ):
         df = QUERIES[name](spark, SF_SMALL)
         opt = df._jdf.queryExecution().optimizedPlan().toString()
@@ -192,10 +197,17 @@ def test_asof_join_has_no_pair_explosion(spark):
     assert "Union" in plan
 
 
-def test_zscore_broadcasts_stats_back(spark):
-    plan = _plan(spark, "amount_zscore_outliers")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+def test_zscore_stats_back_join_broadcasts_via_aqe(spark):
+    """The per-key stats frame scales with key cardinality, so the
+    operator carries no broadcast hint (late round 9) — at test scale
+    AQE must still pick the broadcast from runtime stats, so dropping
+    the hint costs nothing; it only removes the scale abort."""
+    df = QUERIES["amount_zscore_outliers"](spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
 
 
 def test_cap_per_domain_text_never_shuffles_on_domain(spark):
