@@ -245,6 +245,13 @@ class DailyFraudJob:
                 if self.incremental_report
                 else None
             ),
+            # production job: measure before hinting — an unattended
+            # daily run must degrade to a shuffle join on a
+            # pathological day, not abort on a forced broadcast (the
+            # ~2x single-shot cost of the gate's persist barriers is
+            # the right trade here, unlike the interactive/bench path
+            # which keeps the single-tree True default)
+            broadcast_rule_hits=None,
         )
         self.wh.append_partitioned("rep_fraud", report, "report_dt")
         return report

@@ -34,9 +34,28 @@ def assemble_report(
     report_dt: Column,
     report_trans: DataFrame | None = None,
     cache_resolved: bool = False,
-    broadcast_rule_hits: bool = True,
+    broadcast_rule_hits: bool | None = True,
+    broadcast_max_rows: int = 4_000_000,
 ) -> DataFrame:
     """The full five-rule report (main.py:414-560) as one DataFrame.
+
+    `broadcast_rule_hits` — the hit sets are a FRACTION of the fact
+    (they grow with it), so the join-back hint has three modes:
+
+    - True (default): always hint. One plan, zero extra jobs, the
+      whole report optimizes as a single tree (rule subtrees share
+      the dim-chain exchanges with the final assembly — measured
+      ~2x faster single-shot than the gated mode, which must
+      materialize the rules behind persist barriers). Failure mode:
+      a pathological day whose hit sets exceed the broadcast limit /
+      driver memory fails outright rather than degrading.
+    - None: MEASURED hint (the cap_per_domain precedent) — persist +
+      count each rule's hit set at plan-construction time and
+      broadcast only when provably <= broadcast_max_rows. Costs the
+      single-plan subtree sharing; buys the no-abort guarantee. The
+      production default in jobs/daily.py.
+    - False: never hint; AQE decides from runtime stats after the
+      fact-side shuffle materializes.
 
     The reference builds the same dim chain twice (CTEs at 415-427 and
     437-443 — a missed reuse its own planner can't fix); here the
@@ -66,20 +85,26 @@ def assemble_report(
     # (req_start_for_4_rule, main.py:437-443) — an inner terminal join
     # there would drop transactions at unknown terminals from the
     # brute-force scan, changing its semantics.
-    # Rule outputs are fraud *hits* — orders of magnitude smaller than
-    # the fact by construction — so the join-backs broadcast them
-    # instead of shuffling the full fact on (trans_id, client_id).
-    # (AQE can only make this call after materializing the fact-side
-    # shuffle; the hint skips that shuffle entirely.)
-    # Failure mode: if a pathological day makes the hit sets exceed the
-    # 8 GB broadcast limit / driver memory the job fails outright rather
-    # than degrading; pass broadcast_rule_hits=False to drop the hint
-    # and let AQE pick the join strategy from runtime stats instead.
-    _hint = F.broadcast if broadcast_rule_hits else (lambda df: df)
-    diff_city = _hint(
-        rule_diff_city_1h(attach_terminal_city(resolved, terminals)).alias("h")
-    )
-    brute = _hint(rule_brute_force_20min(resolved).alias("r"))
+    # Rule outputs are fraud *hits* — typically orders of magnitude
+    # smaller than the fact — so the join-backs broadcast them instead
+    # of shuffling the full fact on (trans_id, client_id). Mode
+    # trade-offs in the docstring; in the measured mode (None) the
+    # persisted frames stay referenced by the final join-backs (no
+    # recompute; LRU-evictable) and the count is an eager action at
+    # plan-construction time (the cap_per_domain contract).
+    diff_city_raw = rule_diff_city_1h(attach_terminal_city(resolved, terminals))
+    brute_raw = rule_brute_force_20min(resolved)
+    if broadcast_rule_hits is None:
+        diff_city_raw = diff_city_raw.persist()
+        brute_raw = brute_raw.persist()
+        hint_dc = diff_city_raw.count() <= broadcast_max_rows
+        hint_bf = brute_raw.count() <= broadcast_max_rows
+    else:
+        hint_dc = hint_bf = broadcast_rule_hits
+    diff_city = (
+        F.broadcast(diff_city_raw) if hint_dc else diff_city_raw
+    ).alias("h")
+    brute = (F.broadcast(brute_raw) if hint_bf else brute_raw).alias("r")
 
     # Final assembly uses LEFT joins (main.py:544-550): a transaction
     # that misses the dim chain still reaches the rule-1 probe.

@@ -197,6 +197,44 @@ def test_asof_join_has_no_pair_explosion(spark):
     assert "Union" in plan
 
 
+def test_fraud_report_rule_hit_hints_are_measured(spark):
+    """assemble_report's measured mode (broadcast_rule_hits=None, the
+    jobs/daily.py production default — late round 9, the
+    cap_per_domain precedent) gates the rule-hit broadcasts on a
+    counted size: at test scale the hits fit and both hints fire;
+    with broadcast_max_rows=-1 (unsatisfiable — at sf0.001 one rule
+    has ZERO hits, and an empty frame provably fits any cap >= 0) the
+    SAME plan drops exactly those two hints (dim hints stay) and the
+    result is unchanged."""
+    from etl_process_for_fraud_transactions_spark.operators.report import (
+        assemble_report,
+    )
+    from etl_process_for_fraud_transactions_spark.plans import analog
+    from pyspark.sql import functions as F
+
+    d = analog.domain_frames(spark, SF_SMALL)
+    args = (d["transactions"], d["cards"], d["accounts"], d["clients"],
+            d["terminals"], d["blacklist"])
+
+    hinted = assemble_report(
+        *args, report_dt=F.lit("2024-01-31"), broadcast_rule_hits=None
+    )
+    unhinted = assemble_report(
+        *args, report_dt=F.lit("2024-01-31"), broadcast_rule_hits=None,
+        broadcast_max_rows=-1,
+    )
+    n_hints = lambda df: (
+        df._jdf.queryExecution().optimizedPlan().toString()
+        .count("strategy=broadcast")
+    )
+    # exactly the two rule-hit hints are measurement-dependent
+    assert n_hints(hinted) - n_hints(unhinted) == 2
+    key = lambda r: tuple(str(v) for v in r)
+    assert sorted(map(key, hinted.collect())) == sorted(
+        map(key, unhinted.collect())
+    )
+
+
 def test_zscore_stats_back_join_broadcasts_via_aqe(spark):
     """The per-key stats frame scales with key cardinality, so the
     operator carries no broadcast hint (late round 9) — at test scale
