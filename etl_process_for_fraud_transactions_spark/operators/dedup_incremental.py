@@ -125,6 +125,7 @@ class NearDupIndex:
         store: str = "raw",
         partitioned: bool = False,
         auto_band_threshold: float | None = None,
+        broadcast_max_rows: int = 4_000_000,
     ):
         if store not in ("raw", "hashed"):
             raise ValueError(f"store must be raw|hashed, got {store!r}")
@@ -152,6 +153,7 @@ class NearDupIndex:
         self.portable = portable
         self.store = store
         self.partitioned = partitioned
+        self.broadcast_max_rows = broadcast_max_rows
 
     @property
     def buckets_table(self) -> str:
@@ -359,8 +361,11 @@ class NearDupIndex:
     ) -> DataFrame:
         """(new_id, dup_id, jaccard): every near-duplication of a new
         document by an indexed corpus document. The batch bucket frame
-        broadcasts into the corpus index (the corpus never shuffles);
-        corpus shingles are fetched only for candidate ids.
+        broadcasts into the corpus index (the corpus never shuffles)
+        when a measured count proves it fits (exactly n_docs * bands
+        rows <= broadcast_max_rows; over-cap batches degrade to a
+        band-keyed shuffle join instead of aborting); corpus shingles
+        are fetched only for candidate ids.
         threshold=None verifies at the tuned/default point (see
         _resolve_threshold).
 
@@ -395,12 +400,21 @@ class NearDupIndex:
                 .withColumn("jaccard", F.lit(0.0).cast("double"))
                 .limit(0)
             )
-        batch_b = self._buckets(new_docs)
+        # the batch bucket frame is EXACTLY n_docs * bands rows, so
+        # the broadcast gate is one cheap count of the raw batch — no
+        # materialization barrier (cf. the persist+count the report
+        # gate needs). Hinted (the normal daily shape) the corpus
+        # never shuffles; an over-cap batch degrades to a shuffle
+        # join on (band_id, band_hash) instead of a forced multi-GB
+        # broadcast that cannot fall back.
+        batch_b = self._buckets(new_docs).withColumnsRenamed(
+            {self.id_col: "new_id"}
+        )
+        if new_docs.count() * self.bands <= self.broadcast_max_rows:
+            batch_b = F.broadcast(batch_b)
         cand = (
             corpus_b.join(
-                F.broadcast(
-                    batch_b.withColumnsRenamed({self.id_col: "new_id"})
-                ),
+                batch_b,
                 ["band_id", "band_hash"],
             )
             .select(F.col(self.id_col).alias("dup_id"), "new_id")

@@ -131,6 +131,32 @@ def test_corpus_index_never_shuffles(spark, wh):
     )
     assert "BroadcastHashJoin [band_id" in plan or "BroadcastHashJoin [band_hash" in plan
 
+
+def test_over_cap_batch_degrades_to_shuffle_join(spark, wh):
+    """The batch broadcast is gated on a measured size (late round 9:
+    n_docs * bands <= broadcast_max_rows). An over-cap batch must
+    produce the SAME duplicate verdicts through the unhinted
+    band-keyed shuffle join — degrade, never abort."""
+    corpus = _docs(spark, [(i, t) for i, t in enumerate(BASE)])
+    idx = NearDupIndex(wh, broadcast_max_rows=0)
+    idx.bootstrap(corpus)
+    batch = _docs(
+        spark,
+        [(100, BASE[0]), (101, "wholly unrelated prose about accordion maintenance routines")],
+    )
+    plan = (
+        idx.check(batch, threshold=0.5)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "strategy=broadcast" not in plan
+    rows = idx.check(batch, threshold=0.5).collect()
+    assert sorted((r.new_id, r.dup_id) for r in rows) == [(100, 0)]
+    got = sorted(r.doc_id for r in idx.filter_new(batch, threshold=0.5).collect())
+    assert got == [101]
+
+
 def test_cross_day_closure_with_absorb_all(spark, wh, tmp_path):
     """Pins the documented cross-day caveat AND its documented fix.
     Day-1 doc B near-duplicates the corpus (dropped). Day-2 doc C
