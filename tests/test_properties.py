@@ -1,10 +1,15 @@
-"""Property-based tests (hypothesis): the two custom operators are
-checked against brute-force reference models on randomized inputs.
+"""Property-based tests (hypothesis): custom operators are checked
+against brute-force reference models on randomized inputs.
 
 - bucketed range joins ≡ naive join + residual filter (catches bucket
   boundary/tagging mistakes no example test would);
 - SCD2 ≡ a driver-side dict model of close-out/insert semantics over
-  random multi-batch histories.
+  random multi-batch histories;
+- prefix-filtered Jaccard ≡ all-pairs brute force;
+- pack_chunks(shard_col) ≡ a per-shard running-sum fold (the greedy
+  contract the document_chunks oracle replays);
+- scrub_pii ≡ identity on digit-free/@-free text (the soundness half
+  of the doc_fingerprints PII-probe design).
 """
 
 from __future__ import annotations
@@ -236,3 +241,70 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark, docs):
     assert set(got) == set(expected)
     for pair, j in expected.items():
         assert abs(got[pair] - j) < 1e-12, pair
+
+
+_chunk_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),   # doc_id
+        st.integers(min_value=0, max_value=40),   # chunk_id
+        st.integers(min_value=1, max_value=50),   # n_chunk_tokens
+        st.integers(min_value=0, max_value=4),    # shard value
+    ),
+    min_size=0,
+    max_size=60,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_chunk_rows_strategy)
+def test_pack_chunks_shard_col_matches_running_sum_model(spark, rows):
+    """pack_chunks(shard_col=...) ≡ a driver-side running-sum fold per
+    shard in (doc_id, chunk_id) order — the exact greedy contract the
+    document_chunks oracle replays in SQL (bin = tokens_before // max,
+    pack_id = shard * 2^32 + bin), on randomized shard assignments,
+    token sizes and sparse chunk ids."""
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        pack_chunks,
+    )
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, n_chunk_tokens long, grp long"
+    )
+    got = {
+        (r.doc_id, r.chunk_id): r.pack_id
+        for r in pack_chunks(df, max_tokens=64, shard_col="grp").collect()
+    }
+
+    expected, running = {}, {}
+    for doc_id, chunk_id, n, grp in sorted(rows, key=lambda t: (t[3], t[0], t[1])):
+        before = running.get(grp, 0)
+        expected[(doc_id, chunk_id)] = grp * 2**32 + before // 64
+        running[grp] = before + n
+
+    assert got == expected
+
+
+_pii_free_text = st.text(
+    alphabet=st.sampled_from("abcdefghij xyz.,-"), min_size=0, max_size=80
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_pii_free_text, min_size=1, max_size=8))
+def test_scrub_pii_is_identity_without_digits_or_at(spark, texts):
+    """Soundness half of the pii probe design: text containing no
+    digit and no '@' can match none of the five patterns (each
+    requires one or the other), so scrub_pii must be a byte-identity
+    with n_pii_masked == 0 — on randomized letter/punct/separator
+    strings including '-'/'.' runs that brush the SSN/IP shapes."""
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for r in scrub_pii(df).collect():
+        assert r.n_pii_masked == 0, r
+        assert r.text == texts[r.doc_id], r
