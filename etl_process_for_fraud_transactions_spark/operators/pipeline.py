@@ -11,7 +11,8 @@ runs them.
       -> quality gate (token count)            (narrow)
       -> optional Gopher-rule gate             (narrow, gopher_gate=True)
       -> optional learned quality gate         (narrow, quality_model=)
-      -> optional unigram-LM perplexity gate   (narrow, unigram_lm=)
+      -> optional LM perplexity gate            (narrow, unigram_lm= — a
+         train_bigram_lm model upgrades it to the stupid-backoff bigram rung)
       -> language filter                       (narrow)
       -> benchmark decontamination             (broadcast join)
       -> deterministic train/val split         (narrow)
@@ -165,17 +166,30 @@ def curate_corpus(
 
     if unigram_lm is not None:
         # perplexity-proxy gate: mean token log-prob under a trusted
-        # reference LM (train_unigram_lm); threshold chosen from the
-        # reference's own score distribution
+        # reference LM; threshold chosen from the reference's own
+        # score distribution. A model from train_bigram_lm upgrades
+        # the gate to the stupid-backoff bigram scorer (sharper on
+        # word-order junk) — detected by its extra columns, so one
+        # parameter serves both rungs and thresholds stay the
+        # caller's responsibility per model.
         if min_lm_logprob is None:
             raise ValueError("unigram_lm needs min_lm_logprob")
-        from .quality_model import unigram_logprob_score
+        if "__bg_keys" in unigram_lm.columns:
+            from .quality_model import bigram_logprob_score
 
-        gated = (
-            unigram_logprob_score(gated, unigram_lm, text_col)
-            .filter(F.col("lm_logprob") >= min_lm_logprob)
-            .drop("lm_logprob")
-        )
+            gated = (
+                bigram_logprob_score(gated, unigram_lm, text_col)
+                .filter(F.col("lm2_logprob") >= min_lm_logprob)
+                .drop("lm2_logprob")
+            )
+        else:
+            from .quality_model import unigram_logprob_score
+
+            gated = (
+                unigram_logprob_score(gated, unigram_lm, text_col)
+                .filter(F.col("lm_logprob") >= min_lm_logprob)
+                .drop("lm_logprob")
+            )
 
     if min_compression_ratio is not None:
         # zlib repetitiveness gate — the one Python (Arrow-batched)

@@ -230,3 +230,165 @@ def unigram_logprob_score(
         .withColumn(out_col, _let(tokens(F.col(text_col)), body))
         .drop("__lm", "__lm_oov")
     )
+
+
+def train_bigram_lm(
+    corpus: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    bigram_size: int = 200_000,
+    alpha: float = 0.5,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Fit the bigram rung of the perplexity filter: unigram
+    log-probabilities (exactly `train_unigram_lm`'s model) PLUS
+    conditional bigram log-probabilities with STUPID BACKOFF (Brants
+    et al., EMNLP 2007, "Large Language Models in Machine
+    Translation") — the smoothing scheme published FOR web-scale LMs:
+    no normalization pass over contexts, a fixed penalty `backoff`
+    (0.4 in the paper) times the unigram probability whenever the
+    bigram is unseen, so training stays two counting aggregations.
+
+    p(w2|w1) = (count(w1 w2) + alpha) / (count(w1) + alpha * (V + 1))
+    for the kept top-`bigram_size` bigrams (Lidstone in the
+    conditional, consistent with the unigram rung); score backs off
+    to log(backoff) + logp_unigram(w2) otherwise.
+
+    Returns a ONE-ROW frame: the three unigram columns (so the model
+    COMPOSES — `unigram_logprob_score(docs, bigram_lm)` also works)
+    plus (__bg_keys array<string> "w1 w2", __bg_logp array<double>,
+    __bg_backoff double). Same broadcast-one-row pattern as the LSH
+    hyperplanes: constant plan size at any corpus size. Training is
+    one token explode + one pair explode + two count shuffles; the
+    collected model is bounded by vocab_size + bigram_size rows, the
+    same driver-side budget class as the unigram vocab."""
+    import math
+
+    from .dedup import _let
+    from .text import tokens
+
+    counts = (
+        corpus.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .count()
+    )
+    # ONE bounded collect (top vocab_size rows) feeds BOTH rungs: the
+    # unigram model (identical math to train_unigram_lm) and the
+    # bigram conditional denominators
+    top = counts.orderBy(F.desc("count"), F.asc("t")).limit(vocab_size).collect()
+    total = sum(r["count"] for r in top)
+    denom = total + alpha * (len(top) + 1)
+    uni_vocab = [r["t"] for r in top]
+    uni_logp = [math.log((r["count"] + alpha) / denom) for r in top]
+    uni_oov = math.log(alpha / denom)
+    uni_counts = {r["t"]: r["count"] for r in top}
+
+    def pair_keys(toks: Column) -> Column:
+        toks_ne = F.filter(toks, lambda t: t != "")
+        n = F.size(toks_ne)
+        return F.zip_with(
+            F.slice(toks_ne, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks_ne, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+
+    pair_counts = (
+        corpus.select(
+            F.explode(_let(tokens(F.col(text_col)), pair_keys)).alias("bg")
+        )
+        .groupBy("bg")
+        .count()
+        .orderBy(F.desc("count"), F.asc("bg"))
+        .limit(bigram_size)
+        .collect()
+    )
+    v1 = len(uni_counts) + 1
+    keys, logps = [], []
+    for r in pair_counts:
+        w1 = r["bg"].split(" ", 1)[0]
+        if w1 not in uni_counts:
+            # context outside the kept vocab: the serving fold would
+            # back off for w1 itself anyway — keep the table closed
+            # under the vocab so the conditional denominator is exact
+            continue
+        keys.append(r["bg"])
+        logps.append(
+            math.log((r["count"] + alpha) / (uni_counts[w1] + alpha * v1))
+        )
+    return corpus.sparkSession.createDataFrame(
+        [
+            (
+                uni_vocab,
+                uni_logp,
+                uni_oov,
+                keys,
+                logps,
+                math.log(backoff),
+            )
+        ],
+        "__lm_vocab: array<string>, __lm_logp: array<double>, "
+        "__lm_oov: double, __bg_keys: array<string>, "
+        "__bg_logp: array<double>, __bg_backoff: double",
+    )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lm2_logprob",
+) -> DataFrame:
+    """Adds `out_col` = mean per-token log-probability under the
+    stupid-backoff bigram LM from `train_bigram_lm`: the first token
+    scores its unigram log-probability, every following token scores
+    its seen-bigram conditional or log(backoff) + unigram. Higher =
+    more reference-like; same gating contract as
+    `unigram_logprob_score`, strictly sharper on word-order junk
+    (shuffled or template text keeps its unigram distribution but
+    loses its bigrams). Both maps ride one broadcast row; scoring is
+    two let-bound folds over the token array — zero shuffles, zero
+    Python, whole-stage codegen. Empty documents score the OOV
+    log-probability."""
+    from .dedup import _let
+    from .text import tokens
+
+    lm_map = lm.select(
+        F.map_from_arrays(F.col("__lm_vocab"), F.col("__lm_logp")).alias("__lm"),
+        "__lm_oov",
+        F.map_from_arrays(F.col("__bg_keys"), F.col("__bg_logp")).alias("__bg"),
+        "__bg_backoff",
+    )
+
+    def unigram_of(t: Column) -> Column:
+        return F.coalesce(F.element_at(F.col("__lm"), t), F.col("__lm_oov"))
+
+    def body(toks: Column) -> Column:
+        toks_ne = F.filter(toks, lambda t: t != "")
+        n = F.size(toks_ne)
+        first = unigram_of(F.element_at(toks_ne, 1))
+        pair_sum = F.aggregate(
+            F.zip_with(
+                F.slice(toks_ne, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(toks_ne, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("p"), b.alias("c")),
+            ),
+            F.lit(0.0),
+            lambda acc, pr: acc
+            + F.coalesce(
+                F.element_at(
+                    F.col("__bg"),
+                    F.concat(pr["p"], F.lit(" "), pr["c"]),
+                ),
+                F.col("__bg_backoff") + unigram_of(pr["c"]),
+            ),
+        )
+        return F.when(n > 0, (first + pair_sum) / n).otherwise(
+            F.col("__lm_oov")
+        )
+
+    return (
+        df.crossJoin(F.broadcast(lm_map))
+        .withColumn(out_col, _let(tokens(F.col(text_col)), body))
+        .drop("__lm", "__lm_oov", "__bg", "__bg_backoff")
+    )

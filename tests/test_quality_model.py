@@ -218,6 +218,48 @@ class TestUnigramLM:
         with pytest.raises(ValueError, match="min_lm_logprob"):
             curate_corpus(docs, unigram_lm=lm)
 
+    def test_curate_corpus_bigram_gate_catches_word_order_junk(self, spark):
+        """A train_bigram_lm model passed as unigram_lm= upgrades the
+        pipeline's LM gate to the bigram scorer: a doc that is a
+        word-ORDER scramble of reference text (identical unigram bag —
+        the unigram rung cannot tell them apart) is separable and
+        dropped."""
+        from etl_process_for_fraud_transactions_spark.operators.pipeline import (
+            curate_corpus,
+        )
+        from etl_process_for_fraud_transactions_spark.operators.quality_model import (
+            bigram_logprob_score,
+            train_bigram_lm,
+        )
+
+        ref = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(GOOD_TEXTS)], "doc_id long, text string"
+        )
+        lm = train_bigram_lm(ref, vocab_size=1000, bigram_size=1000)
+        ordered = GOOD_TEXTS[0]
+        toks = ordered.split()
+        scrambled = " ".join(toks[::2] + toks[1::2])
+        docs = spark.createDataFrame(
+            [(1, ordered), (2, scrambled)], "doc_id long, text string"
+        )
+        scores = {
+            r.doc_id: r.lm2_logprob
+            for r in bigram_logprob_score(docs, lm).collect()
+        }
+        assert scores[1] > scores[2]  # unigram bag identical; order differs
+        thr = (scores[1] + scores[2]) / 2
+        kept = {
+            r.doc_id
+            for r in curate_corpus(
+                docs,
+                min_tokens=5,
+                languages=("en", "und"),
+                unigram_lm=lm,
+                min_lm_logprob=thr,
+            ).collect()
+        }
+        assert kept == {1}
+
     def test_scoring_plan_narrow_and_udf_free(self, spark):
         from etl_process_for_fraud_transactions_spark.operators.quality_model import (
             train_unigram_lm,
@@ -235,4 +277,122 @@ class TestUnigramLM:
         )
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
         # scoring side: broadcast + project only, no hash repartition
+        assert "hashpartitioning" not in plan
+
+
+class TestBigramLM:
+    REF = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+    ]
+
+    def _models(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.quality_model import (
+            train_bigram_lm,
+        )
+
+        ref = spark.createDataFrame(self.REF, "doc_id long, text string")
+        return train_bigram_lm(ref, vocab_size=100, bigram_size=100, alpha=0.5)
+
+    @staticmethod
+    def _python_model(alpha=0.5, backoff=0.4):
+        import math
+        from collections import Counter
+
+        toks = ("the cat sat on the mat " "the dog sat on the log").split()
+        uni = Counter(toks)
+        bg = Counter(
+            f"{a} {b}"
+            for doc in ("the cat sat on the mat", "the dog sat on the log")
+            for a, b in zip(doc.split(), doc.split()[1:])
+        )
+        total = sum(uni.values())
+        denom = total + alpha * (len(uni) + 1)
+        logp = {t: math.log((n + alpha) / denom) for t, n in uni.items()}
+        oov = math.log(alpha / denom)
+        v1 = len(uni) + 1
+        bglogp = {
+            k: math.log((n + alpha) / (uni[k.split(" ", 1)[0]] + alpha * v1))
+            for k, n in bg.items()
+        }
+
+        def score(text):
+            ts = text.split()
+            if not ts:
+                return oov
+            s = logp.get(ts[0], oov)
+            for a, b in zip(ts, ts[1:]):
+                key = f"{a} {b}"
+                if key in bglogp:
+                    s += bglogp[key]
+                else:
+                    s += math.log(backoff) + logp.get(b, oov)
+            return s / len(ts)
+
+        return score, oov
+
+    def test_scores_match_python_replay(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.quality_model import (
+            bigram_logprob_score,
+        )
+
+        lm = self._models(spark)
+        score, oov = self._python_model()
+        docs = spark.createDataFrame(
+            [
+                (10, "the cat sat"),        # seen bigrams throughout
+                (11, "cat the sat"),        # same unigrams, broken order
+                (12, "quantum flux"),       # OOV + backoff
+                (13, ""),                   # empty -> oov
+                (14, "mat"),                # single token: unigram only
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.lm2_logprob
+            for r in bigram_logprob_score(docs, lm).collect()
+        }
+        for doc_id, text in [
+            (10, "the cat sat"), (11, "cat the sat"),
+            (12, "quantum flux"), (14, "mat"),
+        ]:
+            assert abs(got[doc_id] - score(text)) < 1e-12, doc_id
+        assert abs(got[13] - oov) < 1e-12
+        # word-order sharpness: same unigram bag, in-order text wins
+        assert got[10] > got[11]
+
+    def test_composes_with_unigram_scorer(self, spark):
+        """The bigram model carries the unigram columns, so
+        unigram_logprob_score accepts it and must produce EXACTLY the
+        unigram model's scores — one trained artifact serves both
+        rungs."""
+        from etl_process_for_fraud_transactions_spark.operators.quality_model import (
+            train_unigram_lm,
+            unigram_logprob_score,
+        )
+
+        ref = spark.createDataFrame(self.REF, "doc_id long, text string")
+        uni = train_unigram_lm(ref, vocab_size=100, alpha=0.5)
+        bi = self._models(spark)
+        docs = spark.createDataFrame(
+            [(1, "the cat on quantum"), (2, "")], "doc_id long, text string"
+        )
+        a = {r.doc_id: r.lm_logprob for r in unigram_logprob_score(docs, uni).collect()}
+        b = {r.doc_id: r.lm_logprob for r in unigram_logprob_score(docs, bi).collect()}
+        assert a == b
+
+    def test_scoring_plan_narrow_and_udf_free(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.quality_model import (
+            bigram_logprob_score,
+        )
+
+        lm = self._models(spark)
+        docs = spark.createDataFrame([(1, "the cat")], "doc_id long, text string")
+        plan = (
+            bigram_logprob_score(docs, lm)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
         assert "hashpartitioning" not in plan
