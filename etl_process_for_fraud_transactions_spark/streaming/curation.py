@@ -102,11 +102,22 @@ def curate_stream(
     if unigram_lm is not None:
         if min_lm_logprob is None:
             raise ValueError("unigram_lm needs min_lm_logprob")
-        from ..operators.quality_model import unigram_logprob_score
+        # same rung auto-detection as curate_corpus: a train_bigram_lm
+        # model upgrades the gate to the stupid-backoff bigram scorer;
+        # both serve as a stream-static broadcast + let-bound fold, so
+        # the stage stays stateless in-stream either way
+        if "__bg_keys" in unigram_lm.columns:
+            from ..operators.quality_model import bigram_logprob_score
 
-        df = unigram_logprob_score(df, unigram_lm, text_col).filter(
-            F.col("lm_logprob") >= min_lm_logprob
-        ).drop("lm_logprob")
+            df = bigram_logprob_score(df, unigram_lm, text_col).filter(
+                F.col("lm2_logprob") >= min_lm_logprob
+            ).drop("lm2_logprob")
+        else:
+            from ..operators.quality_model import unigram_logprob_score
+
+            df = unigram_logprob_score(df, unigram_lm, text_col).filter(
+                F.col("lm_logprob") >= min_lm_logprob
+            ).drop("lm_logprob")
 
     if pii:
         df = scrub_pii(df, text_col)

@@ -156,3 +156,64 @@ def test_dom_extractor_runs_in_stream_and_matches_batch(spark, tmp_path):
         for r in curate_stream(batch, html_col="html", html_extractor="dom").collect()
     }
     assert bgot == {d: (r.text, r.n_tokens, r.pred_lang) for d, r in got.items()}
+
+
+def test_bigram_lm_gate_runs_in_stream(spark, tmp_path):
+    """The bigram rung of the LM gate (train_bigram_lm passed as
+    unigram_lm=) is stateless in-stream: a word-order scramble of
+    reference text — invisible to the unigram rung — is dropped by
+    the streaming plan, and batch parity holds."""
+    from etl_process_for_fraud_transactions_spark.operators.quality_model import (
+        bigram_logprob_score,
+        train_bigram_lm,
+    )
+
+    plain = GOOD[3:-4]  # strip <p> tags: reference is clean text
+    toks = plain.split()
+    scrambled = " ".join(toks[::2] + toks[1::2])
+    ref = spark.createDataFrame([(1, plain)], "doc_id long, text string")
+    lm = train_bigram_lm(ref, vocab_size=1000, bigram_size=1000)
+    scores = {
+        r.doc_id: r.lm2_logprob
+        for r in bigram_logprob_score(
+            spark.createDataFrame(
+                [(1, plain), (2, scrambled)], "doc_id long, text string"
+            ),
+            lm,
+        ).collect()
+    }
+    assert scores[1] > scores[2]
+    thr = (scores[1] + scores[2]) / 2
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(src, "b1.jsonl", [
+        {"doc_id": 1, "html": f"<p>{plain}</p>"},
+        {"doc_id": 2, "html": f"<p>{scrambled}</p>"},
+    ])
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        curate_stream(
+            stream, html_col="html", unigram_lm=lm, min_lm_logprob=thr
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [1]
+
+    batch = spark.createDataFrame(
+        [(1, f"<p>{plain}</p>"), (2, f"<p>{scrambled}</p>")], SCHEMA
+    )
+    bkept = [
+        r.doc_id
+        for r in curate_stream(
+            batch, html_col="html", unigram_lm=lm, min_lm_logprob=thr
+        ).collect()
+    ]
+    assert bkept == [1]
