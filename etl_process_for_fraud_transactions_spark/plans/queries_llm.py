@@ -743,6 +743,19 @@ _CUR_LM_TIER2 = (
 )
 _CUR_LM_LOGP1, _CUR_LM_LOGP2, _CUR_LM_OOV = -3.0, -3.5, -6.5
 _CUR_MIN_LM = -3.203125
+#: frozen bigram table for the r9 lm2_logprob column (REAL
+#: bigram_logprob_score serving, stupid backoff): keys over the tier
+#: vocabulary so hits demonstrably occur in the corpus, log-probs and
+#: the backoff penalty all dyadic so every sum is exact (the unigram
+#: rung's argument); the unigram columns of the bigram model are the
+#: SAME tier literals, so the backoff arm replays through the
+#: identical lm_of CASE.
+_CUR_BG = (
+    ("hash join", -1.0), ("row batch", -1.25), ("table value", -1.5),
+    ("key scan", -1.75), ("the fast", -2.0), ("data column", -2.25),
+    ("value part", -2.5), ("small slow", -2.75),
+)
+_CUR_BG_BACKOFF = -0.75
 
 
 def _curation_oracle_sql() -> str:
@@ -755,10 +768,22 @@ def _curation_oracle_sql() -> str:
     t1 = ", ".join(f"'{w}'" for w in _CUR_LM_TIER1)
     t2 = ", ".join(f"'{w}'" for w in _CUR_LM_TIER2)
     b, w = _CUR_QM_INTERCEPT, _CUR_QM_WEIGHTS
-    lm_of = (
-        f"CASE WHEN x IN ({t1}) THEN CAST({_CUR_LM_LOGP1} AS DOUBLE) "
-        f"WHEN x IN ({t2}) THEN CAST({_CUR_LM_LOGP2} AS DOUBLE) "
-        f"ELSE CAST({_CUR_LM_OOV} AS DOUBLE) END"
+    def lm_case(var: str) -> str:
+        return (
+            f"CASE WHEN {var} IN ({t1}) THEN CAST({_CUR_LM_LOGP1} AS DOUBLE) "
+            f"WHEN {var} IN ({t2}) THEN CAST({_CUR_LM_LOGP2} AS DOUBLE) "
+            f"ELSE CAST({_CUR_LM_OOV} AS DOUBLE) END"
+        )
+
+    lm_of = lm_case("x")
+    bg_of = " ".join(
+        f"WHEN '{k}' THEN CAST({v} AS DOUBLE)" for k, v in _CUR_BG
+    )
+    # stupid-backoff pair score: seen bigram logp, else backoff + the
+    # SAME unigram CASE instantiated on the pair's second word
+    pair_of = (
+        f"CASE tkf[i] || ' ' || tkf[i+1] {bg_of} "
+        f"ELSE CAST({_CUR_BG_BACKOFF} AS DOUBLE) + {lm_case('tkf[i+1]')} END"
     )
     return f"""
     WITH toks0 AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
@@ -837,6 +862,7 @@ def _curation_oracle_sql() -> str:
     ),
     lmed AS (
         SELECT doc_id, n_tokens, q,
+               list_filter(tk, x -> x != '') AS tkf,
                CASE WHEN len(list_filter(tk, x -> x != '')) > 0
                     THEN list_sum(list_transform(list_filter(tk, x -> x != ''),
                                                  x -> {lm_of}))
@@ -844,14 +870,25 @@ def _curation_oracle_sql() -> str:
                     ELSE CAST({_CUR_LM_OOV} AS DOUBLE) END AS lmscore
         FROM qual
         WHERE q >= {_CUR_MIN_QUALITY}
+    ),
+    lmed2 AS (
+        SELECT doc_id, n_tokens, q, lmscore,
+               CASE WHEN len(tkf) > 0
+                    THEN ({lm_case('tkf[1]')}
+                          + coalesce(list_sum(list_transform(
+                                range(1, len(tkf)), i -> {pair_of})), 0.0))
+                         / len(tkf)
+                    ELSE CAST({_CUR_LM_OOV} AS DOUBLE) END AS lm2score
+        FROM lmed
     )
     SELECT doc_id, n_tokens,
            round(q, 6) AS quality_score,
            round(lmscore, 6) AS lm_logprob,
+           round(lm2score, 6) AS lm2_logprob,
            CASE WHEN instr('0123456789abcdef',
                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 >= 14
                 THEN 'val' ELSE 'train' END AS split
-    FROM lmed
+    FROM lmed2
     WHERE lmscore >= {_CUR_MIN_LM}
     """
 
@@ -865,6 +902,15 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate (frozen logistic model, one folded sigmoid expression) ->
     unigram-LM perplexity-proxy gate (fixed reference vocab, one
     broadcast map + fold) -> deterministic train/val split.
+
+    Round 9 adds the bigram rung under the driver hash: `lm2_logprob`
+    is scored by the REAL stupid-backoff serving fold
+    (quality_model.bigram_logprob_score) over a frozen dyadic bigram
+    table sharing the tier unigram literals, and the oracle replays
+    first-token-unigram + per-pair seen-bigram/backoff in exact
+    arithmetic (182 of 500 sf0.01 docs contain >= 1 frozen bigram, so
+    BOTH arms demonstrably fire). An audit column, not a gate —
+    survivor sets are unchanged.
 
     Round 7 folds in the round-6 flagship gates with frozen
     registered-literal parameters (the kmeans_anomaly_scores
@@ -936,11 +982,33 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     lmed = unigram_logprob_score(scored, lm, "text").filter(
         F.col("lm_logprob") >= _CUR_MIN_LM
     )
-    return train_val_split(lmed, "doc_id", val_buckets=2).select(
+    # r9: the bigram rung, scored by the REAL stupid-backoff serving
+    # fold (bigram_logprob_score) under a frozen dyadic bigram table
+    # whose unigram columns are the same tier literals — an audit
+    # column, not a gate, so every survivor set above is unchanged
+    from ..operators.quality_model import bigram_logprob_score
+
+    bg_lm = spark.createDataFrame(
+        [(
+            list(_CUR_LM_TIER1 + _CUR_LM_TIER2),
+            [_CUR_LM_LOGP1] * len(_CUR_LM_TIER1)
+            + [_CUR_LM_LOGP2] * len(_CUR_LM_TIER2),
+            _CUR_LM_OOV,
+            [k for k, _ in _CUR_BG],
+            [v for _, v in _CUR_BG],
+            _CUR_BG_BACKOFF,
+        )],
+        "__lm_vocab: array<string>, __lm_logp: array<double>, "
+        "__lm_oov: double, __bg_keys: array<string>, "
+        "__bg_logp: array<double>, __bg_backoff: double",
+    )
+    lmed2 = bigram_logprob_score(lmed, bg_lm, "text")
+    return train_val_split(lmed2, "doc_id", val_buckets=2).select(
         "doc_id",
         "n_tokens",
         F.round("quality_score", 6).alias("quality_score"),
         F.round("lm_logprob", 6).alias("lm_logprob"),
+        F.round("lm2_logprob", 6).alias("lm2_logprob"),
         "split",
     )
 
