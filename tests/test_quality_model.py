@@ -396,3 +396,33 @@ class TestBigramLM:
         )
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
         assert "hashpartitioning" not in plan
+
+
+def test_curation_row_bigram_leg_has_active_seen_arm(spark):
+    """The corpus_curation_pipeline lm2_logprob column must exercise
+    BOTH stupid-backoff arms at the smoke scale. Derived purely from
+    row outputs: over the same (masked) text the unigram mean `lm`
+    satisfies backoff_only_lm2 = lm + backoff*(n-1)/n, and every seen
+    bigram strictly RAISES the score (seen log-probs -1..-2.75 vs
+    backoff + unigram <= -3.75), so lm2 == backoff_only marks a
+    no-hit document and lm2 > backoff_only marks a hit."""
+    from etl_process_for_fraud_transactions_spark.plans import QUERIES
+    from etl_process_for_fraud_transactions_spark.plans.queries_llm import (
+        _CUR_BG_BACKOFF,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = QUERIES["corpus_curation_pipeline"](spark, SF_SMALL).collect()
+    assert rows, "smoke corpus produced no survivors"
+    saw_seen = saw_backoff_only = False
+    for r in rows:
+        n = r.n_tokens
+        backoff_only = r.lm_logprob + _CUR_BG_BACKOFF * (n - 1) / n
+        delta = r.lm2_logprob - backoff_only
+        assert delta > -2e-6, r  # seen bigrams can only raise the score
+        if delta > 1e-4:
+            saw_seen = True
+        elif abs(delta) <= 2e-6:
+            saw_backoff_only = True
+    assert saw_seen and saw_backoff_only
