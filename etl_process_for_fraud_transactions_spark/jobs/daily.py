@@ -254,6 +254,13 @@ class DailyFraudJob:
             broadcast_rule_hits=None,
         )
         self.wh.append_partitioned("rep_fraud", report, "report_dt")
+        # the measured hint gate persisted the two rule-hit frames;
+        # release them now that the report is materialized — a
+        # multi-date run would otherwise accumulate one cached pair
+        # per batch until LRU pressure (re-collecting the returned
+        # report recomputes the rules, correctly, just uncached)
+        for frame in getattr(report, "_rule_hit_frames", ()):
+            frame.unpersist()
         return report
 
     def run(self) -> list[str]:

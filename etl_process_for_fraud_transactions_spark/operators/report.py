@@ -148,7 +148,7 @@ def assemble_report(
         .when(brute_hit, F.lit(EV_BRUTE_FORCE))
     )  # no otherwise -> NULL, matching the CASE with no ELSE (main.py:542)
 
-    return (
+    result = (
         out.filter(blocked | expired | invalid | diff_city_hit | brute_hit)
         .select(
             F.col("t.trans_date").alias("event_dt"),
@@ -161,3 +161,12 @@ def assemble_report(
             report_dt.alias("report_dt"),
         )
     )
+    # measured mode persists the two hit frames; expose them so a
+    # long-running caller (jobs/daily.py, one report per batch date)
+    # can unpersist after materializing instead of relying on LRU —
+    # empty tuple in the hinted/unhinted modes, so callers can always
+    # iterate it unconditionally
+    result._rule_hit_frames = (
+        (diff_city_raw, brute_raw) if broadcast_rule_hits is None else ()
+    )
+    return result
