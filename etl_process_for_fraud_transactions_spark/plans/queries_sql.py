@@ -315,29 +315,104 @@ def value_percentiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the fixed probe workload for the bm25_topk_docs row: three queries
+#: over the fixture vocabulary, lengths 3/4/4, chosen so every query
+#: matches many docs (tiny synthetic vocab) and ranking is decided by
+#: tf / dl, not mere term presence.
+_BM25_QUERIES = {
+    "q_join_path": ("hash", "join", "merge"),
+    "q_window_sort": ("window", "group", "sort", "order"),
+    "q_stream": ("spark", "stream", "batch", "vector"),
+}
+
+_SQL_BM25_TOKS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+_SQL_BM25_QUERY_ROWS = ", ".join(
+    f"('{qid}', '{t}')"
+    for qid, terms in sorted(_BM25_QUERIES.items())
+    for t in terms
+)
+
+
 @query(
-    "token_frequencies",
-    """
-    SELECT token, COUNT(*) AS n_occurrences
-    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-    WHERE token <> ''
-    GROUP BY token
-    HAVING COUNT(*) >= 5
+    "bm25_topk_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_BM25_TOKS} AS t FROM documents
+    ),
+    q(query_id, term) AS (VALUES {_SQL_BM25_QUERY_ROWS}),
+    exploded AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+    ),
+    post AS (
+      SELECT e.doc_id, e.term,
+             COUNT(*) AS tf, MAX(e.dl) AS dl
+      FROM exploded e
+      JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+      GROUP BY e.doc_id, e.term
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(len(t)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avgdl
+      FROM toks
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+    contrib AS (
+      SELECT q.query_id, p.doc_id,
+             ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (CAST(p.tf AS DOUBLE) * 2.5)
+               / (CAST(p.tf AS DOUBLE)
+                  + 1.5 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE) / s.avgdl)))
+               AS c
+      FROM post p
+      JOIN dfreq d USING (term)
+      JOIN q USING (term)
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             COUNT(*) AS n_terms_matched,
+             round(CAST(SUM(CAST(c AS DECIMAL(18,9))) AS DOUBLE), 6)
+               AS score
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, rank, doc_id, n_terms_matched, score
+    FROM (
+      SELECT query_id, doc_id, n_terms_matched, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+             ) AS rank
+      FROM scored
+    )
+    WHERE rank <= 10
     """,
 )
-def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """explode / lateral-unnest surface (wordcount shape): one generator
-    per input row, then hash-aggregate on the token. The explode happens
-    before the shuffle, so map-side partial counts bound the shuffle to
-    |vocabulary| per partition — at 100 TB the shuffle carries the
-    dictionary, not the corpus."""
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi-BM25 top-10 per probe query (operators/retrieval.py) —
+    ranked keyword retrieval, the data-selection / contamination-triage
+    workhorse of a training-data pipeline.
+
+    Subsumes the former `token_frequencies` wordcount row (round 9,
+    driver 50-query cap): the explode -> hash-aggregate token surface
+    lives on inside the postings/df computation, now with the shuffle
+    pruned to query terms MAP-SIDE by a bounded broadcast — at 100 TB
+    the exchange carries only matched (doc, term) postings, the
+    dictionary-not-corpus argument strengthened to
+    query-vocabulary-not-dictionary. Score sums use the dsum exact-
+    decimal trick so fold order cannot flip a hash; ranks order by the
+    ROUNDED score with a doc-id tie-break so the window is decided
+    entirely by values both engines agree on (module docstring has the
+    full determinism argument; ln()'s 1-ulp libm residual is the
+    accepted ivf_centroids class)."""
+    from ..operators.retrieval import bm25_topk, terms_frame
+
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .filter(F.col("n_occurrences") >= 5)
+    return bm25_topk(
+        docs, terms_frame(spark, _BM25_QUERIES), topk=10
     )
 
 
