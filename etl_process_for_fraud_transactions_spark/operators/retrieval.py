@@ -25,6 +25,11 @@ Scale design (the 100 TB framing):
   shuffle therefore carries only (doc_id, matched-term) pairs — for a
   realistic query (tens of terms) that is a vanishing fraction of the
   corpus; the document text itself never enters an exchange.
+- The vanishing-fraction argument fails for a stopword-frequency
+  query term (it matches nearly every doc), so `max_df_frac` guards
+  it: df comes from a cheap pre-pass whose partial aggregation keeps
+  its exchange at <=|query vocab| rows per task, and terms above the
+  threshold are dropped BEFORE the postings shuffle ever sees them.
 - df / N / avgdl are bounded rollups: |query vocab| rows and one
   global pair, rejoined by broadcast.
 - No Python in the plan: tokenization, tf, idf and the score are all
@@ -66,12 +71,17 @@ def terms_frame(
     """(query_id, term) pairs from a {query_id: [term, ...]} mapping —
     the bounded query-workload frame `bm25_scores` consumes. Terms are
     normalized with the corpus tokenizer's conventions (lowercase) so
-    a caller's 'Hash' matches the normalized corpus token 'hash'."""
-    rows = [
-        (qid, term.lower())
-        for qid, terms in sorted(queries.items())
-        for term in terms
-    ]
+    a caller's 'Hash' matches the normalized corpus token 'hash', and
+    deduplicated per query (BM25 is a set-of-terms model; without the
+    dedupe a repeated term would silently double-count in both score
+    and n_terms_matched)."""
+    rows = sorted(
+        {
+            (qid, term.lower())
+            for qid, terms in queries.items()
+            for term in terms
+        }
+    )
     return spark.createDataFrame(rows, "query_id: string, term: string")
 
 
@@ -83,6 +93,7 @@ def bm25_scores(
     id_col: str = "doc_id",
     k1: float = 1.5,
     b: float = 0.75,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Score every document against every query it shares a term with:
     (query_id, <id_col>, n_terms_matched, score), score rounded to
@@ -92,24 +103,24 @@ def bm25_scores(
 
     `queries` is a (query_id, term) frame — build one with
     `terms_frame`. k1/b default to the standard 1.5/0.75; keep them
-    dyadic if the oracle-exactness argument should stay airtight."""
-    toks_ne = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    dyadic if the oracle-exactness argument should stay airtight.
 
-    # one corpus pass: dl carried alongside the explode so no second
-    # join against a doc-length relation is needed
-    exploded = docs.select(
-        F.col(id_col),
-        F.size(toks_ne).alias("__dl"),
-        F.explode(toks_ne).alias("term"),
-    )
+    `max_df_frac` — the scale guard. The "postings are a vanishing
+    fraction of the corpus" argument holds only while every query term
+    is selective; a stopword-frequency term matches nearly every
+    document and drives the (doc, term) shuffle toward corpus scale.
+    With `max_df_frac` set, terms whose document frequency exceeds
+    `max_df_frac * N` are DROPPED from scoring (the standard stopword
+    treatment — their idf is near zero anyway), and crucially they are
+    dropped BEFORE the postings shuffle: df comes from a dedicated
+    pre-pass (per-doc distinct matched terms, map-side partial
+    aggregation, so that shuffle carries at most |query vocab| rows
+    per task), and the postings explode joins only the surviving
+    terms. A dropped term does not count toward n_terms_matched.
+    Default None keeps every term (small-corpus / interactive use)."""
+    toks_ne = F.filter(tokens(F.col(text_col)), lambda t: t != "")
     qterms = queries.select("term").distinct()
-    # map-side prune BEFORE the (doc, term) shuffle — the broadcast is
-    # bounded by construction (user query workload)
-    post = (
-        exploded.join(F.broadcast(qterms), "term")
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl"))
-    )
+
     # global stats: exact integer sum / count, ONE double division —
     # bit-identical in any IEEE engine (avg() folds doubles in
     # partition order, so it is NOT used)
@@ -120,7 +131,47 @@ def bm25_scores(
             / F.count(F.lit(1)).cast("double")
         ).alias("__avgdl"),
     )
-    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+
+    # df pre-pass: explode each doc's DISTINCT tokens, prune to query
+    # terms under the bounded broadcast, count docs per term. Partial
+    # aggregation means the exchange here carries at most |query
+    # vocab| rows per task regardless of corpus size — this is what
+    # lets the max-df guard run BEFORE the heavy postings shuffle.
+    dfreq = (
+        docs.select(F.explode(F.array_distinct(toks_ne)).alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    if max_df_frac is not None:
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(stats.select("__n")))
+            .filter(
+                F.col("__df").cast("double")
+                <= F.lit(float(max_df_frac)) * F.col("__n").cast("double")
+            )
+            .select("term", "__df")
+        )
+
+    # postings pass: dl carried alongside the explode so no second
+    # join against a doc-length relation is needed; the broadcast join
+    # against the (guard-surviving) term set prunes MAP-SIDE, before
+    # the (doc, term) exchange, and carries df through the aggregate
+    # so no separate dfreq join-back is needed.
+    exploded = docs.select(
+        F.col(id_col),
+        F.size(toks_ne).alias("__dl"),
+        F.explode(toks_ne).alias("term"),
+    )
+    post = (
+        exploded.join(F.broadcast(dfreq), "term")
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).alias("__tf"),
+            F.max("__dl").alias("__dl"),
+            F.max("__df").alias("__df"),
+        )
+    )
 
     idf = F.log(
         F.lit(1.0)
@@ -134,8 +185,7 @@ def bm25_scores(
     contrib = idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm_len)
 
     scored = (
-        post.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+        post.crossJoin(F.broadcast(stats))
         .join(F.broadcast(queries), "term")
         .groupBy("query_id", id_col)
         .agg(
@@ -161,6 +211,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     k1: float = 1.5,
     b: float = 0.75,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Top-k documents per query by BM25: (query_id, rank, <id_col>,
     n_terms_matched, score). Rank is a row_number over (rounded score
@@ -170,7 +221,13 @@ def bm25_topk(
     from pyspark.sql.window import Window
 
     scored = bm25_scores(
-        docs, queries, text_col=text_col, id_col=id_col, k1=k1, b=b
+        docs,
+        queries,
+        text_col=text_col,
+        id_col=id_col,
+        k1=k1,
+        b=b,
+        max_df_frac=max_df_frac,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc(id_col)

@@ -54,4 +54,8 @@ def flagship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims["terminals"],
         d["blacklist"],
         report_dt=batch,
+        # fact-scaled hit frames: let AQE pick the join-back strategy
+        # from runtime stats (no persist barrier, no abort at 100x);
+        # jobs/daily.py keeps the measured-gate None default.
+        broadcast_rule_hits=False,
     )

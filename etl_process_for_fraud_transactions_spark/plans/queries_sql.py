@@ -347,29 +347,38 @@ _SQL_BM25_QUERY_ROWS = ", ".join(
     exploded AS (
       SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
     ),
-    post AS (
-      SELECT e.doc_id, e.term,
-             COUNT(*) AS tf, MAX(e.dl) AS dl
-      FROM exploded e
-      JOIN (SELECT DISTINCT term FROM q) qt USING (term)
-      GROUP BY e.doc_id, e.term
-    ),
     stats AS (
       SELECT COUNT(*) AS n,
              CAST(SUM(len(t)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                AS avgdl
       FROM toks
     ),
-    dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, term
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)) dt
+      JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+      GROUP BY term
+    ),
+    kept AS (
+      SELECT d.term, d.df FROM dfreq d CROSS JOIN stats s
+      WHERE CAST(d.df AS DOUBLE) <= 0.8 * CAST(s.n AS DOUBLE)
+    ),
+    post AS (
+      SELECT e.doc_id, e.term,
+             COUNT(*) AS tf, MAX(e.dl) AS dl, MAX(k.df) AS df
+      FROM exploded e
+      JOIN kept k USING (term)
+      GROUP BY e.doc_id, e.term
+    ),
     contrib AS (
       SELECT q.query_id, p.doc_id,
-             ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             ln(1.0 + (s.n - p.df + 0.5) / (p.df + 0.5))
                * (CAST(p.tf AS DOUBLE) * 2.5)
                / (CAST(p.tf AS DOUBLE)
                   + 1.5 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE) / s.avgdl)))
                AS c
       FROM post p
-      JOIN dfreq d USING (term)
       JOIN q USING (term)
       CROSS JOIN stats s
     ),
@@ -407,12 +416,20 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED score with a doc-id tie-break so the window is decided
     entirely by values both engines agree on (module docstring has the
     full determinism argument; ln()'s 1-ulp libm residual is the
-    accepted ivf_centroids class)."""
+    accepted ivf_centroids class).
+
+    Round 10: runs the max-df scale guard (max_df_frac=0.8) — terms
+    matching >80% of the corpus are dropped BEFORE the postings
+    shuffle (stopword treatment; the df pre-pass's partial aggregation
+    keeps its own exchange at |query vocab| rows per task). On the
+    fixture the guard demonstrably fires: at sf0.01 it drops 'batch'
+    (df 402/500), at sf0.001 'window'/'merge'/'sort' — the oracle's
+    `kept` CTE replays the same double-precision df <= 0.8*N cut."""
     from ..operators.retrieval import bm25_topk, terms_frame
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(
-        docs, terms_frame(spark, _BM25_QUERIES), topk=10
+        docs, terms_frame(spark, _BM25_QUERIES), topk=10, max_df_frac=0.8
     )
 
 

@@ -197,6 +197,261 @@ def test_asof_join_has_no_pair_explosion(spark):
     assert "Union" in plan
 
 
+# ---------------------------------------------------------------------------
+# Round 10: package-wide broadcast-hint lint. The forced-hint-on-a-
+# fact-scaled-frame bug was fixed four separate times (multihop r5,
+# cap_per_domain r8, anti/semi demos r9, anomaly tier r9, fraud_report
+# demo r10) — this sweep walks EVERY registered query's optimized plan
+# and asserts each broadcast-hinted join side is provably bounded, so
+# the fifth reintroduction fails CI instead of shipping.
+# ---------------------------------------------------------------------------
+
+_GLYPH = re.compile(r"^([:+\-\s]*)")
+#: bounded leaf relations: literal/driver frames, spark.range dims,
+#: the TPC-H nation/region parquet tables, and persisted frames
+#: (InMemoryRelation = the measured-gate contract: every persisted
+#: hinted frame in the package is counted against a cap before the
+#: hint is applied — cap_per_domain r8, NearDupIndex.check r9).
+_BOUNDED_LEAF = re.compile(
+    r"^(LocalRelation|OneRowRelation|LogicalRDD|InMemoryRelation)"
+)
+_RANGE_LEAF = re.compile(r"^Range \(0, (\d+),")
+_RANGE_MAX = 100_000
+_FACT_LEAF = re.compile(r"^Relation \[([^\]]*)\] ")
+_BOUNDED_TABLE_COLS = ("n_nationkey", "r_regionkey")
+#: adjudicated not-structurally-provable hinted sides (count pinned):
+#: frames bounded by the PROBE/BENCHMARK workload contract, which the
+#: demo derives from a fact split so the oracle can replay it.
+_ALLOWED_WORKLOAD_HINTS = {
+    # probe query vectors: Filter vec_id < 3 over embeddings
+    "ann_cosine_topk": 1,
+    # probe vectors + the k-centroid aggregate (k bounded by config)
+    "ivf_cosine_topk": 2,
+    # benchmark n-gram counts + benchmark shingles (doc_id % 101 == 7
+    # split stands in for the bounded-by-construction benchmark set)
+    "corpus_curation_pipeline": 2,
+}
+
+
+def _depth(line: str) -> int:
+    return len(_GLYPH.match(line).group(1))
+
+
+def _node(line: str) -> str:
+    return line[_depth(line):]
+
+
+def _children(lines, i):
+    d = _depth(lines[i])
+    out = []
+    for j in range(i + 1, len(lines)):
+        dj = _depth(lines[j])
+        if dj <= d:
+            break
+        if dj == d + 3:
+            out.append(j)
+    return out
+
+
+def _subtree(lines, i):
+    """Logical subtree at line i, skipping the cached physical plan an
+    InMemoryRelation prints below itself."""
+    d = _depth(lines[i])
+    out = [lines[i]]
+    j = i + 1
+    skip_below = None
+    while j < len(lines):
+        dj = _depth(lines[j])
+        if dj <= d:
+            break
+        if skip_below is not None:
+            if dj > skip_below:
+                j += 1
+                continue
+            skip_below = None
+        out.append(lines[j])
+        if _node(lines[j]).startswith("InMemoryRelation"):
+            skip_below = dj
+        j += 1
+    return out
+
+
+def _names(expr: str) -> set[str]:
+    """Attribute names with the #id suffix stripped."""
+    return {m.group(1) for m in re.finditer(r"(\w+)#\d+", expr)}
+
+
+def _bracket_groups(node: str) -> list[str]:
+    """Top-level [...] groups of a plan node line, bracket-matched (a
+    grouped Aggregate prints `Aggregate [keys], [exprs]`; expressions
+    inside may themselves contain brackets)."""
+    groups = []
+    depth = 0
+    start = None
+    for i, ch in enumerate(node):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start is not None:
+                groups.append(node[start:i])
+                start = None
+    return groups
+
+
+def _side_is_bounded(sub: list[str]) -> bool:
+    """True iff the hinted join side is provably size-bounded."""
+    nodes = [_node(l) for l in sub]
+    # class 1: every leaf is a bounded relation
+    fact_leaves = []
+    ok_leaves = True
+    for n in nodes:
+        if _BOUNDED_LEAF.match(n):
+            continue
+        m = _RANGE_LEAF.match(n)
+        if m:
+            if int(m.group(1)) > _RANGE_MAX:
+                ok_leaves = False
+            continue
+        m = _FACT_LEAF.match(n)
+        if m:
+            if any(c in m.group(1) for c in _BOUNDED_TABLE_COLS):
+                continue
+            fact_leaves.append(n)
+            ok_leaves = False
+    if ok_leaves:
+        return True
+    assert fact_leaves, "unbounded non-relation leaf?"
+    # class 2: a GLOBAL aggregate (no grouping keys -> <= 1 row) at or
+    # above the fact leaves. Global prints `Aggregate [exprs]`,
+    # grouped prints `Aggregate [keys], [exprs]`.
+    for n in nodes:
+        groups = _bracket_groups(n)
+        if n.startswith("Aggregate ") and len(groups) == 1:
+            return True
+    # class 3: output keyed by a bounded domain — a grouped Aggregate
+    # or WindowGroupLimit whose keys are equi-joined below to a side
+    # that is itself bounded (the dfreq / cap_per_domain shapes).
+    limiter_keys = None
+    for n in nodes:
+        if n.startswith(("Aggregate ", "WindowGroupLimit ")):
+            groups = _bracket_groups(n)
+            if len(groups) >= 2:
+                limiter_keys = _names(groups[0])
+                break
+    if limiter_keys:
+        for idx, line in enumerate(sub):
+            n = _node(line)
+            if not n.startswith("Join") or "strategy=broadcast" not in n:
+                continue
+            kids = _children(sub, idx)
+            side = None
+            if "rightHint=(strategy=broadcast)" in n and len(kids) > 1:
+                side = kids[1]
+            elif "leftHint=(strategy=broadcast)" in n and kids:
+                side = kids[0]
+            if side is None:
+                continue
+            join_keys = _names(n[n.find(","):]) if "," in n else set()
+            # EVERY limiter key must be bounded by the join — a mere
+            # intersection would bless e.g. a (trans_id, client_id)
+            # hit set because client_id alone joins a bounded dim
+            if (
+                limiter_keys
+                and limiter_keys <= join_keys
+                and _side_is_bounded(_subtree(sub, side))
+            ):
+                return True
+    return False
+
+
+def test_every_broadcast_hint_roots_at_a_bounded_frame(spark):
+    """Sweep ALL registered queries: every broadcast-hinted join side
+    in every optimized plan must be provably bounded (bounded leaves /
+    one-row aggregate / bounded-keyed limiter), except the pinned
+    probe-workload frames. A new unconditional hint on a fact-scaled
+    frame fails here."""
+    from etl_process_for_fraud_transactions_spark.plans import QUERIES
+
+    violations = []
+    workload_hits: dict[str, int] = {}
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, SF_SMALL)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            n = _node(line)
+            if not n.startswith("Join"):
+                continue
+            kids = _children(lines, i)
+            sides = []
+            if "leftHint=(strategy=broadcast)" in n and kids:
+                sides.append(kids[0])
+            if "rightHint=(strategy=broadcast)" in n and len(kids) > 1:
+                sides.append(kids[1])
+            for k in sides:
+                if _side_is_bounded(_subtree(lines, k)):
+                    continue
+                workload_hits[name] = workload_hits.get(name, 0) + 1
+                if workload_hits[name] > _ALLOWED_WORKLOAD_HINTS.get(
+                    name, 0
+                ):
+                    violations.append(f"{name}: {_node(lines[k])[:140]}")
+    assert not violations, "\n".join(violations)
+    # the allowlist must not rot: entries that stop appearing should be
+    # removed rather than silently masking future regressions
+    for name, cap in _ALLOWED_WORKLOAD_HINTS.items():
+        assert workload_hits.get(name, 0) == cap, (
+            name,
+            workload_hits.get(name),
+        )
+
+
+def test_fraud_report_demo_hints_only_bounded_dims(spark):
+    """Round 10 directive 1: the registered fraud_report row and the
+    flagship entry() pass broadcast_rule_hits=False — the rule-hit
+    join-backs (fact-scaled) carry NO hint; every remaining hint roots
+    at a spark.range dim / blacklist frame. AQE still broadcasts the
+    runtime-small hit sets at test scale."""
+    from etl_process_for_fraud_transactions_spark.plans.flagship import (
+        flagship_report,
+    )
+
+    for df in (
+        QUERIES["fraud_report"](spark, SF_SMALL),
+        flagship_report(spark, SF_SMALL),
+    ):
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        lines = opt.splitlines()
+        n_hints = 0
+        for i, line in enumerate(lines):
+            n = _node(line)
+            if not n.startswith("Join"):
+                continue
+            kids = _children(lines, i)
+            sides = []
+            if "leftHint=(strategy=broadcast)" in n and kids:
+                sides.append(kids[0])
+            if "rightHint=(strategy=broadcast)" in n and len(kids) > 1:
+                sides.append(kids[1])
+            for k in sides:
+                n_hints += 1
+                sub = [_node(l) for l in _subtree(lines, k)]
+                leaves = [
+                    s
+                    for s in sub
+                    if re.match(r"^(Relation|Range|LocalRelation|LogicalRDD)", s)
+                ]
+                assert leaves, sub[0]
+                for leaf in leaves:
+                    assert leaf.startswith("Range (0,") or leaf.startswith(
+                        "LocalRelation"
+                    ) or leaf.startswith("LogicalRDD"), leaf
+        assert n_hints > 0  # the dim/blacklist hints are still there
+
+
 def test_fraud_report_rule_hit_hints_are_measured(spark):
     """assemble_report's measured mode (broadcast_rule_hits=None, the
     jobs/daily.py production default — late round 9, the

@@ -6,6 +6,7 @@ row (tests/test_queries_oracle.py replays it at sf0.001)."""
 from __future__ import annotations
 
 import math
+import re
 
 from etl_process_for_fraud_transactions_spark.operators.retrieval import (
     bm25_scores,
@@ -86,6 +87,51 @@ def test_bm25_absent_terms_and_empty_query_results(spark):
     assert got == []
 
 
+def test_terms_frame_dedupes_repeated_terms(spark):
+    """BM25 is a set-of-terms model: a caller repeating a term must
+    not double-count it (round-10 ADVICE close-out)."""
+    docs = _corpus(spark)
+    once = bm25_scores(docs, terms_frame(spark, {"q": ["hash"]})).collect()
+    thrice = bm25_scores(
+        docs, terms_frame(spark, {"q": ["hash", "HASH", "hash"]})
+    ).collect()
+    key = lambda rows: sorted(
+        (r["doc_id"], r["n_terms_matched"], r["score"]) for r in rows
+    )
+    assert key(once) == key(thrice)
+
+
+def test_max_df_guard_drops_saturated_term(spark):
+    """The 100 TB scale guard: a term matching more than max_df_frac
+    of the corpus is dropped from scoring entirely — no posting for
+    it survives to the shuffle, and it does not count toward
+    n_terms_matched. Selective terms are untouched."""
+    # 'the' in 5/6 docs (df frac 0.833); 'rare' in 1/6
+    rows = [(i, "the filler") for i in range(1, 6)] + [(6, "rare text")]
+    docs = spark.createDataFrame(rows, "doc_id: int, text: string")
+    q = terms_frame(spark, {"q": ["the", "rare"]})
+
+    unguarded = bm25_scores(docs, q).collect()
+    assert {r["doc_id"] for r in unguarded} == {1, 2, 3, 4, 5, 6}
+
+    guarded = bm25_scores(docs, q, max_df_frac=0.8).collect()
+    assert {r["doc_id"] for r in guarded} == {6}
+    assert guarded[0]["n_terms_matched"] == 1  # 'the' no longer counted
+
+    # boundary is inclusive: df frac exactly at the threshold survives
+    at_cut = bm25_scores(docs, q, max_df_frac=5.0 / 6.0).collect()
+    assert {r["doc_id"] for r in at_cut} == {1, 2, 3, 4, 5, 6}
+
+
+def test_max_df_guard_default_off_matches_unguarded(spark):
+    docs = _corpus(spark)
+    q = terms_frame(spark, {"q": ["hash", "join"]})
+    base = bm25_topk(docs, q).collect()
+    loose = bm25_topk(docs, q, max_df_frac=1.0).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(base) == key(loose)
+
+
 def test_bm25_postings_pruned_before_exchange(spark):
     """The 100 TB invariant: the broadcast semi-join against the query
     terms sits BELOW the first Exchange, so the shuffle carries only
@@ -99,11 +145,16 @@ def test_bm25_postings_pruned_before_exchange(spark):
         .executedPlan()
         .toString()
     )
-    first_exchange = plan.index("Exchange")
+    shuffle_re = re.compile(r"\bExchange hashpartitioning")
+    shuffles = [m.start() for m in shuffle_re.finditer(plan)]
+    assert shuffles, "expected at least one shuffle Exchange in the plan"
     first_bcast_join = plan.index("BroadcastHashJoin")
     # toString prints parents above children: the pruning join must
-    # appear AFTER (= deeper than) the first exchange in the tree walk
-    assert first_bcast_join > first_exchange
-    for line in plan.splitlines():
-        if line.strip().startswith("Exchange"):
-            assert "text#" not in line, line
+    # appear AFTER (= deeper than) the first shuffle in the tree walk
+    assert first_bcast_join > shuffles[0]
+    shuffle_lines = [
+        line for line in plan.splitlines() if shuffle_re.search(line)
+    ]
+    assert shuffle_lines  # the per-line sweep below must not be vacuous
+    for line in shuffle_lines:
+        assert "text#" not in line, line
