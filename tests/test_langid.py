@@ -1,0 +1,119 @@
+"""Frozen character-n-gram language ID (operators/langid.py): real
+held-out accuracy within the Latin script, exact Spark<->driver score
+parity (dyadic quantization), tie-break determinism, and the map-only
+plan invariant. The cross-engine hash gate is the langid leg of the
+`doc_fingerprints` driver row."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from etl_process_for_fraud_transactions_spark.operators.langid import (
+    FROZEN_ROMANCE,
+    HELDOUT_SENTENCES,
+    _QUANTUM,
+    classify_language,
+    train_langid,
+)
+
+
+def _held_df(spark):
+    rows = [
+        (lang, i, s)
+        for lang, sents in sorted(HELDOUT_SENTENCES.items())
+        for i, s in enumerate(sents)
+    ]
+    return spark.createDataFrame(rows, "expected: string, i: int, text: string")
+
+
+def test_frozen_model_separates_parallel_heldout_sentences(spark):
+    """The core claim: es/pt/it — one script family, near-identical
+    stopword profiles — separated on PARALLEL held-out translations
+    (same content, only orthography differs). 15/15."""
+    got = classify_language(_held_df(spark), FROZEN_ROMANCE).collect()
+    assert len(got) == 15
+    for r in got:
+        assert r["langid_pred"] == r["expected"], (r["expected"], r["text"])
+
+
+def test_spark_scores_match_driver_replay_exactly(spark):
+    """Dyadic log-probs (multiples of 1/1024) make per-language score
+    sums EXACT in any IEEE engine: the Spark fold and the pure-Python
+    replay must agree bit-for-bit, not approximately."""
+    df = classify_language(
+        _held_df(spark), FROZEN_ROMANCE, score_col="score"
+    ).collect()
+    for r in df:
+        py = FROZEN_ROMANCE.score_py(r["text"])
+        assert r["score"] == max(py.values()), (r["text"], r["score"], py)
+        assert r["langid_pred"] == FROZEN_ROMANCE.classify_py(r["text"])
+
+
+def test_all_logps_are_dyadic():
+    for lang in FROZEN_ROMANCE.langs:
+        for p in FROZEN_ROMANCE.profiles[lang].values():
+            assert p * _QUANTUM == round(p * _QUANTUM)
+        assert FROZEN_ROMANCE.oov[lang] * _QUANTUM == round(
+            FROZEN_ROMANCE.oov[lang] * _QUANTUM
+        )
+
+
+def test_tie_breaks_by_language_code_asc(spark):
+    """Two languages with IDENTICAL profiles score identically on any
+    text; the argmax must deterministically pick the ASC code."""
+    m = train_langid({"aa": "gato gato gato", "zz": "gato gato gato"})
+    df = spark.createDataFrame([(1, "gato")], "id: int, text: string")
+    got = classify_language(df, m).collect()[0]
+    assert got["langid_pred"] == "aa"
+    assert m.classify_py("gato") == "aa"
+
+
+def test_no_letters_scores_all_oov(spark):
+    """A letterless doc degrades to per-language OOV sums (callers
+    gate on dominant_script first — documented contract); the verdict
+    is still deterministic."""
+    df = spark.createDataFrame([(1, "12345 !!!")], "id: int, text: string")
+    got = classify_language(df, FROZEN_ROMANCE, score_col="s").collect()[0]
+    py = FROZEN_ROMANCE.score_py("12345 !!!")
+    assert got["s"] == max(py.values())
+    assert got["langid_pred"] == FROZEN_ROMANCE.classify_py("12345 !!!")
+
+
+def test_serving_is_map_only(spark):
+    """100 TB invariant: classification is the one-row model broadcast
+    plus a map stage — no shuffle exchange anywhere in the plan."""
+    plan = (
+        classify_language(_held_df(spark), FROZEN_ROMANCE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not re.search(r"\bExchange hashpartitioning", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sql_values_round_trip_duckdb(spark):
+    """The oracle-side helpers replay one sentence's scores exactly in
+    DuckDB using the serving normalization (regex/substr), proving the
+    cross-engine contract independent of the driver leg."""
+    import duckdb
+
+    sent = HELDOUT_SENTENCES["pt"][0]
+    con = duckdb.connect()
+    q = f"""
+    WITH prof(lang, gram, logp) AS (VALUES {FROZEN_ROMANCE.sql_profile_values()}),
+    oov(lang, oov_logp) AS (VALUES {FROZEN_ROMANCE.sql_oov_values()}),
+    t AS (SELECT ' ' || trim(regexp_replace(lower('{sent.replace("'", "''")}'),
+               '[^\\p{{L}}]+', ' ', 'g')) || ' ' AS s),
+    grams AS (SELECT unnest(list_transform(range(1, greatest(length(s), 2)),
+               i -> substr(s, i, 2))) AS g FROM t)
+    SELECT o.lang, SUM(coalesce(p.logp, o.oov_logp)) AS score
+    FROM grams CROSS JOIN oov o
+    LEFT JOIN prof p ON p.lang = o.lang AND p.gram = grams.g
+    GROUP BY o.lang
+    """
+    got = {r[0]: r[1] for r in con.execute(q).fetchall()}
+    py = FROZEN_ROMANCE.score_py(sent)
+    assert got == py, (got, py)

@@ -155,8 +155,30 @@ def test_text_profile_is_map_only(spark):
 
 
 def test_doc_fingerprints_is_map_only(spark):
+    """Map-only modulo the ONE-ROW langid model broadcast (round 10):
+    no shuffle exchange — the corpus never repartitions; the only
+    exchange is the broadcast of the frozen-profile row."""
     plan = _plan(spark, "doc_fingerprints")
-    assert "Exchange" not in plan
+    assert not re.search(r"\bExchange hashpartitioning", plan)
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("BroadcastExchange") <= 1
+
+
+def test_doc_fingerprints_langid_separates_on_driver_probes(spark):
+    """The langid leg's linguistic claim, pinned where the driver
+    hashes it: every probe row's frozen-classifier verdict equals the
+    probe's language class — 3 sibling Romance languages separated on
+    parallel held-out sentences across the whole table."""
+    df = QUERIES["doc_fingerprints"](spark, SF_SMALL)
+    bad = df.filter(
+        (df["langid_pred"] != df["langid_expected"])
+    ).count()
+    assert bad == 0
+    langs = {
+        r["langid_pred"]
+        for r in df.select("langid_pred").distinct().collect()
+    }
+    assert langs == {"es", "it", "pt"}
 
 
 def test_document_chunks_single_pack_exchange(spark):
