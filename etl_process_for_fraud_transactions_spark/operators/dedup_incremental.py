@@ -448,7 +448,7 @@ class NearDupIndex:
 
     def filter_new(
         self, new_docs: DataFrame, threshold: float | None = None,
-        exclude_batch=None,
+        exclude_batch=None, corpus_pairs: DataFrame | None = None,
     ) -> DataFrame:
         """Rows of `new_docs` that near-duplicate neither the indexed
         corpus nor a surviving earlier batch document — the incremental
@@ -457,10 +457,20 @@ class NearDupIndex:
         clusters are computed with the same LSH parameters; a cluster
         with any corpus-duplicated member is dropped whole (its union
         survivor would be the corpus copy), covering the transitive
-        chain batch_a ~ batch_b ~ corpus case."""
+        chain batch_a ~ batch_b ~ corpus case.
+
+        `corpus_pairs`: a precomputed `check(new_docs, ...)` result
+        for the SAME batch/threshold/exclusion — callers that also
+        report the duplication pairs (the daily job's audit output)
+        pass it here so the candidate/verify path, its broadcast-gate
+        count and the index reads run once, not twice."""
         threshold = self._resolve_threshold(threshold)
+        if corpus_pairs is None:
+            corpus_pairs = self.check(
+                new_docs, threshold, exclude_batch=exclude_batch
+            )
         corpus_dups = (
-            self.check(new_docs, threshold, exclude_batch=exclude_batch)
+            corpus_pairs
             .select(F.col("new_id").alias(self.id_col))
             .distinct()
         )
@@ -474,10 +484,15 @@ class NearDupIndex:
             threshold,
             portable=self.portable,
         )
+        # within-batch clusters are O(batch duplicates) by contract —
+        # the measured driver shortcut skips the per-round job
+        # overhead when the pair graph fits, degrades to distributed
+        # label-prop when it doesn't (graph.py docstring)
         comp = dedup_components(
             batch_pairs.select("id_a", "id_b"),
             all_ids=new_docs.select(self.id_col),
             id_col=self.id_col,
+            small_graph_max_edges=200_000,
         )
         dirty_clusters = (
             comp.join(corpus_dups, self.id_col, "left_semi")

@@ -43,12 +43,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_components(edges: list[tuple]) -> dict:
+    """Driver-side union-find with path compression: node -> min
+    reachable node. The exact semantics of the distributed paths."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edges:
+        if u is None or v is None:
+            continue
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN so every root is its component's minimum
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
     algorithm: str = "label",
+    small_graph_max_edges: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`, where
     component = the minimum node id reachable through the undirected
@@ -67,7 +94,30 @@ def connected_components(
       label propagation's diameter-many rounds explode: a 10k-node
       path converges in ~15 star rounds vs 10k label rounds
       (tests/test_graph.py pins this).
-    """
+
+    small_graph_max_edges: MEASURED driver shortcut (off by default).
+    Every distributed round costs jobs (checkpoint + convergence
+    count) whose fixed overhead dwarfs the work when the pair graph
+    is small — the common case for per-batch near-dup clustering,
+    where edges are O(batch duplicates), not O(corpus). When set, the
+    edge set is probed with limit(cap+1): if it FITS, union-find
+    finishes on the driver in microseconds (identical min-component
+    semantics, pinned by parity test); if the probe overflows, the
+    distributed path runs as if the cap were never set — measured
+    degrade, never an assumed bound (the broadcast-gate contract)."""
+    if small_graph_max_edges is not None and small_graph_max_edges > 0:
+        probe = (
+            edges.select(src, dst)
+            .limit(small_graph_max_edges + 1)
+            .collect()
+        )
+        if len(probe) <= small_graph_max_edges:
+            comp = _union_find_components([tuple(r) for r in probe])
+            node_t = dict(edges.dtypes)[src]
+            return edges.sparkSession.createDataFrame(
+                sorted(comp.items()),
+                f"node: {node_t}, component: {node_t}",
+            )
     if algorithm == "star":
         return _connected_components_star(edges, src, dst, max_iter)
     if algorithm != "label":
@@ -241,15 +291,19 @@ def dedup_components(
     dst: str = "id_b",
     max_iter: int = 25,
     algorithm: str = "label",
+    small_graph_max_edges: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs -> (doc_id, survivor_id, is_survivor): the
     transitive duplicate clusters with the minimum member as survivor.
     Pass `all_ids` (a frame with `id_col`) to also emit singleton rows
     for documents that appear in no pair — the full corpus verdict a
-    curation pipeline filters on. `algorithm` as in
-    connected_components ('star' for chain-shaped clusters)."""
+    curation pipeline filters on. `algorithm` /
+    `small_graph_max_edges` as in connected_components ('star' for
+    chain-shaped clusters; the measured driver shortcut for per-batch
+    graphs)."""
     comp = connected_components(
-        pairs, src=src, dst=dst, max_iter=max_iter, algorithm=algorithm
+        pairs, src=src, dst=dst, max_iter=max_iter, algorithm=algorithm,
+        small_graph_max_edges=small_graph_max_edges,
     ).select(
         F.col("node").alias(id_col), F.col("component").alias("survivor_id")
     )

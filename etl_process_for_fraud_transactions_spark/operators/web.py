@@ -330,7 +330,11 @@ def cap_per_domain(
     and `spark.catalog.clearCache()` releases it explicitly). This
     makes the function a batch operator, not a lazily-composable
     fragment — for streams use streaming/curation.py's stateless
-    gates instead."""
+    gates instead. The persisted aggregate is exposed on the result
+    as `_persisted_frames` (the report.py `_rule_hit_frames`
+    precedent): a long-running caller looping over batches should
+    unpersist after materializing each output instead of relying on
+    LRU — `for f in out._persisted_frames: f.unpersist()`."""
     from pyspark.sql.window import Window
 
     # NULL urls yield a NULL domain, and null keys never match the
@@ -372,7 +376,7 @@ def cap_per_domain(
     )
     over_flag = over.withColumn("__overcap", F.lit(True))
     keep_flag = keep.withColumn("__kept", F.lit(True))
-    return (
+    result = (
         df.withColumn("__dom", dom)
         .join(
             F.broadcast(over_flag) if hint_over else over_flag,
@@ -387,6 +391,10 @@ def cap_per_domain(
         .filter(F.col("__overcap").isNull() | F.col("__kept").isNotNull())
         .drop("__dom", "__overcap", "__kept")
     )
+    # cache-lifetime contract (docstring): hand the persisted frame to
+    # the caller so batch loops release it deterministically
+    result._persisted_frames = (over,)
+    return result
 
 
 #: file extensions whose URLs are (almost) never prose content —

@@ -755,14 +755,21 @@ def neardup_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = NearDupIndex(Warehouse(spark, scratch), portable=True)
     idx.bootstrap(corpus)
 
+    # ONE check() feeds both outputs (round 10): the candidate/verify
+    # path, its broadcast-gate count and the index reads run once;
+    # localCheckpoint pins the small pair set so neither output branch
+    # re-derives it at execution
+    pairs = idx.check(batch, threshold=_NEARDUP_THRESHOLD).localCheckpoint()
     n_dups = (
-        idx.check(batch, threshold=_NEARDUP_THRESHOLD)
+        pairs
         .groupBy("new_id")
         .agg(F.countDistinct("dup_id").alias("n_corpus_dups"))
         .withColumnRenamed("new_id", "doc_id")
     )
     kept = (
-        idx.filter_new(batch, threshold=_NEARDUP_THRESHOLD)
+        idx.filter_new(
+            batch, threshold=_NEARDUP_THRESHOLD, corpus_pairs=pairs
+        )
         .select("doc_id")
         .withColumn("kept", F.lit(True))
     )

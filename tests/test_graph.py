@@ -77,6 +77,43 @@ def test_components_match_duckdb_recursive_oracle(spark, algorithm):
     assert got == oracle
 
 
+def test_small_graph_shortcut_matches_distributed(spark):
+    """The measured driver union-find (round 10) must produce the
+    identical (node, component) map as label propagation — including
+    chains, self-loops and seeded random graphs — and must fall back
+    to the distributed path when the edge probe overflows the cap."""
+    cases = [
+        [(1, 2), (2, 3), (7, 9), (5, 5)],
+        [(i, i + 1) for i in range(12)],
+        [(1, 2)],
+    ]
+    rng = random.Random(7)
+    cases.append(
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    )
+    for edges in cases:
+        want = _components(spark, edges)
+        got = _components(spark, edges, small_graph_max_edges=100_000)
+        assert got == want, edges
+    # over-cap probe: falls back to the distributed answer
+    edges = [(i, i + 1) for i in range(12)]
+    got = _components(spark, edges, small_graph_max_edges=3)
+    assert got == _components(spark, edges)
+
+
+def test_small_graph_shortcut_empty_and_null_edges(spark):
+    got = _components(
+        spark,
+        [(None, 3), (4, None), (8, 9)],
+        small_graph_max_edges=10,
+    )
+    assert got == {8: 8, 9: 8}
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(
+        df, small_graph_max_edges=10
+    ).collect() == []
+
+
 def test_near_dedup_end_to_end(spark):
     """The full cascade on real text: exact dup + transitive near-dups
     cluster together; the clean document survives alone."""

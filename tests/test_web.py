@@ -162,6 +162,25 @@ def test_cap_per_domain(spark):
     assert kept == [0, 1, 2, 100, 101]  # min ids win; small.org untouched
 
 
+def test_cap_per_domain_exposes_persisted_frame_for_release(spark):
+    """Cache-lifetime contract (round 10, ADVICE r8 close-out): each
+    call persists exactly one bounded aggregate and hands it back via
+    `_persisted_frames`, so a batch loop releases it deterministically
+    instead of accumulating LRU-evictable frames."""
+    jsc = spark.sparkContext._jsc.sc()
+    rows = [(i, f"https://big.example.com/p{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    for _ in range(3):
+        before = jsc.getPersistentRDDs().size()
+        out = cap_per_domain(df, max_docs=3)
+        out.collect()
+        assert len(out._persisted_frames) == 1
+        assert jsc.getPersistentRDDs().size() > before
+        for f in out._persisted_frames:
+            f.unpersist(blocking=True)
+        assert jsc.getPersistentRDDs().size() == before
+
+
 def test_cap_per_domain_two_phase_matches_single_window(spark):
     """The salted two-phase top-k must equal the plain global window
     answer on a planted mega-domain regardless of salt fan-out."""
