@@ -455,12 +455,26 @@ class IvfIndex:
         vec_col: str = "embedding",
         cell_col: str = "ivf_cell",
         partitioned: bool = False,
+        quantized: bool = False,
     ):
         self.wh = wh
         self.name = name
         self.id_col = id_col
         self.vec_col = vec_col
         self.cell_col = cell_col
+        #: quantized=True stores int8 codes + one float32 scale per
+        #: vector instead of the float array — ~4x less at rest and
+        #: through every scan (the 10^9-vector storage/IO bill is the
+        #: dominant serving cost; int8 symmetric quantization is the
+        #: standard first 4x). Serving DEQUANTIZES IN-EXPRESSION
+        #: (codes * scale inside the probe scan, still map-side and
+        #: partition-pruned), so ranking runs in dequantized space —
+        #: recall loss is bounded by the rounding error (pinned by
+        #: test) and the shortlist can be re-ranked in float upstream
+        #: when exactness matters. The flag freezes into meta: a
+        #: float reader on a quantized store (or vice versa) fails
+        #: loudly instead of mis-reading the layout.
+        self.quantized = quantized
         #: partitioned=True sub-partitions the vectors table by a
         #: `__batch` stamp under each cell dir; absorb(batch=...) is
         #: then a dynamic partition overwrite of that epoch's
@@ -508,12 +522,34 @@ class IvfIndex:
                         n_cells,
                         dim,
                         self.partitioned,
+                        self.quantized,
                     )
                 ],
                 "id_col string, vec_col string, cell_col string, "
-                "n_cells int, dim int, partitioned boolean",
+                "n_cells int, dim int, partitioned boolean, "
+                "quantized boolean",
             ),
         )
+
+    def _store_cols(self, assigned: DataFrame) -> DataFrame:
+        """Project the frame to its at-rest layout: float arrays, or
+        int8 codes + scale in quantized mode."""
+        if not self.quantized:
+            return assigned
+        return quantize_embeddings(assigned, self.vec_col, "qvec").drop(
+            self.vec_col
+        )
+
+    def _read_vectors(self) -> DataFrame:
+        """The vectors table with `vec_col` materialized — dequantized
+        in-expression from the stored codes in quantized mode (a
+        narrow map over the pruned scan; nothing re-quantizes)."""
+        df = self.wh.read(self.vectors_table)
+        if not self.quantized:
+            return df
+        return df.withColumn(
+            self.vec_col, dequantize(F.col("qvec"), F.col("qvec_scale"))
+        ).drop("qvec", "qvec_scale")
 
     def _validate(
         self, frame: DataFrame | None = None, vec_col: str | None = None
@@ -525,13 +561,19 @@ class IvfIndex:
             return  # pre-meta store: nothing to check
         if not hasattr(self, "_stored_meta"):
             self._stored_meta = self.wh.read(self.meta_table).collect()[0].asDict()
-        # metas written before the partitioned flag existed are flat
-        stored = {"partitioned": False, **self._stored_meta}
+        # metas written before the partitioned/quantized flags existed
+        # take the defaults they were built under
+        stored = {
+            "partitioned": False,
+            "quantized": False,
+            **self._stored_meta,
+        }
         mine = {
             "id_col": self.id_col,
             "vec_col": self.vec_col,
             "cell_col": self.cell_col,
             "partitioned": self.partitioned,
+            "quantized": self.quantized,
         }
         diff = {k: (stored[k], v) for k, v in mine.items() if stored[k] != v}
         if diff:
@@ -569,19 +611,21 @@ class IvfIndex:
             assigned = assigned.withColumn("__batch", F.lit("__build__"))
             parts.append("__batch")
         atomic_overwrite(
-            assigned,
+            self._store_cols(assigned),
             self.wh.path(self.vectors_table),
             partition_by=parts,
         )
         # centroids from the PERSISTED assignment so both tables agree
+        # (in quantized mode: from the DEQUANTIZED store — serving and
+        # quantizer see the same vectors)
         self.wh.overwrite(
             self.centroids_table,
             ivf_centroids(
-                self.wh.read(self.vectors_table), self.cell_col, self.vec_col
+                self._read_vectors(), self.cell_col, self.vec_col
             ),
         )
         self._write_meta(
-            n_cells, self._frame_dim(self.wh.read(self.vectors_table), self.vec_col)
+            n_cells, self._frame_dim(self._read_vectors(), self.vec_col)
         )
         self._stored_meta = self.wh.read(self.meta_table).collect()[0].asDict()
 
@@ -610,6 +654,7 @@ class IvfIndex:
             .filter(F.col("__rn") == 1)
             .drop("__sim", "__rn", "centroid")
         )
+        assigned = self._store_cols(assigned)
         if self.partitioned:
             if batch is None:
                 raise ValueError(
@@ -644,7 +689,7 @@ class IvfIndex:
         vectors table is read partition-pruned."""
         self._validate(queries, query_vec_col)
         return ivf_topk(
-            self.wh.read(self.vectors_table),
+            self._read_vectors(),
             queries,
             k=k,
             nprobe=nprobe,
@@ -663,17 +708,26 @@ class IvfIndex:
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "qvec"
 ) -> DataFrame:
-    """Per-vector symmetric int8 quantization: q_i = round(127 * x_i /
-    max|x|), stored as array<tinyint> + one float scale. 4x smaller
-    than float32 at 100 TB (the scan, shuffle and cache all shrink
-    with it); cosine in quantized space is scale-free, so ranking
-    survives quantization up to rounding error — re-rank the shortlist
-    in float where exactness matters. Pure higher-order expressions:
-    no UDF, no shuffle."""
+    """Per-vector symmetric int8 quantization: q_i = floor(x_i /
+    scale + 0.5) with scale = max|x| / 127, stored as array<tinyint>
+    + one float32 scale. 4x smaller than float32 at 100 TB (the scan,
+    shuffle and cache all shrink with it); cosine in quantized space
+    is scale-free, so ranking survives quantization up to rounding
+    error — re-rank the shortlist in float where exactness matters.
+    Pure higher-order expressions: no UDF, no shuffle.
+
+    Determinism contract (round 10, the IvfIndex oracle leg): the tie
+    rule is floor(v + 0.5) — half-values round toward +inf — because
+    floor is bit-exact in every IEEE engine, while round() half-case
+    conventions differ across engines/modes. Every arithmetic step
+    (cast, abs, max, divide, floor) is a single IEEE op, so a DuckDB
+    replay produces byte-identical codes and scales."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
-    q = F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
+    q = F.transform(
+        v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("tinyint")
+    )
     return df.withColumn(out_col, q).withColumn(f"{out_col}_scale", scale.cast("float"))
 
 

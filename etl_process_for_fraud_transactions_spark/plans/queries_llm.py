@@ -1785,12 +1785,31 @@ _IVF_COS = (
 )
 
 _IVF_ORACLE = f"""
-    WITH corpus AS (
+    WITH corpus0 AS (
         SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         FROM embeddings
     ),
+    -- int8 symmetric quantization replay (operators/similarity.py::
+    -- quantize_embeddings): scale = max|x|/127 (double), codes =
+    -- floor(x/scale + 0.5) — floor, not round(): the tie rule is
+    -- engine-independent — scale STORED as float32 (REAL round-trip),
+    -- dequant = code * float64(scale). Every step one IEEE op.
+    qparams AS (
+        SELECT vec_id, label, vec,
+               CASE WHEN list_max(list_transform(vec, x -> abs(x))) > 0
+                    THEN list_max(list_transform(vec, x -> abs(x))) / 127.0
+                    ELSE 1.0 END AS s
+        FROM corpus0
+    ),
+    corpus AS (
+        SELECT vec_id, label,
+               list_transform(vec,
+                   x -> floor(x / s + 0.5)
+                        * CAST(CAST(s AS REAL) AS DOUBLE)) AS vec
+        FROM qparams
+    ),
     queries AS (
-        SELECT vec_id AS query_id, vec AS qv FROM corpus WHERE vec_id < 3
+        SELECT vec_id AS query_id, vec AS qv FROM corpus0 WHERE vec_id < 3
     ),
     expl AS (
         SELECT label, generate_subscripts(vec, 1) AS pos, unnest(vec) AS val
@@ -1837,14 +1856,28 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=3 nearest cells -> exact top-10 within probed cells) is
     deterministic relational algebra, rounded to 6 dp before each
     rank, so the oracle replays it end to end; recall vs brute force
-    is additionally covered in tests/test_similarity.py."""
+    is additionally covered in tests/test_similarity.py.
+
+    Round 10: the corpus side serves from the INT8-QUANTIZED store —
+    the REAL quantize_embeddings -> dequantize cascade (floor-tie
+    codes, float32 scale round-trip; IvfIndex(quantized=True)'s
+    at-rest layout, ~4x smaller at 100 TB) runs inside the plan, and
+    the oracle replays the exact same IEEE ops — so a defect anywhere
+    in the quantization math flips a similarity and fails the hash.
+    Queries stay float (the standard asymmetric serving shape)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return S.ivf_topk(emb, queries_df, k=10, nprobe=3, sim_round=6)
+    emb_q = S.quantize_embeddings(emb, "embedding", "qvec")
+    emb_dq = emb_q.select(
+        "vec_id",
+        "label",
+        S.dequantize(F.col("qvec"), F.col("qvec_scale")).alias("embedding"),
+    )
+    return S.ivf_topk(emb_dq, queries_df, k=10, nprobe=3, sim_round=6)
 
 
 def _mm_oracle_sql() -> str:

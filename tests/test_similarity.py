@@ -326,6 +326,89 @@ def test_ivf_index_persisted_serving(spark, tmp_path, corpus, queries):
     assert "PartitionFilters" in plan
 
 
+def test_ivf_index_quantized_store_serves_and_guards(spark, tmp_path, corpus, queries):
+    """IvfIndex(quantized=True) round 10: the at-rest layout is int8
+    codes + float32 scale (no float array column on disk); serving
+    dequantizes in-expression and matches the same cascade run over
+    the dequantized vectors; recall vs the float index is total on
+    this well-separated corpus; and the quantized flag is guarded in
+    meta — a float reader on the quantized store fails loudly."""
+    pytest.importorskip("numpy")
+    from pyspark.sql import functions as F
+
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "whq"))
+    idx = S.IvfIndex(wh, quantized=True)
+    idx.build(corpus.drop("label"), n_cells=3, seed=42)
+
+    stored = wh.read(idx.vectors_table)
+    assert "qvec" in stored.columns and "qvec_scale" in stored.columns
+    assert "embedding" not in stored.columns
+    assert dict(stored.dtypes)["qvec"] == "array<tinyint>"
+
+    served = idx.topk(queries, k=2, nprobe=3, sim_round=6)
+    # parity against the same cascade over the explicit dequant view
+    fresh = S.ivf_topk(
+        stored.withColumn(
+            "embedding", S.dequantize(F.col("qvec"), F.col("qvec_scale"))
+        ),
+        queries,
+        k=2,
+        nprobe=3,
+        cell_col="ivf_cell",
+        sim_round=6,
+    )
+    key = lambda r: (r.query_id, r.rank, r.vec_id, round(r.cos_sim, 6))
+    assert sorted(map(key, served.collect())) == sorted(map(key, fresh.collect()))
+
+    # recall vs the float index on the same corpus (full probe): the
+    # well-separated fixture must survive quantization exactly
+    whf = Warehouse(spark, str(tmp_path / "whf"))
+    fidx = S.IvfIndex(whf)
+    fidx.build(corpus.drop("label"), n_cells=3, seed=42)
+    fkey = lambda r: (r.query_id, r.rank, r.vec_id)
+    assert sorted(
+        map(fkey, idx.topk(queries, k=2, nprobe=3).collect())
+    ) == sorted(map(fkey, fidx.topk(queries, k=2, nprobe=3).collect()))
+
+    # meta guard: a float reader on the quantized store fails loudly
+    with pytest.raises(ValueError, match="quantized"):
+        S.IvfIndex(wh).topk(queries, k=1)
+    # absorb stays quantized and replay-consistent
+    extra = spark.createDataFrame(
+        [(50, [0.95, 0.0, 0.05])], "vec_id long, embedding array<double>"
+    )
+    idx.absorb(extra)
+    stored2 = wh.read(idx.vectors_table)
+    assert "embedding" not in stored2.columns
+    assert stored2.filter(F.col("vec_id") == 50).count() == 1
+    got = {
+        r.vec_id
+        for r in idx.topk(queries, k=3, nprobe=3).collect()
+        if r.query_id == 100
+    }
+    assert 50 in got
+
+
+def test_quantize_tie_rule_is_floor_half_up(spark):
+    """The determinism contract: codes are floor(x/scale + 0.5) —
+    half-values toward +inf in BOTH signs (where round() conventions
+    differ across engines), replayed here against exact expectations."""
+    from pyspark.sql import functions as F
+
+    # amax = 127 -> scale = 1.0 exactly; components hit exact halves
+    df = spark.createDataFrame(
+        [(1, [127.0, 2.5, -2.5, 0.5, -0.5, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r = S.quantize_embeddings(df).select("qvec", "qvec_scale").collect()[0]
+    assert r["qvec_scale"] == 1.0
+    assert list(r["qvec"]) == [127, 3, -2, 1, 0, 0]
+
+
 def test_ivf_index_absorb_assigns_nearest_cell(spark, tmp_path, corpus, queries):
     pytest.importorskip("numpy")
     from etl_process_for_fraud_transactions_spark.sources.warehouse import (
