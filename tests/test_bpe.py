@@ -1,0 +1,122 @@
+"""Real BPE token counting (operators/bpe.py): hand-computed merge
+training, exact known-string counts, merges.txt round-trip, Spark
+(Arrow) parity with the driver loop, and the pack_chunks wiring."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_process_for_fraud_transactions_spark.operators.bpe import (
+    FROZEN_BPE,
+    BpeTokenizer,
+    bpe_token_count,
+    format_merges,
+    parse_merges,
+    train_bpe_merges,
+)
+
+
+def test_training_matches_hand_computation():
+    """'low low low lower' — classic Sennrich walkthrough. Pair counts
+    round 1: (l,o)=4, (o,w)=4, (w,</w>)=3, (w,e)=1, (e,r)=1,
+    (r,</w>)=1. Tie (l,o) vs (o,w) at 4 -> lexicographically smaller
+    ('l','o') wins. Round 2: (lo,w)=4 wins. Round 3: (low,</w>)=3."""
+    merges = train_bpe_merges(["low low low lower"], num_merges=3)
+    assert merges == [("l", "o"), ("lo", "w"), ("low", "</w>")]
+
+
+def test_known_token_counts():
+    t = BpeTokenizer([("l", "o"), ("lo", "w"), ("low", "</w>")])
+    # 'low' -> ['low</w>'] = 1; 'lower' -> ['low','e','r','</w>'] = 4
+    assert t.encode_word("low") == ["low</w>"]
+    assert t.encode_word("lower") == ["low", "e", "r", "</w>"]
+    assert t.count_tokens("low lower") == 5
+    # unseen word falls back to characters + </w>
+    assert t.count_tokens("zq") == 3
+    # punctuation is its own pre-token
+    assert t.count_tokens("low, low") == 1 + 2 + 1  # low</w> , </w> low</w>
+    assert t.count_tokens("") == 0 and t.count_tokens(None) == 0
+
+
+def test_merge_order_is_rank_greedy_not_positional():
+    """The merge loop must pick the LOWEST-RANK pair anywhere in the
+    word, not the leftmost applicable pair."""
+    t = BpeTokenizer([("b", "c"), ("a", "b")])
+    # 'abc': (a,b) rank 1, (b,c) rank 0 -> merge (b,c) first, then no
+    # (a,bc) rule exists -> ['a','bc','</w>']
+    assert t.encode_word("abc") == ["a", "bc", "</w>"]
+
+
+def test_merges_txt_round_trip():
+    merges = train_bpe_merges(["the cat sat on the mat"], num_merges=10)
+    text = format_merges(merges)
+    assert text.startswith("#version")
+    assert parse_merges(text) == merges
+
+
+def test_frozen_bpe_pins_exact_counts():
+    """The frozen table compresses seed-distribution words well below
+    character count and the exact numbers are stable (deterministic
+    training)."""
+    n_the = FROZEN_BPE.count_word("the")
+    assert n_the == 1  # 'the' is the most frequent seed word
+    assert FROZEN_BPE.count_tokens("the tokens are counted") <= 8
+    # a word far outside the seed distribution decomposes further
+    assert FROZEN_BPE.count_word("xylophone") > 3
+
+
+def test_spark_column_matches_driver_loop(spark):
+    rows = [
+        (1, "the tokens are counted before the sequences are packed"),
+        (2, "low lower lowest"),
+        (3, ""),
+        (4, None),
+        (5, "naïve café — déjà vu!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_count(df).collect()
+    }
+    for doc_id, text in rows:
+        want = FROZEN_BPE.count_tokens(text) if text is not None else 0
+        assert got[doc_id] == want, (doc_id, text)
+
+
+def test_counts_feed_pack_chunks(spark):
+    """The wiring the module exists for: a real-BPE token column
+    drives sequence packing; every pack total lands within the
+    documented bound (< max_tokens + max chunk size)."""
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        pack_chunks,
+    )
+
+    rows = [
+        (i, 0, f"the tokens are counted {'padding word ' * (i % 5)}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id long, text string")
+    counted = bpe_token_count(df)
+    packed = pack_chunks(
+        counted, max_tokens=30, token_col="n_bpe_tokens", shards=2
+    )
+    totals = (
+        packed.groupBy("pack_id")
+        .agg(
+            F.sum("n_bpe_tokens").alias("tot"),
+            F.max("n_bpe_tokens").alias("mx"),
+        )
+        .collect()
+    )
+    assert totals
+    for r in totals:
+        assert r["tot"] < 30 + r["mx"]
+
+
+def test_bpe_count_plan_is_map_only(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    plan = (
+        bpe_token_count(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # Arrow-batched, not BatchEvalPython
