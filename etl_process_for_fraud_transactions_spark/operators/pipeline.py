@@ -69,8 +69,11 @@ def curate_corpus(
     html_col: str | None = None,
     min_compression_ratio: float | None = None,
     html_extractor: str = "regex",
+    langid_model=None,
+    langid_languages: tuple[str, ...] | None = None,
 ) -> DataFrame:
-    """Returns (id, text, n_tokens, pred_lang, split) — the curated,
+    """Returns (id, text, n_tokens, pred_lang[, langid], split) — the
+    curated,
     deduplicated, decontaminated, split corpus. `benchmark` (optional)
     is an eval-set frame with (bench_id, text) used for leakage
     removal. `html_col` (optional) runs HTML->text extraction first,
@@ -142,6 +145,22 @@ def curate_corpus(
             & F.col("pred_lang").isin(list(languages))
         )
     )
+
+    if langid_model is not None:
+        # in-script language ID (the CCNet ordering: the cheap
+        # stopword/script route above, THEN the frozen n-gram
+        # classifier within the surviving family) — one broadcast of
+        # the one-row model + a let-bound gram fold, annotating
+        # `langid` and optionally filtering to `langid_languages`
+        from .langid import classify_language
+
+        gated = classify_language(
+            gated, langid_model, text_col, out_col="langid"
+        )
+        if langid_languages is not None:
+            gated = gated.filter(
+                F.col("langid").isin(list(langid_languages))
+            )
 
     if gopher_gate:
         # hard document-quality gate (published Gopher rules) on top of
@@ -216,8 +235,11 @@ def curate_corpus(
             bloom=decontaminate_bloom,
         )
 
+    out_cols = [id_col, text_col, "n_tokens", "pred_lang"]
+    if langid_model is not None:
+        out_cols.append("langid")
     return train_val_split(gated, id_col, val_buckets=val_buckets).select(
-        id_col, text_col, "n_tokens", "pred_lang", "split"
+        *out_cols, "split"
     )
 
 

@@ -51,6 +51,8 @@ def curate_stream(
     unigram_lm=None,
     min_lm_logprob: float | None = None,
     pii: bool = True,
+    langid_model=None,
+    langid_languages: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Apply every STATELESS curation gate to a streaming DataFrame —
     returns a stream of (id, text, n_tokens, pred_lang[, ...]) rows
@@ -91,6 +93,16 @@ def curate_stream(
             & F.col("pred_lang").isin(list(languages))
         )
     )
+
+    if langid_model is not None:
+        # in-script language ID — the model is a one-row static frame,
+        # so classification is a stream-static broadcast + narrow
+        # expressions: stateless in-stream like the LM gates
+        from ..operators.langid import classify_language
+
+        df = classify_language(df, langid_model, text_col, out_col="langid")
+        if langid_languages is not None:
+            df = df.filter(F.col("langid").isin(list(langid_languages)))
 
     if quality_model is not None:
         from ..operators.quality_model import score_quality

@@ -209,3 +209,43 @@ def test_curate_corpus_compression_gate(spark):
     assert sorted(
         r.doc_id for r in curate_corpus(docs).collect()
     ) == [1, 2]
+
+
+def test_curate_corpus_langid_stage(spark):
+    """Round 10: the in-script langid stage annotates `langid` after
+    the stopword route and filters to langid_languages — sibling
+    Romance docs the stopword heuristic cannot split are routed by
+    the frozen classifier."""
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        FROZEN_ROMANCE,
+        HELDOUT_SENTENCES,
+    )
+
+    rows = [
+        (i * 10 + j, f"{s} {s}")
+        for i, lang in enumerate(sorted(HELDOUT_SENTENCES))
+        for j, s in enumerate(HELDOUT_SENTENCES[lang][:2])
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(
+        docs,
+        min_tokens=3,
+        languages=("en", "es", "fr", "de", "und"),
+        near_dup_threshold=0.9,
+        langid_model=FROZEN_ROMANCE,
+        langid_languages=("pt",),
+    ).collect()
+    assert out, "pt docs must survive"
+    assert {r["langid"] for r in out} == {"pt"}
+    assert {r["doc_id"] for r in out} <= {20, 21}  # the pt rows
+    # annotate-only mode: no filter, every surviving doc labeled
+    ann = curate_corpus(
+        docs,
+        min_tokens=3,
+        languages=("en", "es", "fr", "de", "und"),
+        near_dup_threshold=0.9,
+        langid_model=FROZEN_ROMANCE,
+    ).collect()
+    langs = {r["doc_id"]: r["langid"] for r in ann}
+    for doc_id, lid in langs.items():
+        assert lid == sorted(HELDOUT_SENTENCES)[doc_id // 10]

@@ -217,3 +217,52 @@ def test_bigram_lm_gate_runs_in_stream(spark, tmp_path):
         ).collect()
     ]
     assert bkept == [1]
+
+
+def test_langid_gate_runs_in_stream(spark, tmp_path):
+    """The in-script langid stage (round 10) is stateless in-stream:
+    the one-row frozen-profile model joins stream-static, sibling
+    Romance languages separate per row, langid_languages filters, and
+    batch parity holds."""
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        FROZEN_ROMANCE,
+        HELDOUT_SENTENCES,
+    )
+
+    rows = [
+        {"doc_id": 1, "html": f"<p>{HELDOUT_SENTENCES['es'][0]}</p>"},
+        {"doc_id": 2, "html": f"<p>{HELDOUT_SENTENCES['it'][0]}</p>"},
+        {"doc_id": 3, "html": f"<p>{HELDOUT_SENTENCES['pt'][0]}</p>"},
+    ]
+    kw = dict(
+        html_col="html",
+        min_tokens=3,
+        languages=("en", "es", "fr", "de", "und"),
+        langid_model=FROZEN_ROMANCE,
+        langid_languages=("es", "it"),
+        pii=False,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(src, "b1.jsonl", rows)
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        curate_stream(stream, **kw)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r.langid for r in spark.read.parquet(out).collect()}
+    assert got == {1: "es", 2: "it"}  # pt filtered, verdicts correct
+
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["html"]) for r in rows], SCHEMA
+    )
+    bgot = {r.doc_id: r.langid for r in curate_stream(batch, **kw).collect()}
+    assert bgot == got
