@@ -474,6 +474,23 @@ def test_fraud_report_demo_hints_only_bounded_dims(spark):
         assert n_hints > 0  # the dim/blacklist hints are still there
 
 
+def test_fraud_report_aqe_converts_rule_hit_joins(spark):
+    """Round 10: with broadcast_rule_hits=False the rule-hit
+    join-backs start as sort-merge in the STATIC plan and AQE must
+    convert them from runtime stats — the no-abort degrade the hint
+    drop bought may cost a shuffle at the 100x framing, but at test
+    scale no SortMergeJoin survives the final plan. (Read through the
+    DataFrame's OWN QueryExecution after collect(): a noop write
+    builds a separate one and silently reports the initial plan.)"""
+    df = QUERIES["fraud_report"](spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "BroadcastHashJoin" in final
+
+
 def test_fraud_report_rule_hit_hints_are_measured(spark):
     """assemble_report's measured mode (broadcast_rule_hits=None, the
     jobs/daily.py production default — late round 9, the
