@@ -65,10 +65,21 @@ def build_training_shards(
     max_tokens: int = 2048,
     seed: str = "0",
     out_table: str = "training_shards",
+    bpe_tokenizer=None,
 ) -> dict:
     """Run the whole pipeline and write `out_table`. See module
     docstring. `shares` (optional) is the sample_to_mixture spec over
-    `source_col`; None skips mixing. Returns stage-count stats."""
+    `source_col`; None skips mixing. Returns stage-count stats.
+
+    `bpe_tokenizer` (optional): a byte-level operators.bpe
+    BpeTokenizer — the shards then also carry `input_ids`
+    (array<int>, the trainer-ready token ids) and `n_bpe_tokens`
+    (the REAL tokenizer budget) per chunk, produced by one
+    Arrow-batched map stage before the write. Chunk boundaries and
+    pack bins still come from the regex token count (`chunk_tokens` /
+    `max_tokens` budgets keep their round-9 oracle-replayable
+    semantics); pass the real counts to downstream re-packing when
+    exact-budget packing under the production tokenizer matters."""
     n_raw = docs.count()
 
     curated = curate_corpus(
@@ -145,6 +156,15 @@ def build_training_shards(
                 )
             )
         out = parts[0].unionByName(parts[1])
+        if bpe_tokenizer is not None:
+            from ..operators.bpe import bpe_encode, bpe_token_count
+
+            out = bpe_token_count(
+                bpe_encode(out, bpe_tokenizer, "chunk_text", "input_ids"),
+                bpe_tokenizer,
+                "chunk_text",
+                "n_bpe_tokens",
+            )
         out = out.repartitionByRange("split", "pack_id").sortWithinPartitions(
             "split", "pack_id", id_col, "chunk_id"
         )

@@ -59,10 +59,16 @@ __all__ = [
     "format_merges",
     "BpeTokenizer",
     "bpe_token_count",
+    "bpe_encode",
     "FROZEN_BPE",
+    "FROZEN_BPE_BYTES",
 ]
 
 END_OF_WORD = "</w>"
+#: byte-level end-of-word marker: chr(256) sits OUTSIDE the byte
+#: symbol range 0..255, so no merged byte sequence can ever collide
+#: with it (the char-level "</w>" marker is kept for char mode).
+BYTE_EOW = "Ā"
 _PRETOKEN_RE = re.compile(BPE_TOKEN_RE)
 
 
@@ -70,19 +76,31 @@ def _pretokens(text: str) -> list[str]:
     return _PRETOKEN_RE.findall(text)
 
 
+def _base_syms(word: str, byte_level: bool) -> list[str]:
+    """Initial symbol sequence of a word: characters, or UTF-8 bytes
+    represented as chr(0..255) (byte-level — the GPT-2 shape: the
+    base alphabet is CLOSED, so every string encodes with no UNK)."""
+    if byte_level:
+        return [chr(b) for b in word.encode("utf-8")]
+    return list(word)
+
+
 def train_bpe_merges(
-    texts: Iterable[str], num_merges: int = 200
+    texts: Iterable[str], num_merges: int = 200, byte_level: bool = False
 ) -> list[tuple[str, str]]:
     """Classic BPE training: start from characters (+ `</w>`), merge
     the most frequent adjacent symbol pair `num_merges` times (ties:
     lexicographically smallest pair). Driver-side by design — the
     seed corpus is small by construction; training a production vocab
     is the tokenizer project's job, this produces a frozen table in
-    its exact format."""
+    its exact format. byte_level=True starts from UTF-8 bytes instead
+    of characters (closed base alphabet -> id-mappable vocab; pair a
+    byte-level merges table with BpeTokenizer(byte_level=True))."""
+    eow = BYTE_EOW if byte_level else END_OF_WORD
     words: Counter[tuple[str, ...]] = Counter()
     for t in texts:
         for w in _pretokens(t):
-            words[tuple(w) + (END_OF_WORD,)] += 1
+            words[tuple(_base_syms(w, byte_level)) + (eow,)] += 1
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         pairs: Counter[tuple[str, str]] = Counter()
@@ -138,15 +156,28 @@ def format_merges(merges: Sequence[tuple[str, str]]) -> str:
 class BpeTokenizer:
     """Frozen merges table + the standard greedy lowest-rank merge
     loop. `encode_word` memoizes per word (Zipf makes this the whole
-    cost model on natural text)."""
+    cost model on natural text).
 
-    def __init__(self, merges: Sequence[tuple[str, str]]):
+    byte_level=True (pair with a byte-level merges table) closes the
+    base alphabet at 256 UTF-8 byte symbols, which makes the vocab
+    id-mappable: `vocab()` assigns ids 0..255 to the bytes, 256 to
+    the end-of-word marker and 257+ to merged tokens in rank order,
+    and `encode_ids`/`decode_ids` round-trip any string through ids
+    with no UNK (decode returns the canonical form: pre-tokens joined
+    by single spaces — the pre-tokenizer drops original whitespace,
+    so encode(decode(ids)) == ids, not byte-exact text)."""
+
+    def __init__(
+        self, merges: Sequence[tuple[str, str]], byte_level: bool = False
+    ):
         self.merges = list(merges)
+        self.byte_level = byte_level
+        self.eow = BYTE_EOW if byte_level else END_OF_WORD
         self.ranks = {pair: i for i, pair in enumerate(self.merges)}
-        self._cache: dict[str, int] = {}
+        self._cache: dict[str, tuple[str, ...]] = {}
 
     def encode_word(self, word: str) -> list[str]:
-        syms = list(word) + [END_OF_WORD]
+        syms = _base_syms(word, self.byte_level) + [self.eow]
         while len(syms) > 1:
             best_rank, best_i = None, None
             for i, pair in enumerate(zip(syms, syms[1:])):
@@ -158,17 +189,60 @@ class BpeTokenizer:
             syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
         return syms
 
+    def _encode_cached(self, word: str) -> tuple[str, ...]:
+        toks = self._cache.get(word)
+        if toks is None:
+            toks = tuple(self.encode_word(word))
+            self._cache[word] = toks
+        return toks
+
     def count_word(self, word: str) -> int:
-        n = self._cache.get(word)
-        if n is None:
-            n = len(self.encode_word(word))
-            self._cache[word] = n
-        return n
+        return len(self._encode_cached(word))
 
     def count_tokens(self, text: str) -> int:
         if text is None:
             return 0
         return sum(self.count_word(w) for w in _pretokens(text))
+
+    def vocab(self) -> dict[str, int]:
+        """token-string -> id (byte-level only; the char-level base
+        alphabet is open, so ids could not cover unseen characters).
+        Two merge pairs can concat to the same string ("ab"+"c" and
+        "a"+"bc"); the first rank wins the id and both encode/decode
+        consistently through it."""
+        if not self.byte_level:
+            raise ValueError(
+                "vocab()/encode_ids need a byte-level tokenizer "
+                "(BpeTokenizer(merges, byte_level=True))"
+            )
+        v = {chr(b): b for b in range(256)}
+        v[self.eow] = 256
+        next_id = 257
+        for a, b in self.merges:
+            if a + b not in v:
+                v[a + b] = next_id
+            next_id += 1
+        return v
+
+    def encode_ids(self, text: str) -> list[int]:
+        v = self.vocab()
+        if text is None:
+            return []
+        return [
+            v[t] for w in _pretokens(text) for t in self._encode_cached(w)
+        ]
+
+    def decode_ids(self, ids: Sequence[int]) -> str:
+        """ids -> canonical text (words joined by single spaces)."""
+        inv: dict[int, str] = {}
+        for tok, i in self.vocab().items():
+            inv.setdefault(i, tok)
+        s = "".join(inv[i] for i in ids)
+        words = []
+        for chunk in s.split(self.eow):
+            if chunk:
+                words.append(bytes(ord(c) for c in chunk).decode("utf-8"))
+        return " ".join(words)
 
 
 def bpe_token_count(
@@ -187,13 +261,40 @@ def bpe_token_count(
 
     tok = tokenizer or FROZEN_BPE
     merges = tok.merges  # ship the table, not the object (clean pickle)
+    byte_level = tok.byte_level
 
     @pandas_udf("long")
     def _count(s: pd.Series) -> pd.Series:
-        t = BpeTokenizer(merges)  # per-executor memo via closure reuse
+        t = BpeTokenizer(merges, byte_level)  # per-executor memo
         return s.map(lambda x: t.count_tokens(x) if x is not None else 0)
 
     return df.withColumn(out_col, _count(F.col(text_col)))
+
+
+def bpe_encode(
+    df: DataFrame,
+    tokenizer: BpeTokenizer | None = None,
+    text_col: str = "text",
+    out_col: str = "input_ids",
+) -> DataFrame:
+    """Adds `out_col` = array<int> token ids of `text_col` under a
+    BYTE-LEVEL tokenizer (closed vocab, no UNK) — what a training
+    shard actually feeds a trainer. Arrow-batched pandas_udf, map-only
+    (same escape-hatch contract as bpe_token_count). NULL text
+    encodes to an empty array."""
+    from pyspark.sql.functions import pandas_udf
+
+    tok = tokenizer or FROZEN_BPE_BYTES
+    if not tok.byte_level:
+        raise ValueError("bpe_encode needs a byte-level tokenizer")
+    merges = tok.merges
+
+    @pandas_udf("array<int>")
+    def _encode(s: pd.Series) -> pd.Series:
+        t = BpeTokenizer(merges, byte_level=True)
+        return s.map(lambda x: t.encode_ids(x) if x is not None else [])
+
+    return df.withColumn(out_col, _encode(F.col(text_col)))
 
 
 # --------------------------------------------------------------------------
@@ -218,3 +319,10 @@ _SEED_TEXT = (
 )
 
 FROZEN_BPE = BpeTokenizer(train_bpe_merges([_SEED_TEXT], num_merges=220))
+
+#: byte-level twin (closed 256+1+220-id vocab): the default for
+#: bpe_encode / training-shard input_ids emission
+FROZEN_BPE_BYTES = BpeTokenizer(
+    train_bpe_merges([_SEED_TEXT], num_merges=220, byte_level=True),
+    byte_level=True,
+)

@@ -120,3 +120,103 @@ def test_bpe_count_plan_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan  # Arrow-batched, not BatchEvalPython
+
+def test_byte_level_vocab_and_ids_round_trip():
+    from etl_process_for_fraud_transactions_spark.operators.bpe import (
+        FROZEN_BPE_BYTES,
+    )
+
+    v = FROZEN_BPE_BYTES.vocab()
+    # closed base alphabet: ids 0..255 are the bytes, 256 the marker
+    assert v[chr(65)] == 65 and v[FROZEN_BPE_BYTES.eow] == 256
+    assert max(v.values()) < 257 + len(FROZEN_BPE_BYTES.merges)
+    for text in (
+        "the tokens are counted",
+        "naïve café — déjà vu!",
+        "xyz 123, (unseen) words",
+        "",
+    ):
+        ids = FROZEN_BPE_BYTES.encode_ids(text)
+        assert all(i in set(v.values()) for i in ids)
+        decoded = FROZEN_BPE_BYTES.decode_ids(ids)
+        # canonical round-trip: re-encoding the decode is a fixpoint
+        assert FROZEN_BPE_BYTES.encode_ids(decoded) == ids, text
+    # canonical form: words joined by single spaces, punct separate
+    assert FROZEN_BPE_BYTES.decode_ids(
+        FROZEN_BPE_BYTES.encode_ids("low,  low")
+    ) == "low , low"
+
+
+def test_byte_level_counts_unicode_by_bytes():
+    from etl_process_for_fraud_transactions_spark.operators.bpe import (
+        BpeTokenizer,
+    )
+
+    t = BpeTokenizer([], byte_level=True)
+    # 'é' is 2 UTF-8 bytes -> 2 base symbols + eow
+    assert t.count_word("é") == 3
+    assert BpeTokenizer([]).count_word("é") == 2  # char-level: 1 + eow
+
+
+def test_char_level_tokenizer_refuses_ids():
+    import pytest as _pytest
+
+    from etl_process_for_fraud_transactions_spark.operators.bpe import (
+        FROZEN_BPE,
+    )
+
+    with _pytest.raises(ValueError, match="byte-level"):
+        FROZEN_BPE.encode_ids("x")
+
+
+def test_bpe_encode_column_matches_driver(spark):
+    from etl_process_for_fraud_transactions_spark.operators.bpe import (
+        FROZEN_BPE_BYTES,
+        bpe_encode,
+    )
+
+    rows = [(1, "the tokens are counted"), (2, None), (3, "café")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["ids"] for r in bpe_encode(
+        df, FROZEN_BPE_BYTES, "text", "ids"
+    ).collect()}
+    assert got[1] == FROZEN_BPE_BYTES.encode_ids(rows[0][1])
+    assert got[2] == []
+    assert got[3] == FROZEN_BPE_BYTES.encode_ids("café")
+
+
+def test_training_job_emits_input_ids(spark, tmp_path):
+    from etl_process_for_fraud_transactions_spark.jobs.training_data import (
+        build_training_shards,
+    )
+    from etl_process_for_fraud_transactions_spark.operators.bpe import (
+        FROZEN_BPE_BYTES,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs far away into the green hills to rest for the day"
+    )
+    rows = [(i, f"{base} variant {i}", "web") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_training_shards(
+        wh,
+        docs,
+        min_tokens=5,
+        near_dup_threshold=0.95,
+        chunk_tokens=16,
+        overlap=4,
+        max_tokens=48,
+        bpe_tokenizer=FROZEN_BPE_BYTES,
+    )
+    out = wh.read("training_shards")
+    assert "input_ids" in out.columns and "n_bpe_tokens" in out.columns
+    sample = out.limit(5).collect()
+    assert sample
+    for r in sample:
+        assert r["n_bpe_tokens"] == len(r["input_ids"])
+        assert r["input_ids"] == FROZEN_BPE_BYTES.encode_ids(r["chunk_text"])
