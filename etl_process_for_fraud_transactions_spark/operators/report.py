@@ -21,6 +21,7 @@ from .rules import (
     resolve_transactions,
     rule_brute_force_20min,
     rule_diff_city_1h,
+    rule_diff_city_1h_window,
 )
 
 
@@ -36,6 +37,7 @@ def assemble_report(
     cache_resolved: bool = False,
     broadcast_rule_hits: bool | None = True,
     broadcast_max_rows: int = 4_000_000,
+    diff_city_impl: str = "window",
 ) -> DataFrame:
     """The full five-rule report (main.py:414-560) as one DataFrame.
 
@@ -92,7 +94,21 @@ def assemble_report(
     # persisted frames stay referenced by the final join-backs (no
     # recompute; LRU-evictable) and the count is an eager action at
     # plan-construction time (the cap_per_domain contract).
-    diff_city_raw = rule_diff_city_1h(attach_terminal_city(resolved, terminals))
+    # diff_city_impl: 'window' (default, round 10) computes rule 4 as
+    # a range-frame window — one card_num shuffle, no candidate pairs,
+    # O(k log k) on a hot card; 'pairs' keeps the bucketed θ-self-join
+    # (the reference-shaped form the diff_city_short_time demo pins).
+    # Equivalence is property-pinned; both hash-match the oracle.
+    if diff_city_impl not in ("window", "pairs"):
+        raise ValueError(
+            f"diff_city_impl must be window|pairs, got {diff_city_impl!r}"
+        )
+    diff_city_rule = (
+        rule_diff_city_1h_window
+        if diff_city_impl == "window"
+        else rule_diff_city_1h
+    )
+    diff_city_raw = diff_city_rule(attach_terminal_city(resolved, terminals))
     brute_raw = rule_brute_force_20min(resolved)
     if broadcast_rule_hits is None:
         diff_city_raw = diff_city_raw.persist()

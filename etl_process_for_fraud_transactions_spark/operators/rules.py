@@ -135,6 +135,56 @@ def rule_diff_city_1h(resolved: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def rule_diff_city_1h_window(resolved: DataFrame) -> DataFrame:
+    """Rule 4 as a RANGE-FRAME WINDOW — pair-free (round 10).
+
+    A transaction is a hit iff some other transaction on the same
+    card within +/-1h sits in a DIFFERENT city (main.py:428-436).
+    The witness-existence test needs no pair materialization: over
+    the +/-1h range frame (which contains the row itself),
+    min(city)/max(city) differ from the row's city exactly when a
+    differing witness exists — so the whole rule is ONE shuffle on
+    card_num plus a two-pointer window scan, O(k log k) per card
+    where the bucketed self-join's candidate stage is O(k^2) on a hot
+    card (the celebrity-card failure mode at 100 TB). Equivalence
+    with `rule_diff_city_1h` is property-pinned on randomized
+    card/time/city data (tests/test_properties.py) and rides the
+    fraud_report driver hash against the reference's pair SQL.
+
+    Null semantics match the pair join exactly: null card/ts/city
+    rows are neither hits (the join's equi/theta predicates are
+    null-unsafe) nor witnesses (min/max ignore nulls). The trailing
+    distinct collapses duplicate input rows the way the pair impl's
+    DISTINCT does — it shuffles hit ids only, not candidates."""
+    from pyspark.sql.window import Window
+
+    from ..functions.core import epoch_us
+
+    base = resolved.select(
+        "card_num", "trans_id", "trans_date", "terminal_city", "client_id"
+    )
+    w = (
+        Window.partitionBy("card_num")
+        .orderBy(epoch_us("trans_date"))
+        .rangeBetween(-HOUR_US, HOUR_US)
+    )
+    city = F.col("terminal_city")
+    mn = F.min("terminal_city").over(w)
+    mx = F.max("terminal_city").over(w)
+    hit = (
+        F.col("card_num").isNotNull()
+        & F.col("trans_date").isNotNull()
+        & city.isNotNull()
+        & ((mn != city) | (mx != city))
+    )
+    return (
+        base.withColumn("__hit", hit)
+        .filter(F.col("__hit"))
+        .select("trans_id", "client_id")
+        .distinct()
+    )
+
+
 def brute_force_windows(resolved: DataFrame) -> DataFrame:
     """`joined_req` (main.py:444-457): per client, every pair of
     transactions within [start, start + 20 min]."""

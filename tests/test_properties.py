@@ -308,3 +308,116 @@ def test_scrub_pii_is_identity_without_digits_or_at(spark, texts):
     for r in scrub_pii(df).collect():
         assert r.n_pii_masked == 0, r
         assert r.text == texts[r.doc_id], r
+
+
+# --- BPE (round 10): driver-model properties over random text ------------
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_byte_level_invariants(texts):
+    """For ANY unicode text: count == len(ids); every id is in the
+    closed vocab; decode∘encode is a canonical fixpoint; and the
+    token count is bounded by [#pretokens, #utf8 bytes + #pretokens]
+    (each word is at least one token, at most bytes+eow)."""
+    from etl_process_for_fraud_transactions_spark.operators.bpe import (
+        FROZEN_BPE_BYTES,
+        _pretokens,
+    )
+
+    v = set(FROZEN_BPE_BYTES.vocab().values())
+    for s in texts:
+        ids = FROZEN_BPE_BYTES.encode_ids(s)
+        assert FROZEN_BPE_BYTES.count_tokens(s) == len(ids)
+        assert set(ids) <= v
+        words = _pretokens(s)
+        n_bytes = sum(len(w.encode("utf-8")) for w in words)
+        assert len(words) <= len(ids) <= n_bytes + len(words)
+        decoded = FROZEN_BPE_BYTES.decode_ids(ids)
+        assert FROZEN_BPE_BYTES.encode_ids(decoded) == ids
+
+
+@given(
+    s=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=80,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_langid_normalization_invariance(s):
+    """classify_py is invariant under leading/trailing junk that the
+    normalizer deletes (digits, punctuation, extra whitespace) — the
+    gram stream sees only letter runs."""
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        FROZEN_ROMANCE,
+    )
+
+    base = FROZEN_ROMANCE.score_py(s)
+    noisy = FROZEN_ROMANCE.score_py(f"  12, {s} ...77! ")
+    assert noisy == base
+
+
+# --- rule 4 window-vs-pairs equivalence (round 10) -----------------------
+
+diff_city_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),                 # card
+        st.integers(min_value=0, max_value=9_000),             # offset s
+        st.sampled_from(["A", "B", "C", None]),                # city
+        st.integers(min_value=0, max_value=3),                 # client
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(rows=diff_city_rows)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rule_diff_city_window_matches_pairs(spark, rows):
+    """The round-10 range-frame rewrite of rule 4 must equal the
+    bucketed pair join on randomized card/time/city data — including
+    null cities (neither hits nor witnesses), boundary-exact +/-1h
+    offsets and duplicate rows."""
+    from etl_process_for_fraud_transactions_spark.operators.rules import (
+        rule_diff_city_1h,
+        rule_diff_city_1h_window,
+    )
+
+    data = [
+        (
+            i,
+            card,
+            T0 + dt.timedelta(seconds=off),
+            city,
+            client,
+        )
+        for i, (card, off, city, client) in enumerate(rows)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("trans_id", T.LongType()),
+            T.StructField("card_num", T.LongType()),
+            T.StructField("trans_date", T.TimestampNTZType()),
+            T.StructField("terminal_city", T.StringType()),
+            T.StructField("client_id", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame(data, schema)
+    key = lambda out: sorted(
+        (r["trans_id"], r["client_id"]) for r in out.collect()
+    )
+    assert key(rule_diff_city_1h_window(df)) == key(rule_diff_city_1h(df))
