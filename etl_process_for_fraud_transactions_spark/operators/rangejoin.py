@@ -225,6 +225,49 @@ def bucketed_interval_self_join(
     return out.drop("__salt") if salted else out
 
 
+def bucketed_interval_join(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    window_us: int,
+    left_alias: str = "r1",
+    right_alias: str = "r2",
+    join_hint: str | None = None,
+) -> DataFrame:
+    """All pairs (l, r) sharing `key_cols` with
+    r.ts in [l.ts, l.ts + window] (closed) across TWO frames — the
+    asymmetric twin of `bucketed_interval_self_join`, for anchoring a
+    SPARSE frame (e.g. rule-5 candidate windows) to the dense base:
+    the join work is |anchors| x per-window density, never the
+    all-pairs square. Same bucketing: the left row's bucket must
+    equal the right row's (b) or precede it by one, handled by
+    tagging the right side with (b-1, b). join_hint=None leaves the
+    strategy to Catalyst/AQE — a runtime-small anchor side broadcasts
+    on its own; no forced hint (the broadcast-audit contract)."""
+    _check_reserved(left_df)
+    _check_reserved(right_df)
+    if join_hint:
+        left_df = left_df.hint(join_hint)
+    left = left_df.withColumn(
+        "__bucket", F.floor(epoch_us(left_ts) / F.lit(window_us))
+    )
+    right = _tag_buckets(right_df, right_ts, window_us, (-1, 0))
+    left, right = left.alias(left_alias), right.alias(right_alias)
+    cond = (
+        F.col(f"{left_alias}.__bucket") == F.col(f"{right_alias}.__bucket")
+    )
+    for k in key_cols:
+        cond = cond & (F.col(f"{left_alias}.{k}") == F.col(f"{right_alias}.{k}"))
+    r1ts = F.col(f"{left_alias}.{left_ts}")
+    r2ts = F.col(f"{right_alias}.{right_ts}")
+    residual = (r2ts >= r1ts) & (
+        epoch_us(r2ts) <= epoch_us(r1ts) + F.lit(window_us)
+    )
+    return left.join(right, cond & residual, "inner").drop("__bucket")
+
+
 def bucketed_abs_window_self_join(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -20,6 +20,7 @@ from .rules import (
     attach_terminal_city,
     resolve_transactions,
     rule_brute_force_20min,
+    rule_brute_force_20min_window,
     rule_diff_city_1h,
     rule_diff_city_1h_window,
 )
@@ -38,6 +39,7 @@ def assemble_report(
     broadcast_rule_hits: bool | None = True,
     broadcast_max_rows: int = 4_000_000,
     diff_city_impl: str = "window",
+    brute_impl: str = "window",
 ) -> DataFrame:
     """The full five-rule report (main.py:414-560) as one DataFrame.
 
@@ -69,6 +71,18 @@ def assemble_report(
     rules keep the full `trans` for window context — the reference's
     full-fact daily rescan is O(total history) per day and not viable
     at scale.
+
+    `diff_city_impl` / `brute_impl` (round 10, both default 'window'):
+    the self-join rules re-expressed as range-frame windows — rule 4
+    becomes one card_num shuffle (min/max city over a +/-1h frame,
+    no candidate pairs at all), rule 5's candidate stage becomes a
+    forward frame (pairs survive only as the sparse candidate member
+    fetch). Same verdicts (property-pinned + fixture-parity-pinned +
+    driver-hashed), measured ~25% faster end-to-end at sf0.1, and
+    O(k log k) instead of O(k^2) on a hot card/client — the
+    celebrity-key failure mode at 100 TB. 'pairs' keeps the
+    reference-shaped bucketed θ-self-joins (still the operators the
+    diff_city_short_time / brute_force_hits demos exercise).
     """
     # The 3-hop chain feeds rule 4, rule 5 and (separately) the final
     # left assembly. Caching it is a trade-off: at test scale the
@@ -108,8 +122,21 @@ def assemble_report(
         if diff_city_impl == "window"
         else rule_diff_city_1h
     )
+    # brute_impl mirrors diff_city_impl: 'window' computes the rule-5
+    # CANDIDATE stage as a forward range frame (pairs only for the
+    # sparse candidate member fetch); 'pairs' keeps the full interval
+    # self-join (the brute_force_hits demo's operator).
+    if brute_impl not in ("window", "pairs"):
+        raise ValueError(
+            f"brute_impl must be window|pairs, got {brute_impl!r}"
+        )
+    brute_rule = (
+        rule_brute_force_20min_window
+        if brute_impl == "window"
+        else rule_brute_force_20min
+    )
     diff_city_raw = diff_city_rule(attach_terminal_city(resolved, terminals))
-    brute_raw = rule_brute_force_20min(resolved)
+    brute_raw = brute_rule(resolved)
     if broadcast_rule_hits is None:
         diff_city_raw = diff_city_raw.persist()
         brute_raw = brute_raw.persist()

@@ -238,14 +238,85 @@ def rule_brute_force_20min(
     selected_req = (
         candidates if candidates is not None else brute_force_candidates(joined_req)
     )
+    return _brute_force_verdicts(
+        joined_req.join(selected_req, ["client_id", "trans_id_start"], "inner")
+    )
 
+
+def rule_brute_force_20min_window(resolved: DataFrame) -> DataFrame:
+    """Rule 5 with a WINDOWED candidate stage (round 10) — the
+    all-pairs interval self-join only ever fed a per-start aggregate
+    (count / outcome flags, main.py:458-467), and that aggregate is a
+    forward range frame: count(*) and max(outcome-flag) over
+    [t, t + 20 min] per client. So candidates cost ONE client_id
+    shuffle and a two-pointer scan — O(k log k) per client where the
+    pair stage is O(k^2) on a hot client — and the pair join survives
+    only as the MEMBER FETCH: the sparse candidate anchors joined
+    back to the base (`bucketed_interval_join`, work = |candidates| x
+    window density, AQE free to broadcast the runtime-small anchor
+    side). The ranking/aggregation tail is shared code with the pair
+    implementation, and equivalence is property-pinned on randomized
+    client/time/amount/outcome data (tests/test_properties.py)."""
+    from ..functions.core import epoch_us
+    from .rangejoin import bucketed_interval_join
+
+    base = resolved.select(
+        "client_id", "trans_id", "amt", "trans_date", "oper_result"
+    )
+    w_fwd = (
+        Window.partitionBy("client_id")
+        .orderBy(epoch_us("trans_date"))
+        .rangeBetween(0, TWENTY_MIN_US)
+    )
+    res = F.col("oper_result")
+    counted = base.select(
+        "client_id",
+        "trans_id",
+        "trans_date",
+        F.count(F.lit(1)).over(w_fwd).alias("__cnt"),
+        F.max(F.when(res == "SUCCESS", 1).otherwise(0)).over(w_fwd).alias("__s"),
+        F.max(F.when(res == "REJECT", 1).otherwise(0)).over(w_fwd).alias("__r"),
+    )
+    cand = counted.filter(
+        F.col("client_id").isNotNull()
+        & F.col("trans_date").isNotNull()
+        & (F.col("__cnt") > 3)
+        & (F.col("__s") == 1)
+        & (F.col("__r") == 1)
+    ).select(
+        "client_id",
+        F.col("trans_id").alias("trans_id_start"),
+        F.col("trans_date").alias("trans_date_start"),
+    )
+    members = bucketed_interval_join(
+        cand,
+        base,
+        key_cols=["client_id"],
+        left_ts="trans_date_start",
+        right_ts="trans_date",
+        window_us=TWENTY_MIN_US,
+    ).select(
+        F.col("r1.client_id").alias("client_id"),
+        F.col("r1.trans_id_start").alias("trans_id_start"),
+        F.col("r2.trans_id").alias("trans_id_20min"),
+        F.col("r2.amt").alias("amt_20min"),
+        F.col("r2.trans_date").alias("trans_date_20min"),
+        F.col("r2.oper_result").alias("oper_result"),
+    )
+    return _brute_force_verdicts(members)
+
+
+def _brute_force_verdicts(selected_members: DataFrame) -> DataFrame:
+    """Shared tail of both rule-5 implementations. Input: the member
+    rows of CANDIDATE windows (client_id, trans_id_start,
+    trans_id_20min, amt_20min, trans_date_20min, oper_result)."""
     # sorted_req (main.py:468-474): rank attempts by time.
     w_time = Window.partitionBy("client_id", "trans_id_start").orderBy(
         F.asc("trans_date_20min"), F.asc("trans_id_20min")
     )
-    sorted_req = joined_req.join(
-        selected_req, ["client_id", "trans_id_start"], "inner"
-    ).withColumn("rn_datetime", F.row_number().over(w_time))
+    sorted_req = selected_members.withColumn(
+        "rn_datetime", F.row_number().over(w_time)
+    )
 
     # sorted_4w_only (main.py:475-482): first four attempts, ranked by amount.
     w_amt = Window.partitionBy("client_id", "trans_id_start").orderBy(

@@ -421,3 +421,61 @@ def test_rule_diff_city_window_matches_pairs(spark, rows):
         (r["trans_id"], r["client_id"]) for r in out.collect()
     )
     assert key(rule_diff_city_1h_window(df)) == key(rule_diff_city_1h(df))
+
+
+brute_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),      # client
+        st.integers(min_value=0, max_value=4_000),  # offset s (~3 windows)
+        st.integers(min_value=1, max_value=5),      # amt (ties likely)
+        st.sampled_from(["REJECT", "SUCCESS"]),
+    ),
+    min_size=0,
+    max_size=18,
+)
+
+
+@given(rows=brute_rows)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rule_brute_force_window_matches_pairs(spark, rows):
+    """The round-10 windowed candidate stage of rule 5 must equal the
+    all-pairs implementation on randomized client/time/amount/outcome
+    data — dense REJECT bursts, amount ties (broken by trans_id in
+    both), exact 20-min boundaries and multi-window overlaps."""
+    from etl_process_for_fraud_transactions_spark.operators.rules import (
+        rule_brute_force_20min,
+        rule_brute_force_20min_window,
+    )
+
+    data = [
+        (
+            i,
+            client,
+            float(amt),
+            T0 + dt.timedelta(seconds=off),
+            result,
+            f"P{client}",
+        )
+        for i, (client, off, amt, result) in enumerate(rows)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("trans_id", T.LongType()),
+            T.StructField("client_id", T.LongType()),
+            T.StructField("amt", T.DoubleType()),
+            T.StructField("trans_date", T.TimestampNTZType()),
+            T.StructField("oper_result", T.StringType()),
+            T.StructField("passport_num", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(data, schema)
+    key = lambda out: sorted(
+        (r["client_id"], r["trans_id"]) for r in out.collect()
+    )
+    assert key(rule_brute_force_20min_window(df)) == key(
+        rule_brute_force_20min(df)
+    )

@@ -148,3 +148,78 @@ class TestBruteForce:
             self.POSITIVE[2:], client=2, first_id=200
         )
         assert rule_brute_force_20min(_bf_df(spark, rows)).count() == 0
+
+
+class TestWindowedImplsMatchPairsOnFixtures:
+    """Round 10: every hand-labeled micro-fixture above must produce
+    the SAME verdicts through the pair-free window implementations —
+    including a demonstrably FIRING positive (non-vacuous)."""
+
+    def _bf_fixtures(self):
+        P = TestBruteForce.POSITIVE
+        return [
+            _bf_rows(P),
+            _bf_rows(P[:3]),
+            _bf_rows([(400.0, "REJECT"), (450.0, "REJECT"),
+                      (200.0, "REJECT"), (100.0, "SUCCESS")]),
+            _bf_rows([(4.0, "REJECT"), (3.0, "REJECT"),
+                      (2.0, "REJECT"), (1.0, "REJECT")]),
+            _bf_rows([(4.0, "SUCCESS"), (3.0, "REJECT"),
+                      (2.0, "REJECT"), (1.0, "REJECT")]),
+            _bf_rows(P, step_min=25),
+            _bf_rows(P, start_min=55, step_min=4),
+            _bf_rows(P[:2], client=1)
+            + _bf_rows(P[2:], client=2, first_id=200),
+        ]
+
+    def test_brute_force_window_matches_pairs_on_fixtures(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.rules import (
+            rule_brute_force_20min_window,
+        )
+
+        fired = 0
+        for rows in self._bf_fixtures():
+            df = _bf_df(spark, rows)
+            want = sorted(
+                (r.client_id, r.trans_id)
+                for r in rule_brute_force_20min(df).collect()
+            )
+            got = sorted(
+                (r.client_id, r.trans_id)
+                for r in rule_brute_force_20min_window(df).collect()
+            )
+            assert got == want, rows
+            fired += len(got)
+        assert fired > 0  # the positive fixture fires in BOTH impls
+
+    def test_diff_city_window_matches_pairs_on_fixtures(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.rules import (
+            rule_diff_city_1h_window,
+        )
+
+        edge = dt.datetime(2024, 1, 1, 13, 0, 0)
+        fixtures = [
+            [(1, 10, _mins(0), "CITY_A", 7), (1, 11, _mins(59), "CITY_B", 7)],
+            [(1, 10, _mins(0), "CITY_A", 7), (1, 11, _mins(61), "CITY_B", 7)],
+            [(1, 10, _mins(0), "CITY_A", 7), (1, 11, _mins(30), "CITY_A", 7)],
+            [(1, 10, _mins(0), "CITY_A", 7), (1, 11, _mins(60), "CITY_B", 7)],
+            [(1, 10, _mins(0), "CITY_A", 7), (2, 11, _mins(5), "CITY_B", 8)],
+            [
+                (1, 10, edge - dt.timedelta(seconds=30), "CITY_A", 7),
+                (1, 11, edge + dt.timedelta(seconds=30), "CITY_B", 7),
+            ],
+        ]
+        fired = 0
+        for rows in fixtures:
+            df = _city_df(spark, rows)
+            want = sorted(
+                (r.trans_id, r.client_id)
+                for r in rule_diff_city_1h(df).collect()
+            )
+            got = sorted(
+                (r.trans_id, r.client_id)
+                for r in rule_diff_city_1h_window(df).collect()
+            )
+            assert got == want, rows
+            fired += len(got)
+        assert fired > 0
