@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["terms_frame", "bm25_scores", "bm25_topk"]
+__all__ = ["terms_frame", "bm25_scores", "bm25_topk", "Bm25Index"]
 
 #: decimal scale for the exact contribution sum (dsum pattern,
 #: plans/queries.py): BM25 contributions are O(0..20), so
@@ -173,6 +173,22 @@ def bm25_scores(
         )
     )
 
+    return _score_postings(post, stats, queries, id_col, k1, b)
+
+
+def _score_postings(
+    post: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared scoring tail: matched postings (<id_col>, term, __tf,
+    __dl, __df) + one-row stats (__n, __avgdl) + the bounded
+    (query_id, term) workload -> (query_id, <id_col>,
+    n_terms_matched, score). Used by both the in-plan `bm25_scores`
+    and the persisted `Bm25Index.topk` serving path."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("__n") - F.col("__df") + F.lit(0.5))
@@ -184,7 +200,7 @@ def bm25_scores(
     )
     contrib = idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm_len)
 
-    scored = (
+    return (
         post.crossJoin(F.broadcast(stats))
         .join(F.broadcast(queries), "term")
         .groupBy("query_id", id_col)
@@ -199,7 +215,6 @@ def bm25_scores(
             ).alias("score"),
         )
     )
-    return scored
 
 
 def bm25_topk(
@@ -218,8 +233,6 @@ def bm25_topk(
     DESC, <id_col> ASC) — deterministic, and WindowGroupLimit keeps the
     per-partition state at k rows (the top_orders_per_customer plan
     shape), so the ranking never materializes the full scored set."""
-    from pyspark.sql.window import Window
-
     scored = bm25_scores(
         docs,
         queries,
@@ -229,6 +242,12 @@ def bm25_topk(
         b=b,
         max_df_frac=max_df_frac,
     )
+    return _rank_topk(scored, id_col, topk)
+
+
+def _rank_topk(scored: DataFrame, id_col: str, topk: int) -> DataFrame:
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc(id_col)
     )
@@ -237,3 +256,215 @@ def bm25_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", id_col, "n_terms_matched", "score")
     )
+
+
+class Bm25Index:
+    """Persisted BM25 index — the serving shape of the retrieval tier,
+    completing the index family (NearDupIndex for dedup, IvfIndex for
+    vectors): build once, query many times, absorb new documents in
+    O(batch).
+
+    Layout (via sources/warehouse.py):
+
+    - `<name>_postings` : (term, <id_col>, tf, dl) hive-PARTITIONED BY
+      `__tb` = pmod(xxhash64(term), n_buckets) — a query's terms map
+      to a handful of buckets, so serving reads |query-term buckets|
+      directories and skips the rest of the postings AT THE FILE
+      LEVEL. dl is denormalized onto every posting so scoring never
+      joins a doc-length relation (no doc-keyed shuffle anywhere in
+      the query path).
+    - `<name>_doclens`  : (<id_col>, dl) — one narrow row per doc;
+      N and avgdl aggregate from it at query time, so absorb stays a
+      blind append (no read-modify-write of a stats row, hence no
+      lost-update window between concurrent absorbs).
+    - `<name>_meta`     : frozen (text_col, id_col, n_buckets, k1, b)
+      — a reader with a different tokenizer column or bucket count
+      would prune the wrong partitions or score the wrong field;
+      mismatches fail loudly (the NearDupIndex/IvfIndex guard).
+
+    Query path: bucket ids for the BOUNDED query-term set are computed
+    with one tiny Spark job (same xxhash64 the writer used — never
+    reimplemented driver-side), the postings scan carries
+    `__tb IN (...)` as a PartitionFilter plus a broadcast term join,
+    df comes from the pruned postings themselves (exact after any
+    number of absorbs, no separately-maintained df table to drift),
+    and the shared `_score_postings` tail finishes identically to the
+    in-plan `bm25_scores` — parity is pinned by test.
+
+    Caller contract: absorb() appends; re-absorbing the same doc id
+    duplicates its postings (same as IvfIndex.absorb) — route replays
+    through an exactly-once epoch sink or rebuild."""
+
+    def __init__(
+        self,
+        wh,
+        name: str = "bm25",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n_buckets: int = 64,
+        k1: float = 1.5,
+        b: float = 0.75,
+    ):
+        self.wh = wh
+        self.name = name
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n_buckets = n_buckets
+        self.k1 = k1
+        self.b = b
+
+    @property
+    def postings_table(self) -> str:
+        return f"{self.name}_postings"
+
+    @property
+    def doclens_table(self) -> str:
+        return f"{self.name}_doclens"
+
+    @property
+    def meta_table(self) -> str:
+        return f"{self.name}_meta"
+
+    def _params(self) -> dict:
+        return {
+            "text_col": self.text_col,
+            "id_col": self.id_col,
+            "n_buckets": self.n_buckets,
+            "k1": float(self.k1),
+            "b": float(self.b),
+        }
+
+    def _write_meta(self) -> None:
+        self.wh.overwrite(
+            self.meta_table,
+            self.wh.spark.createDataFrame(
+                [tuple(self._params().values())],
+                "text_col string, id_col string, n_buckets int, "
+                "k1 double, b double",
+            ),
+        )
+
+    def _validate(self) -> None:
+        if getattr(self, "_params_ok", False):
+            return
+        if not self.wh.exists(self.meta_table):
+            self._params_ok = True
+            return
+        stored = self.wh.read(self.meta_table).collect()[0].asDict()
+        if stored != self._params():
+            raise ValueError(
+                f"Bm25Index '{self.name}' was built with {stored}, but "
+                f"this instance uses {self._params()} — a mismatched "
+                "reader prunes the wrong partitions or scores the "
+                "wrong column; rebuild the index or match its layout"
+            )
+        self._params_ok = True
+
+    def _postings(self, docs: DataFrame) -> DataFrame:
+        toks_ne = F.filter(tokens(F.col(self.text_col)), lambda t: t != "")
+        return (
+            docs.select(
+                F.col(self.id_col),
+                F.size(toks_ne).alias("dl"),
+                F.explode(toks_ne).alias("term"),
+            )
+            .groupBy(self.id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+            .withColumn(
+                "__tb",
+                F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets)),
+            )
+        )
+
+    def _doclens(self, docs: DataFrame) -> DataFrame:
+        toks_ne = F.filter(tokens(F.col(self.text_col)), lambda t: t != "")
+        return docs.select(
+            F.col(self.id_col), F.size(toks_ne).alias("dl")
+        )
+
+    def build(self, docs: DataFrame) -> None:
+        from ..sources.warehouse import atomic_overwrite
+
+        atomic_overwrite(
+            self._postings(docs),
+            self.wh.path(self.postings_table),
+            partition_by=["__tb"],
+        )
+        self.wh.overwrite(self.doclens_table, self._doclens(docs))
+        self._write_meta()
+        self._params_ok = True
+
+    def absorb(self, new_docs: DataFrame) -> None:
+        """Index a new document batch: one postings append into the
+        term-bucket layout + one doclens append — O(batch). idf/avgdl
+        shift automatically (both derive at query time)."""
+        self._validate()
+        self._postings(new_docs).write.mode("append").partitionBy(
+            "__tb"
+        ).parquet(self.wh.path(self.postings_table))
+        self.wh.append(self.doclens_table, self._doclens(new_docs))
+
+    def topk(
+        self,
+        queries: Mapping[str, Sequence[str]] | DataFrame,
+        topk: int = 10,
+        max_df_frac: float | None = None,
+    ) -> DataFrame:
+        """Serve top-k from the persisted postings. `queries` is the
+        bounded workload ({query_id: [terms]} or a (query_id, term)
+        frame). max_df_frac applies the stopword guard against the
+        CURRENT corpus size (df from the pruned postings, N from
+        doclens)."""
+        self._validate()
+        spark = self.wh.spark
+        q = (
+            queries
+            if isinstance(queries, DataFrame)
+            else terms_frame(spark, queries)
+        )
+        qterms = q.select("term").distinct()
+        # partition pruning: bucket ids of the bounded term set via the
+        # SAME xxhash64 the writer used (one tiny job, no corpus scan)
+        buckets = [
+            r[0]
+            for r in qterms.select(
+                F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets))
+            ).distinct().collect()
+        ]
+        post = (
+            self.wh.read(self.postings_table)
+            .filter(F.col("__tb").isin(buckets))
+            .join(F.broadcast(qterms), "term")
+        )
+        dl = self.wh.read(self.doclens_table)
+        stats = dl.select(
+            F.count(F.lit(1)).alias("__n"),
+            (
+                F.sum("dl").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__avgdl"),
+        )
+        dfreq = post.groupBy("term").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        if max_df_frac is not None:
+            dfreq = (
+                dfreq.crossJoin(F.broadcast(stats.select("__n")))
+                .filter(
+                    F.col("__df").cast("double")
+                    <= F.lit(float(max_df_frac))
+                    * F.col("__n").cast("double")
+                )
+                .select("term", "__df")
+            )
+        matched = post.join(F.broadcast(dfreq), "term").select(
+            F.col(self.id_col),
+            "term",
+            F.col("tf").alias("__tf"),
+            F.col("dl").alias("__dl"),
+            "__df",
+        )
+        scored = _score_postings(
+            matched, stats, q, self.id_col, self.k1, self.b
+        )
+        return _rank_topk(scored, self.id_col, topk)

@@ -158,3 +158,82 @@ def test_bm25_postings_pruned_before_exchange(spark):
     assert shuffle_lines  # the per-line sweep below must not be vacuous
     for line in shuffle_lines:
         assert "text#" not in line, line
+
+
+def _key(out):
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_bm25_index_serves_parity_with_in_plan(spark, tmp_path):
+    """Persisted-index serving must equal bm25_topk over the same
+    corpus — same scores, same ranks — including under the max-df
+    guard."""
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    docs = _corpus(spark)
+    queries = {"q1": ["hash", "join"], "q2": ["scan", "merge"]}
+    idx = Bm25Index(Warehouse(spark, str(tmp_path / "wh")))
+    idx.build(docs)
+    for frac in (None, 0.6):
+        served = idx.topk(queries, topk=10, max_df_frac=frac)
+        fresh = bm25_topk(
+            docs, terms_frame(spark, queries), topk=10, max_df_frac=frac
+        )
+        assert _key(served) == _key(fresh), frac
+
+
+def test_bm25_index_absorb_equals_rebuild(spark, tmp_path):
+    """build(A) + absorb(B) must serve exactly like build(A ∪ B):
+    df/N/avgdl re-derive at query time, so idf shifts with the
+    absorbed batch instead of going stale."""
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    a = _corpus(spark)
+    b = spark.createDataFrame(
+        [(10, "hash hash probe build"), (11, "probe scan")],
+        "doc_id: int, text: string",
+    )
+    queries = {"q": ["hash", "probe", "scan"]}
+
+    inc = Bm25Index(Warehouse(spark, str(tmp_path / "winc")))
+    inc.build(a)
+    inc.absorb(b)
+    full = Bm25Index(Warehouse(spark, str(tmp_path / "wfull")))
+    full.build(a.unionByName(b))
+    assert _key(inc.topk(queries)) == _key(full.topk(queries))
+
+
+def test_bm25_index_meta_guard_and_pruning(spark, tmp_path):
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = Bm25Index(wh, n_buckets=8)
+    idx.build(_corpus(spark))
+    # layout guard: a mismatched bucket count prunes wrong partitions
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        Bm25Index(wh, n_buckets=16).topk({"q": ["hash"]})
+
+    # file-level pruning: the postings scan carries a PartitionFilter
+    # on the term-bucket column
+    served = idx.topk({"q": ["hash"]})
+    served.collect()
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "__tb" in plan.split("PartitionFilters", 1)[1][:200]
