@@ -64,6 +64,10 @@ __all__ = ["terms_frame", "bm25_scores", "bm25_topk", "Bm25Index"]
 #: query length.
 _SUM_SCALE = 9
 
+#: epoch-stamp partition column of a partitioned Bm25Index (matches
+#: the NearDupIndex/IvfIndex convention)
+_BATCH_COL = "__batch"
+
 
 def terms_frame(
     spark: SparkSession, queries: Mapping[str, Sequence[str]]
@@ -304,6 +308,7 @@ class Bm25Index:
         n_buckets: int = 64,
         k1: float = 1.5,
         b: float = 0.75,
+        partitioned: bool = False,
     ):
         self.wh = wh
         self.name = name
@@ -312,6 +317,16 @@ class Bm25Index:
         self.n_buckets = n_buckets
         self.k1 = k1
         self.b = b
+        #: partitioned=True sub-partitions postings by a `__batch`
+        #: epoch stamp under each term bucket (and doclens by the
+        #: stamp): absorb(batch=...) then becomes a dynamic partition
+        #: overwrite of that epoch's partitions, so a re-offered
+        #: streaming epoch REPLACES its own rows instead of
+        #: duplicating them — the same exactly-once contract as
+        #: NearDupIndex/IvfIndex(partitioned=True); serving is
+        #: unchanged (term-bucket pruning still hits the first
+        #: directory level).
+        self.partitioned = partitioned
 
     @property
     def postings_table(self) -> str:
@@ -332,6 +347,7 @@ class Bm25Index:
             "n_buckets": self.n_buckets,
             "k1": float(self.k1),
             "b": float(self.b),
+            "partitioned": self.partitioned,
         }
 
     def _write_meta(self) -> None:
@@ -340,7 +356,7 @@ class Bm25Index:
             self.wh.spark.createDataFrame(
                 [tuple(self._params().values())],
                 "text_col string, id_col string, n_buckets int, "
-                "k1 double, b double",
+                "k1 double, b double, partitioned boolean",
             ),
         )
 
@@ -351,6 +367,8 @@ class Bm25Index:
             self._params_ok = True
             return
         stored = self.wh.read(self.meta_table).collect()[0].asDict()
+        # metas written before the partitioned flag take its default
+        stored = {"partitioned": False, **stored}
         if stored != self._params():
             raise ValueError(
                 f"Bm25Index '{self.name}' was built with {stored}, but "
@@ -382,27 +400,68 @@ class Bm25Index:
             F.col(self.id_col), F.size(toks_ne).alias("dl")
         )
 
-    def build(self, docs: DataFrame) -> None:
+    def build(self, docs: DataFrame, batch="__build__") -> None:
         from ..sources.warehouse import atomic_overwrite
 
-        atomic_overwrite(
-            self._postings(docs),
-            self.wh.path(self.postings_table),
-            partition_by=["__tb"],
-        )
-        self.wh.overwrite(self.doclens_table, self._doclens(docs))
+        post, dl = self._postings(docs), self._doclens(docs)
+        post_parts = ["__tb"]
+        if self.partitioned:
+            post = post.withColumn(_BATCH_COL, F.lit(str(batch)))
+            dl = dl.withColumn(_BATCH_COL, F.lit(str(batch)))
+            post_parts.append(_BATCH_COL)
+            atomic_overwrite(
+                post, self.wh.path(self.postings_table),
+                partition_by=post_parts,
+            )
+            atomic_overwrite(
+                dl, self.wh.path(self.doclens_table),
+                partition_by=[_BATCH_COL],
+            )
+        else:
+            atomic_overwrite(
+                post, self.wh.path(self.postings_table),
+                partition_by=post_parts,
+            )
+            self.wh.overwrite(self.doclens_table, dl)
         self._write_meta()
         self._params_ok = True
 
-    def absorb(self, new_docs: DataFrame) -> None:
-        """Index a new document batch: one postings append into the
-        term-bucket layout + one doclens append — O(batch). idf/avgdl
-        shift automatically (both derive at query time)."""
+    def absorb(self, new_docs: DataFrame, batch=None) -> None:
+        """Index a new document batch — O(batch); idf/avgdl shift
+        automatically (both derive at query time).
+
+        Unpartitioned index: a plain append (pass no `batch`) — a
+        replayed batch duplicates postings; see the class docstring.
+        Partitioned index: `batch` is required and the write is a
+        dynamic partition overwrite of that epoch's partitions, so a
+        re-offered epoch rewrites exactly its own rows."""
         self._validate()
-        self._postings(new_docs).write.mode("append").partitionBy(
-            "__tb"
-        ).parquet(self.wh.path(self.postings_table))
-        self.wh.append(self.doclens_table, self._doclens(new_docs))
+        post, dl = self._postings(new_docs), self._doclens(new_docs)
+        if self.partitioned:
+            if batch is None:
+                raise ValueError(
+                    "a partitioned index requires a batch id for absorb()"
+                )
+            self.wh.append_partitioned(
+                self.postings_table,
+                post.withColumn(_BATCH_COL, F.lit(str(batch))),
+                ["__tb", _BATCH_COL],
+            )
+            self.wh.append_partitioned(
+                self.doclens_table,
+                dl.withColumn(_BATCH_COL, F.lit(str(batch))),
+                _BATCH_COL,
+            )
+        else:
+            if batch is not None:
+                raise ValueError(
+                    "batch stamps need a partitioned index "
+                    "(Bm25Index(partitioned=True))"
+                )
+            post.write.mode("append").partitionBy("__tb").parquet(
+                self.wh.path(self.postings_table)
+            )
+            self.wh.append(self.doclens_table, dl)
 
     def topk(
         self,
@@ -437,6 +496,9 @@ class Bm25Index:
             .join(F.broadcast(qterms), "term")
         )
         dl = self.wh.read(self.doclens_table)
+        if self.partitioned:
+            post = post.drop(_BATCH_COL)
+            dl = dl.drop(_BATCH_COL)
         stats = dl.select(
             F.count(F.lit(1)).alias("__n"),
             (

@@ -162,6 +162,31 @@ def ivf_absorb_sink(idx) -> Callable[[DataFrame, int], None]:
     return apply
 
 
+def bm25_absorb_sink(idx) -> Callable[[DataFrame, int], None]:
+    """foreachBatch incremental retrieval ingest: every micro-batch of
+    (id, text) rows lands in the persisted BM25 postings index
+    (operators.retrieval.Bm25Index), so keyword retrieval always
+    covers the stream. Requires Bm25Index(partitioned=True): absorb is
+    a dynamic overwrite of the epoch's (term-bucket, batch)
+    partitions, and tokenization is deterministic, so a re-offered
+    epoch rewrites exactly the same rows — exactly-once without an
+    ids anti-join. Per-epoch cost is O(batch); idf/avgdl shift
+    automatically because the index re-derives df/N at query time."""
+    if not getattr(idx, "partitioned", False):
+        raise ValueError(
+            "bm25_absorb_sink needs Bm25Index(partitioned=True): with "
+            "a plain append layout a replayed epoch would duplicate "
+            "postings"
+        )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx.absorb(batch_df, batch=batch_id)
+
+    return apply
+
+
 def run_foreach_batch(
     stream: DataFrame,
     sink: Callable[[DataFrame, int], None],

@@ -237,3 +237,86 @@ def test_bm25_index_meta_guard_and_pruning(spark, tmp_path):
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "__tb" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_bm25_index_partitioned_absorb_is_replay_safe(spark, tmp_path):
+    """Partitioned mode: a re-offered epoch (same batch id) REWRITES
+    its own partitions — serving equals the single-delivery state, and
+    equals the unpartitioned rebuild."""
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    a = _corpus(spark)
+    b = spark.createDataFrame(
+        [(10, "hash hash probe build")], "doc_id: int, text: string"
+    )
+    queries = {"q": ["hash", "probe"]}
+
+    idx = Bm25Index(Warehouse(spark, str(tmp_path / "wp")), partitioned=True)
+    idx.build(a)
+    idx.absorb(b, batch=7)
+    idx.absorb(b, batch=7)  # replayed epoch
+    ref = Bm25Index(Warehouse(spark, str(tmp_path / "wr")))
+    ref.build(a.unionByName(b))
+    assert _key(idx.topk(queries)) == _key(ref.topk(queries))
+    # unpartitioned absorb with a batch stamp is a usage error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partitioned"):
+        ref.absorb(b, batch=1)
+
+
+def test_bm25_absorb_sink_streams_into_index(spark, tmp_path):
+    """curate-then-index streaming shape: micro-batches land in the
+    postings index via foreachBatch, and a restarted (replayed) run
+    converges to the same serving state."""
+    import json
+
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+    from etl_process_for_fraud_transactions_spark.streaming.upsert import (
+        bm25_absorb_sink,
+        run_foreach_batch,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": "hash join hash"},
+                {"doc_id": 2, "text": "merge sort"},
+            ]
+        )
+    )
+    idx = Bm25Index(Warehouse(spark, str(tmp_path / "wh")), partitioned=True)
+    idx.build(spark.createDataFrame([], "doc_id long, text string"))
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(src)
+        )
+        run_foreach_batch(
+            stream, bm25_absorb_sink(idx), str(tmp_path / "ck")
+        )
+
+    run()
+    got = {
+        r["doc_id"]: r["rank"] for r in idx.topk({"q": ["hash"]}).collect()
+    }
+    assert got == {1: 1}
+    # unpartitioned index is refused up front
+    import pytest as _pytest
+
+    flat = Bm25Index(Warehouse(spark, str(tmp_path / "wh2")))
+    with _pytest.raises(ValueError, match="partitioned"):
+        bm25_absorb_sink(flat)
