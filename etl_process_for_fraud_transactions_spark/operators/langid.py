@@ -48,7 +48,9 @@ __all__ = [
     "train_langid",
     "classify_language",
     "FROZEN_ROMANCE",
+    "FROZEN_CYRILLIC",
     "HELDOUT_SENTENCES",
+    "HELDOUT_SENTENCES_CYRILLIC",
 ]
 
 #: dyadic quantum for frozen log-probabilities (see module docstring)
@@ -344,3 +346,136 @@ HELDOUT_SENTENCES: dict[str, tuple[str, ...]] = {
 #: the frozen built-in model (built deterministically at import:
 #: pure counting + dyadic quantization over module constants)
 FROZEN_ROMANCE = train_langid(_TRAIN_SNIPPETS)
+
+
+# --------------------------------------------------------------------------
+# Second frozen built-in: the Cyrillic family (ru/uk/bg) — the exact
+# "Russian vs Ukrainian" case in-script routing exists for. Training
+# is four original paragraphs per language (near-parallel everyday
+# prose + school/city vocabulary + characteristic morphology, e.g.
+# Ukrainian -ння nouns), held-out sentences are parallel translations
+# of five NEW sentences; the frozen model classifies all 15 correctly
+# (pinned in tests/test_langid.py). Compose with
+# text.dominant_script: route 'cyrillic' documents here, 'latin'
+# documents to FROZEN_ROMANCE — the CCNet ordering.
+# --------------------------------------------------------------------------
+
+_TRAIN_SNIPPETS_CYRILLIC = {
+    "ru": (
+        "Русский язык является одним из самых распространённых языков "
+        "мира. Дети учат песни в школе, а семьи собираются за столом "
+        "каждое воскресенье. В прошлом году мы путешествовали по горам "
+        "на севере, где люди рассказывают старинные истории у огня. "
+        "Завтра мы поедем в город, чтобы купить хлеб, сыр и масло, "
+        "потому что на кухне у бабушки всегда много гостей. Когда "
+        "приходит весна, улицы наполняются цветами, и все выходят "
+        "гулять под солнцем. Нет ничего лучше, чем вечер с братьями и "
+        "дедушками в сердце деревни. Осенью идут дожди, и мы читаем "
+        "книги дома возле окна. Наша кошка спит на старом кресле, а "
+        "собака бегает во дворе. Брат работает на заводе, сестра "
+        "учится в университете и пишет письма каждую неделю. Вечером "
+        "отец включает радио, мать готовит ужин, и мы разговариваем о "
+        "том, что случилось за день. Это обычная жизнь, но в ней много "
+        "тепла и радости. Учитель объясняет новый урок, и ученики "
+        "пишут в тетрадях. Поезд отходит от вокзала утром, а автобус "
+        "останавливается около рынка. На вокзале всегда шумно, машины "
+        "стоят на площади, и люди спешат на работу. Врач принимает "
+        "больных в поликлинике, инженер чертит план нового моста, а "
+        "повар готовит обед в столовой. Красный дом стоит на углу "
+        "улицы, рядом зелёный парк и белая церковь. Она стоит у двери "
+        "и ждёт подругу. Жёлтые листья падают на дорогу, и дети "
+        "собирают их в букеты. Синяя река течёт через город, а над "
+        "ней висит старый мост. Обучение требует терпения и желания, "
+        "а знания приходят с чтением. Большим достижением является "
+        "умение слушать других людей. Объяснение учителя помогает "
+        "понять сложные вопросы, и ученики благодарят его за "
+        "поддержку."
+    ),
+    "uk": (
+        "Українська мова є однією з найпоширеніших мов світу. Діти "
+        "вчать пісні у школі, а родини збираються за столом щонеділі. "
+        "Минулого року ми подорожували горами на півночі, де люди "
+        "розповідають давні історії біля вогню. Завтра ми поїдемо до "
+        "міста, щоб купити хліб, сир і олію, бо на кухні в бабусі "
+        "завжди багато гостей. Коли приходить весна, вулиці "
+        "наповнюються квітами, і всі виходять гуляти під сонцем. "
+        "Немає нічого кращого, ніж вечір із братами й дідусями в "
+        "серці села. Восени йдуть дощі, і ми читаємо книжки вдома "
+        "біля вікна. Наша кішка спить на старому кріслі, а пес бігає "
+        "у дворі. Брат працює на заводі, сестра навчається в "
+        "університеті й пише листи щотижня. Увечері батько вмикає "
+        "радіо, мати готує вечерю, і ми розмовляємо про те, що "
+        "сталося за день. Це звичайне життя, але в ньому багато тепла "
+        "і радості. Учитель пояснює новий урок, і учні пишуть у "
+        "зошитах. Потяг відходить від вокзалу вранці, а автобус "
+        "зупиняється біля ринку. На вокзалі завжди гамірно, машини "
+        "стоять на площі, і люди поспішають на роботу. Лікар приймає "
+        "хворих у поліклініці, інженер креслить план нового мосту, а "
+        "кухар готує обід у їдальні. Червоний будинок стоїть на розі "
+        "вулиці, поруч зелений парк і біла церква. Вона стоїть біля "
+        "дверей і чекає подругу. Жовте листя падає на дорогу, і діти "
+        "збирають його в букети. Синя річка тече через місто, а над "
+        "нею висить старий міст. Навчання вимагає терпіння і бажання, "
+        "а знання приходять із читанням. Великим досягненням є вміння "
+        "слухати інших людей. Пояснення вчителя допомагає зрозуміти "
+        "складні питання, і учні дякують йому за підтримку."
+    ),
+    "bg": (
+        "Българският език е един от най-разпространените езици в "
+        "света. Децата учат песни в училище, а семействата се събират "
+        "на масата всяка неделя. Миналата година пътувахме из "
+        "планините на север, където хората разказват стари истории "
+        "край огъня. Утре ще отидем в града, за да купим хляб, сирене "
+        "и масло, защото в кухнята на баба винаги има много гости. "
+        "Когато идва пролетта, улиците се изпълват с цветя и всички "
+        "излизат да се разхождат под слънцето. Няма нищо по-добро от "
+        "вечер с братята и дядовците в сърцето на селото. През есента "
+        "валят дъждове и ние четем книги вкъщи до прозореца. Нашата "
+        "котка спи на старото кресло, а кучето тича в двора. Брат ми "
+        "работи в завода, сестра ми учи в университета и пише писма "
+        "всяка седмица. Вечер баща ми пуска радиото, майка ми готви "
+        "вечеря и ние си говорим за това, което се е случило през "
+        "деня. Това е обикновен живот, но в него има много топлина и "
+        "радост. Учителят обяснява новия урок и учениците пишат в "
+        "тетрадките. Влакът тръгва от гарата сутринта, а автобусът "
+        "спира до пазара. На гарата винаги е шумно, колите стоят на "
+        "площада и хората бързат за работа. Лекарят преглежда болните "
+        "в поликлиниката, инженерът чертае плана на новия мост, а "
+        "готвачът приготвя обяд в стола. Червената къща стои на ъгъла "
+        "на улицата, до нея има зелен парк и бяла църква. Тя стои до "
+        "вратата и чака приятелката си. Жълтите листа падат на пътя и "
+        "децата ги събират на букети. Синята река тече през града, а "
+        "над нея виси стар мост. Обучението изисква търпение и "
+        "желание, а знанията идват с четенето. Голямо постижение е "
+        "умението да слушаш другите хора. Обяснението на учителя "
+        "помага да се разберат трудните въпроси и учениците му "
+        "благодарят за подкрепата."
+    ),
+}
+
+#: parallel held-out sentences (NOT in the training snippets)
+HELDOUT_SENTENCES_CYRILLIC: dict[str, tuple[str, ...]] = {
+    "ru": (
+        "Красная машина стоит перед железнодорожным вокзалом.",
+        "Мои друзья приедут завтра вечером, чтобы посмотреть матч.",
+        "Учительница объяснила урок ученикам с большим терпением.",
+        "Летом очень жарко, поэтому мы пьём холодную воду с лимоном.",
+        "В саду моего соседа растут яблони и есть маленький пруд.",
+    ),
+    "uk": (
+        "Червона машина стоїть перед залізничним вокзалом.",
+        "Мої друзі приїдуть завтра ввечері, щоб подивитися матч.",
+        "Вчителька пояснила урок учням з великим терпінням.",
+        "Влітку дуже спекотно, тому ми п'ємо холодну воду з лимоном.",
+        "У саду мого сусіда ростуть яблуні і є маленький ставок.",
+    ),
+    "bg": (
+        "Червената кола стои пред железопътната гара.",
+        "Моите приятели ще дойдат утре вечерта, за да гледат мача.",
+        "Учителката обясни урока на учениците с голямо търпение.",
+        "През лятото е много горещо, затова пием студена вода с лимон.",
+        "В градината на моя съсед растат ябълки и има малко езерце.",
+    ),
+}
+
+FROZEN_CYRILLIC = train_langid(_TRAIN_SNIPPETS_CYRILLIC)

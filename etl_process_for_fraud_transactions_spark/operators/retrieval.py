@@ -482,6 +482,33 @@ class Bm25Index:
             else terms_frame(spark, queries)
         )
         qterms = q.select("term").distinct()
+        # day-zero: building an EMPTY corpus (or a stream's first
+        # epoch) writes no parquet files, and schema inference over a
+        # file-less directory raises. Accepted ONLY when the meta
+        # marker proves a build completed (the NearDupIndex guard):
+        # an index unreadable for an environmental reason must not
+        # silently serve zero results.
+        from pyspark.errors import AnalysisException
+
+        try:
+            self.wh.read(self.postings_table)
+        except AnalysisException as e:
+            cond = e.getCondition() if hasattr(e, "getCondition") else None
+            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                raise
+            if not self.wh.exists(self.meta_table):
+                raise ValueError(
+                    f"Bm25Index '{self.name}': '{self.postings_table}' "
+                    "has no readable data and no meta marker — the "
+                    "index was never built or the warehouse root is "
+                    "wrong; run build() (it writes the marker even for "
+                    "an empty corpus) or fix the root"
+                ) from e
+            return spark.createDataFrame(
+                [],
+                f"query_id string, rank int, {self.id_col} bigint, "
+                "n_terms_matched bigint, score double",
+            )
         # partition pruning: bucket ids of the bounded term set via the
         # SAME xxhash64 the writer used (one tiny job, no corpus scan)
         buckets = [

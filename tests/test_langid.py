@@ -117,3 +117,59 @@ def test_sql_values_round_trip_duckdb(spark):
     got = {r[0]: r[1] for r in con.execute(q).fetchall()}
     py = FROZEN_ROMANCE.score_py(sent)
     assert got == py, (got, py)
+
+
+def test_frozen_cyrillic_separates_parallel_heldout_sentences(spark):
+    """Round 10 second frozen family: ru/uk/bg — the literal
+    'Russian vs Ukrainian' case the stopword heuristic and
+    dominant_script cannot split — separated on PARALLEL held-out
+    translations, through the REAL Spark serving fold. 15/15."""
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        FROZEN_CYRILLIC,
+        HELDOUT_SENTENCES_CYRILLIC,
+    )
+
+    rows = [
+        (lang, s)
+        for lang, sents in sorted(HELDOUT_SENTENCES_CYRILLIC.items())
+        for s in sents
+    ]
+    df = spark.createDataFrame(rows, "expected: string, text: string")
+    got = classify_language(df, FROZEN_CYRILLIC, score_col="score").collect()
+    assert len(got) == 15
+    for r in got:
+        assert r["langid_pred"] == r["expected"], (r["expected"], r["text"])
+        # exact dyadic parity with the driver replay, Cyrillic included
+        py = FROZEN_CYRILLIC.score_py(r["text"])
+        assert r["score"] == max(py.values())
+
+
+def test_cyrillic_sql_round_trip_duckdb():
+    """Cross-engine exactness holds for multi-byte Cyrillic text too:
+    \\p{L} normalization and character-based substr agree between
+    Spark's contract and DuckDB (NFC, single-codepoint letters)."""
+    import duckdb
+
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        FROZEN_CYRILLIC,
+        HELDOUT_SENTENCES_CYRILLIC,
+    )
+
+    sent = HELDOUT_SENTENCES_CYRILLIC["uk"][0]
+    con = duckdb.connect()
+    q = f"""
+    WITH prof(lang, gram, logp) AS (VALUES {FROZEN_CYRILLIC.sql_profile_values()}),
+    oov(lang, oov_logp) AS (VALUES {FROZEN_CYRILLIC.sql_oov_values()}),
+    t AS (SELECT ' ' || trim(regexp_replace(lower('{sent.replace("'", "''")}'),
+               '[^\\p{{L}}]+', ' ', 'g')) || ' ' AS s),
+    grams AS (SELECT unnest(list_transform(range(1, greatest(length(s), 2)),
+               i -> substr(s, i, 2))) AS g FROM t)
+    SELECT o.lang, SUM(coalesce(p.logp, o.oov_logp)) AS score
+    FROM grams CROSS JOIN oov o
+    LEFT JOIN prof p ON p.lang = o.lang AND p.gram = grams.g
+    GROUP BY o.lang
+    """
+    got = {r[0]: r[1] for r in con.execute(q).fetchall()}
+    py = FROZEN_CYRILLIC.score_py(sent)
+    assert got == py, (got, py)
+    assert max(sorted(got), key=lambda l: got[l]) == "uk"

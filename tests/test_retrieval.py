@@ -320,3 +320,25 @@ def test_bm25_absorb_sink_streams_into_index(spark, tmp_path):
     flat = Bm25Index(Warehouse(spark, str(tmp_path / "wh2")))
     with _pytest.raises(ValueError, match="partitioned"):
         bm25_absorb_sink(flat)
+
+
+def test_bm25_index_day_zero_and_missing_store(spark, tmp_path):
+    """An empty build serves zero rows (day-zero contract); a missing
+    store without the meta marker fails loudly instead of silently
+    serving nothing (the NearDupIndex guard)."""
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+    import pytest as _pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = Bm25Index(wh)
+    with _pytest.raises(ValueError, match="never built"):
+        idx.topk({"q": ["hash"]})
+    idx.build(spark.createDataFrame([], "doc_id long, text string"))
+    out = idx.topk({"q": ["hash"]})
+    assert out.count() == 0
+    assert "score" in out.columns
