@@ -15,6 +15,23 @@ code change — VERDICT.md r2).
 
 Each query is materialized through the noop sink: full computation on
 the executors, no driver-side collect skewing the numbers.
+
+Self-calibration (round 11): this VM's wall-clock drifts 20-45%
+between sessions with zero code change (BASELINE.md r10; VERDICT r10
+"Performance vs baseline"), so every raw total needed a hand-written
+drift note to interpret. The bench now times a FROZEN synthetic
+reference job (pure spark.range -> join -> agg, no file I/O, no
+engine code — its source must never change) each run and emits both
+the raw total and a drift-normalized total:
+
+    drift_factor     = calibration_sec / CALIBRATION_REF_SEC
+    normalized_total = value / drift_factor
+
+CALIBRATION_REF_SEC was frozen in round 11 (median-of-5 on the
+round-11 session); normalized totals are therefore comparable across
+sessions in round-11 ambient units. The artifact carries its own
+yardstick — a 1.3x raw inflation with drift_factor ~1.3 reads as
+zero code regression.
 """
 
 from __future__ import annotations
@@ -46,6 +63,52 @@ HEADLINE = [
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
+#: Median-of-5 wall time of _calibration_job on the round-11 session
+#: (the freeze point). Do NOT re-measure or edit when the machine
+#: changes speed — that is the drift this constant exists to expose.
+CALIBRATION_REF_SEC = None  # frozen below after first measurement
+CALIBRATION_REPS = 3
+
+
+def _calibration_job(spark) -> None:
+    """FROZEN synthetic reference job — ambient-speed yardstick.
+
+    Pure in-memory shape (range scan -> modulo project -> broadcastable
+    join -> two-phase hash aggregate) exercising codegen, shuffle and
+    the noop sink with zero file I/O and zero engine code, so its wall
+    time moves ONLY with machine speed. Never edit this function: every
+    BENCH artifact since round 11 is normalized against its frozen
+    reference time.
+    """
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 24_000_000, 1, 32).select(
+        (F.col("id") % 9973).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    dim = spark.range(0, 9973).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    (
+        fact.join(dim, "k")
+        .groupBy("k")
+        .agg(F.sum("v").alias("sv"), F.max("w").alias("mw"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
+def _measure_calibration(spark) -> float:
+    """One discarded warm-up, then median of CALIBRATION_REPS."""
+    _calibration_job(spark)
+    ts = []
+    for _ in range(CALIBRATION_REPS):
+        t0 = time.perf_counter()
+        _calibration_job(spark)
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,6 +134,8 @@ def main() -> None:
                     "overwrite"
                 ).save()
 
+    calibration_sec = round(_measure_calibration(spark), 3)
+
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE if name in QUERIES}
     # round-robin the repetitions (A,B,C,A,B,C — not A,A,A,B,B,B) so a
     # transient load spike inflates at most one sample of each query
@@ -85,6 +150,12 @@ def main() -> None:
         name: [round(min(ts), 3), round(max(ts), 3)] for name, ts in samples.items()
     }
     total = round(sum(timings.values()), 3)
+    drift = (
+        round(calibration_sec / CALIBRATION_REF_SEC, 3)
+        if CALIBRATION_REF_SEC
+        else None
+    )
+    normalized = round(total / drift, 3) if drift else None
     print(
         json.dumps(
             {
@@ -95,6 +166,10 @@ def main() -> None:
                 "spread": spread,
                 "reps": REPS,
                 "sf": sf_num,
+                "calibration_sec": calibration_sec,
+                "calibration_ref_sec": CALIBRATION_REF_SEC,
+                "drift_factor": drift,
+                "normalized_total": normalized,
             }
         )
     )

@@ -175,6 +175,12 @@ class BpeTokenizer:
         self.eow = BYTE_EOW if byte_level else END_OF_WORD
         self.ranks = {pair: i for i, pair in enumerate(self.merges)}
         self._cache: dict[str, tuple[str, ...]] = {}
+        # lazily built by vocab(): rebuilding the token->id dict per
+        # encode_ids call is O(|vocab|) per row — negligible at 220
+        # merges but severe for a production 50k-merge table, and it
+        # would contradict the memo-based cost model above (ADVICE r10)
+        self._vocab: dict[str, int] | None = None
+        self._inv_vocab: dict[int, str] | None = None
 
     def encode_word(self, word: str) -> list[str]:
         syms = _base_syms(word, self.byte_level) + [self.eow]
@@ -215,14 +221,24 @@ class BpeTokenizer:
                 "vocab()/encode_ids need a byte-level tokenizer "
                 "(BpeTokenizer(merges, byte_level=True))"
             )
-        v = {chr(b): b for b in range(256)}
-        v[self.eow] = 256
-        next_id = 257
-        for a, b in self.merges:
-            if a + b not in v:
-                v[a + b] = next_id
-            next_id += 1
-        return v
+        if self._vocab is None:
+            v = {chr(b): b for b in range(256)}
+            v[self.eow] = 256
+            next_id = 257
+            for a, b in self.merges:
+                if a + b not in v:
+                    v[a + b] = next_id
+                next_id += 1
+            self._vocab = v
+        return self._vocab
+
+    def _inverse_vocab(self) -> dict[int, str]:
+        if self._inv_vocab is None:
+            inv: dict[int, str] = {}
+            for tok, i in self.vocab().items():
+                inv.setdefault(i, tok)
+            self._inv_vocab = inv
+        return self._inv_vocab
 
     def encode_ids(self, text: str) -> list[int]:
         v = self.vocab()
@@ -234,9 +250,7 @@ class BpeTokenizer:
 
     def decode_ids(self, ids: Sequence[int]) -> str:
         """ids -> canonical text (words joined by single spaces)."""
-        inv: dict[int, str] = {}
-        for tok, i in self.vocab().items():
-            inv.setdefault(i, tok)
+        inv = self._inverse_vocab()
         s = "".join(inv[i] for i in ids)
         words = []
         for chunk in s.split(self.eow):

@@ -350,13 +350,18 @@ class Bm25Index:
             "partitioned": self.partitioned,
         }
 
-    def _write_meta(self) -> None:
+    def _write_meta(self, id_type: str = "bigint") -> None:
+        # id_type rides along (outside the _params equality check) so
+        # topk's day-zero empty frame matches the populated-index id
+        # column type — a string-keyed corpus must not lock a bigint
+        # schema into a downstream unionByName/writer (ADVICE r10)
         self.wh.overwrite(
             self.meta_table,
             self.wh.spark.createDataFrame(
-                [tuple(self._params().values())],
+                [tuple(self._params().values()) + (id_type,)],
                 "text_col string, id_col string, n_buckets int, "
-                "k1 double, b double, partitioned boolean",
+                "k1 double, b double, partitioned boolean, "
+                "id_type string",
             ),
         )
 
@@ -367,8 +372,10 @@ class Bm25Index:
             self._params_ok = True
             return
         stored = self.wh.read(self.meta_table).collect()[0].asDict()
-        # metas written before the partitioned flag take its default
+        # metas written before the partitioned flag take its default;
+        # id_type is layout metadata, not an identity parameter
         stored = {"partitioned": False, **stored}
+        stored.pop("id_type", None)
         if stored != self._params():
             raise ValueError(
                 f"Bm25Index '{self.name}' was built with {stored}, but "
@@ -423,7 +430,9 @@ class Bm25Index:
                 partition_by=post_parts,
             )
             self.wh.overwrite(self.doclens_table, dl)
-        self._write_meta()
+        self._write_meta(
+            id_type=docs.schema[self.id_col].dataType.simpleString()
+        )
         self._params_ok = True
 
     def absorb(self, new_docs: DataFrame, batch=None) -> None:
@@ -504,9 +513,11 @@ class Bm25Index:
                     "wrong; run build() (it writes the marker even for "
                     "an empty corpus) or fix the root"
                 ) from e
+            meta = self.wh.read(self.meta_table).collect()[0].asDict()
+            id_type = meta.get("id_type") or "bigint"
             return spark.createDataFrame(
                 [],
-                f"query_id string, rank int, {self.id_col} bigint, "
+                f"query_id string, rank int, {self.id_col} {id_type}, "
                 "n_terms_matched bigint, score double",
             )
         # partition pruning: bucket ids of the bounded term set via the

@@ -270,6 +270,7 @@ def cap_per_domain(
     max_docs: int = 1000,
     salt_buckets: int = 64,
     broadcast_max_rows: int = 4_000_000,
+    return_persisted: bool = False,
 ) -> DataFrame:
     """Keep at most `max_docs` documents per registered domain
     (deterministic: smallest ids win) — the anti-dominance policy of
@@ -330,11 +331,17 @@ def cap_per_domain(
     and `spark.catalog.clearCache()` releases it explicitly). This
     makes the function a batch operator, not a lazily-composable
     fragment — for streams use streaming/curation.py's stateless
-    gates instead. The persisted aggregate is exposed on the result
-    as `_persisted_frames` (the report.py `_rule_hit_frames`
-    precedent): a long-running caller looping over batches should
-    unpersist after materializing each output instead of relying on
-    LRU — `for f in out._persisted_frames: f.unpersist()`."""
+    gates instead. Pass `return_persisted=True` to get
+    `(result, persisted_frames)` and release the cache
+    deterministically after materializing each output —
+    `for f in persisted: f.unpersist()` (ADVICE r10: this is the
+    reliable handle for batch loops). For back-compat the frames are
+    ALSO exposed on the result as `_persisted_frames` (the report.py
+    `_rule_hit_frames` precedent), but that attribute lives on THIS
+    DataFrame object only: any further transformation
+    (select/filter/withColumn) returns a new DataFrame without it, so
+    capture it before wrapping the result — or use the tuple return,
+    which has no such footgun."""
     from pyspark.sql.window import Window
 
     # NULL urls yield a NULL domain, and null keys never match the
@@ -394,6 +401,8 @@ def cap_per_domain(
     # cache-lifetime contract (docstring): hand the persisted frame to
     # the caller so batch loops release it deterministically
     result._persisted_frames = (over,)
+    if return_persisted:
+        return result, (over,)
     return result
 
 

@@ -220,3 +220,23 @@ def test_training_job_emits_input_ids(spark, tmp_path):
     for r in sample:
         assert r["n_bpe_tokens"] == len(r["input_ids"])
         assert r["input_ids"] == FROZEN_BPE_BYTES.encode_ids(r["chunk_text"])
+
+
+def test_vocab_built_once_per_tokenizer():
+    """encode_ids/decode_ids reuse one lazily built vocab dict per
+    tokenizer instance (ADVICE r10): rebuilding it per call is
+    O(|vocab|) per row — invisible at 220 merges, severe for a
+    production 50k-merge table, and contrary to the module's
+    memo-based cost model."""
+    from etl_process_for_fraud_transactions_spark.operators.bpe import (
+        BpeTokenizer,
+        FROZEN_BPE_BYTES,
+    )
+
+    t = BpeTokenizer(FROZEN_BPE_BYTES.merges, byte_level=True)
+    v1 = t.vocab()
+    ids = t.encode_ids("the training data")
+    assert t.vocab() is v1  # same dict object — no per-call rebuild
+    assert t.decode_ids(ids) == "the training data"
+    inv1 = t._inverse_vocab()
+    assert t._inverse_vocab() is inv1

@@ -342,3 +342,32 @@ def test_bm25_index_day_zero_and_missing_store(spark, tmp_path):
     out = idx.topk({"q": ["hash"]})
     assert out.count() == 0
     assert "score" in out.columns
+
+
+def test_bm25_index_day_zero_string_id_schema(spark, tmp_path):
+    """The day-zero empty result carries the index's REAL id type —
+    build() records it in the meta table — so a string-keyed corpus
+    never locks a bigint schema into a downstream unionByName/writer
+    that first sees the empty frame (ADVICE r10)."""
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = Bm25Index(wh, id_col="doc_key")
+    idx.build(spark.createDataFrame([], "doc_key string, text string"))
+    empty = idx.topk({"q": ["hash"]})
+    assert dict(empty.dtypes)["doc_key"] == "string"
+    idx.absorb(
+        spark.createDataFrame(
+            [("d1", "hash join hash")], "doc_key string, text string"
+        )
+    )
+    served = idx.topk({"q": ["hash"]})
+    assert [f.dataType for f in served.schema.fields] == [
+        f.dataType for f in empty.schema.fields
+    ]
+    assert empty.unionByName(served).count() == 1

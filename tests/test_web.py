@@ -386,3 +386,23 @@ def test_url_quality_flags_null_url_is_defined_false(spark):
     ):
         assert getattr(got[1], flag) is False, flag
         assert getattr(got[2], flag) is True, flag
+
+
+def test_cap_per_domain_return_persisted_tuple(spark):
+    """`return_persisted=True` hands the persisted frames back
+    explicitly (ADVICE r10): unlike the `_persisted_frames` attribute
+    — which any further transformation silently drops, leaking cache
+    until LRU eviction — the tuple survives arbitrary wrapping of the
+    result."""
+    jsc = spark.sparkContext._jsc.sc()
+    rows = [(i, f"https://big.example.com/p{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    before = jsc.getPersistentRDDs().size()
+    out, persisted = cap_per_domain(df, max_docs=3, return_persisted=True)
+    wrapped = out.filter(F.col("doc_id") >= 0)  # attribute is gone here
+    assert not hasattr(wrapped, "_persisted_frames")
+    assert sorted(r.doc_id for r in wrapped.collect()) == [0, 1, 2]
+    assert len(persisted) == 1
+    for f in persisted:
+        f.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() == before
