@@ -47,10 +47,14 @@ __all__ = [
     "LangIdModel",
     "train_langid",
     "classify_language",
+    "classify_language_routed",
+    "SCRIPT_FAMILIES",
     "FROZEN_ROMANCE",
     "FROZEN_CYRILLIC",
+    "FROZEN_HAN",
     "HELDOUT_SENTENCES",
     "HELDOUT_SENTENCES_CYRILLIC",
+    "HELDOUT_SENTENCES_HAN",
 ]
 
 #: dyadic quantum for frozen log-probabilities (see module docstring)
@@ -479,3 +483,247 @@ HELDOUT_SENTENCES_CYRILLIC: dict[str, tuple[str, ...]] = {
 }
 
 FROZEN_CYRILLIC = train_langid(_TRAIN_SNIPPETS_CYRILLIC)
+
+
+# --------------------------------------------------------------------------
+# Third frozen built-in: the Han/CJK family (zh/ja/ko) — the case the
+# round-10 verdict flagged as the remaining router hole: a Han-only
+# document reads 'cjk' from dominant_script (which cannot split
+# Chinese from kanji-heavy Japanese, and lumps Hangul into the same
+# verdict), so in-family routing needs frozen char-bigram profiles.
+# The signal is exactly the directive's "Han char frequency +
+# presence of kana": Japanese training text carries kana particles
+# and okurigana (の/は/です/ます bigrams), Chinese carries
+# simplified-specific function characters (的/了/是/在) and Korean is
+# Hangul-disjoint; a kanji-heavy Japanese document still separates on
+# shinjitai-vs-simplified character frequency under the per-language
+# OOV penalty. Training is one original everyday-prose paragraph per
+# language (near-parallel content, like the Romance/Cyrillic
+# precedents, so profiles key on script/orthography rather than
+# topic); held-out sentences are parallel translations of five NEW
+# sentences — 15/15 pinned in tests/test_langid.py. Compose with
+# text.dominant_script via classify_language_routed: 'cjk' documents
+# route here.
+# --------------------------------------------------------------------------
+
+_TRAIN_SNIPPETS_HAN = {
+    "zh": (
+        "中文是世界上使用人数最多的语言之一。孩子们在学校里学唱歌，"
+        "家人每个星期天都围着桌子吃饭。去年我们去北方的山里旅行，"
+        "那里的人们在火边讲古老的故事。明天我们要进城买面包、奶酪"
+        "和黄油，因为奶奶的厨房里总是有很多客人。春天来的时候，街"
+        "道上开满了花，大家都出来在阳光下散步。没有什么比在村子中"
+        "心和兄弟们、爷爷们一起度过的夜晚更好了。秋天下雨，我们在"
+        "家里靠着窗户读书。我们的猫睡在旧椅子上，狗在院子里跑来跑"
+        "去。哥哥在工厂工作，姐姐在大学读书，每个星期都写信。晚上"
+        "父亲打开收音机，母亲做晚饭，我们谈论一天发生的事情。这是"
+        "普通的生活，但其中有很多温暖和快乐。老师讲解新的课文，学"
+        "生们在本子上写字。火车早上从车站开出，公共汽车在市场旁边"
+        "停下。车站上总是很吵，汽车停在广场上，人们急着去上班。医"
+        "生在诊所里给病人看病，工程师画新桥的图纸，厨师在食堂里做"
+        "午饭。红色的房子立在街角，旁边是绿色的公园和白色的教堂。"
+        "她站在门口等她的朋友。黄色的叶子落在路上，孩子们把它们收"
+        "集起来。蓝色的河流穿过城市，上面架着一座老桥。学习需要耐"
+        "心和愿望，知识来自阅读。能够倾听别人是很大的成就。老师的"
+        "解释帮助学生理解难题，学生们感谢他的支持。"
+    ),
+    "ja": (
+        "日本語は世界で多くの人に話されている言語のひとつです。子"
+        "どもたちは学校で歌を習い、家族は毎週日曜日に食卓を囲みま"
+        "す。去年、私たちは北の山を旅して、そこでは人々が火のそば"
+        "で昔の話を語っていました。明日は町へ行って、パンとチーズ"
+        "とバターを買います。おばあさんの台所にはいつもたくさんの"
+        "お客さんがいるからです。春が来ると、通りは花でいっぱいに"
+        "なり、みんなが日の光の下を散歩に出かけます。村の真ん中で"
+        "兄弟や祖父と過ごす夜ほど良いものはありません。秋には雨が"
+        "降り、私たちは家の窓のそばで本を読みます。うちの猫は古い"
+        "椅子の上で眠り、犬は庭を走り回ります。兄は工場で働き、姉"
+        "は大学で学んでいて、毎週手紙を書きます。夜には父がラジオ"
+        "をつけ、母が夕食を作り、私たちはその日にあったことを話し"
+        "ます。これは普通の暮らしですが、そこには多くの温かさと喜"
+        "びがあります。先生は新しい課を説明し、生徒たちはノートに"
+        "書きます。汽車は朝に駅を出発し、バスは市場のそばに止まり"
+        "ます。駅はいつも騒がしく、車は広場に並び、人々は仕事へ急"
+        "ぎます。医者は診療所で病人を診て、技師は新しい橋の図面を"
+        "描き、料理人は食堂で昼ご飯を作ります。赤い家は通りの角に"
+        "立ち、となりには緑の公園と白い教会があります。彼女は戸口"
+        "に立って友だちを待っています。黄色い葉が道に落ち、子ども"
+        "たちはそれを集めます。青い川が町を流れ、その上に古い橋が"
+        "かかっています。学ぶことには忍耐と願いが必要で、知識は読"
+        "書から来ます。人の話を聞けることは大きな成果です。先生の"
+        "説明は難しい問題を理解する助けになり、生徒たちはその支え"
+        "に感謝しています。"
+    ),
+    "ko": (
+        "한국어는 세계에서 많은 사람들이 사용하는 언어 가운데 하나"
+        "입니다. 아이들은 학교에서 노래를 배우고, 가족은 일요일마다"
+        " 식탁에 둘러앉습니다. 지난해 우리는 북쪽의 산을 여행했는데"
+        ", 그곳 사람들은 불가에서 옛이야기를 들려주었습니다. 내일 "
+        "우리는 빵과 치즈와 버터를 사러 시내에 갑니다. 할머니의 부"
+        "엌에는 언제나 손님이 많기 때문입니다. 봄이 오면 거리는 꽃"
+        "으로 가득 차고, 모두가 햇빛 아래를 산책합니다. 마을 한가운"
+        "데에서 형제와 할아버지와 보내는 저녁보다 좋은 것은 없습니"
+        "다. 가을에는 비가 내리고, 우리는 집에서 창가에 앉아 책을 "
+        "읽습니다. 우리 고양이는 낡은 의자 위에서 자고, 개는 마당을"
+        " 뛰어다닙니다. 형은 공장에서 일하고, 누나는 대학에서 공부"
+        "하며 매주 편지를 씁니다. 저녁이면 아버지는 라디오를 켜고, "
+        "어머니는 저녁을 짓고, 우리는 하루 동안 있었던 일을 이야기"
+        "합니다. 이것은 평범한 생활이지만 그 안에는 많은 따뜻함과 "
+        "기쁨이 있습니다. 선생님은 새 단원을 설명하고, 학생들은 공"
+        "책에 씁니다. 기차는 아침에 역에서 떠나고, 버스는 시장 옆에"
+        " 멈춥니다. 역은 언제나 시끄럽고, 자동차는 광장에 서 있으며"
+        ", 사람들은 일터로 서두릅니다. 의사는 진료소에서 환자를 돌"
+        "보고, 기술자는 새 다리의 도면을 그리며, 요리사는 식당에서 "
+        "점심을 만듭니다. 빨간 집은 길모퉁이에 서 있고, 옆에는 푸른"
+        " 공원과 하얀 교회가 있습니다. 그녀는 문 앞에 서서 친구를 "
+        "기다립니다. 노란 잎이 길에 떨어지고, 아이들은 그것을 모읍"
+        "니다. 파란 강이 도시를 가로질러 흐르고, 그 위에 오래된 다"
+        "리가 놓여 있습니다. 배움에는 인내와 바람이 필요하고, 지식"
+        "은 독서에서 옵니다. 다른 사람의 말을 들을 줄 아는 것은 큰 "
+        "성취입니다. 선생님의 설명은 어려운 문제를 이해하는 데 도움"
+        "이 되고, 학생들은 그 도움에 감사합니다."
+    ),
+}
+
+#: parallel held-out sentences (NOT in the training snippets). The
+#: zh/ja pair is deliberately kanji-heavy shared content — the hard
+#: "Han-only vs kanji-heavy" split the family exists for.
+HELDOUT_SENTENCES_HAN: dict[str, tuple[str, ...]] = {
+    "zh": (
+        "红色的汽车停在火车站前面。",
+        "我的朋友们明天晚上来看比赛。",
+        "老师耐心地给学生讲解了新课。",
+        "夏天很热，所以我们喝加柠檬的凉水。",
+        "邻居的园子里种着苹果树，还有一个小池塘。",
+    ),
+    "ja": (
+        "赤い車が駅の前に止まっています。",
+        "友だちは明日の夜、試合を見に来ます。",
+        "先生は生徒たちに新しい課を辛抱強く説明しました。",
+        "夏はとても暑いので、レモンを入れた冷たい水を飲みます。",
+        "隣の庭にはりんごの木があり、小さな池もあります。",
+    ),
+    "ko": (
+        "빨간 자동차가 기차역 앞에 서 있습니다.",
+        "내 친구들은 내일 저녁에 경기를 보러 옵니다.",
+        "선생님은 학생들에게 새 단원을 끈기 있게 설명했습니다.",
+        "여름은 아주 더워서 우리는 레몬을 넣은 찬물을 마십니다.",
+        "이웃의 정원에는 사과나무가 자라고 작은 연못도 있습니다.",
+    ),
+}
+
+FROZEN_HAN = train_langid(_TRAIN_SNIPPETS_HAN)
+
+
+#: dominant_script verdict -> frozen in-family model: the default
+#: routing table for classify_language_routed. Scripts without a
+#: frozen family (greek, arabic, devanagari, mixed, und) pass through
+#: with a NULL in-family prediction — the script verdict itself is
+#: the routing answer there.
+SCRIPT_FAMILIES: dict[str, LangIdModel] = {}
+
+
+def classify_language_routed(
+    df: DataFrame,
+    families: Mapping[str, LangIdModel] | None = None,
+    text_col: str = "text",
+    out_col: str = "langid_pred",
+    script_col: str = "langid_script",
+) -> DataFrame:
+    """Script-routed language ID — the CCNet ordering in one operator:
+    `text.dominant_script` picks the family, the family's frozen
+    character-n-gram profile picks the language within it. Adds
+    `script_col` (the dominant_script verdict) and `out_col` (the
+    in-family prediction; NULL when the script has no frozen family —
+    e.g. greek/arabic/devanagari/mixed/und under the defaults, where
+    the script verdict IS the answer).
+
+    families defaults to SCRIPT_FAMILIES (latin -> FROZEN_ROMANCE,
+    cyrillic -> FROZEN_CYRILLIC, cjk -> FROZEN_HAN). Language codes
+    must be globally unique across families (the model frames share a
+    namespace); violated mappings fail loudly.
+
+    Plan shape: one broadcast one-row frame PER family, the script
+    verdict and every gram array let-bound, and the family folds
+    gated behind a CASE over the script — Spark's CaseWhen evaluates
+    only the matched branch per row, so each document pays exactly
+    one family's fold. Map-only at any scale (pinned in
+    tests/test_langid.py)."""
+    from .dedup import _let
+    from .text import dominant_script
+
+    families = dict(families if families is not None else SCRIPT_FAMILIES)
+    seen: dict[str, str] = {}
+    for script, model in families.items():
+        for lang in model.langs:
+            if lang in seen:
+                raise ValueError(
+                    f"language code {lang!r} appears in both the "
+                    f"{seen[lang]!r} and {script!r} families — model "
+                    "frames share one column namespace, so codes must "
+                    "be globally unique"
+                )
+            seen[lang] = script
+
+    out = df
+    for script in sorted(families):
+        out = out.crossJoin(
+            F.broadcast(families[script].frame(df.sparkSession))
+        )
+
+    def make_family_pick(model: LangIdModel):
+        # bound via closure, NOT a default argument: PySpark derives a
+        # HOF lambda's variable count from the Python signature, so a
+        # second parameter would become a second lambda variable
+        def family_pick(grams: Column) -> Column:
+            arr = F.array(
+                *[
+                    language_scores(model, grams, lang)
+                    for lang in model.langs
+                ]
+            )
+
+            def pick(sarr: Column) -> Column:
+                best = F.greatest(
+                    *[sarr[i] for i in range(len(model.langs))]
+                )
+                e = F.lit(model.langs[-1])
+                for i in range(len(model.langs) - 2, -1, -1):
+                    e = F.when(
+                        sarr[i] == best, F.lit(model.langs[i])
+                    ).otherwise(e)
+                return e
+
+            return _let(arr, pick)
+
+        return family_pick
+
+    def routed(script: Column) -> Column:
+        expr = F.lit(None).cast("string")
+        for s in sorted(families, reverse=True):
+            model = families[s]
+            verdict = _let(
+                char_ngrams(F.col(text_col), model.n),
+                make_family_pick(model),
+            )
+            expr = F.when(script == F.lit(s), verdict).otherwise(expr)
+        return expr
+
+    out = out.withColumn(script_col, dominant_script(F.col(text_col)))
+    out = out.withColumn(out_col, _let(F.col(script_col), routed))
+    drop = [
+        c
+        for model in families.values()
+        for lang in model.langs
+        for c in (f"__lid_m_{lang}", f"__lid_oov_{lang}")
+    ]
+    return out.drop(*drop)
+
+
+SCRIPT_FAMILIES.update(
+    {
+        "latin": FROZEN_ROMANCE,
+        "cyrillic": FROZEN_CYRILLIC,
+        "cjk": FROZEN_HAN,
+    }
+)

@@ -79,6 +79,13 @@ def curate_corpus(
     removal. `html_col` (optional) runs HTML->text extraction first,
     so a raw web-crawl corpus enters the ladder as visible text — the
     batch twin of streaming.curation.curate_stream(html_col=...).
+    Known ASCII-default limitation: the repetition stages normalize
+    paragraphs with the ASCII `normalize_text`, so a paragraph with
+    ZERO ASCII alphanumerics (pure non-Latin prose carrying no digits
+    or Latin tokens at all) normalizes empty and drops as noise —
+    realistic web documents virtually always carry some; a fully
+    non-Latin corpus should enter via curate_stream's stateless gates
+    or the unicode tokenizer family instead.
     `html_extractor` picks the extraction rung: 'regex' (strip_html —
     keep-everything chained expressions, one codegen stage) or 'dom'
     (extract.extract_main_content — boilerpipe-classifier +
@@ -151,12 +158,23 @@ def curate_corpus(
         # stopword/script route above, THEN the frozen n-gram
         # classifier within the surviving family) — one broadcast of
         # the one-row model + a let-bound gram fold, annotating
-        # `langid` and optionally filtering to `langid_languages`
-        from .langid import classify_language
+        # `langid` and optionally filtering to `langid_languages`.
+        # A Mapping {dominant_script: LangIdModel} (e.g.
+        # langid.SCRIPT_FAMILIES) routes each document to its
+        # script's family first (round 11); a bare LangIdModel
+        # applies one family to every row.
+        from collections.abc import Mapping as _Mapping
 
-        gated = classify_language(
-            gated, langid_model, text_col, out_col="langid"
-        )
+        from .langid import classify_language, classify_language_routed
+
+        if isinstance(langid_model, _Mapping):
+            gated = classify_language_routed(
+                gated, langid_model, text_col, out_col="langid"
+            ).drop("langid_script")
+        else:
+            gated = classify_language(
+                gated, langid_model, text_col, out_col="langid"
+            )
         if langid_languages is not None:
             gated = gated.filter(
                 F.col("langid").isin(list(langid_languages))

@@ -109,8 +109,12 @@ def assemble_report(
     # recompute; LRU-evictable) and the count is an eager action at
     # plan-construction time (the cap_per_domain contract).
     # diff_city_impl: 'window' (default, round 10) computes rule 4 as
-    # a range-frame window — one card_num shuffle, no candidate pairs,
-    # O(k log k) on a hot card; 'pairs' keeps the bucketed θ-self-join
+    # a range-frame window — one card_num shuffle, no candidate-pair
+    # materialization (per-card frame work is still O(k*w) — Spark
+    # re-aggregates sliding min/max frames — but nothing is joined or
+    # re-shuffled, and a measured density gate routes celebrity cards
+    # to the salted pair join, rules.HOT_KEY_MAX_ROWS); 'pairs' keeps
+    # the bucketed θ-self-join
     # (the reference-shaped form the diff_city_short_time demo pins).
     # Equivalence is property-pinned; both hash-match the oracle.
     if diff_city_impl not in ("window", "pairs"):

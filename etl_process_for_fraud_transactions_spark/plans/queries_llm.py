@@ -27,7 +27,11 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as X
-from ..operators.langid import classify_language
+from ..operators.langid import (
+    FROZEN_HAN,
+    HELDOUT_SENTENCES_HAN,
+    classify_language,
+)
 from ..sources.testdata import load_table
 from .queries import query
 
@@ -319,25 +323,29 @@ def _pii_probe_cols() -> tuple[Column, Column]:
     return kind, probe
 
 
-def _langid_probe_cols() -> tuple[Column, Column]:
-    """Engine side of the langid probe: (expected, probe_text) over
+def _langid_probe_cols(model=None, heldout=None) -> tuple[Column, Column]:
+    """Engine side of a langid probe: (expected, probe_text) over
     documents' doc_id — doc_id % 3 picks a language class (langs in
     the frozen model's ASC order), (doc_id // 3) % 5 rotates through
     that language's five HELD-OUT parallel sentences (none appear in
     the training snippets), so the REAL frozen-profile classifier
-    (operators/langid.py) must separate sibling Romance languages on
-    every row and both columns ride the driver hash."""
+    (operators/langid.py) must separate sibling languages on every
+    row and both columns ride the driver hash. Defaults to the
+    Romance family; round 11 reuses it for the Han (zh/ja/ko) leg."""
     from ..operators.langid import FROZEN_ROMANCE, HELDOUT_SENTENCES
 
+    model = model or FROZEN_ROMANCE
+    heldout = heldout or HELDOUT_SENTENCES
+
     doc_id = F.col("doc_id")
-    langs = FROZEN_ROMANCE.langs
+    langs = model.langs
     c = F.pmod(doc_id, F.lit(3)).cast("int")
     s = F.pmod(F.floor(doc_id / F.lit(3)), F.lit(5)).cast("int")
     expected = F.element_at(F.array(*[F.lit(l) for l in langs]), c + 1)
     probe = None
     for i, lang in enumerate(langs):
         sent = F.element_at(
-            F.array(*[F.lit(x) for x in HELDOUT_SENTENCES[lang]]), s + 1
+            F.array(*[F.lit(x) for x in heldout[lang]]), s + 1
         )
         probe = (
             F.when(c == i, sent) if probe is None else probe.when(c == i, sent)
@@ -345,17 +353,24 @@ def _langid_probe_cols() -> tuple[Column, Column]:
     return expected, probe
 
 
-def _langid_oracle_ctes() -> str:
-    """DuckDB replay of the langid leg: rebuild the identical probe,
+def _langid_oracle_ctes(
+    model=None, heldout=None, prefix: str = "lang", out: str = "langid"
+) -> str:
+    """DuckDB replay of a langid leg: rebuild the identical probe,
     re-extract the char bigrams with the serving normalization
     (regexp_replace + substr — both character-based on NFC text), and
     replay the frozen profile as a VALUES join. Scores are exact sums
     of dyadic (1/1024-quantized) log-probs, so SUM is
     order-independent and bit-identical across engines; the argmax
-    tie-break (score DESC, lang ASC) matches the Spark when-chain."""
+    tie-break (score DESC, lang ASC) matches the Spark when-chain.
+    Defaults to the Romance family (prefix 'lang', columns langid_*);
+    round 11 reuses it for the Han leg (prefix 'han', hanid_*)."""
     from ..operators.langid import FROZEN_ROMANCE, HELDOUT_SENTENCES
 
-    langs = FROZEN_ROMANCE.langs
+    model = model or FROZEN_ROMANCE
+    heldout = heldout or HELDOUT_SENTENCES
+
+    langs = model.langs
     lang_case = " ".join(
         f"WHEN {i} THEN '{l}'" for i, l in enumerate(langs)
     )
@@ -363,42 +378,42 @@ def _langid_oracle_ctes() -> str:
     for i, lang in enumerate(langs):
         inner = " ".join(
             f"WHEN {j} THEN '{x.replace(chr(39), chr(39) * 2)}'"
-            for j, x in enumerate(HELDOUT_SENTENCES[lang])
+            for j, x in enumerate(heldout[lang])
         )
         sent_cases.append(
             f"WHEN {i} THEN (CASE CAST((doc_id // 3) % 5 AS INT) {inner} END)"
         )
     return f"""
-    lang_probe AS (
+    {prefix}_probe AS (
       SELECT doc_id,
-             CASE CAST(doc_id % 3 AS INT) {lang_case} END AS langid_expected,
+             CASE CAST(doc_id % 3 AS INT) {lang_case} END AS {out}_expected,
              CASE CAST(doc_id % 3 AS INT) {' '.join(sent_cases)} END AS lp
       FROM documents
     ),
-    lang_grams AS (
+    {prefix}_grams AS (
       SELECT doc_id,
              unnest(list_transform(range(1, greatest(length(s), 2)),
                                    i -> substr(s, i, 2))) AS g
       FROM (SELECT doc_id,
                    ' ' || trim(regexp_replace(lower(lp), '[^\\p{{L}}]+', ' ', 'g'))
                        || ' ' AS s
-            FROM lang_probe)
+            FROM {prefix}_probe)
     ),
-    lang_prof(lang, gram, logp) AS (VALUES {FROZEN_ROMANCE.sql_profile_values()}),
-    lang_oov(lang, oov_logp) AS (VALUES {FROZEN_ROMANCE.sql_oov_values()}),
-    lang_scored AS (
+    {prefix}_prof(lang, gram, logp) AS (VALUES {model.sql_profile_values()}),
+    {prefix}_oov(lang, oov_logp) AS (VALUES {model.sql_oov_values()}),
+    {prefix}_scored AS (
       SELECT g.doc_id, o.lang,
              SUM(coalesce(p.logp, o.oov_logp)) AS score
-      FROM lang_grams g
-      CROSS JOIN lang_oov o
-      LEFT JOIN lang_prof p ON p.lang = o.lang AND p.gram = g.g
+      FROM {prefix}_grams g
+      CROSS JOIN {prefix}_oov o
+      LEFT JOIN {prefix}_prof p ON p.lang = o.lang AND p.gram = g.g
       GROUP BY g.doc_id, o.lang
     ),
-    lang_best AS (
-      SELECT doc_id, lang AS langid_pred, score AS langid_score,
+    {prefix}_best AS (
+      SELECT doc_id, lang AS {out}_pred, score AS {out}_score,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY score DESC, lang ASC) AS rn
-      FROM lang_scored
+      FROM {prefix}_scored
     )"""
 
 
@@ -451,6 +466,9 @@ def _pii_oracle_cte() -> str:
     f"""
     WITH {_pii_oracle_cte().strip()},
     {_langid_oracle_ctes().strip()},
+    {_langid_oracle_ctes(
+        FROZEN_HAN, HELDOUT_SENTENCES_HAN, prefix="han", out="hanid"
+    ).strip()},
     probe AS (
         SELECT doc_id, text,
                CASE CAST(doc_id % 8 AS INT)
@@ -505,12 +523,16 @@ def _pii_oracle_cte() -> str:
                 ELSE 'mixed'
            END AS dominant_script,
            pii_kind, n_pii_masked, scrub_fp,
-           langid_expected, langid_pred, langid_score
+           langid_expected, langid_pred, langid_score,
+           hanid_expected, hanid_pred, hanid_score
     FROM counted
     JOIN piis USING (doc_id)
     JOIN lang_probe USING (doc_id)
     JOIN (SELECT doc_id, langid_pred, langid_score
           FROM lang_best WHERE rn = 1) lb USING (doc_id)
+    JOIN han_probe USING (doc_id)
+    JOIN (SELECT doc_id, hanid_pred, hanid_score
+          FROM han_best WHERE rn = 1) hb USING (doc_id)
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,7 +598,14 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     no rounding step. pred == expected on every row (pinned in
     test_plan_invariants) — within-script language separation, under
     the driver hash. Still no shuffle: the one exchange is the model
-    broadcast."""
+    broadcast.
+
+    Round 11 adds the Han-family leg (hanid_*): the same probe scheme
+    over FROZEN_HAN's zh/ja/ko held-out sentences — the 'cjk' router
+    hole the round-10 verdict flagged (dominant_script cannot split
+    Chinese from kanji-heavy Japanese or Hangul) — as a second
+    one-row broadcast and a second let-bound fold; the oracle replays
+    the Han profile through the same parameterized CTE builder."""
     docs = load_table(spark, sf_dir, "documents")
     norm = X.normalize_text(F.col("text"))
     letters = F.regexp_replace(norm, "[^a-z]", "")
@@ -592,11 +621,16 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pii_kind, pii_probe = _pii_probe_cols()
     lang_expected, lang_probe = _langid_probe_cols()
+    han_expected, han_probe = _langid_probe_cols(
+        FROZEN_HAN, HELDOUT_SENTENCES_HAN
+    )
     withp = docs.select(
         "doc_id", "text", probe.alias("__probe"),
         pii_kind.alias("pii_kind"), pii_probe.alias("__pii"),
         lang_expected.alias("langid_expected"),
         lang_probe.alias("__lang_probe"),
+        han_expected.alias("hanid_expected"),
+        han_probe.alias("__han_probe"),
     )
     scrubbed = X.scrub_pii(withp, "__pii")
     classified = classify_language(
@@ -604,6 +638,15 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="__lang_probe",
         out_col="langid_pred",
         score_col="langid_score",
+    )
+    # round 11: the Han-family leg (zh/ja/ko) — same probe scheme,
+    # second one-row broadcast, still no shuffle
+    classified = classify_language(
+        classified,
+        FROZEN_HAN,
+        text_col="__han_probe",
+        out_col="hanid_pred",
+        score_col="hanid_score",
     )
     return classified.select(
         "doc_id",
@@ -618,6 +661,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "langid_expected",
         "langid_pred",
         "langid_score",
+        "hanid_expected",
+        "hanid_pred",
+        "hanid_score",
     )
 
 

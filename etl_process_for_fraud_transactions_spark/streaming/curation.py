@@ -97,10 +97,25 @@ def curate_stream(
     if langid_model is not None:
         # in-script language ID — the model is a one-row static frame,
         # so classification is a stream-static broadcast + narrow
-        # expressions: stateless in-stream like the LM gates
-        from ..operators.langid import classify_language
+        # expressions: stateless in-stream like the LM gates. A
+        # Mapping {dominant_script: LangIdModel} (round 11, e.g.
+        # langid.SCRIPT_FAMILIES) routes per-document by script; the
+        # router's per-family broadcasts are equally stream-legal.
+        from collections.abc import Mapping as _Mapping
 
-        df = classify_language(df, langid_model, text_col, out_col="langid")
+        from ..operators.langid import (
+            classify_language,
+            classify_language_routed,
+        )
+
+        if isinstance(langid_model, _Mapping):
+            df = classify_language_routed(
+                df, langid_model, text_col, out_col="langid"
+            ).drop("langid_script")
+        else:
+            df = classify_language(
+                df, langid_model, text_col, out_col="langid"
+            )
         if langid_languages is not None:
             df = df.filter(F.col("langid").isin(list(langid_languages)))
 

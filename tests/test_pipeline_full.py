@@ -249,3 +249,51 @@ def test_curate_corpus_langid_stage(spark):
     langs = {r["doc_id"]: r["langid"] for r in ann}
     for doc_id, lid in langs.items():
         assert lid == sorted(HELDOUT_SENTENCES)[doc_id // 10]
+
+
+def test_curate_corpus_routed_langid_mapping(spark):
+    """Round 11: passing a {dominant_script: model} mapping (e.g.
+    langid.SCRIPT_FAMILIES) routes each doc to its script's frozen
+    family — Latin, Cyrillic and Han docs annotate from three
+    different profiles in one ladder run."""
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        HELDOUT_SENTENCES,
+        HELDOUT_SENTENCES_CYRILLIC,
+        HELDOUT_SENTENCES_HAN,
+        SCRIPT_FAMILIES,
+    )
+
+    # each doc carries a distinct ASCII anchor ("2023"/"2024"/"2025"):
+    # the batch ladder's repetition stage normalizes paragraphs with
+    # the ASCII default, so a paragraph with NO ASCII alphanumerics at
+    # all normalizes empty and is dropped as noise (documented
+    # curate_corpus limitation) — realistic non-Latin prose virtually
+    # always contains digits/Latin tokens, and the anchors also keep
+    # the ASCII-shingle near-dedup from collapsing the three docs
+    rows = [
+        (1, f"2023 {HELDOUT_SENTENCES['pt'][0]} {HELDOUT_SENTENCES['pt'][1]}"),
+        (2, f"2024 {HELDOUT_SENTENCES_CYRILLIC['uk'][0]} "
+            f"{HELDOUT_SENTENCES_CYRILLIC['uk'][1]}"),
+        (3, f"2025 {HELDOUT_SENTENCES_HAN['ja'][0]} "
+            f"{HELDOUT_SENTENCES_HAN['ja'][1]}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(
+        docs,
+        min_tokens=1,
+        languages=("en", "es", "fr", "de", "und"),
+        near_dup_threshold=0.9,
+        langid_model=SCRIPT_FAMILIES,
+    ).collect()
+    langs = {r["doc_id"]: r["langid"] for r in out}
+    assert langs == {1: "pt", 2: "uk", 3: "ja"}
+    # and the filter leg composes with the routed verdicts
+    kept = curate_corpus(
+        docs,
+        min_tokens=1,
+        languages=("en", "es", "fr", "de", "und"),
+        near_dup_threshold=0.9,
+        langid_model=SCRIPT_FAMILIES,
+        langid_languages=("ja",),
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [3]

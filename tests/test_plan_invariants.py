@@ -155,13 +155,14 @@ def test_text_profile_is_map_only(spark):
 
 
 def test_doc_fingerprints_is_map_only(spark):
-    """Map-only modulo the ONE-ROW langid model broadcast (round 10):
-    no shuffle exchange — the corpus never repartitions; the only
-    exchange is the broadcast of the frozen-profile row."""
+    """Map-only modulo the ONE-ROW langid model broadcasts (round 10;
+    round 11 adds the Han family's second one-row frame): no shuffle
+    exchange — the corpus never repartitions; the only exchanges are
+    the broadcasts of the two frozen-profile rows."""
     plan = _plan(spark, "doc_fingerprints")
     assert not re.search(r"\bExchange hashpartitioning", plan)
     assert "Exchange rangepartitioning" not in plan
-    assert plan.count("BroadcastExchange") <= 1
+    assert plan.count("BroadcastExchange") <= 2
 
 
 def test_doc_fingerprints_langid_separates_on_driver_probes(spark):
@@ -172,6 +173,7 @@ def test_doc_fingerprints_langid_separates_on_driver_probes(spark):
     df = QUERIES["doc_fingerprints"](spark, SF_SMALL)
     bad = df.filter(
         (df["langid_pred"] != df["langid_expected"])
+        | (df["hanid_pred"] != df["hanid_expected"])
     ).count()
     assert bad == 0
     langs = {
@@ -179,6 +181,12 @@ def test_doc_fingerprints_langid_separates_on_driver_probes(spark):
         for r in df.select("langid_pred").distinct().collect()
     }
     assert langs == {"es", "it", "pt"}
+    # round 11: the Han-family leg separates zh/ja/ko the same way
+    hans = {
+        r["hanid_pred"]
+        for r in df.select("hanid_pred").distinct().collect()
+    }
+    assert hans == {"zh", "ja", "ko"}
 
 
 def test_document_chunks_single_pack_exchange(spark):

@@ -20,13 +20,15 @@ def test_all_oracle_keys_have_queries():
     assert set(ORACLE.keys()) <= set(QUERIES.keys())
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
-def test_rows_only_queries_run(spark, name):
-    """Rows-only entries (no SQL oracle) must still execute and return
-    a stable schema at the smoke scale."""
-    df = QUERIES[name](spark, SF_SMALL)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_has_an_oracle():
+    """Every registered query carries a DuckDB oracle — the strongest
+    form of the driver contract (hash-checked, never the weaker
+    rows-only path). This replaced a parametrized rows-only smoke test
+    whose parameter set had been empty (and hence perpetually SKIPPED)
+    since every entry gained an oracle; if a future genuinely
+    non-SQL-expressible query ever lands without one, this assertion
+    fails and the rows-only smoke test should be reinstated for it."""
+    assert set(QUERIES) == set(ORACLE)
 
 
 def test_entry_smoke(spark):

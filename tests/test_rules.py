@@ -223,3 +223,92 @@ class TestWindowedImplsMatchPairsOnFixtures:
             assert got == want, rows
             fired += len(got)
         assert fired > 0
+
+
+class TestCelebrityKeyGate:
+    """Round 11: the windowed rule forms carry a measured per-key
+    density probe (rules._hot_keys) that routes celebrity keys through
+    the salted bucketed pair join — a window partition is one task, so
+    a hot key would otherwise serialize on one core. The routed output
+    must be byte-identical to both pure forms."""
+
+    def _hot_city_rows(self):
+        # hot card 1: 100 rows, city alternating every minute -> every
+        # row has a differing witness inside +/-1h; cold card 2 fires
+        # once; cold card 3 never fires
+        rows = [
+            (1, 1000 + i, _mins(i), "CITY_A" if i % 2 == 0 else "CITY_B", 7)
+            for i in range(100)
+        ]
+        rows += [
+            (2, 2000, _mins(0), "CITY_A", 8),
+            (2, 2001, _mins(59), "CITY_B", 8),
+            (3, 3000, _mins(0), "CITY_A", 9),
+            (3, 3001, _mins(10), "CITY_A", 9),
+        ]
+        return rows
+
+    def test_diff_city_gate_routes_and_output_identical(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.rules import (
+            _hot_keys,
+            rule_diff_city_1h,
+            rule_diff_city_1h_window,
+        )
+
+        df = _city_df(spark, self._hot_city_rows())
+        base = df.select(
+            "card_num", "trans_id", "trans_date", "terminal_city", "client_id"
+        )
+        # the probe trips on exactly the planted hot card
+        hot = _hot_keys(base, "card_num", 50)
+        assert [r.card_num for r in hot.collect()] == [1]
+        assert _hot_keys(base, "card_num", 1000) is None  # below density
+
+        routed = rule_diff_city_1h_window(df, hot_key_max_rows=50)
+        # the gate visibly split the plan: window leg UNION pair leg
+        assert "Union" in routed._jdf.queryExecution().analyzed().toString()
+        pure_window = rule_diff_city_1h_window(df, hot_key_max_rows=None)
+        assert (
+            "Union"
+            not in pure_window._jdf.queryExecution().analyzed().toString()
+        )
+
+        key = lambda d: sorted((r.trans_id, r.client_id) for r in d.collect())
+        got = key(routed)
+        assert got == key(pure_window) == key(rule_diff_city_1h(df))
+        assert len(got) == 102  # hot card's 100 + cold card 2's pair
+
+    def test_brute_force_gate_routes_and_output_identical(self, spark):
+        from etl_process_for_fraud_transactions_spark.operators.rules import (
+            rule_brute_force_20min,
+            rule_brute_force_20min_window,
+        )
+
+        # hot client 1 (60 rows > threshold 50): one firing 20-min run
+        # (decreasing amounts, R,R,R,S) then sparse 30-min-spaced noise;
+        # cold client 2: the canonical positive fixture
+        hot = _bf_rows(
+            [(400.0, "REJECT"), (300.0, "REJECT"),
+             (200.0, "REJECT"), (100.0, "SUCCESS")],
+            client=1, first_id=100,
+        )
+        hot += _bf_rows(
+            [(50.0, "SUCCESS")] * 56,
+            start_min=60, step_min=30, client=1, first_id=500,
+        )
+        cold = _bf_rows(TestBruteForce.POSITIVE, client=2, first_id=9000)
+        df = _bf_df(spark, hot + cold)
+
+        routed = rule_brute_force_20min_window(df, hot_key_max_rows=50)
+        assert "Union" in routed._jdf.queryExecution().analyzed().toString()
+
+        key = lambda d: sorted((r.client_id, r.trans_id) for r in d.collect())
+        got = key(routed)
+        assert (
+            got
+            == key(rule_brute_force_20min_window(df, hot_key_max_rows=None))
+            == key(rule_brute_force_20min(df))
+        )
+        # non-vacuous on BOTH legs: hot client fired via the pair leg,
+        # cold client via the window leg
+        assert {c for c, _ in got} == {1, 2}

@@ -266,3 +266,50 @@ def test_langid_gate_runs_in_stream(spark, tmp_path):
     )
     bgot = {r.doc_id: r.langid for r in curate_stream(batch, **kw).collect()}
     assert bgot == got
+
+
+def test_routed_langid_mapping_runs_in_stream(spark, tmp_path):
+    """Round 11: the script-routed langid mapping is stream-legal —
+    the per-family one-row broadcasts join stream-static and a Han
+    doc routes to the zh/ja/ko family while a Latin doc routes to
+    the Romance one, in the same micro-batch."""
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        HELDOUT_SENTENCES,
+        HELDOUT_SENTENCES_HAN,
+        SCRIPT_FAMILIES,
+    )
+
+    rows = [
+        {"doc_id": 1, "html": f"<p>{HELDOUT_SENTENCES['es'][0]}</p>"},
+        {"doc_id": 2, "html": f"<p>{HELDOUT_SENTENCES_HAN['zh'][0]}</p>"},
+    ]
+    kw = dict(
+        html_col="html",
+        min_tokens=1,
+        languages=("en", "es", "fr", "de", "und"),
+        langid_model=SCRIPT_FAMILIES,
+        pii=False,
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(src, "b1.jsonl", rows)
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        curate_stream(stream, **kw)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r.langid for r in spark.read.parquet(out).collect()}
+    assert got == {1: "es", 2: "zh"}
+    # batch parity through the identical expression ladder
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["html"]) for r in rows], "doc_id long, html string"
+    )
+    bgot = {r.doc_id: r.langid for r in curate_stream(batch, **kw).collect()}
+    assert bgot == got
