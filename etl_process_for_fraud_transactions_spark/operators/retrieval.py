@@ -55,7 +55,14 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["terms_frame", "bm25_scores", "bm25_topk", "Bm25Index"]
+__all__ = [
+    "terms_frame",
+    "bm25_scores",
+    "bm25_topk",
+    "Bm25Index",
+    "rrf_fuse",
+    "hybrid_topk",
+]
 
 #: decimal scale for the exact contribution sum (dsum pattern,
 #: plans/queries.py): BM25 contributions are O(0..20), so
@@ -568,3 +575,110 @@ class Bm25Index:
             matched, stats, q, self.id_col, self.k1, self.b
         )
         return _rank_topk(scored, self.id_col, topk)
+
+
+# --- hybrid retrieval (reciprocal-rank fusion) ------------------------------
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 10,
+    k_rrf: int = 60,
+    rank_a_col: str = "rank_a",
+    rank_b_col: str = "rank_b",
+    score_round: int | None = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    two per-query rank lists: rrf(d) = sum over legs of
+    1 / (k_rrf + rank_leg(d)), missing legs contributing 0. Inputs
+    are (query_id, <id_col>, <rank col>) frames — e.g. a Bm25Index
+    leg and an IvfIndex leg; output is the fused
+    (query_id, rank, <id_col>, rank_a, rank_b, rrf_score) top-k.
+
+    Why this shape scales: fusion is PURE INTEGER RANK ARITHMETIC
+    over the two already-k-bounded leg outputs — a full-outer join of
+    two <= |queries| x leg_k frames, so the whole operator's input is
+    bounded by construction no matter the corpus size; the corpus is
+    touched only inside the legs, each of which has its own scale
+    story (partition-pruned postings / cell-pruned vectors).
+
+    Cross-engine determinism: each contribution 1/(k_rrf + r) is one
+    IEEE double division of integer-valued operands, the two-term sum
+    is a FIXED-ORDER expression (leg A + leg B, never a fold), and
+    ranking orders by the ROUNDED score with an id tie-break — the
+    bm25 rounded-rank convention."""
+    a = ranked_a.select(
+        "query_id", id_col, F.col("rank").alias(rank_a_col)
+    )
+    b = ranked_b.select(
+        "query_id", id_col, F.col("rank").alias(rank_b_col)
+    )
+    both = a.join(b, ["query_id", id_col], "full_outer")
+    contrib_a = F.when(
+        F.col(rank_a_col).isNotNull(),
+        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(rank_a_col).cast("double")),
+    ).otherwise(F.lit(0.0))
+    contrib_b = F.when(
+        F.col(rank_b_col).isNotNull(),
+        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(rank_b_col).cast("double")),
+    ).otherwise(F.lit(0.0))
+    score = contrib_a + contrib_b
+    if score_round is not None:
+        score = F.round(score, score_round)
+    from pyspark.sql.window import Window
+
+    fused = both.withColumn("rrf_score", score)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", id_col, rank_a_col, rank_b_col, "rrf_score"
+        )
+    )
+
+
+def hybrid_topk(
+    term_queries: Mapping[str, Sequence[str]] | DataFrame,
+    vec_queries: DataFrame,
+    bm25_index: "Bm25Index",
+    ivf_index,
+    k: int = 10,
+    k_rrf: int = 60,
+    leg_k: int = 50,
+    nprobe: int = 2,
+    max_df_frac: float | None = None,
+    sim_round: int | None = 6,
+) -> DataFrame:
+    """Hybrid serving over the two persisted indexes (VERDICT r10
+    item 3): the Bm25Index keyword leg and the IvfIndex vector leg
+    each produce their partition-pruned top-`leg_k`, and
+    reciprocal-rank fusion re-ranks the union — the standard
+    keyword+vector serving pattern, composing the two index stores
+    into one query path. `vec_queries` must carry (query_id,
+    query_vec) with query_id values matching the term workload's keys
+    (one hybrid query = one id with both a term list and a vector).
+
+    Output: (query_id, rank, <bm25 id_col>, bm25_rank, vec_rank,
+    rrf_score) top-k per query. The two leg ranks let a caller see
+    which side surfaced each hit — including fusion-only hits that
+    neither leg ranked top-k alone (pinned in tests/test_retrieval.py).
+    """
+    bm_leg = bm25_index.topk(term_queries, topk=leg_k, max_df_frac=max_df_frac)
+    vec_leg = ivf_index.topk(
+        vec_queries, k=leg_k, nprobe=nprobe, sim_round=sim_round
+    )
+    id_col = bm25_index.id_col
+    vec_leg = vec_leg.withColumnRenamed(ivf_index.id_col, id_col)
+    return rrf_fuse(
+        bm_leg,
+        vec_leg,
+        id_col=id_col,
+        k=k,
+        k_rrf=k_rrf,
+        rank_a_col="bm25_rank",
+        rank_b_col="vec_rank",
+    )

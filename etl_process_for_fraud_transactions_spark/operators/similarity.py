@@ -675,6 +675,106 @@ class IvfIndex:
                 self.wh.path(self.vectors_table)
             )
 
+    def cell_skew(self) -> dict:
+        """Measured cell-balance probe (VERDICT r10 item 5): one
+        bounded aggregate over the vectors table's cell ids —
+        (n_vectors, n_cells_stored, n_cells_occupied, max_cell_rows,
+        skew), where skew = max_cell_rows / (n_vectors /
+        n_cells_stored), i.e. how many times fatter than uniform the
+        fattest cell is. Absorb keeps centroids frozen forever, so a
+        drifting embedding distribution silently piles new vectors
+        into few cells — degrading both balance (one probe reads a
+        fat partition) and recall (nprobe cells cover less of the
+        true neighborhood). This probe is the measured trigger, in
+        the small_graph_max_edges / broadcast-gate tradition: never
+        assume drift, measure it. Cost: a column-pruned scan of cell
+        ids with map-side partial aggregation to <= n_cells rows."""
+        self._validate()
+        counts = (
+            self.wh.read(self.vectors_table)
+            .groupBy(self.cell_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        row = counts.agg(
+            F.sum("__n").alias("total"),
+            F.count(F.lit(1)).alias("occupied"),
+            F.max("__n").alias("max_cell"),
+        ).first()
+        n_cells = (
+            self._stored_meta["n_cells"]
+            if getattr(self, "_stored_meta", None)
+            else row["occupied"]
+        )
+        total = row["total"] or 0
+        max_cell = row["max_cell"] or 0
+        skew = (
+            max_cell / (total / n_cells) if total and n_cells else 0.0
+        )
+        return {
+            "n_vectors": total,
+            "n_cells_stored": n_cells,
+            "n_cells_occupied": row["occupied"],
+            "max_cell_rows": max_cell,
+            "skew": skew,
+        }
+
+    def needs_retrain(self, max_skew: float = 4.0) -> bool:
+        """True when the measured cell skew exceeds `max_skew` (the
+        fattest cell holds more than max_skew times the uniform
+        share). The default 4.0 tolerates healthy non-uniformity —
+        real corpora are never uniform — while catching the
+        absorb-under-drift failure mode where one frozen cell eats
+        most of the stream."""
+        return self.cell_skew()["skew"] > max_skew
+
+    def retrain(
+        self,
+        n_cells: int | None = None,
+        seed: int = 42,
+        max_iter: int = 20,
+    ) -> None:
+        """Re-train centroids over the FULL stored corpus and rewrite
+        the cell layout atomically — the offline answer when
+        `needs_retrain` trips. Reads the store dequantized, re-runs
+        the KMeans coarse quantizer, atomic-overwrites the vectors
+        table re-partitioned by the NEW cells (a partitioned index
+        keeps each row's __batch stamp, so epoch lineage and replay
+        targeting survive the re-shard), recomputes centroids from
+        the persisted assignment, and refreshes the meta (n_cells may
+        change). Serving sees either the old layout or the new one,
+        never a mix (the atomic_overwrite temp-dir + rename swap)."""
+        from ..sources.warehouse import atomic_overwrite
+
+        self._validate()
+        if n_cells is None:
+            n_cells = (
+                self._stored_meta["n_cells"]
+                if getattr(self, "_stored_meta", None)
+                else 16
+            )
+        corpus = self._read_vectors().drop(self.cell_col)
+        assigned = ivf_build(
+            corpus, n_cells, self.vec_col, self.cell_col, seed, max_iter
+        )
+        parts = [self.cell_col]
+        if self.partitioned:
+            parts.append("__batch")
+        atomic_overwrite(
+            self._store_cols(assigned),
+            self.wh.path(self.vectors_table),
+            partition_by=parts,
+        )
+        self.wh.overwrite(
+            self.centroids_table,
+            ivf_centroids(
+                self._read_vectors(), self.cell_col, self.vec_col
+            ),
+        )
+        self._write_meta(
+            n_cells, self._frame_dim(self._read_vectors(), self.vec_col)
+        )
+        self._stored_meta = self.wh.read(self.meta_table).collect()[0].asDict()
+
     def topk(
         self,
         queries: DataFrame,
@@ -734,6 +834,39 @@ def quantize_embeddings(
 def dequantize(qvec: Column, scale: Column) -> Column:
     """array<tinyint> + scale -> array<double> (approximate original)."""
     return F.transform(qvec, lambda x: x.cast("double") * scale.cast("double"))
+
+
+def quantize_roundtrip(vec: Column) -> Column:
+    """dequantize(quantize(vec)) folded into ONE projection — for a
+    plan that needs the int8-representable values but never stores the
+    codes (the ivf_cosine_topk demonstration row, VERDICT r10 item 6).
+    Bit-identical to the two-step cascade: same scale (max|x|/127 as
+    double, zero-guarded to 1.0), same floor(x/scale + 0.5) tie rule
+    (the tinyint cast it skips is numerically a no-op — floor output
+    is already integral in [-127, 127]), same float32 scale round-trip
+    on the way back.
+
+    BOTH the double-cast array and the scale are let-bound (Spark
+    re-evaluates captured expression trees on every lambda invocation
+    — no CSE inside HOF lambdas, the dedup._let lesson), so the max
+    runs once per ROW, not once per element: two array traversals
+    total instead of O(d) array-max evaluations."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+
+    def body(bound: Column) -> Column:
+        amax = F.array_max(F.transform(bound, lambda x: F.abs(x)))
+        scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+
+        def with_scale(s: Column) -> Column:
+            return F.transform(
+                bound,
+                lambda x: F.floor(x / s + F.lit(0.5))
+                * s.cast("float").cast("double"),
+            )
+
+        return F.element_at(F.transform(F.array(scale), with_scale), 1)
+
+    return F.element_at(F.transform(F.array(v), body), 1)
 
 
 def ivf_build(

@@ -1905,24 +1905,34 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is additionally covered in tests/test_similarity.py.
 
     Round 10: the corpus side serves from the INT8-QUANTIZED store —
-    the REAL quantize_embeddings -> dequantize cascade (floor-tie
-    codes, float32 scale round-trip; IvfIndex(quantized=True)'s
-    at-rest layout, ~4x smaller at 100 TB) runs inside the plan, and
-    the oracle replays the exact same IEEE ops — so a defect anywhere
-    in the quantization math flips a similarity and fails the hash.
-    Queries stay float (the standard asymmetric serving shape)."""
+    the REAL quantize -> dequantize cascade (floor-tie codes, float32
+    scale round-trip; IvfIndex(quantized=True)'s at-rest layout, ~4x
+    smaller at 100 TB) runs inside the plan, and the oracle replays
+    the exact same IEEE ops — so a defect anywhere in the
+    quantization math flips a similarity and fails the hash. Queries
+    stay float (the standard asymmetric serving shape).
+
+    Round 11 (VERDICT r10 item 6): the cascade runs as ONE fused
+    let-bound projection (similarity.quantize_roundtrip — identical
+    IEEE ops, bit-equality pinned in tests/test_similarity.py) and
+    the dequantized corpus is localCheckpoint'd before fanning out to
+    the centroid aggregate AND the scoring join — previously both
+    consumers re-evaluated the HOF cascade per reference, which is
+    what had tripled the driver-row cost. The checkpoint is the
+    serve-from-a-materialized-quantized-store shape: at production
+    scale that materialization is the IvfIndex(quantized=True) table
+    itself."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    emb_q = S.quantize_embeddings(emb, "embedding", "qvec")
-    emb_dq = emb_q.select(
+    emb_dq = emb.select(
         "vec_id",
         "label",
-        S.dequantize(F.col("qvec"), F.col("qvec_scale")).alias("embedding"),
-    )
+        S.quantize_roundtrip(F.col("embedding")).alias("embedding"),
+    ).localCheckpoint()
     return S.ivf_topk(emb_dq, queries_df, k=10, nprobe=3, sim_round=6)
 
 

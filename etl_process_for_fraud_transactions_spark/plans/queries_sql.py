@@ -388,14 +388,71 @@ _SQL_BM25_QUERY_ROWS = ", ".join(
              round(CAST(SUM(CAST(c AS DECIMAL(18,9))) AS DOUBLE), 6)
                AS score
       FROM contrib GROUP BY query_id, doc_id
+    ),
+    bleg AS (
+      SELECT query_id, doc_id, n_terms_matched, score, brank
+      FROM (
+        SELECT query_id, doc_id, n_terms_matched, score,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS brank
+        FROM scored
+      )
+      WHERE brank <= 50
+    ),
+    corpusv AS (
+      SELECT vec_id AS doc_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    qv(query_id, m) AS (VALUES ('q_join_path', 0),
+                               ('q_window_sort', 1),
+                               ('q_stream', 2)),
+    qvec AS (
+      SELECT qv.query_id, c.vec FROM qv JOIN corpusv c ON c.doc_id = qv.m
+    ),
+    vscored AS (
+      SELECT q.query_id, c.doc_id,
+             round(list_sum(list_transform(list_zip(c.vec, q.vec),
+                                           x -> x[1]*x[2]))
+                   / (sqrt(list_sum(list_transform(c.vec, x -> x*x)))
+                      * sqrt(list_sum(list_transform(q.vec, x -> x*x)))),
+                   6) AS cos_sim
+      FROM corpusv c CROSS JOIN qvec q
+    ),
+    vleg AS (
+      SELECT query_id, doc_id, cos_sim, vrank
+      FROM (
+        SELECT query_id, doc_id, cos_sim,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos_sim DESC, doc_id ASC
+               ) AS vrank
+        FROM vscored
+      )
+      WHERE vrank <= 50
+    ),
+    fusedall AS (
+      SELECT coalesce(b.query_id, v.query_id) AS query_id,
+             coalesce(b.doc_id, v.doc_id) AS doc_id,
+             b.brank AS bm25_rank, v.vrank AS vec_rank,
+             b.n_terms_matched, b.score AS bm25_score, v.cos_sim,
+             round((CASE WHEN b.brank IS NULL THEN 0.0
+                         ELSE 1.0 / (60.0 + CAST(b.brank AS DOUBLE)) END)
+                   + (CASE WHEN v.vrank IS NULL THEN 0.0
+                           ELSE 1.0 / (60.0 + CAST(v.vrank AS DOUBLE)) END),
+                   9) AS rrf_score
+      FROM bleg b
+      FULL OUTER JOIN vleg v
+        ON b.query_id = v.query_id AND b.doc_id = v.doc_id
     )
-    SELECT query_id, rank, doc_id, n_terms_matched, score
+    SELECT query_id, rank, doc_id, bm25_rank, vec_rank,
+           n_terms_matched, bm25_score, cos_sim, rrf_score
     FROM (
-      SELECT query_id, doc_id, n_terms_matched, score,
+      SELECT *,
              row_number() OVER (
-               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
              ) AS rank
-      FROM scored
+      FROM fusedall
     )
     WHERE rank <= 10
     """,
@@ -424,12 +481,87 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps its own exchange at |query vocab| rows per task). On the
     fixture the guard demonstrably fires: at sf0.01 it drops 'batch'
     (df 402/500), at sf0.001 'window'/'merge'/'sort' — the oracle's
-    `kept` CTE replays the same double-precision df <= 0.8*N cut."""
-    from ..operators.retrieval import bm25_topk, terms_frame
+    `kept` CTE replays the same double-precision df <= 0.8*N cut.
+
+    Round 11 (VERDICT r10 item 4): the row is now the HYBRID
+    retrieval surface — each probe query also carries a vector
+    (embeddings vec_id 0/1/2; vec_id aligns with doc_id in the
+    fixture), the keyword leg (top-50, guard active) and the exact
+    cosine leg (top-50, rounded 6 dp before ranking) fuse by
+    reciprocal-rank fusion (operators/retrieval.py::rrf_fuse,
+    k_rrf=60), and the output is the fused top-10 with BOTH leg ranks
+    alongside (nullable where a leg missed the doc). rrf_score is a
+    fixed-order two-term sum of single IEEE divisions, rounded to
+    9 dp before the rank window — exactly replayed by the oracle's
+    FULL OUTER JOIN. Fusion-only hits (docs neither leg ranked top-10
+    alone) are pinned in tests/test_retrieval.py; the persisted-index
+    serving twin is `hybrid_topk` over Bm25Index + IvfIndex."""
+    from ..operators.retrieval import bm25_topk, rrf_fuse, terms_frame
 
     docs = load_table(spark, sf_dir, "documents")
-    return bm25_topk(
-        docs, terms_frame(spark, _BM25_QUERIES), topk=10, max_df_frac=0.8
+    bm_leg = bm25_topk(
+        docs, terms_frame(spark, _BM25_QUERIES), topk=50, max_df_frac=0.8
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    qmap = {"q_join_path": 0, "q_window_sort": 1, "q_stream": 2}
+    qv = spark.createDataFrame(
+        sorted(qmap.items()), "query_id: string, m: long"
+    )
+    qvec = emb.join(
+        F.broadcast(qv), emb["doc_id"] == qv["m"]
+    ).select("query_id", F.col("vec").alias("qvec"))
+    from ..operators.similarity import dot, l2_norm
+
+    vscored = emb.crossJoin(F.broadcast(qvec)).select(
+        "query_id",
+        "doc_id",
+        F.round(
+            dot(F.col("vec"), F.col("qvec"))
+            / (l2_norm(F.col("vec")) * l2_norm(F.col("qvec"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    from pyspark.sql.window import Window
+
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("doc_id")
+    )
+    vec_leg = (
+        vscored.withColumn("rank", F.row_number().over(wv))
+        .filter(F.col("rank") <= 50)
+    )
+
+    fused = rrf_fuse(
+        bm_leg,
+        vec_leg,
+        id_col="doc_id",
+        k=10,
+        k_rrf=60,
+        rank_a_col="bm25_rank",
+        rank_b_col="vec_rank",
+    )
+    return (
+        fused.join(
+            bm_leg.select(
+                "query_id", "doc_id", "n_terms_matched",
+                F.col("score").alias("bm25_score"),
+            ),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .join(
+            vec_leg.select("query_id", "doc_id", "cos_sim"),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .select(
+            "query_id", "rank", "doc_id", "bm25_rank", "vec_rank",
+            "n_terms_matched", "bm25_score", "cos_sim", "rrf_score",
+        )
     )
 
 

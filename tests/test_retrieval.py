@@ -371,3 +371,115 @@ def test_bm25_index_day_zero_string_id_schema(spark, tmp_path):
         f.dataType for f in empty.schema.fields
     ]
     assert empty.unionByName(served).count() == 1
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on a two-leg fixture, scores checked against the published
+    formula by hand: rrf(d) = sum 1/(60 + rank_leg(d)), a missing leg
+    contributing 0, ranked by rounded score with id tie-break."""
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2)], "query_id string, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [("q", 20, 1), ("q", 30, 2)], "query_id string, doc_id long, rank int"
+    )
+    got = {
+        r.doc_id: (r.rank, r.rank_a, r.rank_b, r.rrf_score)
+        for r in rrf_fuse(a, b, k=3).collect()
+    }
+    # doc 20: 1/62 + 1/61; doc 10: 1/61 + 0; doc 30: 0 + 1/62
+    assert got[20][0] == 1 and got[10][0] == 2 and got[30][0] == 3
+    assert got[20][3] == round(1 / 62 + 1 / 61, 9)
+    assert got[10][3] == round(1 / 61, 9)
+    assert got[30][3] == round(1 / 62, 9)
+    assert got[10][2] is None and got[30][1] is None  # missing legs
+
+
+def test_hybrid_topk_over_persisted_indexes(spark, tmp_path):
+    """hybrid_topk composes the two persisted index stores
+    (VERDICT r10 item 3) and surfaces a FUSION-ONLY hit: with k=1 and
+    leg_k=2, doc 3 — second in BOTH legs — outranks doc 1 (keyword
+    top-1, vector-orthogonal) and doc 2 (vector top-1, zero keyword
+    match): 1/62 + 1/62 > 1/61 + 0 on either side. Both legs
+    demonstrably contribute; neither alone ranks doc 3 first."""
+    import pytest as _pytest
+
+    _pytest.importorskip("numpy")
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+        hybrid_topk,
+    )
+    from etl_process_for_fraud_transactions_spark.operators.similarity import (
+        IvfIndex,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark fast spark fast spark"),
+            (2, "entirely unrelated prose about gardens"),
+            (3, "spark fast and other things besides"),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),
+            (3, [0.9, 0.1, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    bm = Bm25Index(wh, name="hbm25")
+    bm.build(docs)
+    ivf = IvfIndex(wh, name="hivf")
+    ivf.build(vecs, n_cells=2, seed=42)
+
+    term_q = {"h1": ["spark", "fast"]}
+    vec_q = spark.createDataFrame(
+        [("h1", [1.0, 0.0, 0.0])], "query_id string, query_vec array<double>"
+    )
+    # leg sanity: neither leg ranks doc 3 first
+    bm_top = bm.topk(term_q, topk=1).collect()[0]
+    assert bm_top.doc_id == 1
+    ivf_top = ivf.topk(vec_q, k=1, nprobe=2, sim_round=6).collect()[0]
+    assert ivf_top.vec_id == 2
+
+    fused = hybrid_topk(
+        term_q, vec_q, bm, ivf, k=1, leg_k=2, nprobe=2
+    ).collect()
+    assert len(fused) == 1
+    r = fused[0]
+    assert r.doc_id == 3 and r.rank == 1
+    assert r.bm25_rank == 2 and r.vec_rank == 2
+    assert r.rrf_score == round(1 / 62 + 1 / 62, 9)
+
+
+def test_bm25_topk_docs_row_has_fusion_only_hits(spark, duck):
+    """The registered hybrid row (bm25_topk_docs since round 11) must
+    demonstrate fusion mattering on the driver fixture itself: at
+    least one fused top-10 row that NEITHER leg ranked top-10, and
+    every row carrying at least one leg rank."""
+    from etl_process_for_fraud_transactions_spark.plans import QUERIES
+
+    from .conftest import SF_SMALL
+
+    rows = QUERIES["bm25_topk_docs"](spark, SF_SMALL).collect()
+    assert rows, "fused output must be non-empty"
+    assert all(
+        r.bm25_rank is not None or r.vec_rank is not None for r in rows
+    )
+    fusion_only = [
+        r
+        for r in rows
+        if (r.bm25_rank is None or r.bm25_rank > 10)
+        and (r.vec_rank is None or r.vec_rank > 10)
+    ]
+    assert fusion_only, "no fused-only hit on the fixture"

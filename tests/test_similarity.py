@@ -522,3 +522,96 @@ def test_ivf_index_param_guard(spark, tmp_path, corpus, queries):
 
     # matched instance still serves
     assert S.IvfIndex(wh).topk(queries, k=1).count() > 0
+
+
+def test_ivf_drift_gate_trips_and_retrain_restores(spark, tmp_path):
+    """Centroid-drift lifecycle (round 11): absorb keeps centroids
+    frozen, so a drifted stream piles into one cell — the MEASURED
+    cell-skew probe trips, the absorb sink surfaces a durable
+    needs_retrain marker, and an offline retrain() re-shards the
+    store: skew back under the gate, recall restored for the drifted
+    region, per-epoch batch lineage preserved through the re-shard."""
+    pytest.importorskip("numpy")
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+    from etl_process_for_fraud_transactions_spark.streaming.upsert import (
+        ivf_absorb_sink,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = S.IvfIndex(wh, partitioned=True)
+    base = spark.createDataFrame(
+        [(i, [1.0, i * 0.001, 0.0]) for i in range(10)]
+        + [(10 + i, [i * 0.001, 1.0, 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    idx.build(base, n_cells=2, seed=42)
+    assert not idx.needs_retrain(max_skew=1.5)  # balanced at build
+
+    # drifted stream: 40 vectors near [0.3, 0, 1] — closest FROZEN
+    # centroid is the [1,0,0] cell, so they all pile in there
+    drift = spark.createDataFrame(
+        [(100 + i, [0.3, i * 0.001, 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    sink = ivf_absorb_sink(idx, max_skew=1.5)
+    sink(drift, 1)
+
+    skew = idx.cell_skew()
+    assert skew["n_vectors"] == 60
+    assert skew["skew"] > 1.5  # 50 of 60 rows in one of 2 cells
+    assert idx.needs_retrain(max_skew=1.5)
+    health = wh.read("ivf_health").collect()[0]
+    assert health.needs_retrain and health.as_of_batch == "1"
+
+    # recall failure mode, demonstrated: a query in the drifted
+    # region probes its nearest FROZEN centroid — the [0,1,0] cell —
+    # and finds none of the 40 drifted vectors at nprobe=1
+    q = spark.createDataFrame(
+        [(0, [0.0, 0.3, 1.0])], "query_id long, query_vec array<double>"
+    )
+    before = {r.vec_id for r in idx.topk(q, k=5, nprobe=1).collect()}
+    assert not (before & set(range(100, 140)))
+
+    idx.retrain(n_cells=2, seed=42)
+    assert not idx.needs_retrain(max_skew=1.5)  # 40/30 < 1.5
+    after = {r.vec_id for r in idx.topk(q, k=5, nprobe=1).collect()}
+    assert after <= set(range(100, 140)) and len(after) == 5
+
+    # epoch lineage survived the re-shard (replay still targets its
+    # own (cell, batch) partitions)
+    batches = {
+        r["__batch"]
+        for r in wh.read(idx.vectors_table).select("__batch").distinct().collect()
+    }
+    assert batches == {"__build__", "1"}
+
+
+def test_quantize_roundtrip_bit_equals_two_step(spark):
+    """The fused one-projection cascade (round 11) must be
+    BIT-identical to quantize_embeddings -> dequantize on every
+    vector — including the zero vector (scale guard), negative
+    components and exact .5 code ties (the floor rule)."""
+    rows = [
+        (1, [127.0, 3.4, -2.2, 1.0, 0.0, 0.4]),
+        (2, [0.0, 0.0, 0.0]),
+        (3, [-1.0, 1.0, 0.5, -0.5]),
+        (4, [1e-8, -1e-8, 2.5e-7]),
+        (5, [254.0, -127.0, 63.5]),
+    ]
+    # pad to a common dim per createDataFrame row? use separate frames
+    from pyspark.sql import functions as F
+
+    for vid, vec in rows:
+        df = spark.createDataFrame(
+            [(vid, vec)], "vec_id long, embedding array<double>"
+        )
+        two = S.dequantize(F.col("qvec"), F.col("qvec_scale"))
+        want = (
+            S.quantize_embeddings(df).select(two.alias("v")).collect()[0]["v"]
+        )
+        got = df.select(
+            S.quantize_roundtrip(F.col("embedding")).alias("v")
+        ).collect()[0]["v"]
+        assert got == want, (vid, got, want)
