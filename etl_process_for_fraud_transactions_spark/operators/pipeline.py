@@ -62,6 +62,7 @@ def curate_corpus(
     quality_model=None,
     min_quality: float = 0.5,
     span_mask_min_docs: int | None = None,
+    span_mask_rungs: tuple[tuple[int, int], ...] | None = None,
     unigram_lm=None,
     min_lm_logprob: float | None = None,
     decontaminate_prefilter: str | None = None,
@@ -117,6 +118,11 @@ def curate_corpus(
         min_docs=boilerplate_min_docs,
     ).drop("n_paragraphs_dropped")
 
+    if span_mask_min_docs is not None and span_mask_rungs is not None:
+        raise ValueError(
+            "pass span_mask_min_docs (single fixed-L pass) OR "
+            "span_mask_rungs (multi-length cascade), not both"
+        )
     if span_mask_min_docs is not None:
         # sub-paragraph boilerplate (templated sentences, mid-text
         # disclaimers); rewrites text to normalized tokens, so the
@@ -126,6 +132,15 @@ def curate_corpus(
 
         cleaned = mask_frequent_spans(
             cleaned, text_col, id_col, min_docs=span_mask_min_docs
+        ).drop("n_span_tokens_dropped")
+    elif span_mask_rungs is not None:
+        # the multi-length cascade (round 11): (L, min_docs) rungs
+        # sharing one tokenization — the Spark-native approximation of
+        # substring-level dedup; see text.mask_frequent_spans_multi
+        from .text import mask_frequent_spans_multi
+
+        cleaned = mask_frequent_spans_multi(
+            cleaned, text_col, id_col, rungs=span_mask_rungs
         ).drop("n_span_tokens_dropped")
 
     exact = dedup_exact(cleaned, text_col, id_col)

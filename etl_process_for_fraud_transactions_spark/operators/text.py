@@ -6,6 +6,8 @@ speed and scale linearly with executors."""
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -965,6 +967,111 @@ def mask_frequent_spans(
         df.join(flagged, id_col, "left")
         .withColumn("__toks", toks)
         .withColumn("__covered", covered.cast("array<long>"))
+        .withColumn("__kept", kept)
+        .select(
+            *out_cols,
+            F.array_join(F.col("__kept"), " ").alias(text_col),
+            (F.size(F.col("__toks")) - F.size(F.col("__kept"))).alias(
+                "n_span_tokens_dropped"
+            ),
+        )
+    )
+
+
+def mask_frequent_spans_multi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rungs: Sequence[tuple[int, int]] = ((32, 5), (64, 3), (128, 2)),
+    portable: bool = False,
+) -> DataFrame:
+    """Multi-length span-mask cascade — the Spark-native approximation
+    of substring-level exact dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), run as 2-3 fixed-L
+    window-hash passes SHARING ONE TOKENIZATION (round 11, VERDICT
+    r10 item 7 / gap 5).
+
+    `rungs` is a list of (span_tokens, min_docs) pairs. The point of
+    pairing length with ITS OWN frequency threshold: evidence scales
+    with length. A 32-token window needs several witnessing documents
+    before masking is safe (short natural phrases recur innocently),
+    while TWO documents sharing an exact 128-token run is already
+    proof of duplication/boilerplate — so the long rung may mask with
+    min_docs=2 where the short rung would over-mask at that
+    threshold. That is exactly what a single fixed-L pass cannot
+    express: a 128-token repeat shared by only 2 docs is INVISIBLE to
+    a (64, min_docs=3) pass but caught by the (128, 2) rung
+    (pytest-pinned). A token is dropped when ANY rung's flagged
+    window covers it; `n_span_tokens_dropped` counts the UNION
+    coverage once (cumulative counts stay coherent across rungs).
+
+    Gap to true suffix-array substring dedup, documented: (a) repeats
+    shorter than the smallest rung length escape entirely; (b) each
+    rung catches a repeat only at its own (length, min_docs) point —
+    a 100-token repeat in 2 docs slips between a (64, 3) and a
+    (128, 2) rung, where a suffix array with a 50-token threshold
+    removes it; (c) the suffix-array form finds exact repeat
+    boundaries, while window masking is window-granular (within a
+    flagged repeat the coverage is exact — every fully-contained
+    window flags — so the difference only shows through min_docs
+    false positives). Denser rungs narrow (a) and (b) at one extra
+    (hash, id) shuffle per rung; the text itself never shuffles in
+    any rung, which is the property the suffix-array build cannot
+    offer at 100 TB.
+
+    Shuffle shape: the token array materializes ONCE as a projection
+    attribute; each rung adds one (hash, id) aggregation over 8-byte
+    window hashes plus one per-doc flagged-starts collect, and the
+    final token filter is map-side."""
+    if not rungs:
+        raise ValueError("rungs must be a non-empty list of (L, min_docs)")
+    widths = [w for w, _ in rungs]
+    if len(set(widths)) != len(widths):
+        raise ValueError(f"duplicate span lengths in rungs: {widths}")
+
+    # one tokenization: materialized as an attribute so every rung's
+    # window hashes reference it instead of re-splitting the text
+    base = df.withColumn("__toks", tokens(F.col(text_col)))
+
+    def seq_of(starts: Column, width: int) -> Column:
+        return F.flatten(
+            F.transform(
+                F.coalesce(starts, F.array()),
+                lambda s: F.sequence(s, s + F.lit(width - 1)),
+            )
+        )
+
+    out = base
+    covered_parts = []
+    for i, (width, min_docs) in enumerate(rungs):
+        positions = base.select(
+            F.col(id_col),
+            F.posexplode(
+                _window_hashes(F.col("__toks"), width, portable)
+            ).alias("pos0", "span_hash"),
+        )
+        frequent = (
+            positions.groupBy("span_hash")
+            .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("span_hash")
+        )
+        flagged = (
+            positions.join(frequent, "span_hash", "left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_list(F.col("pos0") + 1).alias(f"__starts_{i}"))
+        )
+        out = out.join(flagged, id_col, "left")
+        covered_parts.append(seq_of(F.col(f"__starts_{i}"), width))
+
+    covered = F.array_distinct(F.concat(*covered_parts)).cast("array<long>")
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.array_contains(F.col("__covered"), (i + 1).cast("long")),
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    return (
+        out.withColumn("__covered", covered)
         .withColumn("__kept", kept)
         .select(
             *out_cols,

@@ -297,3 +297,33 @@ def test_curate_corpus_routed_langid_mapping(spark):
         langid_languages=("ja",),
     ).collect()
     assert [r["doc_id"] for r in kept] == [3]
+
+
+def test_curate_corpus_span_mask_cascade_option(spark):
+    """span_mask_rungs routes the ladder's span stage through the
+    multi-length cascade; passing both span knobs fails loudly."""
+    import pytest
+
+    shared = " ".join(f"dup{i:03d}" for i in range(70))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha prose begins here {shared} first ending words"),
+            (2, f"beta prose starts over {shared} second closing words"),
+            (3, "gamma wholly original material with nothing repeated"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in curate_corpus(
+            docs,
+            min_tokens=2,
+            languages=("en", "und"),
+            near_dup_threshold=0.95,
+            span_mask_rungs=((64, 2),),
+        ).collect()
+    }
+    assert "dup000" not in out[1] and "dup000" not in out[2]
+    assert "original" in out[3]
+    with pytest.raises(ValueError, match="not both"):
+        curate_corpus(docs, span_mask_min_docs=3, span_mask_rungs=((64, 2),))

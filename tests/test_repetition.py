@@ -293,3 +293,101 @@ class TestFrequentSpans:
         }
         assert all("confidential" not in t for t in out.values())
         assert 4 in out  # clean doc survives
+
+
+class TestMultiLengthSpanMaskCascade:
+    """Round 11: the (L, min_docs) cascade — evidence scales with
+    length, so the long rung masks at a lower frequency threshold
+    than the short rung could afford."""
+
+    def _docs(self, spark):
+        shared = " ".join(f"shared{i:03d}" for i in range(128))
+        rows = [
+            (1, f"alpha one two {shared} omega one"),
+            (2, f"beta three four {shared} kappa two"),
+            (3, "gamma entirely distinct prose with no repeats at all"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_long_rung_catches_what_short_rung_misses(self, spark):
+        """A 128-token run shared by exactly TWO documents: invisible
+        to a single (64, min_docs=3) pass — only 2 witnesses — but
+        caught by the (128, min_docs=2) rung of the cascade."""
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            mask_frequent_spans,
+            mask_frequent_spans_multi,
+        )
+
+        docs = self._docs(spark)
+        single = {
+            r.doc_id: r.n_span_tokens_dropped
+            for r in mask_frequent_spans(
+                docs, span_tokens=64, min_docs=3
+            ).collect()
+        }
+        assert single == {1: 0, 2: 0, 3: 0}  # 2 witnesses < 3: missed
+
+        cascade = {
+            r.doc_id: r
+            for r in mask_frequent_spans_multi(
+                docs, rungs=((64, 3), (128, 2))
+            ).collect()
+        }
+        # the shared 128-token run (and only it) is masked from both
+        assert cascade[1].n_span_tokens_dropped == 128
+        assert cascade[2].n_span_tokens_dropped == 128
+        assert cascade[3].n_span_tokens_dropped == 0
+        assert "shared000" not in cascade[1].text
+        assert cascade[1].text == "alpha one two omega one"
+        assert cascade[2].text == "beta three four kappa two"
+
+    def test_cumulative_counts_are_union_coverage(self, spark):
+        """Overlapping rungs count each masked token ONCE: with both
+        (64, 2) and (128, 2) flagging the same shared run, the drop
+        count equals the run length, not the sum over rungs, and
+        always equals len(tokens) - len(kept)."""
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            mask_frequent_spans,
+            mask_frequent_spans_multi,
+        )
+
+        docs = self._docs(spark)
+        got = {
+            r.doc_id: r
+            for r in mask_frequent_spans_multi(
+                docs, rungs=((64, 2), (128, 2))
+            ).collect()
+        }
+        for doc_id, masked in ((1, 128), (2, 128), (3, 0)):
+            r = got[doc_id]
+            assert r.n_span_tokens_dropped == masked
+            orig = [
+                x.text
+                for x in docs.filter(F.col("doc_id") == doc_id).collect()
+            ][0]
+            assert (
+                len(orig.split()) - len(r.text.split() if r.text else [])
+                == masked
+            )
+        # and the cascade is a superset of each single rung's mask
+        single64 = {
+            r.doc_id: r.n_span_tokens_dropped
+            for r in mask_frequent_spans(
+                docs, span_tokens=64, min_docs=2
+            ).collect()
+        }
+        for d in (1, 2, 3):
+            assert got[d].n_span_tokens_dropped >= single64[d]
+
+    def test_rung_validation(self, spark):
+        import pytest
+
+        from etl_process_for_fraud_transactions_spark.operators.text import (
+            mask_frequent_spans_multi,
+        )
+
+        docs = self._docs(spark)
+        with pytest.raises(ValueError, match="non-empty"):
+            mask_frequent_spans_multi(docs, rungs=())
+        with pytest.raises(ValueError, match="duplicate"):
+            mask_frequent_spans_multi(docs, rungs=((64, 2), (64, 3)))
