@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..functions.core import null_safe_concat_ws
 from .rules import (
     EV_BLOCKED_PASSPORT,
+    HOT_KEY_MAX_ROWS,
     EV_BRUTE_FORCE,
     EV_DIFF_CITY,
     EV_EXPIRED_PASSPORT,
@@ -40,6 +41,7 @@ def assemble_report(
     broadcast_max_rows: int = 4_000_000,
     diff_city_impl: str = "window",
     brute_impl: str = "window",
+    hot_key_max_rows: int | None = HOT_KEY_MAX_ROWS,
 ) -> DataFrame:
     """The full five-rule report (main.py:414-560) as one DataFrame.
 
@@ -121,10 +123,12 @@ def assemble_report(
         raise ValueError(
             f"diff_city_impl must be window|pairs, got {diff_city_impl!r}"
         )
+    from functools import partial
+
     diff_city_rule = (
-        rule_diff_city_1h_window
+        partial(rule_diff_city_1h_window, hot_key_max_rows=hot_key_max_rows)
         if diff_city_impl == "window"
-        else rule_diff_city_1h
+        else rule_diff_city_1h  # the pair form has no window partition to gate
     )
     # brute_impl mirrors diff_city_impl: 'window' computes the rule-5
     # CANDIDATE stage as a forward range frame (pairs only for the
@@ -135,7 +139,7 @@ def assemble_report(
             f"brute_impl must be window|pairs, got {brute_impl!r}"
         )
     brute_rule = (
-        rule_brute_force_20min_window
+        partial(rule_brute_force_20min_window, hot_key_max_rows=hot_key_max_rows)
         if brute_impl == "window"
         else rule_brute_force_20min
     )

@@ -695,4 +695,10 @@ def fraud_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keeps the measured gate (None); the always-hint True is for
         # interactive single-shot use only.
         broadcast_rule_hits=False,
+        # the celebrity-key probe is two plan-construction count()
+        # jobs (~1s at sf0.1); the driver fixture provably has no key
+        # near HOT_KEY_MAX_ROWS, so the registered row opts out — the
+        # broadcast_rule_hits=False precedent. Production keeps the
+        # measured default (jobs/daily.py).
+        hot_key_max_rows=None,
     )
