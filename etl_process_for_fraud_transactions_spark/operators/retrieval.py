@@ -588,6 +588,8 @@ def rrf_fuse(
     rank_a_col: str = "rank_a",
     rank_b_col: str = "rank_b",
     score_round: int | None = 9,
+    keep_a: Sequence[str] = (),
+    keep_b: Sequence[str] = (),
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
     two per-query rank lists: rrf(d) = sum over legs of
@@ -607,12 +609,18 @@ def rrf_fuse(
     IEEE double division of integer-valued operands, the two-term sum
     is a FIXED-ORDER expression (leg A + leg B, never a fold), and
     ranking orders by the ROUNDED score with an id tie-break — the
-    bm25 rounded-rank convention."""
+    bm25 rounded-rank convention.
+
+    keep_a/keep_b: extra leg columns carried through the fusion join
+    (NULL where the leg missed the doc) — carry leg evidence THROUGH
+    the join instead of re-joining the leg afterwards, which would
+    duplicate the whole leg subtree (its scan, its shuffle, its probe
+    broadcast) in the physical plan."""
     a = ranked_a.select(
-        "query_id", id_col, F.col("rank").alias(rank_a_col)
+        "query_id", id_col, F.col("rank").alias(rank_a_col), *keep_a
     )
     b = ranked_b.select(
-        "query_id", id_col, F.col("rank").alias(rank_b_col)
+        "query_id", id_col, F.col("rank").alias(rank_b_col), *keep_b
     )
     both = a.join(b, ["query_id", id_col], "full_outer")
     contrib_a = F.when(
@@ -636,7 +644,8 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id", "rank", id_col, rank_a_col, rank_b_col, "rrf_score"
+            "query_id", "rank", id_col, rank_a_col, rank_b_col,
+            *keep_a, *keep_b, "rrf_score",
         )
     )
 

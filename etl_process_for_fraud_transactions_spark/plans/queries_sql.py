@@ -535,33 +535,24 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 50)
     )
 
+    # leg evidence rides THROUGH the fusion join (keep_a/keep_b) —
+    # re-joining the legs afterwards would duplicate each leg's whole
+    # subtree (the postings shuffle, the probe-vector broadcast) in
+    # the physical plan; the hint sweep caught exactly that
     fused = rrf_fuse(
-        bm_leg,
+        bm_leg.withColumnRenamed("score", "bm25_score"),
         vec_leg,
         id_col="doc_id",
         k=10,
         k_rrf=60,
         rank_a_col="bm25_rank",
         rank_b_col="vec_rank",
+        keep_a=("n_terms_matched", "bm25_score"),
+        keep_b=("cos_sim",),
     )
-    return (
-        fused.join(
-            bm_leg.select(
-                "query_id", "doc_id", "n_terms_matched",
-                F.col("score").alias("bm25_score"),
-            ),
-            ["query_id", "doc_id"],
-            "left",
-        )
-        .join(
-            vec_leg.select("query_id", "doc_id", "cos_sim"),
-            ["query_id", "doc_id"],
-            "left",
-        )
-        .select(
-            "query_id", "rank", "doc_id", "bm25_rank", "vec_rank",
-            "n_terms_matched", "bm25_score", "cos_sim", "rrf_score",
-        )
+    return fused.select(
+        "query_id", "rank", "doc_id", "bm25_rank", "vec_rank",
+        "n_terms_matched", "bm25_score", "cos_sim", "rrf_score",
     )
 
 

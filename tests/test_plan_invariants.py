@@ -260,6 +260,10 @@ _ALLOWED_WORKLOAD_HINTS = {
     # benchmark n-gram counts + benchmark shingles (doc_id % 101 == 7
     # split stands in for the bounded-by-construction benchmark set)
     "corpus_curation_pipeline": 2,
+    # r11 hybrid row: the 3-row query-vector frame (embeddings joined
+    # to a 3-row literal map) broadcast into the exact-cosine leg —
+    # the same probe-workload class as ann/ivf's vec_id < 3 frames
+    "bm25_topk_docs": 1,
 }
 
 
