@@ -590,6 +590,8 @@ def rrf_fuse(
     score_round: int | None = 9,
     keep_a: Sequence[str] = (),
     keep_b: Sequence[str] = (),
+    weight_a: float = 1.0,
+    weight_b: float = 1.0,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
     two per-query rank lists: rrf(d) = sum over legs of
@@ -615,7 +617,14 @@ def rrf_fuse(
     (NULL where the leg missed the doc) — carry leg evidence THROUGH
     the join instead of re-joining the leg afterwards, which would
     duplicate the whole leg subtree (its scan, its shuffle, its probe
-    broadcast) in the physical plan."""
+    broadcast) in the physical plan.
+
+    weight_a/weight_b: the weighted-RRF variant (per-leg contribution
+    w / (k_rrf + rank)) — the standard production knob when one leg
+    is known stronger for a workload. Each weighted contribution is
+    still ONE IEEE division (the weight is the numerator), so the
+    determinism contract is unchanged and the 1.0/1.0 default is
+    bit-identical to published RRF."""
     a = ranked_a.select(
         "query_id", id_col, F.col("rank").alias(rank_a_col), *keep_a
     )
@@ -625,11 +634,13 @@ def rrf_fuse(
     both = a.join(b, ["query_id", id_col], "full_outer")
     contrib_a = F.when(
         F.col(rank_a_col).isNotNull(),
-        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(rank_a_col).cast("double")),
+        F.lit(float(weight_a))
+        / (F.lit(float(k_rrf)) + F.col(rank_a_col).cast("double")),
     ).otherwise(F.lit(0.0))
     contrib_b = F.when(
         F.col(rank_b_col).isNotNull(),
-        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(rank_b_col).cast("double")),
+        F.lit(float(weight_b))
+        / (F.lit(float(k_rrf)) + F.col(rank_b_col).cast("double")),
     ).otherwise(F.lit(0.0))
     score = contrib_a + contrib_b
     if score_round is not None:
@@ -661,6 +672,8 @@ def hybrid_topk(
     nprobe: int = 2,
     max_df_frac: float | None = None,
     sim_round: int | None = 6,
+    weight_bm25: float = 1.0,
+    weight_vec: float = 1.0,
 ) -> DataFrame:
     """Hybrid serving over the two persisted indexes (VERDICT r10
     item 3): the Bm25Index keyword leg and the IvfIndex vector leg
@@ -690,4 +703,6 @@ def hybrid_topk(
         k_rrf=k_rrf,
         rank_a_col="bm25_rank",
         rank_b_col="vec_rank",
+        weight_a=weight_bm25,
+        weight_b=weight_vec,
     )

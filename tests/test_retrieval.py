@@ -483,3 +483,33 @@ def test_bm25_topk_docs_row_has_fusion_only_hits(spark, duck):
         and (r.vec_rank is None or r.vec_rank > 10)
     ]
     assert fusion_only, "no fused-only hit on the fixture"
+
+
+def test_rrf_fuse_weighted_variant(spark):
+    """weight_a/weight_b: per-leg w/(60+rank) contributions. Down-
+    weighting the vector leg to 0.1 makes the keyword top hit (absent
+    from the vector leg) overtake the dual-membership doc that wins
+    plain RRF; 1.0/1.0 stays bit-identical to the default."""
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 10)],
+        "query_id string, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q", 30, 1), ("q", 20, 2)], "query_id string, doc_id long, rank int"
+    )
+    plain = {r.doc_id: (r.rank, r.rrf_score) for r in rrf_fuse(a, b, k=3).collect()}
+    assert plain[20][0] == 1  # 1/70 + 1/62 beats either single 1/61
+    weighted = {
+        r.doc_id: (r.rank, r.rrf_score)
+        for r in rrf_fuse(a, b, k=3, weight_b=0.1).collect()
+    }
+    assert weighted[10][0] == 1  # 1/61 > 1/70 + 0.1/62
+    assert weighted[10][1] == round(1.0 / 61, 9)
+    assert weighted[20][1] == round(1.0 / 70 + 0.1 / 62, 9)
+    # explicit unit weights are bit-identical to the default
+    unit = {r.doc_id: r.rrf_score for r in rrf_fuse(a, b, k=3, weight_a=1.0, weight_b=1.0).collect()}
+    assert unit == {d: s for d, (_, s) in plain.items()}
