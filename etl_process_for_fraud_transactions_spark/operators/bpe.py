@@ -215,7 +215,11 @@ class BpeTokenizer:
         alphabet is open, so ids could not cover unseen characters).
         Two merge pairs can concat to the same string ("ab"+"c" and
         "a"+"bc"); the first rank wins the id and both encode/decode
-        consistently through it."""
+        consistently through it. Returns a read-only view of the
+        per-instance cache (round 11): the dict is shared with
+        encode_ids/decode_ids, so handing out the raw object would
+        let external mutation silently corrupt round-trips — copy it
+        (`dict(tok.vocab())`) to extend."""
         if not self.byte_level:
             raise ValueError(
                 "vocab()/encode_ids need a byte-level tokenizer "
@@ -230,7 +234,9 @@ class BpeTokenizer:
                     v[a + b] = next_id
                 next_id += 1
             self._vocab = v
-        return self._vocab
+        from types import MappingProxyType
+
+        return MappingProxyType(self._vocab)
 
     def _inverse_vocab(self) -> dict[int, str]:
         if self._inv_vocab is None:

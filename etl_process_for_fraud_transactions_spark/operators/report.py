@@ -125,8 +125,17 @@ def assemble_report(
         )
     from functools import partial
 
+    # tripped celebrity-key probes persist their hot-key frames; the
+    # registry joins _rule_hit_frames below so jobs/daily.py's
+    # per-batch release covers them too (no cache accumulation across
+    # a multi-date loop)
+    _gate_persists: list = []
     diff_city_rule = (
-        partial(rule_diff_city_1h_window, hot_key_max_rows=hot_key_max_rows)
+        partial(
+            rule_diff_city_1h_window,
+            hot_key_max_rows=hot_key_max_rows,
+            persist_registry=_gate_persists,
+        )
         if diff_city_impl == "window"
         else rule_diff_city_1h  # the pair form has no window partition to gate
     )
@@ -139,7 +148,11 @@ def assemble_report(
             f"brute_impl must be window|pairs, got {brute_impl!r}"
         )
     brute_rule = (
-        partial(rule_brute_force_20min_window, hot_key_max_rows=hot_key_max_rows)
+        partial(
+            rule_brute_force_20min_window,
+            hot_key_max_rows=hot_key_max_rows,
+            persist_registry=_gate_persists,
+        )
         if brute_impl == "window"
         else rule_brute_force_20min
     )
@@ -219,5 +232,5 @@ def assemble_report(
     # iterate it unconditionally
     result._rule_hit_frames = (
         (diff_city_raw, brute_raw) if broadcast_rule_hits is None else ()
-    )
+    ) + tuple(_gate_persists)
     return result

@@ -132,6 +132,7 @@ def _hot_keys(
     key_col: str,
     max_rows: int | None,
     broadcast_max_rows: int = 4_000_000,
+    persist_registry: list | None = None,
 ) -> DataFrame | None:
     """Measured per-key density probe (the small_graph_max_edges /
     cap_per_domain gate pattern): one bounded aggregate counts rows
@@ -141,8 +142,14 @@ def _hot_keys(
     plan-construction time — the measurement is the point; a route
     decided without data is the trap this gate replaces. The persisted
     hot-key frame is bounded (<= total_rows / max_rows keys), stays
-    referenced by the returned plan and is LRU-evictable."""
-    if not max_rows:
+    referenced by the returned plan and is LRU-evictable. max_rows=0
+    is a real threshold (every key with >0 rows routes to the pair
+    join); only None disables the probe. A tripped probe's persisted
+    frame is appended to `persist_registry` when given — the
+    deterministic-release channel for loop callers (the
+    cap_per_domain return_persisted lesson): a per-date report loop
+    would otherwise accumulate cached frames until LRU pressure."""
+    if max_rows is None:
         return None
     hot = (
         base.groupBy(key_col)
@@ -155,6 +162,8 @@ def _hot_keys(
     if n == 0:
         hot.unpersist()
         return None
+    if persist_registry is not None:
+        persist_registry.append(hot)
     return F.broadcast(hot) if n <= broadcast_max_rows else hot
 
 
@@ -219,7 +228,9 @@ def _diff_city_window_hits(base: DataFrame) -> DataFrame:
 
 
 def rule_diff_city_1h_window(
-    resolved: DataFrame, hot_key_max_rows: int | None = HOT_KEY_MAX_ROWS
+    resolved: DataFrame,
+    hot_key_max_rows: int | None = HOT_KEY_MAX_ROWS,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Rule 4 as a RANGE-FRAME WINDOW — pair-free (round 10), with a
     measured celebrity-card fallback (round 11).
@@ -258,7 +269,9 @@ def rule_diff_city_1h_window(
     base = resolved.select(
         "card_num", "trans_id", "trans_date", "terminal_city", "client_id"
     )
-    hot = _hot_keys(base, "card_num", hot_key_max_rows)
+    hot = _hot_keys(
+        base, "card_num", hot_key_max_rows, persist_registry=persist_registry
+    )
     if hot is not None:
         cold_hits = _diff_city_window_hits(
             base.join(hot, "card_num", "left_anti")
@@ -266,6 +279,11 @@ def rule_diff_city_1h_window(
         hot_hits = _diff_city_pair_hits(
             base.join(hot, "card_num"), salt="auto"
         )
+        # the outer distinct is NOT redundant: a duplicated
+        # (trans_id, client_id) pair can ride two different card_num
+        # rows in dirty data — one hot, one cold — and the ungated
+        # forms collapse it with their single global DISTINCT; exact
+        # parity requires the same here. It shuffles hit ids only.
         return cold_hits.unionByName(hot_hits).distinct()
     return _diff_city_window_hits(base)
 
@@ -395,7 +413,9 @@ def _brute_force_pair_candidates(base: DataFrame, salt=None) -> DataFrame:
 
 
 def rule_brute_force_20min_window(
-    resolved: DataFrame, hot_key_max_rows: int | None = HOT_KEY_MAX_ROWS
+    resolved: DataFrame,
+    hot_key_max_rows: int | None = HOT_KEY_MAX_ROWS,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Rule 5 with a WINDOWED candidate stage (round 10) and a
     measured celebrity-client fallback (round 11) — the all-pairs
@@ -428,7 +448,9 @@ def rule_brute_force_20min_window(
     base = resolved.select(
         "client_id", "trans_id", "amt", "trans_date", "oper_result"
     )
-    hot = _hot_keys(base, "client_id", hot_key_max_rows)
+    hot = _hot_keys(
+        base, "client_id", hot_key_max_rows, persist_registry=persist_registry
+    )
     if hot is not None:
         cand = _brute_force_window_candidates(
             base.join(hot, "client_id", "left_anti")

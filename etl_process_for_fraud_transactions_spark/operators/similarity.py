@@ -734,15 +734,31 @@ class IvfIndex:
         max_iter: int = 20,
     ) -> None:
         """Re-train centroids over the FULL stored corpus and rewrite
-        the cell layout atomically — the offline answer when
-        `needs_retrain` trips. Reads the store dequantized, re-runs
-        the KMeans coarse quantizer, atomic-overwrites the vectors
-        table re-partitioned by the NEW cells (a partitioned index
-        keeps each row's __batch stamp, so epoch lineage and replay
-        targeting survive the re-shard), recomputes centroids from
-        the persisted assignment, and refreshes the meta (n_cells may
-        change). Serving sees either the old layout or the new one,
-        never a mix (the atomic_overwrite temp-dir + rename swap)."""
+        the cell layout — the offline answer when `needs_retrain`
+        trips. Reads the store dequantized, re-runs the KMeans coarse
+        quantizer, atomic-overwrites the vectors table re-partitioned
+        by the NEW cells (a partitioned index keeps each row's
+        __batch stamp, so epoch lineage and replay targeting survive
+        the re-shard), recomputes centroids from the persisted
+        assignment, and refreshes the meta (n_cells may change).
+
+        Consistency guarantee, stated honestly: each TABLE swap is
+        atomic (temp-dir + rename), but the vectors/centroids pair is
+        NOT jointly atomic — a crash between the two swaps, or a
+        concurrent topk() during a successful retrain, can pair the
+        new cell layout with the old centroid table. That mixed view
+        degrades RECALL only, never correctness: topk probes cells by
+        centroid similarity and then computes exact cosines over the
+        probed rows, so every returned (id, cos_sim) is true — stale
+        geometry just probes less-ideal cells, the accepted failure
+        mode of any IVF serving under absorb drift (which is milder
+        than the skew this method exists to fix). Recovery from a
+        crashed retrain is simply re-running retrain(): it reads
+        whatever vectors layout is on disk and rewrites both tables.
+        A jointly-atomic swap needs a versioned manifest/pointer
+        layout (one directory per index VERSION, flip a pointer) —
+        the documented upgrade path if a deployment needs
+        serve-during-retrain with zero recall dip."""
         from ..sources.warehouse import atomic_overwrite
 
         self._validate()
@@ -846,11 +862,13 @@ def quantize_roundtrip(vec: Column) -> Column:
     is already integral in [-127, 127]), same float32 scale round-trip
     on the way back.
 
-    BOTH the double-cast array and the scale are let-bound (Spark
-    re-evaluates captured expression trees on every lambda invocation
-    — no CSE inside HOF lambdas, the dedup._let lesson), so the max
-    runs once per ROW, not once per element: two array traversals
-    total instead of O(d) array-max evaluations."""
+    BOTH the double-cast array and the scale are let-bound via
+    dedup._let (Spark re-evaluates captured expression trees on every
+    lambda invocation — no CSE inside HOF lambdas), so the max runs
+    once per ROW, not once per element: two array traversals total
+    instead of O(d) array-max evaluations."""
+    from .dedup import _let
+
     v = F.transform(vec, lambda x: x.cast("double"))
 
     def body(bound: Column) -> Column:
@@ -864,9 +882,9 @@ def quantize_roundtrip(vec: Column) -> Column:
                 * s.cast("float").cast("double"),
             )
 
-        return F.element_at(F.transform(F.array(scale), with_scale), 1)
+        return _let(scale, with_scale)
 
-    return F.element_at(F.transform(F.array(v), body), 1)
+    return _let(v, body)
 
 
 def ivf_build(

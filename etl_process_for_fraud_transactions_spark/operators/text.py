@@ -932,49 +932,18 @@ def mask_frequent_spans(
     each doc's own array. Overlapping flagged windows merge naturally
     — a token is dropped if ANY flagged window covers it.
     portable=True threads the oracle-replayable md5 window hash
-    through both passes (identical masked output — pytest-pinned)."""
-    frequent = span_doc_frequencies(
-        df, text_col, id_col, span_tokens, min_docs, portable
-    ).select("span_hash")
+    through both passes (identical masked output — pytest-pinned).
 
-    toks = tokens(F.col(text_col))
-    positions = df.select(
-        F.col(id_col),
-        F.posexplode(_window_hashes(toks, span_tokens, portable)).alias(
-            "pos0", "span_hash"
-        ),
-    )
-    flagged = (
-        positions.join(frequent, "span_hash", "left_semi")
-        .groupBy(id_col)
-        # pos0 is 0-based; store 1-based starts to match slice()
-        .agg(F.collect_list(F.col("pos0") + 1).alias("__starts"))
-    )
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.coalesce(F.col("__starts"), F.array()),
-                lambda s: F.sequence(s, s + F.lit(span_tokens - 1)),
-            )
-        )
-    )
-    kept = F.filter(
-        F.col("__toks"),
-        lambda t, i: ~F.array_contains(F.col("__covered"), (i + 1).cast("long")),
-    )
-    out_cols = [c for c in df.columns if c != text_col]
-    return (
-        df.join(flagged, id_col, "left")
-        .withColumn("__toks", toks)
-        .withColumn("__covered", covered.cast("array<long>"))
-        .withColumn("__kept", kept)
-        .select(
-            *out_cols,
-            F.array_join(F.col("__kept"), " ").alias(text_col),
-            (F.size(F.col("__toks")) - F.size(F.col("__kept"))).alias(
-                "n_span_tokens_dropped"
-            ),
-        )
+    Since round 11 this is the single-rung special case of
+    `mask_frequent_spans_multi` — one implementation, so a fix to the
+    window-hash/coverage machinery cannot silently diverge between
+    the two entry points."""
+    return mask_frequent_spans_multi(
+        df,
+        text_col,
+        id_col,
+        rungs=((span_tokens, min_docs),),
+        portable=portable,
     )
 
 

@@ -233,10 +233,18 @@ def test_vocab_built_once_per_tokenizer():
         FROZEN_BPE_BYTES,
     )
 
+    import pytest
+
     t = BpeTokenizer(FROZEN_BPE_BYTES.merges, byte_level=True)
     v1 = t.vocab()
+    built = t._vocab
     ids = t.encode_ids("the training data")
-    assert t.vocab() is v1  # same dict object — no per-call rebuild
+    assert t._vocab is built  # same cached dict — no per-call rebuild
+    assert t.vocab() == v1
+    # the returned view is read-only: external mutation cannot corrupt
+    # the shared cache behind encode_ids/decode_ids (review finding)
+    with pytest.raises(TypeError):
+        v1["<pad>"] = 0
     assert t.decode_ids(ids) == "the training data"
     inv1 = t._inverse_vocab()
     assert t._inverse_vocab() is inv1

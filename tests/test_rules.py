@@ -312,3 +312,39 @@ class TestCelebrityKeyGate:
         # non-vacuous on BOTH legs: hot client fired via the pair leg,
         # cold client via the window leg
         assert {c for c, _ in got} == {1, 2}
+
+
+def test_hot_key_gate_persist_registry_releases_deterministically(spark):
+    """A tripped probe's persisted hot-key frame lands in the caller's
+    persist_registry (and, through assemble_report, in
+    _rule_hit_frames) so a per-date loop releases it instead of
+    accumulating cache until LRU pressure — the cap_per_domain
+    deterministic-release lesson applied to the gate."""
+    from etl_process_for_fraud_transactions_spark.operators.rules import (
+        rule_diff_city_1h_window,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    rows = [
+        (1, 1000 + i, _mins(i), "CITY_A" if i % 2 == 0 else "CITY_B", 7)
+        for i in range(60)
+    ]
+    df = _city_df(spark, rows)
+    before = jsc.getPersistentRDDs().size()
+    registry: list = []
+    out = rule_diff_city_1h_window(
+        df, hot_key_max_rows=50, persist_registry=registry
+    )
+    out.collect()
+    assert len(registry) == 1
+    assert jsc.getPersistentRDDs().size() > before
+    for f in registry:
+        f.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() == before
+    # an untripped probe registers nothing (and unpersists internally)
+    registry2: list = []
+    rule_diff_city_1h_window(
+        df, hot_key_max_rows=1000, persist_registry=registry2
+    ).collect()
+    assert registry2 == []
+    assert jsc.getPersistentRDDs().size() == before

@@ -615,3 +615,37 @@ def test_quantize_roundtrip_bit_equals_two_step(spark):
             S.quantize_roundtrip(F.col("embedding")).alias("v")
         ).collect()[0]["v"]
         assert got == want, (vid, got, want)
+
+
+def test_ivf_absorb_sink_skew_probe_every(spark, tmp_path):
+    """skew_probe_every amortizes the O(corpus) drift probe: epochs
+    off the cadence absorb without touching the health marker."""
+    pytest.importorskip("numpy")
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+    from etl_process_for_fraud_transactions_spark.streaming.upsert import (
+        ivf_absorb_sink,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = S.IvfIndex(wh, partitioned=True)
+    base = spark.createDataFrame(
+        [(i, [1.0, i * 0.001, 0.0]) for i in range(6)]
+        + [(10 + i, [i * 0.001, 1.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    idx.build(base, n_cells=2, seed=42)
+    sink = ivf_absorb_sink(idx, max_skew=1.5, skew_probe_every=2)
+    b = spark.createDataFrame(
+        [(100, [0.3, 0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    sink(b, 1)  # off-cadence epoch: absorbed, no probe
+    assert not wh.exists("ivf_health")
+    assert wh.read(idx.vectors_table).count() == 13
+    b2 = spark.createDataFrame(
+        [(101, [0.3, 0.001, 1.0])], "vec_id long, embedding array<double>"
+    )
+    sink(b2, 2)  # on-cadence: probe runs, marker written
+    h = wh.read("ivf_health").collect()[0]
+    assert h.as_of_batch == "2" and h.n_vectors == 14
