@@ -479,3 +479,145 @@ def test_rule_brute_force_window_matches_pairs(spark, rows):
     assert key(rule_brute_force_20min_window(df)) == key(
         rule_brute_force_20min(df)
     )
+
+
+# --- celebrity-key gate routing equivalence (round 11) --------------------
+
+@given(rows=diff_city_rows)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rule_diff_city_gate_routing_matches_ungated(spark, rows):
+    """The measured celebrity-key gate must be output-invariant on
+    ARBITRARY data, not just the planted fixture: with a tiny
+    threshold (hot cards trip constantly on these densities, including
+    the duplicate-(trans_id, client_id)-across-legs corner the outer
+    distinct exists for), the routed hot/cold union equals the pure
+    window form."""
+    from etl_process_for_fraud_transactions_spark.operators.rules import (
+        rule_diff_city_1h_window,
+    )
+
+    data = [
+        (i, card, T0 + dt.timedelta(seconds=off), city, client)
+        for i, (card, off, city, client) in enumerate(rows)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("trans_id", T.LongType()),
+            T.StructField("card_num", T.LongType()),
+            T.StructField("trans_date", T.TimestampNTZType()),
+            T.StructField("terminal_city", T.StringType()),
+            T.StructField("client_id", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame(data, schema)
+    key = lambda out: sorted(
+        (r["trans_id"], r["client_id"]) for r in out.collect()
+    )
+    assert key(rule_diff_city_1h_window(df, hot_key_max_rows=3)) == key(
+        rule_diff_city_1h_window(df, hot_key_max_rows=None)
+    )
+
+
+@given(rows=brute_rows)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rule_brute_force_gate_routing_matches_ungated(spark, rows):
+    """Rule 5's gated candidate union (window candidates for cold
+    clients + pair candidates for hot ones, shared member fetch) must
+    equal the pure windowed form on arbitrary dense/tied/boundary
+    data."""
+    from etl_process_for_fraud_transactions_spark.operators.rules import (
+        rule_brute_force_20min_window,
+    )
+
+    data = [
+        (
+            i,
+            client,
+            float(amt),
+            T0 + dt.timedelta(seconds=off),
+            result,
+            f"P{client}",
+        )
+        for i, (client, off, amt, result) in enumerate(rows)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("trans_id", T.LongType()),
+            T.StructField("client_id", T.LongType()),
+            T.StructField("amt", T.DoubleType()),
+            T.StructField("trans_date", T.TimestampNTZType()),
+            T.StructField("oper_result", T.StringType()),
+            T.StructField("passport_num", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(data, schema)
+    key = lambda out: sorted(
+        (r["client_id"], r["trans_id"]) for r in out.collect()
+    )
+    assert key(rule_brute_force_20min_window(df, hot_key_max_rows=3)) == key(
+        rule_brute_force_20min_window(df, hot_key_max_rows=None)
+    )
+
+
+# --- RRF fusion vs pure-python replay (round 11) --------------------------
+
+rrf_legs = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=6,
+             unique=True),
+    st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=6,
+             unique=True),
+)
+
+
+@given(legs=rrf_legs, k_rrf=st.sampled_from([10, 60]))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rrf_fuse_matches_python_replay(spark, legs, k_rrf):
+    """rrf_fuse must equal a direct python RRF on arbitrary leg rank
+    lists: same scores to 9 dp, same (score DESC, id ASC) order, legs
+    missing a doc contributing zero."""
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    docs_a, docs_b = legs
+    a_rows = [("q", d, r + 1) for r, d in enumerate(docs_a)]
+    b_rows = [("q", d, r + 1) for r, d in enumerate(docs_b)]
+    schema = "query_id string, doc_id long, rank int"
+    a = spark.createDataFrame(a_rows, schema) if a_rows else spark.createDataFrame([], schema)
+    b = spark.createDataFrame(b_rows, schema) if b_rows else spark.createDataFrame([], schema)
+    got = [
+        (r.rank, r.doc_id, r.rrf_score)
+        for r in rrf_fuse(a, b, k=20, k_rrf=k_rrf)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    ra = {d: r + 1 for r, d in enumerate(docs_a)}
+    rb = {d: r + 1 for r, d in enumerate(docs_b)}
+    want_scores = {
+        d: round(
+            (1.0 / (k_rrf + ra[d]) if d in ra else 0.0)
+            + (1.0 / (k_rrf + rb[d]) if d in rb else 0.0),
+            9,
+        )
+        for d in set(ra) | set(rb)
+    }
+    want = [
+        (i + 1, d, want_scores[d])
+        for i, d in enumerate(
+            sorted(want_scores, key=lambda d: (-want_scores[d], d))
+        )
+    ]
+    assert got == want
