@@ -456,6 +456,7 @@ class IvfIndex:
         cell_col: str = "ivf_cell",
         partitioned: bool = False,
         quantized: bool = False,
+        versioned: bool = False,
     ):
         self.wh = wh
         self.name = name
@@ -483,14 +484,50 @@ class IvfIndex:
         #: NearDupIndex(partitioned=True)). Serving is unchanged:
         #: cell-level pruning still hits the first directory level.
         self.partitioned = partitioned
+        #: versioned=True (round 11) stores vectors/centroids as
+        #: `<name>_vectors_v<N>` / `<name>_centroids_v<N>` behind a
+        #: one-row `<name>_version` pointer table. retrain() then
+        #: builds version N+1 COMPLETELY off to the side and commits
+        #: it with a single atomic pointer flip — the
+        #: versioned-manifest upgrade path retrain()'s consistency
+        #: note documents: serving resolves the pointer once per
+        #: query and reads a jointly consistent (vectors, centroids)
+        #: pair; a crash mid-retrain leaves the pointer (and thus
+        #: serving) on the old version untouched. Old versions stay
+        #: on disk until prune_versions() — in-flight queries hold
+        #: path references, so prune only after they drain.
+        self.versioned = versioned
+
+    @property
+    def version_table(self) -> str:
+        return f"{self.name}_version"
+
+    def _current_version(self) -> int:
+        if not self.wh.exists(self.version_table):
+            raise ValueError(
+                f"IvfIndex '{self.name}' is versioned but has no "
+                "version pointer — run build() (it commits v1 and "
+                "writes the pointer) or fix the warehouse root"
+            )
+        return int(self.wh.read(self.version_table).collect()[0]["version"])
+
+    def _table_names(self, version: int | None = None) -> tuple[str, str]:
+        '''(vectors, centroids) names — resolved from ONE pointer
+        read in versioned mode, so a caller that uses both gets a
+        jointly consistent pair even across a concurrent retrain
+        flip.'''
+        if not self.versioned:
+            return f"{self.name}_vectors", f"{self.name}_centroids"
+        v = version if version is not None else self._current_version()
+        return f"{self.name}_vectors_v{v}", f"{self.name}_centroids_v{v}"
 
     @property
     def vectors_table(self) -> str:
-        return f"{self.name}_vectors"
+        return self._table_names()[0]
 
     @property
     def centroids_table(self) -> str:
-        return f"{self.name}_centroids"
+        return self._table_names()[1]
 
     @property
     def meta_table(self) -> str:
@@ -523,11 +560,12 @@ class IvfIndex:
                         dim,
                         self.partitioned,
                         self.quantized,
+                        self.versioned,
                     )
                 ],
                 "id_col string, vec_col string, cell_col string, "
                 "n_cells int, dim int, partitioned boolean, "
-                "quantized boolean",
+                "quantized boolean, versioned boolean",
             ),
         )
 
@@ -540,11 +578,13 @@ class IvfIndex:
             self.vec_col
         )
 
-    def _read_vectors(self) -> DataFrame:
+    def _read_vectors(self, table: str | None = None) -> DataFrame:
         """The vectors table with `vec_col` materialized — dequantized
         in-expression from the stored codes in quantized mode (a
-        narrow map over the pruned scan; nothing re-quantizes)."""
-        df = self.wh.read(self.vectors_table)
+        narrow map over the pruned scan; nothing re-quantizes).
+        `table` pins an explicit (e.g. versioned) table name; default
+        resolves the current layout."""
+        df = self.wh.read(table or self.vectors_table)
         if not self.quantized:
             return df
         return df.withColumn(
@@ -566,6 +606,7 @@ class IvfIndex:
         stored = {
             "partitioned": False,
             "quantized": False,
+            "versioned": False,
             **self._stored_meta,
         }
         mine = {
@@ -574,6 +615,7 @@ class IvfIndex:
             "cell_col": self.cell_col,
             "partitioned": self.partitioned,
             "quantized": self.quantized,
+            "versioned": self.versioned,
         }
         diff = {k: (stored[k], v) for k, v in mine.items() if stored[k] != v}
         if diff:
@@ -606,28 +648,32 @@ class IvfIndex:
         assigned = ivf_build(
             corpus, n_cells, self.vec_col, self.cell_col, seed, max_iter
         )
+        vec_t, cent_t = self._table_names(1) if self.versioned else self._table_names()
         parts = [self.cell_col]
         if self.partitioned:
             assigned = assigned.withColumn("__batch", F.lit("__build__"))
             parts.append("__batch")
         atomic_overwrite(
             self._store_cols(assigned),
-            self.wh.path(self.vectors_table),
+            self.wh.path(vec_t),
             partition_by=parts,
         )
         # centroids from the PERSISTED assignment so both tables agree
         # (in quantized mode: from the DEQUANTIZED store — serving and
         # quantizer see the same vectors)
         self.wh.overwrite(
-            self.centroids_table,
+            cent_t,
             ivf_centroids(
-                self._read_vectors(), self.cell_col, self.vec_col
+                self._read_vectors(vec_t), self.cell_col, self.vec_col
             ),
         )
         self._write_meta(
-            n_cells, self._frame_dim(self._read_vectors(), self.vec_col)
+            n_cells, self._frame_dim(self._read_vectors(vec_t), self.vec_col)
         )
         self._stored_meta = self.wh.read(self.meta_table).collect()[0].asDict()
+        if self.versioned:
+            # the commit point: v1 becomes visible only here
+            self._write_version(1, n_cells)
 
     def absorb(self, new_vectors: DataFrame, batch=None) -> None:
         """Assign new vectors to their nearest EXISTING centroid and
@@ -641,7 +687,8 @@ class IvfIndex:
         centroids, so a replayed streaming epoch rewrites exactly the
         same rows instead of duplicating them."""
         self._validate(new_vectors, self.vec_col)
-        cents = self.wh.read(self.centroids_table)
+        vec_t, cent_t = self._table_names()
+        cents = self.wh.read(cent_t)
         w = Window.partitionBy(self.id_col).orderBy(
             F.desc("__sim"), F.asc(self.cell_col)
         )
@@ -661,7 +708,7 @@ class IvfIndex:
                     "a partitioned index requires a batch id for absorb()"
                 )
             self.wh.append_partitioned(
-                self.vectors_table,
+                vec_t,
                 assigned.withColumn("__batch", F.lit(str(batch))),
                 [self.cell_col, "__batch"],
             )
@@ -672,7 +719,7 @@ class IvfIndex:
                     "(IvfIndex(partitioned=True))"
                 )
             assigned.write.mode("append").partitionBy(self.cell_col).parquet(
-                self.wh.path(self.vectors_table)
+                self.wh.path(vec_t)
             )
 
     def cell_skew(self) -> dict:
@@ -700,11 +747,16 @@ class IvfIndex:
             F.count(F.lit(1)).alias("occupied"),
             F.max("__n").alias("max_cell"),
         ).first()
-        n_cells = (
-            self._stored_meta["n_cells"]
-            if getattr(self, "_stored_meta", None)
-            else row["occupied"]
-        )
+        if self.versioned:
+            n_cells = int(
+                self.wh.read(self.version_table).collect()[0]["n_cells"]
+            )
+        else:
+            n_cells = (
+                self._stored_meta["n_cells"]
+                if getattr(self, "_stored_meta", None)
+                else row["occupied"]
+            )
         total = row["total"] or 0
         max_cell = row["max_cell"] or 0
         skew = (
@@ -756,9 +808,13 @@ class IvfIndex:
         crashed retrain is simply re-running retrain(): it reads
         whatever vectors layout is on disk and rewrites both tables.
         A jointly-atomic swap needs a versioned manifest/pointer
-        layout (one directory per index VERSION, flip a pointer) —
-        the documented upgrade path if a deployment needs
-        serve-during-retrain with zero recall dip."""
+        layout — IMPLEMENTED as `IvfIndex(versioned=True)` (round 11):
+        retrain then builds version N+1 entirely off to the side and
+        commits with one atomic pointer flip, serving resolves the
+        pointer once per query for a jointly consistent pair, and
+        `prune_versions()` garbage-collects superseded versions. Use
+        it when a deployment needs serve-during-retrain with zero
+        recall dip; the flat layout above stays the simpler default."""
         from ..sources.warehouse import atomic_overwrite
 
         self._validate()
@@ -768,7 +824,14 @@ class IvfIndex:
                 if getattr(self, "_stored_meta", None)
                 else 16
             )
-        corpus = self._read_vectors().drop(self.cell_col)
+        if self.versioned:
+            cur = self._current_version()
+            cur_vec, _ = self._table_names(cur)
+            new_vec, new_cent = self._table_names(cur + 1)
+        else:
+            cur_vec = new_vec = self.vectors_table
+            new_cent = self.centroids_table
+        corpus = self._read_vectors(cur_vec).drop(self.cell_col)
         assigned = ivf_build(
             corpus, n_cells, self.vec_col, self.cell_col, seed, max_iter
         )
@@ -777,19 +840,54 @@ class IvfIndex:
             parts.append("__batch")
         atomic_overwrite(
             self._store_cols(assigned),
-            self.wh.path(self.vectors_table),
+            self.wh.path(new_vec),
             partition_by=parts,
         )
         self.wh.overwrite(
-            self.centroids_table,
+            new_cent,
             ivf_centroids(
-                self._read_vectors(), self.cell_col, self.vec_col
+                self._read_vectors(new_vec), self.cell_col, self.vec_col
             ),
         )
         self._write_meta(
-            n_cells, self._frame_dim(self._read_vectors(), self.vec_col)
+            n_cells, self._frame_dim(self._read_vectors(new_vec), self.vec_col)
         )
         self._stored_meta = self.wh.read(self.meta_table).collect()[0].asDict()
+        if self.versioned:
+            # the single commit point: everything above wrote OFF TO
+            # THE SIDE; serving keeps reading version `cur` until this
+            # one-row atomic overwrite flips the pointer
+            self._write_version(cur + 1, n_cells)
+
+    def _write_version(self, version: int, n_cells: int) -> None:
+        self.wh.overwrite(
+            self.version_table,
+            self.wh.spark.createDataFrame(
+                [(int(version), int(n_cells))], "version int, n_cells int"
+            ),
+        )
+
+    def prune_versions(self) -> list[str]:
+        '''Delete all non-current versions' table directories (the
+        versioned-retrain garbage collector). Returns the removed
+        table names. Only call after in-flight queries against older
+        versions have drained — a lazy DataFrame pins its resolved
+        paths at plan time.'''
+        if not self.versioned:
+            return []
+        import shutil
+
+        cur = self._current_version()
+        removed = []
+        for v in range(1, cur):
+            for t in self._table_names(v):
+                path = self.wh.path(t)
+                import os
+
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                    removed.append(t)
+        return removed
 
     def topk(
         self,
@@ -804,8 +902,13 @@ class IvfIndex:
         centroids pick the probe cells, and the cell-partitioned
         vectors table is read partition-pruned."""
         self._validate(queries, query_vec_col)
+        # one pointer resolution for BOTH tables: in versioned mode a
+        # concurrent retrain flip cannot hand this query v(N) vectors
+        # with v(N+1) centroids (the joint-atomicity gap the
+        # unversioned layout documents)
+        vec_t, cent_t = self._table_names()
         return ivf_topk(
-            self._read_vectors(),
+            self._read_vectors(vec_t),
             queries,
             k=k,
             nprobe=nprobe,
@@ -815,7 +918,7 @@ class IvfIndex:
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
             sim_round=sim_round,
-            centroids=self.wh.read(self.centroids_table),
+            centroids=self.wh.read(cent_t),
         )
 
 
