@@ -316,6 +316,7 @@ class Bm25Index:
         k1: float = 1.5,
         b: float = 0.75,
         partitioned: bool = False,
+        versioned: bool = False,
     ):
         self.wh = wh
         self.name = name
@@ -334,14 +335,48 @@ class Bm25Index:
         #: unchanged (term-bucket pruning still hits the first
         #: directory level).
         self.partitioned = partitioned
+        #: versioned=True (round 11, the IvfIndex(versioned=True)
+        #: pattern): postings/doclens live in per-version tables
+        #: behind a one-row `<name>_version` pointer, and build() on
+        #: an already-built index becomes an ATOMIC FULL REBUILD —
+        #: new version written off to the side, committed with one
+        #: pointer flip (new analyzer conventions, compaction after
+        #: absorb churn, deletion propagation) while serving stays on
+        #: the old version; in-flight queries keep their resolved
+        #: paths until prune_versions(). topk resolves the pointer
+        #: ONCE per query, so postings and doclens always come from
+        #: the same version.
+        self.versioned = versioned
+
+    @property
+    def version_table(self) -> str:
+        return f"{self.name}_version"
+
+    def _current_version(self) -> int:
+        if not self.wh.exists(self.version_table):
+            raise ValueError(
+                f"Bm25Index '{self.name}' is versioned but has no "
+                "version pointer — run build() (it commits v1 and "
+                "writes the pointer) or fix the warehouse root"
+            )
+        return int(self.wh.read(self.version_table).collect()[0]["version"])
+
+    def _table_names(self, version: int | None = None) -> tuple[str, str]:
+        '''(postings, doclens) names — one pointer read in versioned
+        mode, so a caller using both gets a jointly consistent pair
+        across a concurrent rebuild flip.'''
+        if not self.versioned:
+            return f"{self.name}_postings", f"{self.name}_doclens"
+        v = version if version is not None else self._current_version()
+        return f"{self.name}_postings_v{v}", f"{self.name}_doclens_v{v}"
 
     @property
     def postings_table(self) -> str:
-        return f"{self.name}_postings"
+        return self._table_names()[0]
 
     @property
     def doclens_table(self) -> str:
-        return f"{self.name}_doclens"
+        return self._table_names()[1]
 
     @property
     def meta_table(self) -> str:
@@ -355,6 +390,7 @@ class Bm25Index:
             "k1": float(self.k1),
             "b": float(self.b),
             "partitioned": self.partitioned,
+            "versioned": self.versioned,
         }
 
     def _write_meta(self, id_type: str = "bigint") -> None:
@@ -368,7 +404,7 @@ class Bm25Index:
                 [tuple(self._params().values()) + (id_type,)],
                 "text_col string, id_col string, n_buckets int, "
                 "k1 double, b double, partitioned boolean, "
-                "id_type string",
+                "versioned boolean, id_type string",
             ),
         )
 
@@ -379,9 +415,9 @@ class Bm25Index:
             self._params_ok = True
             return
         stored = self.wh.read(self.meta_table).collect()[0].asDict()
-        # metas written before the partitioned flag take its default;
-        # id_type is layout metadata, not an identity parameter
-        stored = {"partitioned": False, **stored}
+        # metas written before the partitioned/versioned flags take
+        # their defaults; id_type is layout metadata, not identity
+        stored = {"partitioned": False, "versioned": False, **stored}
         stored.pop("id_type", None)
         if stored != self._params():
             raise ValueError(
@@ -415,8 +451,25 @@ class Bm25Index:
         )
 
     def build(self, docs: DataFrame, batch="__build__") -> None:
+        """Full (re)build. Versioned mode (round 11): on an
+        already-built index this writes the NEXT version entirely off
+        to the side and commits it with one atomic pointer flip — the
+        atomic-full-rebuild path (new analyzer conventions, compaction
+        after absorb churn, deletion propagation) while serving keeps
+        reading the old version; prune_versions() garbage-collects it
+        afterwards."""
         from ..sources.warehouse import atomic_overwrite
 
+        if self.versioned:
+            new_v = (
+                self._current_version() + 1
+                if self.wh.exists(self.version_table)
+                else 1
+            )
+            post_t, dl_t = self._table_names(new_v)
+        else:
+            new_v = None
+            post_t, dl_t = self._table_names()
         post, dl = self._postings(docs), self._doclens(docs)
         post_parts = ["__tb"]
         if self.partitioned:
@@ -424,23 +477,51 @@ class Bm25Index:
             dl = dl.withColumn(_BATCH_COL, F.lit(str(batch)))
             post_parts.append(_BATCH_COL)
             atomic_overwrite(
-                post, self.wh.path(self.postings_table),
+                post, self.wh.path(post_t),
                 partition_by=post_parts,
             )
             atomic_overwrite(
-                dl, self.wh.path(self.doclens_table),
+                dl, self.wh.path(dl_t),
                 partition_by=[_BATCH_COL],
             )
         else:
             atomic_overwrite(
-                post, self.wh.path(self.postings_table),
+                post, self.wh.path(post_t),
                 partition_by=post_parts,
             )
-            self.wh.overwrite(self.doclens_table, dl)
+            self.wh.overwrite(dl_t, dl)
         self._write_meta(
             id_type=docs.schema[self.id_col].dataType.simpleString()
         )
         self._params_ok = True
+        if self.versioned:
+            # the commit point: the new version becomes visible here
+            self.wh.overwrite(
+                self.version_table,
+                self.wh.spark.createDataFrame(
+                    [(int(new_v),)], "version int"
+                ),
+            )
+
+    def prune_versions(self) -> list[str]:
+        """Delete all non-current versions' table directories (the
+        versioned-rebuild garbage collector). Only call after
+        in-flight queries against older versions drain — a lazy
+        DataFrame pins its resolved paths at plan time."""
+        if not self.versioned:
+            return []
+        import os
+        import shutil
+
+        cur = self._current_version()
+        removed = []
+        for v in range(1, cur):
+            for t in self._table_names(v):
+                path = self.wh.path(t)
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                    removed.append(t)
+        return removed
 
     def absorb(self, new_docs: DataFrame, batch=None) -> None:
         """Index a new document batch — O(batch); idf/avgdl shift
@@ -452,6 +533,7 @@ class Bm25Index:
         dynamic partition overwrite of that epoch's partitions, so a
         re-offered epoch rewrites exactly its own rows."""
         self._validate()
+        post_t, dl_t = self._table_names()  # one pointer resolution
         post, dl = self._postings(new_docs), self._doclens(new_docs)
         if self.partitioned:
             if batch is None:
@@ -459,12 +541,12 @@ class Bm25Index:
                     "a partitioned index requires a batch id for absorb()"
                 )
             self.wh.append_partitioned(
-                self.postings_table,
+                post_t,
                 post.withColumn(_BATCH_COL, F.lit(str(batch))),
                 ["__tb", _BATCH_COL],
             )
             self.wh.append_partitioned(
-                self.doclens_table,
+                dl_t,
                 dl.withColumn(_BATCH_COL, F.lit(str(batch))),
                 _BATCH_COL,
             )
@@ -475,9 +557,9 @@ class Bm25Index:
                     "(Bm25Index(partitioned=True))"
                 )
             post.write.mode("append").partitionBy("__tb").parquet(
-                self.wh.path(self.postings_table)
+                self.wh.path(post_t)
             )
-            self.wh.append(self.doclens_table, dl)
+            self.wh.append(dl_t, dl)
 
     def topk(
         self,
@@ -492,6 +574,10 @@ class Bm25Index:
         doclens)."""
         self._validate()
         spark = self.wh.spark
+        # one pointer resolution for the whole query: postings and
+        # doclens always come from the SAME version, even across a
+        # concurrent versioned rebuild flip
+        post_t, dl_t = self._table_names()
         q = (
             queries
             if isinstance(queries, DataFrame)
@@ -507,14 +593,14 @@ class Bm25Index:
         from pyspark.errors import AnalysisException
 
         try:
-            self.wh.read(self.postings_table)
+            self.wh.read(post_t)
         except AnalysisException as e:
             cond = e.getCondition() if hasattr(e, "getCondition") else None
             if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
                 raise
             if not self.wh.exists(self.meta_table):
                 raise ValueError(
-                    f"Bm25Index '{self.name}': '{self.postings_table}' "
+                    f"Bm25Index '{self.name}': '{post_t}' "
                     "has no readable data and no meta marker — the "
                     "index was never built or the warehouse root is "
                     "wrong; run build() (it writes the marker even for "
@@ -536,11 +622,11 @@ class Bm25Index:
             ).distinct().collect()
         ]
         post = (
-            self.wh.read(self.postings_table)
+            self.wh.read(post_t)
             .filter(F.col("__tb").isin(buckets))
             .join(F.broadcast(qterms), "term")
         )
-        dl = self.wh.read(self.doclens_table)
+        dl = self.wh.read(dl_t)
         if self.partitioned:
             post = post.drop(_BATCH_COL)
             dl = dl.drop(_BATCH_COL)

@@ -513,3 +513,62 @@ def test_rrf_fuse_weighted_variant(spark):
     # explicit unit weights are bit-identical to the default
     unit = {r.doc_id: r.rrf_score for r in rrf_fuse(a, b, k=3, weight_a=1.0, weight_b=1.0).collect()}
     assert unit == {d: s for d, (_, s) in plain.items()}
+
+
+def test_bm25_versioned_rebuild_atomic_flip(spark, tmp_path):
+    """Bm25Index(versioned=True): build() on an already-built index is
+    an ATOMIC FULL REBUILD — the new version (here: a corpus with one
+    doc deleted, the deletion-propagation case absorb cannot express)
+    is written off to the side and committed with one pointer flip;
+    a query planned pre-flip keeps working until prune_versions()."""
+    import os
+
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = Bm25Index(wh, partitioned=True, versioned=True)
+    docs_v1 = spark.createDataFrame(
+        [(1, "hash join merge"), (2, "sort window group"),
+         (3, "hash hash hash")],
+        "doc_id long, text string",
+    )
+    idx.build(docs_v1)
+    assert idx.postings_table == "bm25_postings_v1"
+    assert wh.read(idx.version_table).collect()[0]["version"] == 1
+    idx.absorb(
+        spark.createDataFrame([(4, "hash stream")], "doc_id long, text string"),
+        batch=7,
+    )
+    got1 = {r.doc_id for r in idx.topk({"q": ["hash"]}, topk=10).collect()}
+    assert got1 == {1, 3, 4}
+
+    pre_flip = idx.topk({"q": ["hash"]}, topk=10)
+    # rebuild WITHOUT doc 3 (deleted) and WITH the absorbed doc 4
+    docs_v2 = spark.createDataFrame(
+        [(1, "hash join merge"), (2, "sort window group"),
+         (4, "hash stream")],
+        "doc_id long, text string",
+    )
+    idx.build(docs_v2)
+    assert idx.postings_table == "bm25_postings_v2"
+    assert pre_flip.count() == 3  # v1 dirs intact until prune
+    got2 = {r.doc_id for r in idx.topk({"q": ["hash"]}, topk=10).collect()}
+    assert got2 == {1, 4}  # deletion propagated atomically
+
+    removed = idx.prune_versions()
+    assert sorted(removed) == ["bm25_doclens_v1", "bm25_postings_v1"]
+    assert not os.path.isdir(wh.path("bm25_postings_v1"))
+    assert {
+        r.doc_id for r in idx.topk({"q": ["hash"]}, topk=10).collect()
+    } == {1, 4}
+
+    # a versionless reader on a versioned store fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rebuild the index or match"):
+        Bm25Index(wh, partitioned=True).topk({"q": ["hash"]})
