@@ -31,7 +31,11 @@ Scale design (the 100 TB framing):
   its exchange at <=|query vocab| rows per task, and terms above the
   threshold are dropped BEFORE the postings shuffle ever sees them.
 - df / N / avgdl are bounded rollups: |query vocab| rows and one
-  global pair, rejoined by broadcast.
+  global pair, rejoined by broadcast. On the PERSISTED index (round
+  12) N / avgdl no longer re-aggregate the doclens table at query
+  time at all: build/absorb maintain per-batch (n_docs, sum_dl)
+  stats partitions, and serving sums <= #batches one-row stats — the
+  last O(corpus) step on the serving path is gone (plan-pinned).
 - No Python in the plan: tokenization, tf, idf and the score are all
   built-in expressions inside whole-stage codegen.
 
@@ -285,9 +289,23 @@ class Bm25Index:
       joins a doc-length relation (no doc-keyed shuffle anywhere in
       the query path).
     - `<name>_doclens`  : (<id_col>, dl) — one narrow row per doc;
-      N and avgdl aggregate from it at query time, so absorb stays a
-      blind append (no read-modify-write of a stats row, hence no
-      lost-update window between concurrent absorbs).
+      the per-doc record (rebuild provenance, future deletion
+      propagation). NOT on the query path since round 12.
+    - `<name>_stats`    : one (n_docs, sum_dl) row per build/absorb
+      batch (round 12, VERDICT r11 item 1). N and avgdl sum from
+      these <= #batches rows at query time instead of re-aggregating
+      the full doclens table per query batch — the one O(corpus)
+      step left on the serving path is gone. The sums are exact
+      integers, so N = sum(n_docs) and avgdl = sum(sum_dl)/N are
+      BIT-IDENTICAL to the full doclens aggregate (one IEEE double
+      division either way); absorb stays a blind per-batch append
+      (no read-modify-write of a global stats row, hence no
+      lost-update window between concurrent absorbs), and idf/avgdl
+      still shift automatically with every absorbed batch. In
+      partitioned mode the stats row is hive-partitioned by the same
+      `__batch` stamp, so a re-offered streaming epoch OVERWRITES
+      its own stats partition exactly like its postings/doclens
+      partitions — stats can never double-count a replay.
     - `<name>_meta`     : frozen (text_col, id_col, n_buckets, k1, b)
       — a reader with a different tokenizer column or bucket count
       would prune the wrong partitions or score the wrong field;
@@ -352,23 +370,47 @@ class Bm25Index:
     def version_table(self) -> str:
         return f"{self.name}_version"
 
-    def _current_version(self) -> int:
+    def _version_row(self) -> tuple[int, str | None]:
+        """(version, id_type) from ONE read of the one-row pointer
+        table — every versioned decision in a call derives from this
+        single row, so a concurrent rebuild flip can never pair one
+        version's layout with another's metadata (the ADVICE-r11
+        cell_skew lesson, applied here from the start). id_type rides
+        in the pointer row (round 12) so it commits ATOMICALLY with
+        the version it describes — the shared meta table is refreshed
+        only after the flip and is never the source of truth for a
+        versioned index's id column type."""
         if not self.wh.exists(self.version_table):
             raise ValueError(
                 f"Bm25Index '{self.name}' is versioned but has no "
                 "version pointer — run build() (it commits v1 and "
                 "writes the pointer) or fix the warehouse root"
             )
-        return int(self.wh.read(self.version_table).collect()[0]["version"])
+        row = self.wh.read(self.version_table).collect()[0].asDict()
+        # pointer rows written before round 12 carry only `version`
+        return int(row["version"]), row.get("id_type")
 
-    def _table_names(self, version: int | None = None) -> tuple[str, str]:
-        '''(postings, doclens) names — one pointer read in versioned
-        mode, so a caller using both gets a jointly consistent pair
-        across a concurrent rebuild flip.'''
+    def _current_version(self) -> int:
+        return self._version_row()[0]
+
+    def _table_names(
+        self, version: int | None = None
+    ) -> tuple[str, str, str]:
+        '''(postings, doclens, stats) names — one pointer read in
+        versioned mode, so a caller using several gets a jointly
+        consistent set across a concurrent rebuild flip.'''
         if not self.versioned:
-            return f"{self.name}_postings", f"{self.name}_doclens"
+            return (
+                f"{self.name}_postings",
+                f"{self.name}_doclens",
+                f"{self.name}_stats",
+            )
         v = version if version is not None else self._current_version()
-        return f"{self.name}_postings_v{v}", f"{self.name}_doclens_v{v}"
+        return (
+            f"{self.name}_postings_v{v}",
+            f"{self.name}_doclens_v{v}",
+            f"{self.name}_stats_v{v}",
+        )
 
     @property
     def postings_table(self) -> str:
@@ -377,6 +419,10 @@ class Bm25Index:
     @property
     def doclens_table(self) -> str:
         return self._table_names()[1]
+
+    @property
+    def stats_table(self) -> str:
+        return self._table_names()[2]
 
     @property
     def meta_table(self) -> str:
@@ -450,6 +496,33 @@ class Bm25Index:
             F.col(self.id_col), F.size(toks_ne).alias("dl")
         )
 
+    def _batch_stats(self, dl_t: str, batch: str) -> DataFrame:
+        """One (__batch, n_docs, sum_dl) row for `batch`, aggregated
+        from the JUST-WRITTEN doclens parquet — a narrow 2-column
+        scan (partition-pruned to the batch in partitioned mode), so
+        stats derive from exactly the rows that were persisted, not
+        from a second tokenization pass over the input. Empty builds
+        (day-zero stream) write a (0, 0) row."""
+        spark = self.wh.spark
+        from pyspark.errors import AnalysisException
+
+        spark.catalog.refreshByPath(self.wh.path(dl_t))
+        try:
+            dl = self.wh.read(dl_t)
+        except AnalysisException:
+            # an empty corpus writes no parquet files
+            return spark.createDataFrame(
+                [(str(batch), 0, 0)],
+                f"{_BATCH_COL} string, n_docs bigint, sum_dl bigint",
+            )
+        if self.partitioned:
+            dl = dl.filter(F.col(_BATCH_COL) == str(batch))
+        return dl.agg(
+            F.lit(str(batch)).alias(_BATCH_COL),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+        )
+
     def build(self, docs: DataFrame, batch="__build__") -> None:
         """Full (re)build. Versioned mode (round 11): on an
         already-built index this writes the NEXT version entirely off
@@ -457,7 +530,13 @@ class Bm25Index:
         atomic-full-rebuild path (new analyzer conventions, compaction
         after absorb churn, deletion propagation) while serving keeps
         reading the old version; prune_versions() garbage-collects it
-        afterwards."""
+        afterwards. Round 12: the (version, id_type) pointer row is
+        the ONLY commit point — postings, doclens, the stats snapshot
+        AND the id column type all become visible in that one flip, so
+        a crash anywhere before it leaves the old version serving with
+        its own consistent metadata (ADVICE r11: meta used to be
+        overwritten pre-flip); the shared meta table is refreshed
+        after the flip purely as the layout-guard record."""
         from ..sources.warehouse import atomic_overwrite
 
         if self.versioned:
@@ -466,10 +545,10 @@ class Bm25Index:
                 if self.wh.exists(self.version_table)
                 else 1
             )
-            post_t, dl_t = self._table_names(new_v)
+            post_t, dl_t, stats_t = self._table_names(new_v)
         else:
             new_v = None
-            post_t, dl_t = self._table_names()
+            post_t, dl_t, stats_t = self._table_names()
         post, dl = self._postings(docs), self._doclens(docs)
         post_parts = ["__tb"]
         if self.partitioned:
@@ -484,38 +563,50 @@ class Bm25Index:
                 dl, self.wh.path(dl_t),
                 partition_by=[_BATCH_COL],
             )
+            atomic_overwrite(
+                self._batch_stats(dl_t, batch),
+                self.wh.path(stats_t),
+                partition_by=[_BATCH_COL],
+            )
         else:
             atomic_overwrite(
                 post, self.wh.path(post_t),
                 partition_by=post_parts,
             )
             self.wh.overwrite(dl_t, dl)
-        self._write_meta(
-            id_type=docs.schema[self.id_col].dataType.simpleString()
-        )
-        self._params_ok = True
+            self.wh.overwrite(stats_t, self._batch_stats(dl_t, batch))
+        id_type = docs.schema[self.id_col].dataType.simpleString()
         if self.versioned:
-            # the commit point: the new version becomes visible here
+            # the commit point: the new version AND its id_type become
+            # visible in this one atomic pointer flip
             self.wh.overwrite(
                 self.version_table,
                 self.wh.spark.createDataFrame(
-                    [(int(new_v),)], "version int"
+                    [(int(new_v), id_type)], "version int, id_type string"
                 ),
             )
+        self._write_meta(id_type=id_type)
+        self._params_ok = True
 
-    def prune_versions(self) -> list[str]:
-        """Delete all non-current versions' table directories (the
-        versioned-rebuild garbage collector). Only call after
-        in-flight queries against older versions drain — a lazy
-        DataFrame pins its resolved paths at plan time."""
+    def prune_versions(self, keep: int = 1) -> list[str]:
+        """Delete old versions' table directories (the versioned-
+        rebuild garbage collector). `keep` retains the most recent
+        `keep` versions (default 1 = current only); pass keep=2 while
+        lagging readers may still hold plans resolved against the
+        previous version — a lazy DataFrame pins its resolved paths at
+        plan time, so only prune a version after queries planned
+        against it drain (ADVICE r11: the guard is now a caller knob,
+        not only a docstring)."""
         if not self.versioned:
             return []
+        if keep < 1:
+            raise ValueError("prune_versions keep must be >= 1")
         import os
         import shutil
 
         cur = self._current_version()
         removed = []
-        for v in range(1, cur):
+        for v in range(1, cur - keep + 1):
             for t in self._table_names(v):
                 path = self.wh.path(t)
                 if os.path.isdir(path):
@@ -533,7 +624,7 @@ class Bm25Index:
         dynamic partition overwrite of that epoch's partitions, so a
         re-offered epoch rewrites exactly its own rows."""
         self._validate()
-        post_t, dl_t = self._table_names()  # one pointer resolution
+        post_t, dl_t, stats_t = self._table_names()  # one pointer read
         post, dl = self._postings(new_docs), self._doclens(new_docs)
         if self.partitioned:
             if batch is None:
@@ -550,6 +641,13 @@ class Bm25Index:
                 dl.withColumn(_BATCH_COL, F.lit(str(batch))),
                 _BATCH_COL,
             )
+            # the batch's one stats row lands as a dynamic partition
+            # overwrite of ITS OWN __batch partition — a re-offered
+            # epoch rewrites its stats exactly like its postings, so
+            # replay can never double-count N/avgdl
+            self.wh.append_partitioned(
+                stats_t, self._batch_stats(dl_t, batch), _BATCH_COL
+            )
         else:
             if batch is not None:
                 raise ValueError(
@@ -560,6 +658,21 @@ class Bm25Index:
                 self.wh.path(post_t)
             )
             self.wh.append(dl_t, dl)
+            # blind O(1)-row append, same duplicate-on-replay contract
+            # as the unpartitioned postings append. Stats aggregate
+            # the BATCH frame (an unpartitioned doclens read-back
+            # could not isolate the new rows from the old corpus) —
+            # one O(batch) pass, never O(corpus).
+            self.wh.append(
+                stats_t,
+                dl.agg(
+                    F.lit("__absorb__").alias(_BATCH_COL),
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.coalesce(F.sum("dl"), F.lit(0))
+                    .cast("bigint")
+                    .alias("sum_dl"),
+                ),
+            )
 
     def topk(
         self,
@@ -570,14 +683,21 @@ class Bm25Index:
         """Serve top-k from the persisted postings. `queries` is the
         bounded workload ({query_id: [terms]} or a (query_id, term)
         frame). max_df_frac applies the stopword guard against the
-        CURRENT corpus size (df from the pruned postings, N from
-        doclens)."""
+        CURRENT corpus size (df from the pruned postings, N from the
+        per-batch stats rows).
+
+        Scale shape (round 12): the plan reads (a) the query terms'
+        postings partitions — file-level pruned — and (b) the
+        <= #batches one-row stats table. The doclens table is NOT on
+        this path anymore (plan-pinned in tests/test_retrieval.py):
+        'a query reads only its term buckets' now holds with no
+        O(corpus) footnote."""
         self._validate()
         spark = self.wh.spark
-        # one pointer resolution for the whole query: postings and
-        # doclens always come from the SAME version, even across a
-        # concurrent versioned rebuild flip
-        post_t, dl_t = self._table_names()
+        # one pointer resolution for the whole query: postings, stats
+        # (and the legacy-fallback doclens) always come from the SAME
+        # version, even across a concurrent versioned rebuild flip
+        post_t, dl_t, stats_t = self._table_names()
         q = (
             queries
             if isinstance(queries, DataFrame)
@@ -598,7 +718,12 @@ class Bm25Index:
             cond = e.getCondition() if hasattr(e, "getCondition") else None
             if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
                 raise
-            if not self.wh.exists(self.meta_table):
+            if self.versioned:
+                # the pointer row IS the commit marker, and its
+                # id_type is atomic with the version it describes
+                _, id_type = self._version_row()
+                id_type = id_type or "bigint"
+            elif not self.wh.exists(self.meta_table):
                 raise ValueError(
                     f"Bm25Index '{self.name}': '{post_t}' "
                     "has no readable data and no meta marker — the "
@@ -606,8 +731,9 @@ class Bm25Index:
                     "wrong; run build() (it writes the marker even for "
                     "an empty corpus) or fix the root"
                 ) from e
-            meta = self.wh.read(self.meta_table).collect()[0].asDict()
-            id_type = meta.get("id_type") or "bigint"
+            else:
+                meta = self.wh.read(self.meta_table).collect()[0].asDict()
+                id_type = meta.get("id_type") or "bigint"
             return spark.createDataFrame(
                 [],
                 f"query_id string, rank int, {self.id_col} {id_type}, "
@@ -626,17 +752,32 @@ class Bm25Index:
             .filter(F.col("__tb").isin(buckets))
             .join(F.broadcast(qterms), "term")
         )
-        dl = self.wh.read(dl_t)
         if self.partitioned:
             post = post.drop(_BATCH_COL)
-            dl = dl.drop(_BATCH_COL)
-        stats = dl.select(
-            F.count(F.lit(1)).alias("__n"),
-            (
-                F.sum("dl").cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("__avgdl"),
-        )
+        if self.wh.exists(stats_t):
+            # <= #batches rows; integer sums are exact, so this is
+            # bit-identical to the full doclens aggregate it replaces
+            stats = self.wh.read(stats_t).agg(
+                F.sum("n_docs").alias("__n"),
+                (
+                    F.sum("sum_dl").cast("double")
+                    / F.sum("n_docs").cast("double")
+                ).alias("__avgdl"),
+            )
+        else:
+            # legacy pre-round-12 layout (no stats table persisted):
+            # the old full-doclens aggregate, kept so an existing
+            # store keeps serving without a rebuild
+            dl = self.wh.read(dl_t)
+            if self.partitioned:
+                dl = dl.drop(_BATCH_COL)
+            stats = dl.select(
+                F.count(F.lit(1)).alias("__n"),
+                (
+                    F.sum("dl").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("__avgdl"),
+            )
         dfreq = post.groupBy("term").agg(
             F.count(F.lit(1)).alias("__df")
         )

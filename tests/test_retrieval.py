@@ -561,7 +561,9 @@ def test_bm25_versioned_rebuild_atomic_flip(spark, tmp_path):
     assert got2 == {1, 4}  # deletion propagated atomically
 
     removed = idx.prune_versions()
-    assert sorted(removed) == ["bm25_doclens_v1", "bm25_postings_v1"]
+    assert sorted(removed) == [
+        "bm25_doclens_v1", "bm25_postings_v1", "bm25_stats_v1"
+    ]
     assert not os.path.isdir(wh.path("bm25_postings_v1"))
     assert {
         r.doc_id for r in idx.topk({"q": ["hash"]}, topk=10).collect()
@@ -572,3 +574,163 @@ def test_bm25_versioned_rebuild_atomic_flip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="rebuild the index or match"):
         Bm25Index(wh, partitioned=True).topk({"q": ["hash"]})
+
+
+# --- round 12: per-batch stats partitions (VERDICT r11 item 1) --------------
+
+def test_bm25_topk_plan_has_no_doclens_scan(spark):
+    """The plan pin for the round-12 stats change: the serving plan
+    scans the postings (pruned) and the <= #batches stats table, and
+    does NOT touch the doclens table at all — the last O(corpus) step
+    on the serving path is gone. (A SHORT warehouse root keeps the
+    FileScan Location strings untruncated so the path assertions are
+    real; pytest's tmp_path is long enough that Spark abbreviates
+    them.)"""
+    import shutil
+    import tempfile
+
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    root = tempfile.mkdtemp(dir="/tmp")
+    try:
+        idx = Bm25Index(Warehouse(spark, root))
+        idx.build(_corpus(spark))
+        served = idx.topk({"q": ["hash", "join"]})
+        assert _key(served)  # non-vacuous: the query matches docs
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "bm25_stats" in plan
+        assert "sum_dl" in plan  # the stats columns, not a doc scan
+        assert "bm25_doclens" not in plan
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_bm25_stats_equal_doclens_aggregate_after_absorbs(spark, tmp_path):
+    """The stats rows must sum to EXACTLY the doclens aggregate they
+    replace (exact integer sums), across build + several absorbs —
+    and serving through them equals the legacy doclens path."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = Bm25Index(wh)
+    idx.build(_corpus(spark))
+    idx.absorb(
+        spark.createDataFrame(
+            [(10, "hash probe"), (11, "probe scan build")],
+            "doc_id: int, text: string",
+        )
+    )
+    idx.absorb(
+        spark.createDataFrame([(12, "hash")], "doc_id: int, text: string")
+    )
+    stats = wh.read(idx.stats_table).agg(
+        F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s")
+    ).collect()[0]
+    dl = wh.read(idx.doclens_table).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    assert (stats.n, stats.s) == (dl.n, dl.s) == (7, 21)
+
+    served = _key(idx.topk({"q": ["hash", "probe", "scan"]}))
+    # legacy fallback: delete the stats table -> serving re-derives
+    # N/avgdl from doclens and produces the identical result
+    shutil.rmtree(wh.path(idx.stats_table))
+    assert _key(idx.topk({"q": ["hash", "probe", "scan"]})) == served
+
+
+def test_bm25_partitioned_replay_does_not_double_count_stats(spark, tmp_path):
+    """A re-offered epoch must overwrite its own stats partition: after
+    a double-delivered absorb the stats sum equals the single-delivery
+    corpus, not corpus + batch."""
+    from pyspark.sql import functions as F
+
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = Bm25Index(wh, partitioned=True)
+    idx.build(_corpus(spark))
+    b = spark.createDataFrame(
+        [(10, "hash hash probe build")], "doc_id: int, text: string"
+    )
+    idx.absorb(b, batch=7)
+    idx.absorb(b, batch=7)  # replay
+    stats = wh.read(idx.stats_table)
+    assert stats.count() == 2  # __build__ + batch 7, once each
+    got = stats.agg(
+        F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s")
+    ).collect()[0]
+    assert (got.n, got.s) == (5, 19)
+
+
+def test_bm25_versioned_pointer_carries_id_type(spark, tmp_path):
+    """Round 12 (ADVICE r11): id_type commits ATOMICALLY with the
+    version pointer — a rebuild that changes the id column type flips
+    both in one write, and the day-zero empty frame reads the type
+    from the pointer row, never from the (post-flip-refreshed) meta."""
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = Bm25Index(wh, versioned=True)
+    idx.build(spark.createDataFrame([], "doc_id string, text string"))
+    row = wh.read(idx.version_table).collect()[0]
+    assert (row["version"], row["id_type"]) == (1, "string")
+    empty = idx.topk({"q": ["hash"]})
+    assert dict(empty.dtypes)["doc_id"] == "string"
+
+
+def test_bm25_prune_versions_keep_guard(spark, tmp_path):
+    """prune_versions(keep=2) retains the previous version for lagging
+    readers (ADVICE r11: the in-flight guard is a caller knob now);
+    keep < 1 is rejected."""
+    import os
+
+    import pytest as _pytest
+
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = Bm25Index(wh, versioned=True)
+    docs = _corpus(spark)
+    idx.build(docs)
+    idx.build(docs)
+    idx.build(docs)  # v3 current
+    with _pytest.raises(ValueError, match="keep"):
+        idx.prune_versions(keep=0)
+    removed = idx.prune_versions(keep=2)
+    assert sorted(removed) == [
+        "bm25_doclens_v1", "bm25_postings_v1", "bm25_stats_v1"
+    ]
+    assert os.path.isdir(wh.path("bm25_postings_v2"))  # kept for drain
+    removed2 = idx.prune_versions()
+    assert sorted(removed2) == [
+        "bm25_doclens_v2", "bm25_postings_v2", "bm25_stats_v2"
+    ]
