@@ -265,12 +265,22 @@ def rule_diff_city_1h_window(
     rides the fraud_report driver hash against the reference's pair
     SQL. Null semantics match the pair join exactly — see
     _diff_city_window_hits. The trailing distinct shuffles hit ids
-    only, not candidates."""
+    only, not candidates.
+
+    Release contract (round 12, ADVICE r11): when the probe trips,
+    the persisted hot-key frame needs a deterministic release. Loop
+    callers pass `persist_registry` (assemble_report does); a DIRECT
+    caller without one gets the handle surfaced on the returned
+    DataFrame as `result._gate_persists` — unpersist those after
+    materializing, the report._rule_hit_frames convention — so
+    repeated direct calls no longer accumulate cached frames until
+    LRU pressure."""
     base = resolved.select(
         "card_num", "trans_id", "trans_date", "terminal_city", "client_id"
     )
+    local_registry: list = [] if persist_registry is None else persist_registry
     hot = _hot_keys(
-        base, "card_num", hot_key_max_rows, persist_registry=persist_registry
+        base, "card_num", hot_key_max_rows, persist_registry=local_registry
     )
     if hot is not None:
         cold_hits = _diff_city_window_hits(
@@ -284,7 +294,10 @@ def rule_diff_city_1h_window(
         # rows in dirty data — one hot, one cold — and the ungated
         # forms collapse it with their single global DISTINCT; exact
         # parity requires the same here. It shuffles hit ids only.
-        return cold_hits.unionByName(hot_hits).distinct()
+        result = cold_hits.unionByName(hot_hits).distinct()
+        if persist_registry is None:
+            result._gate_persists = tuple(local_registry)
+        return result
     return _diff_city_window_hits(base)
 
 
@@ -442,14 +455,21 @@ def rule_brute_force_20min_window(
 
     The ranking/aggregation tail is shared code with the pair
     implementation, and equivalence is property-pinned on randomized
-    client/time/amount/outcome data (tests/test_properties.py)."""
+    client/time/amount/outcome data (tests/test_properties.py).
+
+    Release contract (round 12, ADVICE r11): same as
+    rule_diff_city_1h_window — a tripped probe's persisted frame is
+    surfaced on the returned DataFrame as `result._gate_persists`
+    when no `persist_registry` is passed, so direct callers get a
+    deterministic unpersist handle."""
     from .rangejoin import bucketed_interval_join
 
     base = resolved.select(
         "client_id", "trans_id", "amt", "trans_date", "oper_result"
     )
+    local_registry: list = [] if persist_registry is None else persist_registry
     hot = _hot_keys(
-        base, "client_id", hot_key_max_rows, persist_registry=persist_registry
+        base, "client_id", hot_key_max_rows, persist_registry=local_registry
     )
     if hot is not None:
         cand = _brute_force_window_candidates(
@@ -476,7 +496,10 @@ def rule_brute_force_20min_window(
         F.col("r2.trans_date").alias("trans_date_20min"),
         F.col("r2.oper_result").alias("oper_result"),
     )
-    return _brute_force_verdicts(members)
+    result = _brute_force_verdicts(members)
+    if persist_registry is None and local_registry:
+        result._gate_persists = tuple(local_registry)
+    return result
 
 
 def _brute_force_verdicts(selected_members: DataFrame) -> DataFrame:

@@ -735,10 +735,22 @@ class IvfIndex:
         true neighborhood). This probe is the measured trigger, in
         the small_graph_max_edges / broadcast-gate tradition: never
         assume drift, measure it. Cost: a column-pruned scan of cell
-        ids with map-side partial aggregation to <= n_cells rows."""
+        ids with map-side partial aggregation to <= n_cells rows.
+
+        Versioned consistency (round 12, ADVICE r11): the version
+        pointer row is read ONCE — both the vectors-table name and
+        n_cells derive from that same row — so a concurrent retrain
+        flip between two reads can no longer pair one version's
+        vector counts with another version's n_cells and report a
+        phantom skew verdict."""
         self._validate()
+        if self.versioned:
+            vrow = self.wh.read(self.version_table).collect()[0].asDict()
+            vec_t = self._table_names(int(vrow["version"]))[0]
+        else:
+            vec_t = self.vectors_table
         counts = (
-            self.wh.read(self.vectors_table)
+            self.wh.read(vec_t)
             .groupBy(self.cell_col)
             .agg(F.count(F.lit(1)).alias("__n"))
         )
@@ -748,9 +760,7 @@ class IvfIndex:
             F.max("__n").alias("max_cell"),
         ).first()
         if self.versioned:
-            n_cells = int(
-                self.wh.read(self.version_table).collect()[0]["n_cells"]
-            )
+            n_cells = int(vrow["n_cells"])
         else:
             n_cells = (
                 self._stored_meta["n_cells"]

@@ -953,6 +953,7 @@ def mask_frequent_spans_multi(
     id_col: str = "doc_id",
     rungs: Sequence[tuple[int, int]] = ((32, 5), (64, 3), (128, 2)),
     portable: bool = False,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Multi-length span-mask cascade — the Spark-native approximation
     of substring-level exact dedup (Lee et al. 2022, "Deduplicating
@@ -988,19 +989,36 @@ def mask_frequent_spans_multi(
     any rung, which is the property the suffix-array build cannot
     offer at 100 TB.
 
-    Shuffle shape: the token array materializes ONCE as a projection
-    attribute; each rung adds one (hash, id) aggregation over 8-byte
-    window hashes plus one per-doc flagged-starts collect, and the
-    final token filter is map-side."""
+    Shuffle shape (honest cost model, ADVICE r11): the rungs share
+    ONE TOKENIZATION EXPRESSION — but lazily, which means it is
+    RE-EVALUATED PER CONSUMER in the physical plan: each rung's
+    positions subtree appears twice (frequency aggregate + left-semi
+    flagged join) plus the final filter's copy, so an N-rung cascade
+    re-tokenizes roughly 2N+1 times. Each rung still adds only one
+    (hash, id) aggregation over 8-byte window hashes plus one per-doc
+    flagged-starts collect, and the final token filter is map-side —
+    the text never shuffles. When the recomputation matters (several
+    rungs over a corpus whose tokenization dominates), pass
+    `persist_registry`: the tokenized base is persisted (memory-and-
+    disk, spill-safe) so every subtree reads the materialized arrays,
+    and the frame is appended to the registry for deterministic
+    release after the result materializes — the _hot_keys /
+    cap_per_domain release convention; without a registry nothing is
+    cached (an operator must not leak pinned storage to callers with
+    no release handle)."""
     if not rungs:
         raise ValueError("rungs must be a non-empty list of (L, min_docs)")
     widths = [w for w, _ in rungs]
     if len(set(widths)) != len(widths):
         raise ValueError(f"duplicate span lengths in rungs: {widths}")
 
-    # one tokenization: materialized as an attribute so every rung's
-    # window hashes reference it instead of re-splitting the text
+    # one tokenization EXPRESSION shared by every rung's window
+    # hashes (re-evaluated per consumer unless a persist_registry
+    # opts into caching — see docstring)
     base = df.withColumn("__toks", tokens(F.col(text_col)))
+    if persist_registry is not None and len(rungs) > 1:
+        base = base.persist()
+        persist_registry.append(base)
 
     def seq_of(starts: Column, width: int) -> Column:
         return F.flatten(

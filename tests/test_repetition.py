@@ -391,3 +391,45 @@ class TestMultiLengthSpanMaskCascade:
             mask_frequent_spans_multi(docs, rungs=())
         with pytest.raises(ValueError, match="duplicate"):
             mask_frequent_spans_multi(docs, rungs=((64, 2), (64, 3)))
+
+
+def test_span_cascade_persist_registry_opt_in(spark):
+    """Round 12 (ADVICE r11): the cascade's tokenized base caches ONLY
+    when the caller passes a persist_registry (release handle), the
+    cached run returns identical rows to the lazy run, and releasing
+    the registry restores the cache to its prior state."""
+    from etl_process_for_fraud_transactions_spark.operators.text import (
+        mask_frequent_spans_multi,
+    )
+
+    words = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))
+    shared = words(40, "dup")
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} {words(10, 'a')}"),
+            (2, f"{shared} {words(10, 'b')}"),
+            (3, words(50, "c")),
+        ],
+        "doc_id: long, text: string",
+    )
+    rungs = ((8, 2), (16, 2))
+    key = lambda out: sorted(
+        (r["doc_id"], r["text"], r["n_span_tokens_dropped"])
+        for r in out.collect()
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+
+    lazy = key(mask_frequent_spans_multi(docs, rungs=rungs))
+    assert jsc.getPersistentRDDs().size() == before  # no opt-in: no cache
+
+    registry: list = []
+    cached_df = mask_frequent_spans_multi(
+        docs, rungs=rungs, persist_registry=registry
+    )
+    assert key(cached_df) == lazy
+    assert len(registry) == 1
+    assert jsc.getPersistentRDDs().size() > before
+    for f in registry:
+        f.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() == before

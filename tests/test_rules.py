@@ -348,3 +348,54 @@ def test_hot_key_gate_persist_registry_releases_deterministically(spark):
     ).collect()
     assert registry2 == []
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_hot_key_gate_direct_caller_gets_release_handle(spark):
+    """Round 12 (ADVICE r11): a DIRECT call without a persist_registry
+    must still surface the tripped probe's persisted frame —
+    `result._gate_persists` — so repeated direct calls have a
+    deterministic unpersist handle instead of leaking cache until LRU
+    pressure."""
+    from etl_process_for_fraud_transactions_spark.operators.rules import (
+        rule_brute_force_20min_window,
+        rule_diff_city_1h_window,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    rows = [
+        (1, 1000 + i, _mins(i), "CITY_A" if i % 2 == 0 else "CITY_B", 7)
+        for i in range(60)
+    ]
+    df = _city_df(spark, rows)
+    before = jsc.getPersistentRDDs().size()
+    out = rule_diff_city_1h_window(df, hot_key_max_rows=50)
+    out.collect()
+    handles = out._gate_persists
+    assert len(handles) == 1
+    assert jsc.getPersistentRDDs().size() > before
+    for f in handles:
+        f.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() == before
+
+    # untripped probe: no attribute (nothing persisted to release)
+    cold = rule_diff_city_1h_window(df, hot_key_max_rows=1000)
+    cold.collect()
+    assert not hasattr(cold, "_gate_persists")
+    assert jsc.getPersistentRDDs().size() == before
+
+    # the brute-force wrapper carries the same contract
+    bf_rows = [
+        (7, 2000 + i, 100.0 - i, _mins(i % 19), "REJECT")
+        for i in range(60)
+    ]
+    bf = spark.createDataFrame(
+        bf_rows,
+        "client_id: int, trans_id: long, amt: double, "
+        "trans_date: timestamp, oper_result: string",
+    )
+    out_bf = rule_brute_force_20min_window(bf, hot_key_max_rows=50)
+    out_bf.collect()
+    assert len(out_bf._gate_persists) == 1
+    for f in out_bf._gate_persists:
+        f.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() == before
