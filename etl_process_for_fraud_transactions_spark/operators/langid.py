@@ -30,6 +30,21 @@ representable in binary floating point), so per-language scores are
 exact sums of dyadic rationals: order-independent, bit-identical in
 any IEEE engine, no dsum machinery needed. The argmax breaks exact
 ties by language code ASC in both engines.
+
+Abstain (round 12, VERDICT r11 item 2): the closed-world argmax
+force-labels OUT-OF-FAMILY text (German routed into the Romance
+family must come out es/pt/it). With `abstain_label` set, a verdict
+is kept only when it clears the model's MEASURED confidence gates —
+per-gram margin (winner minus runner-up, the likelihood-ratio test)
+and per-gram absolute score (the is-any-family-member-a-good-fit
+floor); otherwise the label is the abstain token ('und'). Both gates
+divide a dyadic-exact sum by the gram count (one IEEE division) and
+compare against DYADIC thresholds, so the verdict stays bit-identical
+cross-engine. Thresholds are frozen per family from measured held-out
+separation at PARAGRAPH granularity (see the frozen-model sections);
+very short inputs are noisier — an in-family single sentence may
+abstain under the Cyrillic thresholds, the precision-over-recall
+trade a `langid_languages` filter wants.
 """
 
 from __future__ import annotations
@@ -86,6 +101,13 @@ class LangIdModel:
     profiles: Mapping[str, Mapping[str, float]]
     oov: Mapping[str, float]
     n: int = 2
+    #: measured per-gram confidence gates for the abstain mode (both
+    #: DYADIC so cross-engine comparisons are exact; None = that gate
+    #: is off). abstain_margin: minimum (best - runner_up) / n_grams;
+    #: abstain_avg: minimum best / n_grams. Only consulted when a
+    #: classify call passes abstain_label.
+    abstain_margin: float | None = None
+    abstain_avg: float | None = None
 
     def frame(self, spark: SparkSession) -> DataFrame:
         """ONE-ROW frame with the maps prebuilt (`__lid_m_<lang>`,
@@ -126,9 +148,25 @@ class LangIdModel:
             for lang in self.langs
         }
 
-    def classify_py(self, text: str) -> str:
+    def classify_py(self, text: str, abstain_label: str | None = None) -> str:
+        """Driver-side replay of the serving verdict, including the
+        abstain gates when `abstain_label` is given (same arithmetic:
+        dyadic-exact sums, one IEEE division per gate)."""
         scores = self.score_py(text)
-        return max(sorted(scores), key=lambda l: scores[l])
+        best = max(sorted(scores), key=lambda l: scores[l])
+        if abstain_label is None:
+            return best
+        n = len(_grams_py(text, self.n))
+        vals = sorted(scores.values(), reverse=True)
+        if (
+            self.abstain_margin is not None
+            and len(vals) > 1
+            and (vals[0] - vals[1]) / n < self.abstain_margin
+        ):
+            return abstain_label
+        if self.abstain_avg is not None and vals[0] / n < self.abstain_avg:
+            return abstain_label
+        return best
 
     def sql_profile_values(self) -> str:
         """`(lang, gram, logp)` VALUES rows for a DuckDB oracle —
@@ -151,6 +189,8 @@ def train_langid(
     snippets: Mapping[str, Sequence[str] | str],
     n: int = 2,
     alpha: float = 0.5,
+    abstain_margin: float | None = None,
+    abstain_avg: float | None = None,
 ) -> LangIdModel:
     """Freeze per-language profiles from labeled text snippets
     ({lang: text-or-list}). Lidstone-smoothed over each language's own
@@ -175,7 +215,12 @@ def train_langid(
         }
         oov[lang] = round(math.log(alpha / denom) * _QUANTUM) / _QUANTUM
     return LangIdModel(
-        langs=tuple(sorted(snippets)), profiles=profiles, oov=oov, n=n
+        langs=tuple(sorted(snippets)),
+        profiles=profiles,
+        oov=oov,
+        n=n,
+        abstain_margin=abstain_margin,
+        abstain_avg=abstain_avg,
     )
 
 
@@ -216,19 +261,48 @@ def language_scores(
     )
 
 
+def _abstain_gate(
+    model: LangIdModel, sarr: Column, best: Column, n_grams: Column
+) -> Column | None:
+    """The measured confidence gates as ONE boolean expression (None
+    when the model froze no thresholds): per-gram margin >=
+    abstain_margin AND per-gram best score >= abstain_avg. Exact ties
+    for best give margin 0 — genuinely ambiguous, so they abstain
+    (the no-abstain mode's ASC tie-break is a determinism device, not
+    a confidence claim). One IEEE division per gate over dyadic-exact
+    operands; thresholds are dyadic, so both engines agree."""
+    n = n_grams.cast("double")
+    ok: Column | None = None
+    if model.abstain_margin is not None and len(model.langs) > 1:
+        second = F.reverse(F.array_sort(sarr))[1]
+        ok = (best - second) / n >= F.lit(float(model.abstain_margin))
+    if model.abstain_avg is not None:
+        floor = best / n >= F.lit(float(model.abstain_avg))
+        ok = floor if ok is None else (ok & floor)
+    return ok
+
+
 def classify_language(
     df: DataFrame,
     model: LangIdModel = None,
     text_col: str = "text",
     out_col: str = "langid_pred",
     score_col: str | None = None,
+    abstain_label: str | None = None,
 ) -> DataFrame:
     """Adds `out_col` = argmax-language (ties -> language code ASC)
     and optionally `score_col` = the winning score. One broadcast of
     the one-row model frame, one let-bound gram array per row, |langs|
     folds over it — map-only at any scale. A document with no letters
     scores every language all-OOV; gate on text.dominant_script first
-    (the CCNet ordering: script route, then in-script langid)."""
+    (the CCNet ordering: script route, then in-script langid).
+
+    `abstain_label` (round 12): when set, a verdict below the model's
+    measured confidence gates comes out as this label instead of a
+    forced in-family argmax (module docstring, Abstain section); a
+    model frozen without thresholds never abstains. `score_col` still
+    carries the best in-family score on abstained rows — the caller
+    can audit how close the gate was."""
     from .dedup import _let
 
     model = model or FROZEN_ROMANCE
@@ -251,6 +325,10 @@ def classify_language(
                 expr = F.when(sarr[i] == best, F.lit(model.langs[i])).otherwise(
                     expr
                 )
+            if abstain_label is not None:
+                ok = _abstain_gate(model, sarr, best, F.size(grams))
+                if ok is not None:
+                    expr = F.when(ok, expr).otherwise(F.lit(abstain_label))
             if score_col is None:
                 return expr
             return F.struct(
@@ -348,8 +426,18 @@ HELDOUT_SENTENCES: dict[str, tuple[str, ...]] = {
 }
 
 #: the frozen built-in model (built deterministically at import:
-#: pure counting + dyadic quantization over module constants)
-FROZEN_ROMANCE = train_langid(_TRAIN_SNIPPETS)
+#: pure counting + dyadic quantization over module constants).
+#: Abstain thresholds (round 12) are dyadic and MEASURED on held-out
+#: paragraphs: in-family (HELDOUT_SENTENCES joined per language)
+#: margins >= 0.199 / avgs >= -5.19; out-of-family de/en/nl
+#: paragraphs margins <= 0.051 / avgs <= -5.53 — the 3/32 margin and
+#: -87/16 floor sit between with headroom on both sides, and every
+#: individual in-family held-out SENTENCE also clears them (margin
+#: min 0.1336, avg min -5.2624), so the 15/15 pin holds with abstain
+#: on.
+FROZEN_ROMANCE = train_langid(
+    _TRAIN_SNIPPETS, abstain_margin=0.09375, abstain_avg=-5.4375
+)
 
 
 # --------------------------------------------------------------------------
@@ -482,7 +570,19 @@ HELDOUT_SENTENCES_CYRILLIC: dict[str, tuple[str, ...]] = {
     ),
 }
 
-FROZEN_CYRILLIC = train_langid(_TRAIN_SNIPPETS_CYRILLIC)
+#: Abstain thresholds measured on held-out PARAGRAPHS (dyadic 3/16
+#: and -23/4): in-family margins >= 0.2514 / avgs >= -5.6149;
+#: out-of-family Serbian fails BOTH gates (margin 0.0243, avg
+#: -5.8971) and Macedonian — a Bulgarian sibling the bigrams score
+#: confidently — fails the margin gate (0.1717 < 3/16). The margin
+#: gate is paragraph-calibrated: a single in-family SENTENCE can
+#: dip below it (uk held-out #1: 0.1036) and abstain — the
+#: honest precision-over-recall trade for short inputs, pinned in
+#: tests/test_langid.py; the no-abstain mode keeps the 15/15
+#: sentence pin.
+FROZEN_CYRILLIC = train_langid(
+    _TRAIN_SNIPPETS_CYRILLIC, abstain_margin=0.1875, abstain_avg=-5.75
+)
 
 
 # --------------------------------------------------------------------------
@@ -612,6 +712,12 @@ HELDOUT_SENTENCES_HAN: dict[str, tuple[str, ...]] = {
     ),
 }
 
+#: no frozen abstain thresholds: zh/ja/ko separate by CHARACTER
+#: INVENTORY (kana / hangul / han), not by close orthographic
+#: statistics, and the cjk script route admits no measured
+#: out-of-family case to calibrate a gate against — an unmeasured
+#: threshold would be exactly the hand-set knob the gate tradition
+#: exists to avoid. A Han-family abstain therefore never fires.
 FROZEN_HAN = train_langid(_TRAIN_SNIPPETS_HAN)
 
 
@@ -629,6 +735,7 @@ def classify_language_routed(
     text_col: str = "text",
     out_col: str = "langid_pred",
     script_col: str = "langid_script",
+    abstain_label: str | None = None,
 ) -> DataFrame:
     """Script-routed language ID — the CCNet ordering in one operator:
     `text.dominant_script` picks the family, the family's frozen
@@ -648,7 +755,13 @@ def classify_language_routed(
     gated behind a CASE over the script — Spark's CaseWhen evaluates
     only the matched branch per row, so each document pays exactly
     one family's fold. Map-only at any scale (pinned in
-    tests/test_langid.py)."""
+    tests/test_langid.py).
+
+    `abstain_label` (round 12): threaded into every family's pick —
+    a routed document whose family verdict fails that family's frozen
+    confidence gates (e.g. German routed 'latin' into FROZEN_ROMANCE)
+    comes out with this label instead of a forced sibling language;
+    families frozen without thresholds never abstain."""
     from .dedup import _let
     from .text import dominant_script
 
@@ -692,6 +805,10 @@ def classify_language_routed(
                     e = F.when(
                         sarr[i] == best, F.lit(model.langs[i])
                     ).otherwise(e)
+                if abstain_label is not None:
+                    ok = _abstain_gate(model, sarr, best, F.size(grams))
+                    if ok is not None:
+                        e = F.when(ok, e).otherwise(F.lit(abstain_label))
                 return e
 
             return _let(arr, pick)

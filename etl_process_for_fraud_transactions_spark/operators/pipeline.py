@@ -72,6 +72,7 @@ def curate_corpus(
     html_extractor: str = "regex",
     langid_model=None,
     langid_languages: tuple[str, ...] | None = None,
+    langid_abstain_label: str | None = None,
 ) -> DataFrame:
     """Returns (id, text, n_tokens, pred_lang[, langid], split) — the
     curated,
@@ -182,13 +183,26 @@ def curate_corpus(
 
         from .langid import classify_language, classify_language_routed
 
+        # langid_abstain_label (round 12): below-confidence verdicts
+        # come out as the abstain token instead of a forced in-family
+        # language — so a langid_languages filter on a multilingual
+        # crawl drops out-of-family docs rather than silently keeping
+        # them under a sibling label (VERDICT r11 item 2).
         if isinstance(langid_model, _Mapping):
             gated = classify_language_routed(
-                gated, langid_model, text_col, out_col="langid"
+                gated,
+                langid_model,
+                text_col,
+                out_col="langid",
+                abstain_label=langid_abstain_label,
             ).drop("langid_script")
         else:
             gated = classify_language(
-                gated, langid_model, text_col, out_col="langid"
+                gated,
+                langid_model,
+                text_col,
+                out_col="langid",
+                abstain_label=langid_abstain_label,
             )
         if langid_languages is not None:
             gated = gated.filter(

@@ -53,6 +53,7 @@ def curate_stream(
     pii: bool = True,
     langid_model=None,
     langid_languages: tuple[str, ...] | None = None,
+    langid_abstain_label: str | None = None,
 ) -> DataFrame:
     """Apply every STATELESS curation gate to a streaming DataFrame —
     returns a stream of (id, text, n_tokens, pred_lang[, ...]) rows
@@ -108,13 +109,25 @@ def curate_stream(
             classify_language_routed,
         )
 
+        # langid_abstain_label (round 12): same abstain contract as
+        # curate_corpus — below-confidence verdicts become the abstain
+        # token, so the language filter drops out-of-family docs
+        # instead of keeping them under a forced sibling label.
         if isinstance(langid_model, _Mapping):
             df = classify_language_routed(
-                df, langid_model, text_col, out_col="langid"
+                df,
+                langid_model,
+                text_col,
+                out_col="langid",
+                abstain_label=langid_abstain_label,
             ).drop("langid_script")
         else:
             df = classify_language(
-                df, langid_model, text_col, out_col="langid"
+                df,
+                langid_model,
+                text_col,
+                out_col="langid",
+                abstain_label=langid_abstain_label,
             )
         if langid_languages is not None:
             df = df.filter(F.col("langid").isin(list(langid_languages)))

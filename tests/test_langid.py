@@ -296,3 +296,242 @@ def test_classify_language_routed_rejects_duplicate_lang_codes(spark):
         classify_language_routed(
             df, {"latin": FROZEN_ROMANCE, "cjk": FROZEN_ROMANCE}
         )
+
+
+# --- round 12: measured score-margin abstain (VERDICT r11 item 2) -----------
+
+#: out-of-family paragraphs for the abstain pins — Latin script but
+#: NOT in the frozen Romance family (de/en/nl), and Cyrillic script
+#: NOT in the frozen Cyrillic family (sr/mk). Paragraph granularity:
+#: the thresholds are calibrated there (langid.py module docstring).
+OOD_LATIN_PARAGRAPHS = {
+    "de": (
+        "Das rote Auto steht vor dem Bahnhof und wartet auf die "
+        "Kinder. Meine Freunde kommen morgen Abend, um das Spiel zu "
+        "sehen. Die Lehrerin erklärte den Schülern die Aufgabe mit "
+        "großer Geduld."
+    ),
+    "en": (
+        "The red car is parked in front of the train station. My "
+        "friends will come tomorrow evening to watch the game. The "
+        "teacher explained the lesson with great patience to the "
+        "students."
+    ),
+    "nl": (
+        "De rode auto staat geparkeerd voor het treinstation. Mijn "
+        "vrienden komen morgenavond om de wedstrijd te kijken. De "
+        "lerares legde de les met veel geduld uit aan de leerlingen."
+    ),
+}
+
+OOD_CYRILLIC_PARAGRAPHS = {
+    "sr": (
+        "Црвени ауто је паркиран испред железничке станице. Моји "
+        "пријатељи ће доћи сутра увече да гледају утакмицу. "
+        "Учитељица је стрпљиво објаснила лекцију ученицима. Лети је "
+        "веома вруће, па пијемо хладну воду са лимуном."
+    ),
+    "mk": (
+        "Црвениот автомобил е паркиран пред железничката станица. "
+        "Моите пријатели ќе дојдат утре навечер да го гледаат "
+        "натпреварот. Учителката трпеливо им ја објасни лекцијата "
+        "на учениците. Во лето е многу жешко, затоа пиеме ладна "
+        "вода со лимон."
+    ),
+}
+
+
+def test_abstain_rejects_out_of_family_keeps_in_family(spark):
+    """The closed-world fix: German/English/Dutch paragraphs routed
+    into the Romance family abstain ('und') instead of coming out
+    es/pt/it — while every in-family held-out SENTENCE (a stricter
+    unit than the paragraph calibration) still classifies 15/15."""
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        FROZEN_ROMANCE,
+        HELDOUT_SENTENCES,
+        classify_language,
+    )
+
+    rows = [
+        (f"in_{lang}_{i}", lang, s)
+        for lang, sents in sorted(HELDOUT_SENTENCES.items())
+        for i, s in enumerate(sents)
+    ] + [
+        (f"ood_{lang}", "und", t)
+        for lang, t in sorted(OOD_LATIN_PARAGRAPHS.items())
+    ]
+    df = spark.createDataFrame(rows, "id: string, expected: string, text: string")
+    got = {
+        r["id"]: r["langid_pred"]
+        for r in classify_language(
+            df, FROZEN_ROMANCE, abstain_label="und"
+        ).collect()
+    }
+    for rid, expected, _ in rows:
+        assert got[rid] == expected, (rid, got[rid], expected)
+
+
+def test_abstain_cyrillic_family_rejects_sr_mk_paragraphs(spark):
+    """Serbian fails both measured gates; Macedonian — which the
+    bigrams score as CONFIDENT Bulgarian — fails the margin gate.
+    In-family paragraphs all clear both gates."""
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        FROZEN_CYRILLIC,
+        HELDOUT_SENTENCES_CYRILLIC,
+        classify_language,
+    )
+
+    rows = [
+        (lang, lang, " ".join(sents))
+        for lang, sents in sorted(HELDOUT_SENTENCES_CYRILLIC.items())
+    ] + [
+        (lang, "und", t)
+        for lang, t in sorted(OOD_CYRILLIC_PARAGRAPHS.items())
+    ]
+    df = spark.createDataFrame(rows, "id: string, expected: string, text: string")
+    got = {
+        r["id"]: r["langid_pred"]
+        for r in classify_language(
+            df, FROZEN_CYRILLIC, abstain_label="und"
+        ).collect()
+    }
+    for rid, expected, _ in rows:
+        assert got[rid] == expected, (rid, got[rid], expected)
+
+
+def test_abstain_short_input_tradeoff_is_pinned(spark):
+    """The paragraph-calibrated Cyrillic margin gate may abstain on a
+    very short IN-FAMILY input (uk held-out sentence #1 measures
+    margin 0.1036 < 3/16) — pinned here as the documented
+    precision-over-recall trade, alongside the no-abstain mode still
+    classifying it correctly."""
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        FROZEN_CYRILLIC,
+        HELDOUT_SENTENCES_CYRILLIC,
+        classify_language,
+    )
+
+    sent = HELDOUT_SENTENCES_CYRILLIC["uk"][0]
+    df = spark.createDataFrame([(1, sent)], "id: int, text: string")
+    strict = classify_language(
+        df, FROZEN_CYRILLIC, abstain_label="und"
+    ).collect()[0]["langid_pred"]
+    loose = classify_language(df, FROZEN_CYRILLIC).collect()[0]["langid_pred"]
+    assert strict == "und" and loose == "uk"
+
+
+def test_abstain_spark_matches_driver_replay(spark):
+    """classify_py(abstain_label=...) is the exact driver-side replay
+    of the serving gates — same dyadic sums, same divisions — across
+    in-family, out-of-family and no-letter inputs in both families."""
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        FROZEN_CYRILLIC,
+        FROZEN_ROMANCE,
+        HELDOUT_SENTENCES,
+        classify_language,
+    )
+
+    texts = (
+        [s for sents in HELDOUT_SENTENCES.values() for s in sents[:2]]
+        + list(OOD_LATIN_PARAGRAPHS.values())
+        + ["12345 --- 67890", ""]
+    )
+    for model in (FROZEN_ROMANCE, FROZEN_CYRILLIC):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "id: int, text: string"
+        )
+        got = {
+            r["id"]: r["langid_pred"]
+            for r in classify_language(df, model, abstain_label="und").collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == model.classify_py(t, abstain_label="und"), (
+                model.langs, i, t, got[i]
+            )
+
+
+def test_abstain_routed_and_thresholdless_family(spark):
+    """Routed abstain: a German document (latin script) abstains via
+    the Romance gates, Serbian/Macedonian (cyrillic) via the Cyrillic
+    gates, while zh/ja/ko pass through UNGATED — FROZEN_HAN froze no
+    thresholds, so the Han family never abstains — and scripts with
+    no family still yield NULL."""
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        HELDOUT_SENTENCES_HAN,
+        classify_language_routed,
+    )
+
+    rows = [
+        ("de", "und", OOD_LATIN_PARAGRAPHS["de"]),
+        ("sr", "und", OOD_CYRILLIC_PARAGRAPHS["sr"]),
+        ("mk", "und", OOD_CYRILLIC_PARAGRAPHS["mk"]),
+        ("zh", "zh", HELDOUT_SENTENCES_HAN["zh"][0]),
+        ("ja", "ja", HELDOUT_SENTENCES_HAN["ja"][0]),
+        ("ko", "ko", HELDOUT_SENTENCES_HAN["ko"][0]),
+        ("digits", None, "12345 67890"),
+    ]
+    df = spark.createDataFrame(
+        [(rid, t) for rid, _, t in rows], "id: string, text: string"
+    )
+    got = {
+        r["id"]: r["langid_pred"]
+        for r in classify_language_routed(df, abstain_label="und").collect()
+    }
+    for rid, expected, _ in rows:
+        assert got[rid] == expected, (rid, got[rid], expected)
+
+
+def test_abstain_exact_tie_abstains(spark):
+    """Two languages at an exact score tie have margin 0 — genuinely
+    ambiguous, so the gated mode abstains where the ungated mode
+    tie-breaks ASC (a determinism device, not a confidence claim)."""
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        classify_language,
+        train_langid,
+    )
+
+    model = train_langid(
+        {"aa": "abab abab", "bb": "abab abab"},
+        abstain_margin=0.0625,
+    )
+    df = spark.createDataFrame([(1, "abab")], "id: int, text: string")
+    gated = classify_language(df, model, abstain_label="und").collect()[0]
+    loose = classify_language(df, model).collect()[0]
+    assert gated["langid_pred"] == "und" and loose["langid_pred"] == "aa"
+
+
+def test_curate_corpus_langid_abstain_drops_out_of_family(spark):
+    """The curation-ladder wiring: langid_languages on a multilingual
+    crawl KEEPS a German doc under a forced 'es'/'it' label without
+    the abstain, and DROPS it with langid_abstain_label set — the
+    silent-mislabel failure mode VERDICT r11 item 2 names."""
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        SCRIPT_FAMILIES,
+    )
+    from etl_process_for_fraud_transactions_spark.operators.pipeline import (
+        curate_corpus,
+    )
+
+    es = (
+        "la casa es grande y la familia come pan con queso cada "
+        "domingo porque la cocina de la abuela siempre esta llena de "
+        "invitados y todos salen a caminar bajo el sol de la ciudad"
+    )
+    de = (
+        "das haus ist gross und die familie isst jeden sonntag brot "
+        "mit kaese weil die kueche der grossmutter immer voller "
+        "gaeste ist und alle unter der sonne der stadt spazieren gehen"
+    )
+    docs = spark.createDataFrame(
+        [(1, es), (2, de)], "doc_id: long, text: string"
+    )
+    kw = dict(
+        min_tokens=5,
+        languages=("es", "pt", "it", "en", "de", "und"),
+        langid_model=SCRIPT_FAMILIES,
+        langid_languages=("es", "pt", "it"),
+    )
+    forced = curate_corpus(docs, **kw)
+    assert {r["doc_id"] for r in forced.collect()} == {1, 2}  # de kept, mislabeled
+    gated = curate_corpus(docs, langid_abstain_label="und", **kw)
+    assert {r["doc_id"] for r in gated.collect()} == {1}  # de dropped
