@@ -499,29 +499,46 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import bm25_topk, rrf_fuse, terms_frame
 
     docs = load_table(spark, sf_dir, "documents")
+    # cache_tokens (round 12, VERDICT r11 item 7 — the ivf_cosine_topk
+    # checkpoint lesson): the keyword leg consumes the token arrays
+    # three times (stats, df pre-pass, postings); checkpointing the
+    # (id, tokens) projection tokenizes once instead of thrice —
+    # same-session A/B at sf0.01: 2.5-4.9 s -> 1.9-2.8 s on the leg.
     bm_leg = bm25_topk(
-        docs, terms_frame(spark, _BM25_QUERIES), topk=50, max_df_frac=0.8
+        docs,
+        terms_frame(spark, _BM25_QUERIES),
+        topk=50,
+        max_df_frac=0.8,
+        cache_tokens=True,
     )
 
+    from ..operators.similarity import dot, l2_norm
+
+    # norms are projected ONCE per side (round 12): the crossJoin
+    # used to re-fold l2_norm(vec) for every (doc, query) pair —
+    # |queries| redundant folds per doc — and l2_norm(qvec) per pair;
+    # same doubles, same division, so cos_sim is bit-identical
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
-    )
+    ).withColumn("__nrm", l2_norm(F.col("vec")))
     qmap = {"q_join_path": 0, "q_window_sort": 1, "q_stream": 2}
     qv = spark.createDataFrame(
         sorted(qmap.items()), "query_id: string, m: long"
     )
     qvec = emb.join(
         F.broadcast(qv), emb["doc_id"] == qv["m"]
-    ).select("query_id", F.col("vec").alias("qvec"))
-    from ..operators.similarity import dot, l2_norm
-
+    ).select(
+        "query_id",
+        F.col("vec").alias("qvec"),
+        F.col("__nrm").alias("__qnrm"),
+    )
     vscored = emb.crossJoin(F.broadcast(qvec)).select(
         "query_id",
         "doc_id",
         F.round(
             dot(F.col("vec"), F.col("qvec"))
-            / (l2_norm(F.col("vec")) * l2_norm(F.col("qvec"))),
+            / (F.col("__nrm") * F.col("__qnrm")),
             6,
         ).alias("cos_sim"),
     )

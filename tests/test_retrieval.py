@@ -734,3 +734,23 @@ def test_bm25_prune_versions_keep_guard(spark, tmp_path):
     assert sorted(removed2) == [
         "bm25_doclens_v2", "bm25_postings_v2", "bm25_stats_v2"
     ]
+
+
+def test_bm25_cache_tokens_mode_is_bit_identical(spark):
+    """cache_tokens=True (the bm25_topk_docs row trim) changes only
+    the physical shape — checkpointed tokens, one explode, df from
+    the postings aggregate — never a value: scores, ranks and the
+    max-df guard cut must match the lazy mode exactly, guard on and
+    off, including a term dropped by the guard."""
+    rows = [(i, "the filler") for i in range(1, 6)] + [
+        (6, "rare text"),
+        (7, "rare the filler words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: int, text: string")
+    q = terms_frame(spark, {"q1": ["the", "rare"], "q2": ["filler"]})
+    for frac in (None, 0.8):
+        lazy = bm25_topk(docs, q, topk=10, max_df_frac=frac)
+        cached = bm25_topk(
+            docs, q, topk=10, max_df_frac=frac, cache_tokens=True
+        )
+        assert _key(lazy) == _key(cached), frac
