@@ -55,6 +55,7 @@ from .text import BPE_TOKEN_RE
 
 __all__ = [
     "train_bpe_merges",
+    "train_bpe_merges_spark",
     "parse_merges",
     "format_merges",
     "BpeTokenizer",
@@ -130,6 +131,131 @@ def train_bpe_merges(
                     out.append(sym[i])
                     i += 1
             new_words[tuple(out)] += cnt
+        words = new_words
+    return merges
+
+
+def train_bpe_merges_spark(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 200,
+    byte_level: bool = False,
+    sample_frac: float | None = None,
+    seed: int = 42,
+) -> list[tuple[str, str]]:
+    """Corpus-scale BPE vocab training (round 12, VERDICT r11 item 3):
+    the state that outgrows driver memory — the distinct-word-shape
+    table — stays DISTRIBUTED for the whole run; the driver holds only
+    the merges list and, per iteration, ONE collected row (the argmax
+    pair — a bounded collect by construction).
+
+    Per iteration (the published Sennrich loop, re-expressed):
+    1. explode adjacent symbol pairs of every word shape, two-phase
+       count weighted by word frequency (map-side partial aggregation
+       keeps the exchange at |distinct pairs| rows per task),
+    2. driver picks the max — orderBy(count DESC, pair ASC) LIMIT 1,
+       the exact (highest count, lexicographically smallest) tie-break
+       of the driver trainer; both engines order strings by UTF-8
+       code point, so the choice is identical,
+    3. apply the merge to every word shape with ONE in-plan fold
+       (F.aggregate): left-to-right non-overlapping replacement,
+       provably equal to the reference while-loop because the only
+       same-pass merged symbol is the string a+b, which can never
+       equal `a` (b is non-empty) — so the fold's look-back at its
+       own output never spuriously re-matches,
+    4. localCheckpoint the new shapes — per-round state
+       materialization keeps the plan FLAT (200 nested folds would
+       otherwise blow up analysis time), the label-propagation
+       convention.
+
+    `sample_frac` subsamples documents first (vocab training runs on
+    a corpus sample in production pipelines). Word counting is one
+    explode + hash aggregate; initial symbol splitting is pure
+    expressions — byte-level uses decode(encode(w,'UTF-8'),
+    'ISO-8859-1'), which maps byte b to chr(b) EXACTLY like the
+    driver trainer's _base_syms (latin-1 is the identity byte→
+    codepoint table). Parity with `train_bpe_merges` on identical
+    input is pinned in tests/test_bpe.py, char and byte level.
+
+    Returns the same ranked pair list as `train_bpe_merges` — the
+    frozen-merges serving contract (BpeTokenizer, merges.txt
+    round-trip) is unchanged."""
+    if sample_frac is not None:
+        docs = docs.sample(fraction=float(sample_frac), seed=seed)
+    eow = BYTE_EOW if byte_level else END_OF_WORD
+
+    w = F.col("word")
+    if byte_level:
+        w = F.decode(F.encode(w, "UTF-8"), "ISO-8859-1")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1)
+    )
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BPE_TOKEN_RE), 0
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(chars, F.array(F.lit(eow))).alias("syms"), "cnt"
+        )
+        .localCheckpoint()
+    )
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = (
+            # fully-merged 1-symbol shapes have no adjacent pairs (and
+            # a zero-length slice would error under ANSI)
+            words.filter(F.size("syms") > 1)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("a"), b.alias("b")
+                        ),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(
+            F.desc("n"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        merged = a + b
+
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+
+        def step(acc: Column, s: Column) -> Column:
+            return F.when(
+                F.size(acc) == 0, F.array(s)
+            ).otherwise(
+                F.when(
+                    (F.element_at(acc, -1) == la) & (s == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(lm)
+                    ),
+                ).otherwise(F.concat(acc, F.array(s)))
+            )
+
+        new_words = words.select(
+            F.aggregate(
+                "syms", F.array().cast("array<string>"), step
+            ).alias("syms"),
+            "cnt",
+        ).localCheckpoint()
         words = new_words
     return merges
 
