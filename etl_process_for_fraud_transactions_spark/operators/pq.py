@@ -1,0 +1,603 @@
+"""Product quantization (PQ) — the published next compression rung
+after int8 scalar quantization (VERDICT r11 item 4).
+
+Reference surface: none — LLM-training-data extension (SURVEY.md §2
+"beyond the reference"); the method is Jégou, Douze & Schmid 2011,
+"Product Quantization for Nearest Neighbor Search" (TPAMI): split a
+d-dim vector into `m` sub-vectors of d/m dims, train a 256-entry
+KMeans codebook PER SUB-SPACE, and store each vector as m one-byte
+codes — 128-dim float32 (512 B) becomes 16 B at m=16 (32x), vs the
+4x of int8. Serving uses ASYMMETRIC DISTANCE (ADC): the query stays
+un-quantized; per query a lookup table LUT[j][c] = <q_j, codebook
+j,c> is built once (m x n_codes floats — bounded per query), and the
+approximate dot product of the query with ANY stored vector is m
+table lookups: sum_j LUT[j][code_j]. Cosine needs the stored
+vector's norm, which PQ codes cannot recover — so encode persists
+the TRUE float norm alongside the codes (4 bytes, exact
+denominator; only the numerator is approximated).
+
+Where Python runs, and why (the documented Arrow escape-hatch
+class): nearest-codebook-entry assignment (encode) and the per-query
+LUT are data-dependent argmin / small-matmul kernels over a FROZEN
+codebook — a JVM expression tree for them would be m x 256 x
+(d/m) literal nodes (plan-compile blowup), so both run as
+Arrow-batched pandas functions (numpy einsum), exactly like the
+multimodal codecs and the BPE merge loop. The HOT PATH — scoring the
+full codes table — is pure JVM expressions: one zip_with of the
+code array against the broadcast LUT plus an exact-decimal fold, so
+the corpus-sized scan stays inside whole-stage codegen and the
+Python boundary only ever sees bounded frames (the query workload)
+or a one-time encode pass.
+
+Scale shape: the codes table is the ONLY corpus-sized artifact and
+it is ~32x smaller than the float store — the 10^9-vector scan/IO
+bill shrinks with it; scoring is map-only against a broadcast
+(query, LUT) frame + one top-k window (the cosine_topk shape).
+`PqIndex` persists codes behind the repo's index conventions: a
+meta-frozen layout (mismatched readers fail loudly), codebooks in a
+warehouse table (servers never retrain to read), and an optional
+one-row version pointer with atomic pointer-flip rebuilds — the
+IvfIndex(versioned=True) machinery verbatim. An IVF-PQ composition
+(cells for pruning + codes for compression) is the documented next
+step: encode after cell assignment and partition the codes table by
+the cell id; the serving join composes unchanged.
+
+Determinism: codebooks come from MLlib KMeans (seeded, deterministic
+given the corpus) and are FROZEN at build; encode is a deterministic
+argmin with index-ASC tie-break; ADC sums fold in fixed j order
+inside one expression. Unlike the int8 rung there is no DuckDB
+oracle replay (the codebook train is MLlib-side) — correctness is
+pinned by pytest: exact-reconstruction corpora recall 100%, a
+measured recall floor vs exact cosine on a random corpus, and the
+encode round-trip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "PqModel",
+    "train_pq",
+    "pq_encode",
+    "pq_query_luts",
+    "pq_topk",
+    "PqIndex",
+]
+
+#: decimal scale for the exact ADC fold (the repo's dsum pattern):
+#: LUT entries are O(|q||c|) dot products; DECIMAL(28,12) keeps the
+#: m-term sum exact and order-free far past any realistic magnitude
+_ADC_SUM = "decimal(28,12)"
+
+
+@dataclass(frozen=True)
+class PqModel:
+    """Frozen product quantizer: `codebooks[j][c]` is the c-th
+    centroid of sub-space j (tuple-of-tuples of floats — plain
+    portable data, the LangIdModel convention). dim = m * sub_dim."""
+
+    m: int
+    sub_dim: int
+    n_codes: int
+    codebooks: tuple  # m x n_codes x sub_dim
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.sub_dim
+
+    def rows(self) -> list[tuple[int, int, list[float]]]:
+        """(sub_space, code, centroid) rows — the persisted layout."""
+        return [
+            (j, c, [float(x) for x in cent])
+            for j, book in enumerate(self.codebooks)
+            for c, cent in enumerate(book)
+        ]
+
+    @staticmethod
+    def from_rows(rows) -> "PqModel":
+        books: dict[int, dict[int, tuple]] = {}
+        for r in rows:
+            books.setdefault(r["sub_space"], {})[r["code"]] = tuple(
+                r["centroid"]
+            )
+        codebooks = tuple(
+            tuple(books[j][c] for c in sorted(books[j]))
+            for j in sorted(books)
+        )
+        return PqModel(
+            m=len(codebooks),
+            sub_dim=len(codebooks[0][0]),
+            n_codes=len(codebooks[0]),
+            codebooks=codebooks,
+        )
+
+
+def train_pq(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> PqModel:
+    """Train the m per-sub-space codebooks: one MLlib KMeans fit per
+    sub-space over the corpus's sub-vector slices (a driver loop of m
+    fits — m is small by design; each fit is iterative map-reduce over
+    one narrow slice projection, the ivf_build shape). The returned
+    model is bounded (m x n_codes x d/m floats) and rides the driver
+    like every frozen model in the repo. Gated behind an import-try
+    (pyspark.ml needs numpy at runtime)."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "pyspark.ml unavailable in this runtime"
+        ) from exc
+
+    first = corpus.select(F.size(vec_col)).first()
+    if first is None:
+        raise ValueError("train_pq: empty corpus")
+    dim = int(first[0])
+    if dim % m != 0:
+        raise ValueError(
+            f"train_pq: dim {dim} is not divisible by m={m} — pad the "
+            "embedding or pick m from the divisors of dim"
+        )
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = corpus.select(
+            array_to_vector(
+                F.transform(
+                    F.slice(F.col(vec_col), j * sub + 1, sub),
+                    lambda x: x.cast("double"),
+                )
+            ).alias("__features")
+        )
+        model = KMeans(
+            k=n_codes, seed=seed + j, maxIter=max_iter,
+            featuresCol="__features",
+        ).fit(sliced)
+        books.append(
+            tuple(tuple(float(x) for x in c) for c in model.clusterCenters())
+        )
+    return PqModel(m=m, sub_dim=sub, n_codes=n_codes, codebooks=tuple(books))
+
+
+def _np_books(model: PqModel):
+    import numpy as np
+
+    return np.asarray(model.codebooks, dtype=np.float64)  # m x n x s
+
+
+def pq_encode(
+    df: DataFrame,
+    model: PqModel,
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    norm_col: str = "pq_norm",
+) -> DataFrame:
+    """Replace `vec_col` with its PQ codes (array<smallint>, m
+    entries) and the vector's TRUE L2 norm (double — the exact cosine
+    denominator ADC cannot recover from codes). Arrow-batched numpy
+    argmin per sub-space (see module docstring for why this is the
+    escape-hatch class); deterministic: ties break toward the LOWEST
+    code index (numpy argmin convention), pinned in tests."""
+    import pandas as pd
+
+    books = model.codebooks
+    m, sub = model.m, model.sub_dim
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name != vec_col
+        )
+        + f", {codes_col} array<smallint>, {norm_col} double"
+    )
+
+    def encode(batches):
+        import numpy as np
+
+        B = np.asarray(books, dtype=np.float64)  # m x n x s
+        sq = (B * B).sum(axis=2)  # m x n
+        for pdf in batches:
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(vecs) == 0:
+                yield pdf.drop(columns=[vec_col]).assign(
+                    **{codes_col: [], norm_col: []}
+                )
+                continue
+            n = vecs.shape[0]
+            codes = np.empty((n, m), dtype=np.int16)
+            for j in range(m):
+                x = vecs[:, j * sub : (j + 1) * sub]  # n x s
+                # ||x-c||^2 = ||x||^2 - 2<x,c> + ||c||^2; the ||x||^2
+                # term is constant per row, so argmin needs only the
+                # last two — ties go to the lowest code (np.argmin)
+                d = sq[j][None, :] - 2.0 * (x @ B[j].T)
+                codes[:, j] = np.argmin(d, axis=1).astype(np.int16)
+            norms = np.sqrt((vecs * vecs).sum(axis=1))
+            out = pdf.drop(columns=[vec_col]).copy()
+            out[codes_col] = [c.tolist() for c in codes]
+            out[norm_col] = norms
+            yield out
+
+    return df.mapInPandas(encode, schema=out_schema)
+
+
+def pq_query_luts(
+    queries: DataFrame,
+    model: PqModel,
+    query_vec_col: str = "query_vec",
+    lut_col: str = "__lut",
+    qnorm_col: str = "__qn",
+) -> DataFrame:
+    """Per-query ADC lookup table: LUT[j][c] = <q_j, codebook[j][c]>
+    (array<array<double>>, m x n_codes) plus the query norm. The
+    query workload is BOUNDED by construction, so this Arrow batch
+    touches a handful of rows; the corpus never enters."""
+    books = model.codebooks
+    m, sub = model.m, model.sub_dim
+
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in queries.schema.fields
+        )
+        + f", {lut_col} array<array<double>>, {qnorm_col} double"
+    )
+
+    def luts(batches):
+        import numpy as np
+
+        B = np.asarray(books, dtype=np.float64)  # m x n x s
+        for pdf in batches:
+            rows = []
+            norms = []
+            for v in pdf[query_vec_col]:
+                q = np.asarray(v, dtype=np.float64)
+                rows.append(
+                    [
+                        (B[j] @ q[j * sub : (j + 1) * sub]).tolist()
+                        for j in range(m)
+                    ]
+                )
+                norms.append(float(np.sqrt((q * q).sum())))
+            out = pdf.copy()
+            out[lut_col] = rows
+            out[qnorm_col] = norms
+            yield out
+
+    return queries.mapInPandas(luts, schema=out_schema)
+
+
+def _adc_dot(codes: Column, lut: Column) -> Column:
+    """sum_j LUT[j][code_j] as an exact-decimal fold (order-free) —
+    pure JVM expressions over the broadcast LUT; element_at is
+    1-based, codes are 0-based."""
+    terms = F.zip_with(
+        codes,
+        lut,
+        lambda c, l: F.element_at(l, c.cast("int") + F.lit(1)),
+    )
+    return F.aggregate(
+        terms,
+        F.lit(0).cast(_ADC_SUM),
+        # decimal addition widens (p,s)+(p,s) -> (p+1,s); the re-cast
+        # keeps the accumulator type fixed (exact: the m-term sum is
+        # orders of magnitude inside 28,12)
+        lambda acc, t: (acc + t.cast(_ADC_SUM)).cast(_ADC_SUM),
+    ).cast("double")
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    model: PqModel,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    norm_col: str = "pq_norm",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    sim_round: int | None = 6,
+    rerank: DataFrame | None = None,
+    rerank_vec_col: str = "embedding",
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k over a PQ codes table: (query_id,
+    rank, <id_col>, adc_sim). adc_sim = ADC_dot / (||q|| * stored
+    norm) — the numerator is the PQ approximation, the denominator is
+    exact. The corpus-sized scan is map-only JVM (codes join a
+    broadcast bounded LUT frame); ranking is the usual rounded-score
+    window with an id tie-break. Zero-norm rows (query or stored)
+    score 0.0 — the cosine() convention.
+
+    `rerank` — the published shortlist-then-exact pattern (the
+    standard way PQ serves in production: Jégou et al. §V): ADC ranks
+    a `shortlist` (default 4k) from the compressed scan, then only
+    those |queries| x shortlist rows join back to the FLOAT store
+    `rerank` (<id_col>, <rerank_vec_col>) for exact cosine — the
+    bulk scan stays 20-30x smaller and the float table is touched
+    only for a bounded shortlist (a broadcast-able join-back). The
+    output column is then the exact `cos_sim`. This is the knob that
+    recovers recall on hard (high intrinsic dimension) corpora where
+    raw ADC ordering is noisy — measured on the sf0.1 fixture in
+    BASELINE.md."""
+    q = pq_query_luts(queries, model, query_vec_col)
+    scored = codes_df.join(
+        F.broadcast(q.select(query_id_col, "__lut", "__qn")), how="cross"
+    ).select(
+        query_id_col,
+        id_col,
+        F.when(
+            (F.col("__qn") > 0) & (F.col(norm_col) > 0),
+            _adc_dot(F.col(codes_col), F.col("__lut"))
+            / (F.col("__qn") * F.col(norm_col)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("adc_sim"),
+    )
+    if sim_round is not None:
+        scored = scored.withColumn(
+            "adc_sim", F.round("adc_sim", sim_round)
+        )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc_sim"), F.asc(id_col)
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "rank", id_col, "adc_sim")
+        )
+    short_k = shortlist if shortlist is not None else 4 * k
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= short_k)
+        .select(query_id_col, id_col)
+    )
+    from .similarity import cosine
+
+    qv = queries.select(
+        query_id_col, F.col(query_vec_col).alias("__qv")
+    )
+    exact = (
+        short.join(rerank.select(id_col, rerank_vec_col), id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine(F.col(rerank_vec_col), F.col("__qv")),
+                sim_round if sim_round is not None else 9,
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cos_sim")
+    )
+
+
+class PqIndex:
+    """Persisted PQ index — the compression rung of the vector-serving
+    family, behind the SAME conventions as IvfIndex/Bm25Index:
+
+    - `<name>_codes`     : (<id_col>, pq_codes array<smallint>,
+      pq_norm double) — the corpus at ~dim*4/m x compression.
+    - `<name>_codebooks` : (sub_space, code, centroid) — bounded
+      (m x n_codes rows); readers reconstruct the frozen PqModel from
+      it, so serving never retrains.
+    - `<name>_meta`      : frozen (id_col, vec_col, m, n_codes, dim,
+      versioned) — a mismatched reader fails loudly (the meta-guard
+      convention).
+    - versioned=True: codes/codebooks live per-version behind a
+      one-row `<name>_version` pointer; build() on a built index is
+      an atomic full rebuild committed by one pointer flip
+      (IvfIndex(versioned=True) verbatim) and prune_versions(keep=)
+      garbage-collects drained versions.
+
+    absorb() encodes against the FROZEN codebooks and appends —
+    deterministic given the codebooks, same replay caveat as the
+    unpartitioned IvfIndex.absorb. IVF-PQ (cell-partitioned codes for
+    file-level pruning) is the documented composition: assign cells
+    first, partition the codes table by the cell id."""
+
+    def __init__(
+        self,
+        wh,
+        name: str = "pq",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        versioned: bool = False,
+    ):
+        self.wh = wh
+        self.name = name
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.versioned = versioned
+
+    @property
+    def version_table(self) -> str:
+        return f"{self.name}_version"
+
+    @property
+    def meta_table(self) -> str:
+        return f"{self.name}_meta"
+
+    def _current_version(self) -> int:
+        if not self.wh.exists(self.version_table):
+            raise ValueError(
+                f"PqIndex '{self.name}' is versioned but has no "
+                "version pointer — run build()"
+            )
+        return int(
+            self.wh.read(self.version_table).collect()[0]["version"]
+        )
+
+    def _table_names(self, version: int | None = None) -> tuple[str, str]:
+        if not self.versioned:
+            return f"{self.name}_codes", f"{self.name}_codebooks"
+        v = version if version is not None else self._current_version()
+        return f"{self.name}_codes_v{v}", f"{self.name}_codebooks_v{v}"
+
+    @property
+    def codes_table(self) -> str:
+        return self._table_names()[0]
+
+    @property
+    def codebooks_table(self) -> str:
+        return self._table_names()[1]
+
+    def _params(self, m: int, n_codes: int, dim: int) -> tuple:
+        return (
+            self.id_col, self.vec_col, int(m), int(n_codes), int(dim),
+            self.versioned,
+        )
+
+    def _validate(self) -> dict:
+        if not self.wh.exists(self.meta_table):
+            raise ValueError(
+                f"PqIndex '{self.name}': no meta marker — run build()"
+            )
+        stored = self.wh.read(self.meta_table).collect()[0].asDict()
+        mine = {
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "versioned": self.versioned,
+        }
+        diff = {
+            k: (stored[k], v) for k, v in mine.items() if stored[k] != v
+        }
+        if diff:
+            raise ValueError(
+                f"PqIndex '{self.name}' was built with "
+                f"{ {k: s for k, (s, _) in diff.items()} }, this "
+                f"instance uses { {k: v for k, (_, v) in diff.items()} }"
+                " — rebuild or match the layout"
+            )
+        return stored
+
+    def _model(self) -> PqModel:
+        _, books_t = self._table_names()
+        return PqModel.from_rows(self.wh.read(books_t).collect())
+
+    def build(
+        self,
+        corpus: DataFrame,
+        m: int = 8,
+        n_codes: int = 256,
+        seed: int = 42,
+        max_iter: int = 20,
+    ) -> PqModel:
+        from ..sources.warehouse import atomic_overwrite
+
+        model = train_pq(
+            corpus, m=m, n_codes=n_codes, vec_col=self.vec_col,
+            seed=seed, max_iter=max_iter,
+        )
+        if self.versioned:
+            new_v = (
+                self._current_version() + 1
+                if self.wh.exists(self.version_table)
+                else 1
+            )
+            codes_t, books_t = self._table_names(new_v)
+        else:
+            new_v = None
+            codes_t, books_t = self._table_names()
+        atomic_overwrite(
+            pq_encode(corpus, model, self.vec_col),
+            self.wh.path(codes_t),
+        )
+        self.wh.overwrite(
+            books_t,
+            self.wh.spark.createDataFrame(
+                model.rows(),
+                "sub_space int, code int, centroid array<double>",
+            ),
+        )
+        self.wh.overwrite(
+            self.meta_table,
+            self.wh.spark.createDataFrame(
+                [self._params(model.m, model.n_codes, model.dim)],
+                "id_col string, vec_col string, m int, n_codes int, "
+                "dim int, versioned boolean",
+            ),
+        )
+        if self.versioned:
+            # the commit point (the IvfIndex pointer-flip contract)
+            self.wh.overwrite(
+                self.version_table,
+                self.wh.spark.createDataFrame(
+                    [(int(new_v),)], "version int"
+                ),
+            )
+        return model
+
+    def absorb(self, new_vectors: DataFrame) -> None:
+        """Encode against the frozen codebooks and append — O(batch);
+        a replayed batch duplicates rows (route replays through an
+        epoch sink or rebuild, the index-family caveat)."""
+        self._validate()
+        codes_t, _ = self._table_names()
+        self.wh.append(
+            codes_t, pq_encode(new_vectors, self._model(), self.vec_col)
+        )
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        sim_round: int | None = 6,
+    ) -> DataFrame:
+        self._validate()
+        codes_t, _ = self._table_names()  # one pointer read
+        model = self._model()
+        return pq_topk(
+            self.wh.read(codes_t),
+            queries,
+            model,
+            k=k,
+            id_col=self.id_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            sim_round=sim_round,
+        )
+
+    def prune_versions(self, keep: int = 1) -> list[str]:
+        """Delete old versions (keep = how many most-recent versions
+        to retain; see Bm25Index.prune_versions for the in-flight
+        contract)."""
+        if not self.versioned:
+            return []
+        if keep < 1:
+            raise ValueError("prune_versions keep must be >= 1")
+        import os
+        import shutil
+
+        cur = self._current_version()
+        removed = []
+        for v in range(1, cur - keep + 1):
+            for t in self._table_names(v):
+                path = self.wh.path(t)
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                    removed.append(t)
+        return removed
