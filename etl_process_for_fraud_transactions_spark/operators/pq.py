@@ -313,6 +313,9 @@ def pq_topk(
     rerank: DataFrame | None = None,
     rerank_vec_col: str = "embedding",
     shortlist: int | None = None,
+    centroids: DataFrame | None = None,
+    cell_col: str = "pq_cell",
+    nprobe: int = 2,
 ) -> DataFrame:
     """Approximate cosine top-k over a PQ codes table: (query_id,
     rank, <id_col>, adc_sim). adc_sim = ADC_dot / (||q|| * stored
@@ -332,11 +335,54 @@ def pq_topk(
     output column is then the exact `cos_sim`. This is the knob that
     recovers recall on hard (high intrinsic dimension) corpora where
     raw ADC ordering is noisy — measured on the sf0.1 fixture in
-    BASELINE.md."""
+    BASELINE.md.
+
+    `centroids` — the IVF-PQ composition: a (cell_col, centroid)
+    frame (the IvfIndex coarse-quantizer shape) turns the ADC scan
+    from a full-codes crossJoin into a PROBED equi-join — each query
+    keeps its `nprobe` best cells by exact centroid cosine (a tiny
+    bounded cross join, the ivf_topk probe stage) and the codes table
+    is read only for probed cells; with the codes table
+    hive-partitioned by `cell_col` (PqIndex(n_cells=...)) the pruning
+    is file-level. Cells bound WHAT is scanned, codes bound HOW WIDE
+    each row is: nprobe/n_cells of the corpus at dim*4/m x
+    compression per row."""
+    from .similarity import cosine
+
     q = pq_query_luts(queries, model, query_vec_col)
-    scored = codes_df.join(
-        F.broadcast(q.select(query_id_col, "__lut", "__qn")), how="cross"
-    ).select(
+    if centroids is None:
+        probe_luts = q.select(query_id_col, "__lut", "__qn")
+        scored_src = codes_df.join(F.broadcast(probe_luts), how="cross")
+    else:
+        pw = Window.partitionBy(query_id_col).orderBy(
+            F.desc("__cs"), F.asc(cell_col)
+        )
+        probes = (
+            centroids.crossJoin(
+                F.broadcast(
+                    q.select(
+                        query_id_col,
+                        F.col(query_vec_col).alias("__qv"),
+                        "__lut",
+                        "__qn",
+                    )
+                )
+            )
+            .select(
+                query_id_col,
+                cell_col,
+                "__lut",
+                "__qn",
+                F.round(
+                    cosine(F.col("centroid"), F.col("__qv")), 6
+                ).alias("__cs"),
+            )
+            .withColumn("__pr", F.row_number().over(pw))
+            .filter(F.col("__pr") <= nprobe)
+            .select(query_id_col, cell_col, "__lut", "__qn")
+        )
+        scored_src = codes_df.join(F.broadcast(probes), cell_col)
+    scored = scored_src.select(
         query_id_col,
         id_col,
         F.when(
@@ -366,8 +412,6 @@ def pq_topk(
         .filter(F.col("rank") <= short_k)
         .select(query_id_col, id_col)
     )
-    from .similarity import cosine
-
     qv = queries.select(
         query_id_col, F.col(query_vec_col).alias("__qv")
     )
@@ -413,9 +457,18 @@ class PqIndex:
 
     absorb() encodes against the FROZEN codebooks and appends —
     deterministic given the codebooks, same replay caveat as the
-    unpartitioned IvfIndex.absorb. IVF-PQ (cell-partitioned codes for
-    file-level pruning) is the documented composition: assign cells
-    first, partition the codes table by the cell id."""
+    unpartitioned IvfIndex.absorb.
+
+    IVF-PQ (round 12, implemented): build(n_cells=...) trains the
+    IvfIndex coarse quantizer first, hive-PARTITIONS the codes table
+    by the cell id, and persists the exact float centroids in
+    `<name>_cells`; topk(nprobe=) then reads only the probed cells'
+    directories — cells bound WHAT is scanned (nprobe/n_cells of the
+    corpus, file-level pruning), codes bound HOW WIDE each row is
+    (dim*4/m x). First cut encodes RAW vectors per cell; the
+    published residual refinement (encode x - centroid(cell), tighter
+    codebooks per region) is the documented next rung and slots
+    behind the same meta/version machinery."""
 
     def __init__(
         self,
@@ -423,12 +476,14 @@ class PqIndex:
         name: str = "pq",
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        cell_col: str = "pq_cell",
         versioned: bool = False,
     ):
         self.wh = wh
         self.name = name
         self.id_col = id_col
         self.vec_col = vec_col
+        self.cell_col = cell_col
         self.versioned = versioned
 
     @property
@@ -449,11 +504,21 @@ class PqIndex:
             self.wh.read(self.version_table).collect()[0]["version"]
         )
 
-    def _table_names(self, version: int | None = None) -> tuple[str, str]:
+    def _table_names(
+        self, version: int | None = None
+    ) -> tuple[str, str, str]:
         if not self.versioned:
-            return f"{self.name}_codes", f"{self.name}_codebooks"
+            return (
+                f"{self.name}_codes",
+                f"{self.name}_codebooks",
+                f"{self.name}_cells",
+            )
         v = version if version is not None else self._current_version()
-        return f"{self.name}_codes_v{v}", f"{self.name}_codebooks_v{v}"
+        return (
+            f"{self.name}_codes_v{v}",
+            f"{self.name}_codebooks_v{v}",
+            f"{self.name}_cells_v{v}",
+        )
 
     @property
     def codes_table(self) -> str:
@@ -463,10 +528,18 @@ class PqIndex:
     def codebooks_table(self) -> str:
         return self._table_names()[1]
 
-    def _params(self, m: int, n_codes: int, dim: int) -> tuple:
+    @property
+    def cells_table(self) -> str:
+        return self._table_names()[2]
+
+    def _params(
+        self, m: int, n_codes: int, dim: int, n_cells: int | None
+    ) -> tuple:
         return (
             self.id_col, self.vec_col, int(m), int(n_codes), int(dim),
             self.versioned,
+            None if n_cells is None else int(n_cells),
+            self.cell_col,
         )
 
     def _validate(self) -> dict:
@@ -480,6 +553,10 @@ class PqIndex:
             "vec_col": self.vec_col,
             "versioned": self.versioned,
         }
+        # cell_col matters only on a celled (IVF-PQ) store; flat
+        # metas written before round 12's composition lack the key
+        if stored.get("n_cells") is not None:
+            mine["cell_col"] = self.cell_col
         diff = {
             k: (stored[k], v) for k, v in mine.items() if stored[k] != v
         }
@@ -493,7 +570,7 @@ class PqIndex:
         return stored
 
     def _model(self) -> PqModel:
-        _, books_t = self._table_names()
+        _, books_t, _ = self._table_names()
         return PqModel.from_rows(self.wh.read(books_t).collect())
 
     def build(
@@ -503,9 +580,23 @@ class PqIndex:
         n_codes: int = 256,
         seed: int = 42,
         max_iter: int = 20,
+        n_cells: int | None = None,
     ) -> PqModel:
+        """Train codebooks and persist the codes table. `n_cells`
+        turns the store into IVF-PQ: the corpus is cell-assigned by
+        the IvfIndex coarse quantizer first, the codes table is
+        hive-partitioned by the cell id (file-level probe pruning)
+        and exact float centroids land in `<name>_cells`."""
         from ..sources.warehouse import atomic_overwrite
 
+        if n_cells is not None:
+            from .similarity import ivf_build, ivf_centroids
+
+            corpus = ivf_build(
+                corpus, n_cells, self.vec_col, self.cell_col,
+                seed, max_iter,
+            )
+            cents = ivf_centroids(corpus, self.cell_col, self.vec_col)
         model = train_pq(
             corpus, m=m, n_codes=n_codes, vec_col=self.vec_col,
             seed=seed, max_iter=max_iter,
@@ -516,13 +607,14 @@ class PqIndex:
                 if self.wh.exists(self.version_table)
                 else 1
             )
-            codes_t, books_t = self._table_names(new_v)
+            codes_t, books_t, cells_t = self._table_names(new_v)
         else:
             new_v = None
-            codes_t, books_t = self._table_names()
+            codes_t, books_t, cells_t = self._table_names()
         atomic_overwrite(
             pq_encode(corpus, model, self.vec_col),
             self.wh.path(codes_t),
+            partition_by=None if n_cells is None else [self.cell_col],
         )
         self.wh.overwrite(
             books_t,
@@ -531,12 +623,15 @@ class PqIndex:
                 "sub_space int, code int, centroid array<double>",
             ),
         )
+        if n_cells is not None:
+            self.wh.overwrite(cells_t, cents)
         self.wh.overwrite(
             self.meta_table,
             self.wh.spark.createDataFrame(
-                [self._params(model.m, model.n_codes, model.dim)],
+                [self._params(model.m, model.n_codes, model.dim, n_cells)],
                 "id_col string, vec_col string, m int, n_codes int, "
-                "dim int, versioned boolean",
+                "dim int, versioned boolean, n_cells int, "
+                "cell_col string",
             ),
         )
         if self.versioned:
@@ -552,24 +647,62 @@ class PqIndex:
     def absorb(self, new_vectors: DataFrame) -> None:
         """Encode against the frozen codebooks and append — O(batch);
         a replayed batch duplicates rows (route replays through an
-        epoch sink or rebuild, the index-family caveat)."""
-        self._validate()
-        codes_t, _ = self._table_names()
-        self.wh.append(
-            codes_t, pq_encode(new_vectors, self._model(), self.vec_col)
-        )
+        epoch sink or rebuild, the index-family caveat). In IVF-PQ
+        mode the batch is cell-assigned against the FROZEN centroids
+        first (the IvfIndex.absorb contract: assignment deterministic,
+        centroids never move on absorb)."""
+        stored = self._validate()
+        codes_t, _, cells_t = self._table_names()
+        batch = new_vectors
+        if stored.get("n_cells") is not None:
+            from .similarity import cosine
+
+            cents = self.wh.read(cells_t)
+            w = Window.partitionBy(self.id_col).orderBy(
+                F.desc("__sim"), F.asc(self.cell_col)
+            )
+            batch = (
+                batch.crossJoin(F.broadcast(cents))
+                .withColumn(
+                    "__sim",
+                    cosine(F.col(self.vec_col), F.col("centroid")),
+                )
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__sim", "__rn", "centroid")
+            )
+        encoded = pq_encode(batch, self._model(), self.vec_col)
+        if stored.get("n_cells") is not None:
+            # the append must keep the hive cell layout — a root-level
+            # file in a partitioned table corrupts partition discovery
+            encoded.write.mode("append").partitionBy(
+                self.cell_col
+            ).parquet(self.wh.path(codes_t))
+        else:
+            self.wh.append(codes_t, encoded)
 
     def topk(
         self,
         queries: DataFrame,
         k: int = 10,
+        nprobe: int = 2,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
         sim_round: int | None = 6,
+        rerank: DataFrame | None = None,
+        shortlist: int | None = None,
     ) -> DataFrame:
-        self._validate()
-        codes_t, _ = self._table_names()  # one pointer read
+        """Serve ADC top-k; in IVF-PQ mode only the `nprobe` probed
+        cells' partitions are read (file-level pruning — the probe
+        frame broadcasts). `rerank`/`shortlist` — see pq_topk."""
+        stored = self._validate()
+        codes_t, _, cells_t = self._table_names()  # one pointer read
         model = self._model()
+        cents = (
+            self.wh.read(cells_t)
+            if stored.get("n_cells") is not None
+            else None
+        )
         return pq_topk(
             self.wh.read(codes_t),
             queries,
@@ -579,6 +712,12 @@ class PqIndex:
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
             sim_round=sim_round,
+            rerank=rerank,
+            rerank_vec_col=self.vec_col,
+            shortlist=shortlist,
+            centroids=cents,
+            cell_col=self.cell_col,
+            nprobe=nprobe,
         )
 
     def prune_versions(self, keep: int = 1) -> list[str]:

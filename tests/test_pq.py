@@ -245,3 +245,93 @@ def test_pq_encode_determinism_and_edge_rows(spark):
         ]
     )
     assert rt == model
+
+
+def test_ivf_pq_composition(spark):
+    """IVF-PQ (round 12): cells bound WHAT is scanned, codes bound
+    how wide each row is. Pins: (a) a full probe (nprobe = n_cells)
+    equals the flat PQ ranking exactly — the composition changes
+    pruning, never arithmetic; (b) the probed scan carries a
+    file-level PartitionFilter on the cell id; (c) absorb assigns
+    against the frozen centroids and the new vector is servable."""
+    import shutil
+    import tempfile
+
+    from etl_process_for_fraud_transactions_spark.operators.pq import (
+        PqIndex,
+        pq_encode,
+        pq_topk,
+        train_pq,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    rows, corpus = _random_corpus(spark, n=150, dim=8, seed=11)
+    queries = spark.createDataFrame(
+        [(0, rows[3][1]), (1, rows[77][1])],
+        "query_id: long, query_vec: array<double>",
+    )
+    root = tempfile.mkdtemp(dir="/tmp")
+    try:
+        wh = Warehouse(spark, root)
+        idx = PqIndex(wh)
+        idx.build(corpus, m=4, n_codes=8, seed=2, max_iter=10, n_cells=4)
+        stored = wh.read(idx.meta_table).collect()[0]
+        assert stored["n_cells"] == 4 and stored["cell_col"] == "pq_cell"
+
+        # (a) full probe == flat PQ (same model, same corpus)
+        model = train_pq(corpus, m=4, n_codes=8, seed=2, max_iter=10)
+        flat = sorted(
+            tuple(r)
+            for r in pq_topk(
+                pq_encode(corpus, model), queries, model, k=8
+            ).collect()
+        )
+        full_probe = sorted(
+            tuple(r) for r in idx.topk(queries, k=8, nprobe=4).collect()
+        )
+        assert full_probe == flat
+
+        # (b) probed serving prunes at the file level
+        probed = idx.topk(queries, k=8, nprobe=1)
+        probed.collect()
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        part = plan.split("PartitionFilters", 1)
+        assert len(part) == 2 and "pq_cell" in part[1][:300]
+
+        # narrower probes return a subset-or-equal hit quality: the
+        # probed ranking is the flat ranking restricted to probed
+        # cells, so every returned (query, id) is in the flat scored
+        # set with the same adc_sim
+        flat_scores = {
+            (r[0], r[2]): r[3]
+            for r in pq_topk(
+                pq_encode(corpus, model), queries, model, k=150
+            ).collect()
+        }
+        for r in probed.collect():
+            assert flat_scores[(r["query_id"], r["vec_id"])] == r["adc_sim"]
+
+        # (c) absorb: frozen-centroid assignment, new vector servable.
+        # Raw ADC rank-1 self-hits are NOT guaranteed on random data
+        # (quantization noise), so the pin goes through the exact
+        # rerank: cosine(query 0, vec 999) == 1.0 by construction
+        extra = spark.createDataFrame(
+            [(999, rows[3][1])], "vec_id: long, embedding: array<double>"
+        )
+        idx.absorb(extra)
+        assert (
+            wh.read(idx.codes_table).filter("vec_id = 999").count() == 1
+        )
+        top = {
+            r["vec_id"]
+            for r in idx.topk(
+                queries, k=2, nprobe=4,
+                rerank=corpus.unionByName(extra), shortlist=151,
+            ).collect()
+            if r["query_id"] == 0
+        }
+        assert top == {3, 999}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
