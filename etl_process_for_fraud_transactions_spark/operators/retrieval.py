@@ -967,7 +967,7 @@ def hybrid_topk(
     k: int = 10,
     k_rrf: int = 60,
     leg_k: int = 50,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     max_df_frac: float | None = None,
     sim_round: int | None = 6,
     weight_bm25: float = 1.0,
@@ -986,7 +986,11 @@ def hybrid_topk(
     rrf_score) top-k per query. The two leg ranks let a caller see
     which side surfaced each hit — including fusion-only hits that
     neither leg ranked top-k alone (pinned in tests/test_retrieval.py).
-    """
+
+    nprobe=None (round 12) lets the vector leg serve at the IvfIndex's
+    MEASURED default (calibrate_nprobe's stored value, falling back to
+    the historical 2 on uncalibrated stores) — an explicit int still
+    wins, so pre-round-12 callers are unchanged."""
     bm_leg = bm25_index.topk(term_queries, topk=leg_k, max_df_frac=max_df_frac)
     vec_leg = ivf_index.topk(
         vec_queries, k=leg_k, nprobe=nprobe, sim_round=sim_round

@@ -313,3 +313,38 @@ def test_routed_langid_mapping_runs_in_stream(spark, tmp_path):
     )
     bgot = {r.doc_id: r.langid for r in curate_stream(batch, **kw).collect()}
     assert bgot == got
+
+
+def test_stream_ladder_langid_abstain_drops_out_of_family(spark):
+    """Round 12: the streaming ladder's langid_abstain_label wiring —
+    curate_stream's gates are pure expressions, so the batch-frame
+    call pins the exact stream behavior (the module's parity
+    convention): a German doc under the Romance family is KEPT
+    mislabeled without the abstain and DROPPED with it."""
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        SCRIPT_FAMILIES,
+    )
+
+    es = (
+        "la casa es grande y la familia come pan con queso cada "
+        "domingo porque la cocina de la abuela siempre esta llena de "
+        "invitados y todos salen a caminar bajo el sol de la ciudad"
+    )
+    de = (
+        "das haus ist gross und die familie isst jeden sonntag brot "
+        "mit kaese weil die kueche der grossmutter immer voller "
+        "gaeste ist und alle unter der sonne der stadt spazieren gehen"
+    )
+    batch = spark.createDataFrame(
+        [(1, es), (2, de)], "doc_id: long, text: string"
+    )
+    kw = dict(
+        min_tokens=5,
+        languages=("es", "pt", "it", "en", "de", "und"),
+        langid_model=SCRIPT_FAMILIES,
+        langid_languages=("es", "pt", "it"),
+    )
+    forced = curate_stream(batch, **kw)
+    assert {r["doc_id"] for r in forced.collect()} == {1, 2}
+    gated = curate_stream(batch, langid_abstain_label="und", **kw)
+    assert {r["doc_id"] for r in gated.collect()} == {1}
