@@ -140,10 +140,20 @@ def train_pq(
             "pyspark.ml unavailable in this runtime"
         ) from exc
 
-    first = corpus.select(F.size(vec_col)).first()
-    if first is None:
+    # one min/max aggregate: ragged vectors would otherwise slice
+    # short and train silently-wrong codebooks (the IvfIndex
+    # _frame_dim lesson — fail loudly instead)
+    lohi = corpus.select(
+        F.min(F.size(vec_col)), F.max(F.size(vec_col))
+    ).first()
+    if lohi is None or lohi[0] is None:
         raise ValueError("train_pq: empty corpus")
-    dim = int(first[0])
+    if lohi[0] != lohi[1]:
+        raise ValueError(
+            f"train_pq: '{vec_col}' is ragged (lengths "
+            f"{lohi[0]}..{lohi[1]}) — PQ requires a fixed dimension"
+        )
+    dim = int(lohi[0])
     if dim % m != 0:
         raise ValueError(
             f"train_pq: dim {dim} is not divisible by m={m} — pad the "

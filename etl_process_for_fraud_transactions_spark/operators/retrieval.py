@@ -696,6 +696,39 @@ class Bm25Index:
         re-offered epoch rewrites exactly its own rows."""
         self._validate()
         post_t, dl_t, stats_t = self._table_names()  # one pointer read
+        # legacy upgrade (round 12 self-review): an index BUILT before
+        # the stats table existed must not let this absorb create a
+        # stats table holding ONLY the new batch — topk would prefer
+        # it over the doclens fallback and serve a batch-sized N
+        # (silently wrong idf). Backfill the pre-append corpus first:
+        # partitioned doclens reconstructs per-batch rows exactly; an
+        # unpartitioned legacy corpus becomes one '__legacy__' row.
+        if not self.wh.exists(stats_t) and self.wh.exists(dl_t):
+            from ..sources.warehouse import atomic_overwrite
+
+            legacy_dl = self.wh.read(dl_t)
+            if self.partitioned:
+                backfill = legacy_dl.groupBy(_BATCH_COL).agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.coalesce(F.sum("dl"), F.lit(0))
+                    .cast("bigint")
+                    .alias("sum_dl"),
+                )
+                atomic_overwrite(
+                    backfill, self.wh.path(stats_t),
+                    partition_by=[_BATCH_COL],
+                )
+            else:
+                self.wh.overwrite(
+                    stats_t,
+                    legacy_dl.agg(
+                        F.lit("__legacy__").alias(_BATCH_COL),
+                        F.count(F.lit(1)).alias("n_docs"),
+                        F.coalesce(F.sum("dl"), F.lit(0))
+                        .cast("bigint")
+                        .alias("sum_dl"),
+                    ),
+                )
         post, dl = self._postings(new_docs), self._doclens(new_docs)
         if self.partitioned:
             if batch is None:

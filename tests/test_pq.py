@@ -335,3 +335,26 @@ def test_ivf_pq_composition(spark):
         assert top == {3, 999}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_train_pq_rejects_ragged_and_indivisible(spark):
+    from etl_process_for_fraud_transactions_spark.operators.pq import (
+        train_pq,
+    )
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        train_pq(ragged, m=1, n_codes=2)
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id: long, embedding: array<double>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        train_pq(ok, m=2, n_codes=2)
+    empty = spark.createDataFrame(
+        [], "vec_id: long, embedding: array<double>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        train_pq(empty, m=1, n_codes=2)

@@ -754,3 +754,40 @@ def test_bm25_cache_tokens_mode_is_bit_identical(spark):
             docs, q, topk=10, max_df_frac=frac, cache_tokens=True
         )
         assert _key(lazy) == _key(cached), frac
+
+
+def test_bm25_legacy_store_absorb_backfills_stats(spark, tmp_path):
+    """Round-12 self-review bug, pinned: an index BUILT BEFORE the
+    stats table existed (simulated by deleting it) must not let the
+    first absorb create a batch-only stats table — topk would serve a
+    batch-sized N and silently wrong idf. absorb() backfills the
+    pre-append corpus first, in both layouts."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    b = spark.createDataFrame(
+        [(10, "hash probe")], "doc_id: int, text: string"
+    )
+    for partitioned in (False, True):
+        wh = Warehouse(spark, str(tmp_path / f"wh{partitioned}"))
+        idx = Bm25Index(wh, partitioned=partitioned)
+        idx.build(_corpus(spark))
+        shutil.rmtree(wh.path(idx.stats_table))  # legacy layout
+        idx.absorb(b, batch=7 if partitioned else None)
+        got = wh.read(idx.stats_table).agg(
+            F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s")
+        ).collect()[0]
+        assert (got.n, got.s) == (5, 17), partitioned  # corpus 4/15 + batch 1/2
+        ref = Bm25Index(Warehouse(spark, str(tmp_path / f"ref{partitioned}")))
+        ref.build(_corpus(spark).unionByName(b))
+        assert _key(idx.topk({"q": ["hash", "probe"]})) == _key(
+            ref.topk({"q": ["hash", "probe"]})
+        ), partitioned
