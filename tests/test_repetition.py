@@ -421,7 +421,11 @@ def test_span_cascade_persist_registry_opt_in(spark):
     before = jsc.getPersistentRDDs().size()
 
     lazy = key(mask_frequent_spans_multi(docs, rungs=rungs))
-    assert jsc.getPersistentRDDs().size() == before  # no opt-in: no cache
+    # no opt-in: no NEW cache (<=, not ==: Spark's async ContextCleaner
+    # may shrink the global count while this test runs — asserting
+    # equality against a global snapshot is flaky in a full-suite
+    # session; the cached path below asserts on ITS OWN frame instead)
+    assert jsc.getPersistentRDDs().size() <= before
 
     registry: list = []
     cached_df = mask_frequent_spans_multi(
@@ -429,7 +433,9 @@ def test_span_cascade_persist_registry_opt_in(spark):
     )
     assert key(cached_df) == lazy
     assert len(registry) == 1
-    assert jsc.getPersistentRDDs().size() > before
-    for f in registry:
-        f.unpersist(blocking=True)
-    assert jsc.getPersistentRDDs().size() == before
+    frame = registry[0]
+    lvl = frame.storageLevel
+    assert lvl.useMemory or lvl.useDisk  # genuinely persisted
+    frame.unpersist(blocking=True)
+    lvl = frame.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)  # release handle works
