@@ -157,6 +157,11 @@ class LangIdModel:
         if abstain_label is None:
             return best
         n = len(_grams_py(text, self.n))
+        if n == 0:
+            # zero grams (empty / no-letter input): the Spark path's
+            # per-gram gates compare against NULL and abstain — match
+            # it instead of dividing by zero (ADVICE r12)
+            return abstain_label
         vals = sorted(scores.values(), reverse=True)
         if (
             self.abstain_margin is not None

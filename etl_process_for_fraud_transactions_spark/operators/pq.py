@@ -124,6 +124,10 @@ def train_pq(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    train_fraction: float | None = None,
+    train_rows: int | None = None,
+    sample_id_col: str | None = None,
+    sample_seed: str = "pq",
 ) -> PqModel:
     """Train the m per-sub-space codebooks: one MLlib KMeans fit per
     sub-space over the corpus's sub-vector slices (a driver loop of m
@@ -131,7 +135,19 @@ def train_pq(
     one narrow slice projection, the ivf_build shape). The returned
     model is bounded (m x n_codes x d/m floats) and rides the driver
     like every frozen model in the repo. Gated behind an import-try
-    (pyspark.ml needs numpy at runtime)."""
+    (pyspark.ml needs numpy at runtime).
+
+    `train_fraction` / `train_rows` — sample-based codebook training,
+    the published practice (Jégou et al. 2011 §V train on bounded
+    samples; FAISS recipes use 100k-1M vectors): codebooks are
+    STATISTICS of the distribution, so the m x max_iter iterative fits
+    need not scan the full corpus. The sample is drawn by the repo's
+    own `deterministic_sample` (a pure function of (seed, id) — same
+    rows every run/retrain, no randomSplit re-roll), which needs
+    `sample_id_col`. `train_rows` converts to a fraction via ONE count
+    (expected sample size ~train_rows; hash sampling is expectation-
+    based, not exact-count). The ragged/dim guard and the ENCODE pass
+    still see the full corpus — only the KMeans fits are sampled."""
     try:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -160,9 +176,47 @@ def train_pq(
             "embedding or pick m from the divisors of dim"
         )
     sub = dim // m
+    train_src = corpus
+    if train_fraction is not None or train_rows is not None:
+        from .sampling import deterministic_sample
+
+        if sample_id_col is None:
+            raise ValueError(
+                "train_pq: sampled training needs sample_id_col (the "
+                "deterministic sample is keyed on row identity)"
+            )
+        frac = train_fraction
+        if train_rows is not None:
+            if train_rows <= 0:
+                raise ValueError("train_pq: train_rows must be positive")
+            total = corpus.count()
+            row_frac = min(1.0, train_rows / total) if total else 1.0
+            frac = row_frac if frac is None else min(frac, row_frac)
+        if not 0.0 < frac <= 1.0:
+            raise ValueError(
+                f"train_pq: train_fraction {frac} outside (0, 1]"
+            )
+        if frac < 1.0:
+            # materialize the BOUNDED sample once (localCheckpoint —
+            # the ivf_cosine_topk lesson) so the m iterative fits scan
+            # the sample, not m re-derivations of the corpus filter
+            train_src = (
+                deterministic_sample(
+                    corpus, frac, id_col=sample_id_col, seed=sample_seed
+                )
+                .select(vec_col)
+                .localCheckpoint(eager=True)
+            )
+            # an over-aggressive fraction that samples NOTHING must
+            # not fall through to an opaque MLlib failure
+            if train_src.limit(1).count() == 0:
+                raise ValueError(
+                    f"train_pq: training sample is empty at fraction "
+                    f"{frac} — raise train_fraction/train_rows"
+                )
     books = []
     for j in range(m):
-        sliced = corpus.select(
+        sliced = train_src.select(
             array_to_vector(
                 F.transform(
                     F.slice(F.col(vec_col), j * sub + 1, sub),
@@ -192,22 +246,31 @@ def pq_encode(
     vec_col: str = "embedding",
     codes_col: str = "pq_codes",
     norm_col: str = "pq_norm",
+    center_col: str | None = None,
 ) -> DataFrame:
     """Replace `vec_col` with its PQ codes (array<smallint>, m
     entries) and the vector's TRUE L2 norm (double — the exact cosine
     denominator ADC cannot recover from codes). Arrow-batched numpy
     argmin per sub-space (see module docstring for why this is the
     escape-hatch class); deterministic: ties break toward the LOWEST
-    code index (numpy argmin convention), pinned in tests."""
+    code index (numpy argmin convention), pinned in tests.
+
+    `center_col` — residual encoding (the published IVF-PQ
+    composition, Jégou et al. 2011 §IV-A): codes quantize the RESIDUAL
+    `vec - center` (the model must have been trained on residuals),
+    while `norm_col` stays the ORIGINAL vector's norm (the cosine
+    denominator is a property of v, not of v - c; serving adds the
+    exact <q, center> term back). Both columns are consumed."""
     import pandas as pd
 
     books = model.codebooks
     m, sub = model.m, model.sub_dim
+    dropped = {vec_col} | ({center_col} if center_col else set())
     out_schema = (
         ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
             for f in df.schema.fields
-            if f.name != vec_col
+            if f.name not in dropped
         )
         + f", {codes_col} array<smallint>, {norm_col} double"
     )
@@ -222,21 +285,31 @@ def pq_encode(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             if len(vecs) == 0:
-                yield pdf.drop(columns=[vec_col]).assign(
+                yield pdf.drop(columns=list(dropped)).assign(
                     **{codes_col: [], norm_col: []}
                 )
                 continue
+            if center_col is not None:
+                centers = np.asarray(
+                    [
+                        np.asarray(c, dtype=np.float64)
+                        for c in pdf[center_col]
+                    ]
+                )
+                enc = vecs - centers
+            else:
+                enc = vecs
             n = vecs.shape[0]
             codes = np.empty((n, m), dtype=np.int16)
             for j in range(m):
-                x = vecs[:, j * sub : (j + 1) * sub]  # n x s
+                x = enc[:, j * sub : (j + 1) * sub]  # n x s
                 # ||x-c||^2 = ||x||^2 - 2<x,c> + ||c||^2; the ||x||^2
                 # term is constant per row, so argmin needs only the
                 # last two — ties go to the lowest code (np.argmin)
                 d = sq[j][None, :] - 2.0 * (x @ B[j].T)
                 codes[:, j] = np.argmin(d, axis=1).astype(np.int16)
             norms = np.sqrt((vecs * vecs).sum(axis=1))
-            out = pdf.drop(columns=[vec_col]).copy()
+            out = pdf.drop(columns=list(dropped)).copy()
             out[codes_col] = [c.tolist() for c in codes]
             out[norm_col] = norms
             yield out
@@ -326,6 +399,7 @@ def pq_topk(
     centroids: DataFrame | None = None,
     cell_col: str = "pq_cell",
     nprobe: int = 2,
+    residual: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k over a PQ codes table: (query_id,
     rank, <id_col>, adc_sim). adc_sim = ADC_dot / (||q|| * stored
@@ -356,9 +430,24 @@ def pq_topk(
     hive-partitioned by `cell_col` (PqIndex(n_cells=...)) the pruning
     is file-level. Cells bound WHAT is scanned, codes bound HOW WIDE
     each row is: nprobe/n_cells of the corpus at dim*4/m x
-    compression per row."""
-    from .similarity import cosine
+    compression per row.
 
+    `residual` — the codes quantize v - centroid(cell) (the model was
+    trained on residuals; PqIndex(residual=True) builds this layout):
+    <q, v> = <q, centroid> + <q, v - centroid>, so serving adds the
+    EXACT per-(query, cell) centroid dot product — one double per
+    probe row, computed in the bounded probe stage — to the ADC fold
+    of the residual codes. Only the residual is approximated, which
+    is why residual PQ beats raw PQ at the same m on clustered
+    corpora (the offsets the codebooks must cover shrink to the
+    within-cell spread). Requires `centroids`."""
+    from .similarity import cosine, dot
+
+    if residual and centroids is None:
+        raise ValueError(
+            "pq_topk: residual=True needs the centroids frame — "
+            "residual codes are meaningless without <q, centroid>"
+        )
     q = pq_query_luts(queries, model, query_vec_col)
     if centroids is None:
         probe_luts = q.select(query_id_col, "__lut", "__qn")
@@ -386,19 +475,24 @@ def pq_topk(
                 F.round(
                     cosine(F.col("centroid"), F.col("__qv")), 6
                 ).alias("__cs"),
+                # exact <q, centroid> for the residual reconstruction
+                # (bounded: one double per (query, probed cell) row)
+                dot(F.col("__qv"), F.col("centroid")).alias("__qc"),
             )
             .withColumn("__pr", F.row_number().over(pw))
             .filter(F.col("__pr") <= nprobe)
-            .select(query_id_col, cell_col, "__lut", "__qn")
+            .select(query_id_col, cell_col, "__lut", "__qn", "__qc")
         )
         scored_src = codes_df.join(F.broadcast(probes), cell_col)
+    adc_num = _adc_dot(F.col(codes_col), F.col("__lut"))
+    if residual:
+        adc_num = F.col("__qc") + adc_num
     scored = scored_src.select(
         query_id_col,
         id_col,
         F.when(
             (F.col("__qn") > 0) & (F.col(norm_col) > 0),
-            _adc_dot(F.col(codes_col), F.col("__lut"))
-            / (F.col("__qn") * F.col(norm_col)),
+            adc_num / (F.col("__qn") * F.col(norm_col)),
         )
         .otherwise(F.lit(0.0))
         .alias("adc_sim"),
@@ -475,10 +569,16 @@ class PqIndex:
     `<name>_cells`; topk(nprobe=) then reads only the probed cells'
     directories — cells bound WHAT is scanned (nprobe/n_cells of the
     corpus, file-level pruning), codes bound HOW WIDE each row is
-    (dim*4/m x). First cut encodes RAW vectors per cell; the
-    published residual refinement (encode x - centroid(cell), tighter
-    codebooks per region) is the documented next rung and slots
-    behind the same meta/version machinery."""
+    (dim*4/m x).
+
+    Residual IVF-PQ (round 13): build(n_cells=..., residual=True)
+    trains codebooks on and quantizes v - centroid(cell) — the
+    published composition (Jégou et al. 2011 §IV-A) — and serving
+    adds the exact <q, centroid> term back per probe row. The
+    residual flag is part of the layout: it rides the meta AND, in
+    versioned mode, the pointer row itself, so a reader can never
+    apply raw-ADC arithmetic to residual codes (or vice versa)
+    across a rebuild flip."""
 
     def __init__(
         self,
@@ -504,15 +604,32 @@ class PqIndex:
     def meta_table(self) -> str:
         return f"{self.name}_meta"
 
-    def _current_version(self) -> int:
+    #: layout-affecting fields committed ATOMICALLY with the version
+    #: pointer (ADVICE r12: a reader pairing one version's tables with
+    #: another version's layout metadata — e.g. n_cells from a
+    #: mid-rebuild meta overwrite — would be silently wrong)
+    _LAYOUT_FIELDS = ("n_cells", "cell_col", "m", "n_codes", "dim", "residual")
+
+    def _version_row(self) -> tuple[int, dict | None]:
+        """(version, layout) from ONE read of the one-row pointer —
+        the Bm25Index._version_row pattern. `layout` is the dict of
+        layout-affecting fields committed with the flip, or None for
+        a legacy pre-round-13 pointer (version only), whose layout
+        falls back to the shared meta table."""
         if not self.wh.exists(self.version_table):
             raise ValueError(
                 f"PqIndex '{self.name}' is versioned but has no "
                 "version pointer — run build()"
             )
-        return int(
-            self.wh.read(self.version_table).collect()[0]["version"]
-        )
+        row = self.wh.read(self.version_table).collect()[0].asDict()
+        if "n_cells" not in row:
+            return int(row["version"]), None
+        layout = {k: row.get(k) for k in self._LAYOUT_FIELDS}
+        layout["residual"] = bool(layout.get("residual"))
+        return int(row["version"]), layout
+
+    def _current_version(self) -> int:
+        return self._version_row()[0]
 
     def _table_names(
         self, version: int | None = None
@@ -543,13 +660,21 @@ class PqIndex:
         return self._table_names()[2]
 
     def _params(
-        self, m: int, n_codes: int, dim: int, n_cells: int | None
+        self,
+        m: int,
+        n_codes: int,
+        dim: int,
+        n_cells: int | None,
+        residual: bool = False,
+        train_spec: str | None = None,
     ) -> tuple:
         return (
             self.id_col, self.vec_col, int(m), int(n_codes), int(dim),
             self.versioned,
             None if n_cells is None else int(n_cells),
             self.cell_col,
+            bool(residual),
+            train_spec,
         )
 
     def _validate(self) -> dict:
@@ -579,9 +704,43 @@ class PqIndex:
             )
         return stored
 
-    def _model(self) -> PqModel:
-        _, books_t, _ = self._table_names()
-        return PqModel.from_rows(self.wh.read(books_t).collect())
+    def _resolve(self) -> tuple[dict, tuple[str, str, str]]:
+        """Identity-validate against the shared meta, then resolve the
+        SERVING layout + table names. In versioned mode the pointer is
+        read exactly ONCE and its layout fields override the shared
+        meta — so codes/codebooks/cells AND the layout that interprets
+        them (n_cells, residual, ...) are mutually consistent even
+        across a concurrent rebuild flip (ADVICE r12: the old
+        _table_names() + _model() pair read the pointer twice)."""
+        stored = self._validate()
+        if not self.versioned:
+            return stored, self._table_names()
+        v, layout = self._version_row()
+        if layout is not None:
+            stored = {**stored, **layout}
+            if (
+                stored.get("n_cells") is not None
+                and stored.get("cell_col") != self.cell_col
+            ):
+                raise ValueError(
+                    f"PqIndex '{self.name}' version {v} was built "
+                    f"with cell_col={stored.get('cell_col')!r}, this "
+                    f"instance uses {self.cell_col!r}"
+                )
+        return stored, self._table_names(v)
+
+    def _model(self, books_table: str | None = None) -> PqModel:
+        if books_table is None:
+            _, books_table, _ = self._table_names()
+        return PqModel.from_rows(self.wh.read(books_table).collect())
+
+    #: shared-meta schema (train_spec documents the sampled-training
+    #: provenance — "fraction=0.25 seed=pq" — or NULL for full-corpus)
+    _META_SCHEMA = (
+        "id_col string, vec_col string, m int, n_codes int, "
+        "dim int, versioned boolean, n_cells int, cell_col string, "
+        "residual boolean, train_spec string"
+    )
 
     def build(
         self,
@@ -591,14 +750,42 @@ class PqIndex:
         seed: int = 42,
         max_iter: int = 20,
         n_cells: int | None = None,
+        residual: bool = False,
+        train_fraction: float | None = None,
+        train_rows: int | None = None,
     ) -> PqModel:
         """Train codebooks and persist the codes table. `n_cells`
         turns the store into IVF-PQ: the corpus is cell-assigned by
         the IvfIndex coarse quantizer first, the codes table is
         hive-partitioned by the cell id (file-level probe pruning)
-        and exact float centroids land in `<name>_cells`."""
+        and exact float centroids land in `<name>_cells`.
+
+        `residual` (needs n_cells) — the published IVF-PQ refinement:
+        codebooks train on and codes quantize v - centroid(cell);
+        serving adds the exact <q, centroid> back (see pq_topk). The
+        layout rides the meta AND (versioned) the pointer row, so a
+        raw-codes reader can never misinterpret residual codes.
+
+        `train_fraction` / `train_rows` — sample-based codebook
+        training (train_pq): the m KMeans fits scan a bounded
+        deterministic sample keyed on this index's id_col instead of
+        the full corpus; the encode pass still covers every row.
+
+        Versioned-mode write order (ADVICE r12): per-version tables
+        first, then the POINTER FLIP — which carries the layout
+        fields — is the commit point, and the shared meta is
+        refreshed only AFTER the flip. A crash or concurrent read
+        between flip and meta-refresh pairs the new version with the
+        old meta's layout only for legacy (pre-layout-pointer)
+        stores; new pointers carry their own layout."""
         from ..sources.warehouse import atomic_overwrite
 
+        if residual and n_cells is None:
+            raise ValueError(
+                "PqIndex.build: residual=True needs n_cells (residuals "
+                "are taken against the IVF cell centroids)"
+            )
+        cents = None
         if n_cells is not None:
             from .similarity import ivf_build, ivf_centroids
 
@@ -607,9 +794,38 @@ class PqIndex:
                 seed, max_iter,
             )
             cents = ivf_centroids(corpus, self.cell_col, self.vec_col)
+        train_col = self.vec_col
+        center_col = None
+        if residual:
+            center_col = "__pq_center"
+            corpus = corpus.join(
+                F.broadcast(
+                    cents.select(
+                        self.cell_col,
+                        F.col("centroid").alias(center_col),
+                    )
+                ),
+                self.cell_col,
+            ).withColumn(
+                "__pq_res",
+                F.zip_with(
+                    self.vec_col,
+                    center_col,
+                    lambda a, b: a.cast("double") - b,
+                ),
+            )
+            train_col = "__pq_res"
+        train_spec = None
+        if train_fraction is not None or train_rows is not None:
+            train_spec = (
+                f"fraction={train_fraction} rows={train_rows} "
+                f"id_col={self.id_col}"
+            )
         model = train_pq(
-            corpus, m=m, n_codes=n_codes, vec_col=self.vec_col,
+            corpus, m=m, n_codes=n_codes, vec_col=train_col,
             seed=seed, max_iter=max_iter,
+            train_fraction=train_fraction, train_rows=train_rows,
+            sample_id_col=self.id_col,
         )
         if self.versioned:
             new_v = (
@@ -621,8 +837,13 @@ class PqIndex:
         else:
             new_v = None
             codes_t, books_t, cells_t = self._table_names()
+        encode_src = (
+            corpus.drop(train_col) if residual else corpus
+        )
         atomic_overwrite(
-            pq_encode(corpus, model, self.vec_col),
+            pq_encode(
+                encode_src, model, self.vec_col, center_col=center_col
+            ),
             self.wh.path(codes_t),
             partition_by=None if n_cells is None else [self.cell_col],
         )
@@ -635,23 +856,40 @@ class PqIndex:
         )
         if n_cells is not None:
             self.wh.overwrite(cells_t, cents)
-        self.wh.overwrite(
-            self.meta_table,
-            self.wh.spark.createDataFrame(
-                [self._params(model.m, model.n_codes, model.dim, n_cells)],
-                "id_col string, vec_col string, m int, n_codes int, "
-                "dim int, versioned boolean, n_cells int, "
-                "cell_col string",
-            ),
-        )
         if self.versioned:
-            # the commit point (the IvfIndex pointer-flip contract)
+            # the commit point: the new version AND the layout that
+            # interprets its tables become visible in ONE row
             self.wh.overwrite(
                 self.version_table,
                 self.wh.spark.createDataFrame(
-                    [(int(new_v),)], "version int"
+                    [(
+                        int(new_v),
+                        None if n_cells is None else int(n_cells),
+                        self.cell_col,
+                        int(model.m),
+                        int(model.n_codes),
+                        int(model.dim),
+                        bool(residual),
+                    )],
+                    "version int, n_cells int, cell_col string, "
+                    "m int, n_codes int, dim int, residual boolean",
                 ),
             )
+        # shared meta LAST in versioned mode (pre-flip readers keep a
+        # consistent old-version view; the meta is the commit marker
+        # only for the non-versioned layout)
+        self.wh.overwrite(
+            self.meta_table,
+            self.wh.spark.createDataFrame(
+                [
+                    self._params(
+                        model.m, model.n_codes, model.dim, n_cells,
+                        residual=residual, train_spec=train_spec,
+                    )
+                ],
+                self._META_SCHEMA,
+            ),
+        )
         return model
 
     def absorb(self, new_vectors: DataFrame) -> None:
@@ -661,9 +899,9 @@ class PqIndex:
         mode the batch is cell-assigned against the FROZEN centroids
         first (the IvfIndex.absorb contract: assignment deterministic,
         centroids never move on absorb)."""
-        stored = self._validate()
-        codes_t, _, cells_t = self._table_names()
+        stored, (codes_t, books_t, cells_t) = self._resolve()
         batch = new_vectors
+        center_col = None
         if stored.get("n_cells") is not None:
             from .similarity import cosine
 
@@ -679,9 +917,19 @@ class PqIndex:
                 )
                 .withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
-                .drop("__sim", "__rn", "centroid")
+                .drop("__sim", "__rn")
             )
-        encoded = pq_encode(batch, self._model(), self.vec_col)
+            if stored.get("residual"):
+                # residual layout: encode v - centroid(cell) against
+                # the frozen residual codebooks (same contract as
+                # build — the centroid column feeds pq_encode)
+                center_col = "centroid"
+            else:
+                batch = batch.drop("centroid")
+        encoded = pq_encode(
+            batch, self._model(books_t), self.vec_col,
+            center_col=center_col,
+        )
         if stored.get("n_cells") is not None:
             # the append must keep the hive cell layout — a root-level
             # file in a partitioned table corrupts partition discovery
@@ -705,9 +953,11 @@ class PqIndex:
         """Serve ADC top-k; in IVF-PQ mode only the `nprobe` probed
         cells' partitions are read (file-level pruning — the probe
         frame broadcasts). `rerank`/`shortlist` — see pq_topk."""
-        stored = self._validate()
-        codes_t, _, cells_t = self._table_names()  # one pointer read
-        model = self._model()
+        # ONE pointer read resolves tables + layout together — a
+        # concurrent rebuild flip can no longer pair one version's
+        # codes with another's codebooks or layout (ADVICE r12)
+        stored, (codes_t, books_t, cells_t) = self._resolve()
+        model = self._model(books_t)
         cents = (
             self.wh.read(cells_t)
             if stored.get("n_cells") is not None
@@ -728,6 +978,7 @@ class PqIndex:
             centroids=cents,
             cell_col=self.cell_col,
             nprobe=nprobe,
+            residual=bool(stored.get("residual")),
         )
 
     def prune_versions(self, keep: int = 1) -> list[str]:

@@ -824,8 +824,16 @@ class Bm25Index:
                 raise
             if self.versioned:
                 # the pointer row IS the commit marker, and its
-                # id_type is atomic with the version it describes
+                # id_type is atomic with the version it describes; a
+                # pre-round-12 pointer (no id_type column) falls back
+                # to the meta table — which may record the real type —
+                # before the 'bigint' default (ADVICE r12)
                 _, id_type = self._version_row()
+                if id_type is None and self.wh.exists(self.meta_table):
+                    meta = (
+                        self.wh.read(self.meta_table).collect()[0].asDict()
+                    )
+                    id_type = meta.get("id_type")
                 id_type = id_type or "bigint"
             elif not self.wh.exists(self.meta_table):
                 raise ValueError(

@@ -535,3 +535,37 @@ def test_curate_corpus_langid_abstain_drops_out_of_family(spark):
     assert {r["doc_id"] for r in forced.collect()} == {1, 2}  # de kept, mislabeled
     gated = curate_corpus(docs, langid_abstain_label="und", **kw)
     assert {r["doc_id"] for r in gated.collect()} == {1}  # de dropped
+
+
+def test_classify_py_zero_grams_abstains_like_spark(spark):
+    """ADVICE r12: zero-gram input must abstain in the driver replay
+    instead of dividing by zero, matching the Spark path. The n=2
+    frozen models never see zero grams (normalization pads to two
+    spaces -> one gram), so the edge needs an n=4 model: empty /
+    no-letter text normalizes to '  ' (3 < 4 chars -> zero 4-grams)."""
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        classify_language,
+        train_langid,
+    )
+
+    model = train_langid(
+        {"aa": "gatos y perros", "bb": "dogs and cats"},
+        n=4,
+        abstain_margin=0.125,
+        abstain_avg=-6.0,
+    )
+    texts = ["", "12345 !!!", "\n\t ", "gatos y perros"]
+    for t in texts:
+        got = model.classify_py(t, abstain_label="und")
+        assert got == ("aa" if t.startswith("gatos") else "und"), (t, got)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "id: int, text: string"
+    )
+    served = {
+        r["id"]: r["langid_pred"]
+        for r in classify_language(df, model, abstain_label="und").collect()
+    }
+    for i, t in enumerate(texts):
+        assert served[i] == model.classify_py(t, abstain_label="und"), (
+            i, t, served[i]
+        )

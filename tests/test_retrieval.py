@@ -791,3 +791,28 @@ def test_bm25_legacy_store_absorb_backfills_stats(spark, tmp_path):
         assert _key(idx.topk({"q": ["hash", "probe"]})) == _key(
             ref.topk({"q": ["hash", "probe"]})
         ), partitioned
+
+
+def test_bm25_legacy_versioned_pointer_falls_back_to_meta_id_type(
+    spark, tmp_path
+):
+    """ADVICE r12: a versioned store with a PRE-round-12 pointer row
+    (version only, no id_type column) must consult the meta table —
+    which records the real id type — before defaulting to 'bigint',
+    so a legacy string-keyed store's day-zero frame keeps its schema."""
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = Bm25Index(wh, versioned=True)
+    idx.build(spark.createDataFrame([], "doc_id string, text string"))
+    # simulate the legacy pointer layout: version only
+    wh.overwrite(
+        idx.version_table, spark.createDataFrame([(1,)], "version int")
+    )
+    empty = idx.topk({"q": ["hash"]})
+    assert dict(empty.dtypes)["doc_id"] == "string"
