@@ -400,6 +400,7 @@ def pq_topk(
     cell_col: str = "pq_cell",
     nprobe: int = 2,
     residual: bool = False,
+    keep_adc: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k over a PQ codes table: (query_id,
     rank, <id_col>, adc_sim). adc_sim = ADC_dot / (||q|| * stored
@@ -511,10 +512,18 @@ def pq_topk(
             .select(query_id_col, "rank", id_col, "adc_sim")
         )
     short_k = shortlist if shortlist is not None else 4 * k
+    # keep_adc: carry the approximate score alongside the exact one —
+    # the serving shape that lets consumers audit the ADC/rerank gap
+    # (and the driver hash pin the whole encode->LUT->fold cascade)
+    short_cols = (
+        [query_id_col, id_col, "adc_sim"]
+        if keep_adc
+        else [query_id_col, id_col]
+    )
     short = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= short_k)
-        .select(query_id_col, id_col)
+        .select(*short_cols)
     )
     qv = queries.select(
         query_id_col, F.col(query_vec_col).alias("__qv")
@@ -523,8 +532,7 @@ def pq_topk(
         short.join(rerank.select(id_col, rerank_vec_col), id_col)
         .join(F.broadcast(qv), query_id_col)
         .select(
-            query_id_col,
-            id_col,
+            *short_cols,
             F.round(
                 cosine(F.col(rerank_vec_col), F.col("__qv")),
                 sim_round if sim_round is not None else 9,
@@ -534,10 +542,15 @@ def pq_topk(
     w2 = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc(id_col)
     )
+    out_cols = (
+        [query_id_col, "rank", id_col, "adc_sim", "cos_sim"]
+        if keep_adc
+        else [query_id_col, "rank", id_col, "cos_sim"]
+    )
     return (
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, "cos_sim")
+        .select(*out_cols)
     )
 
 
@@ -949,10 +962,12 @@ class PqIndex:
         sim_round: int | None = 6,
         rerank: DataFrame | None = None,
         shortlist: int | None = None,
+        keep_adc: bool = False,
     ) -> DataFrame:
         """Serve ADC top-k; in IVF-PQ mode only the `nprobe` probed
         cells' partitions are read (file-level pruning — the probe
-        frame broadcasts). `rerank`/`shortlist` — see pq_topk."""
+        frame broadcasts). `rerank`/`shortlist`/`keep_adc` — see
+        pq_topk."""
         # ONE pointer read resolves tables + layout together — a
         # concurrent rebuild flip can no longer pair one version's
         # codes with another's codebooks or layout (ADVICE r12)
@@ -979,6 +994,7 @@ class PqIndex:
             cell_col=self.cell_col,
             nprobe=nprobe,
             residual=bool(stored.get("residual")),
+            keep_adc=keep_adc,
         )
 
     def prune_versions(self, keep: int = 1) -> list[str]:

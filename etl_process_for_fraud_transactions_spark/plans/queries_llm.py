@@ -1830,6 +1830,80 @@ _IVF_COS = (
     " * sqrt(list_sum(list_transform({b}, x -> x*x)))), 6)"
 )
 
+# --- frozen PQ codebook (round 13, VERDICT r12 item 1) ----------------------
+# Trained ONCE offline (train_pq m=8 n_codes=4 seed=13 on the sf0.01
+# embeddings quantized to 1/16) then rounded to multiples of 1/8 and
+# FROZEN — the kmeans_anomaly_scores precedent: the MLlib fit happens
+# outside the query, the registered row replays only deterministic
+# arithmetic. Every entry is dyadic (0 or ±1/8) and every corpus/query
+# coordinate is quantized to 1/16 inside the query (floor-tie rule,
+# the int8 precedent), so sub-space dots, argmin distances, LUT
+# entries and the m-term ADC sums are EXACT in float64 and
+# DECIMAL(28,12) alike — both engines compute bit-identical numbers
+# and even exact argmin ties break identically (lowest code index).
+_PQ_M, _PQ_SUB, _PQ_NCODES = 8, 8, 4
+_PQ_BOOKS = (
+    (
+        (0.0, 0.0, 0.0, 0.0, 0.125, 0.0, -0.125, 0.0),
+        (0.125, 0.0, 0.0, -0.125, 0.0, 0.0, 0.0, 0.0),
+        (0.0, 0.0, 0.125, 0.0, 0.0, -0.125, 0.0, 0.0),
+        (-0.125, 0.0, -0.125, 0.0, 0.0, 0.125, 0.125, 0.0),
+    ),
+    (
+        (-0.125, -0.125, 0.0, 0.0, 0.0, 0.125, 0.0, 0.0),
+        (0.0, 0.0, 0.0, 0.125, -0.125, 0.0, -0.125, 0.0),
+        (0.0, -0.125, 0.0, -0.125, 0.0, -0.125, 0.0, 0.0),
+        (0.0, 0.125, 0.0, 0.0, 0.125, 0.0, 0.125, 0.0),
+    ),
+    (
+        (0.0, 0.125, 0.0, 0.0, 0.0, 0.0, 0.0, -0.125),
+        (0.125, 0.0, 0.125, 0.0, 0.0, -0.125, 0.0, 0.0),
+        (0.0, -0.125, -0.125, 0.0, 0.0, 0.0, 0.0, 0.0),
+        (0.0, 0.0, 0.0, 0.0, 0.0, 0.125, 0.0, 0.0),
+    ),
+    (
+        (0.0, -0.125, 0.0, 0.0, 0.0, 0.0, 0.125, 0.0),
+        (0.125, 0.125, 0.125, 0.0, 0.0, 0.0, 0.0, 0.125),
+        (-0.125, 0.0, 0.0, 0.0, 0.125, 0.0, 0.0, 0.0),
+        (0.0, 0.0, 0.0, 0.125, -0.125, 0.0, 0.0, -0.125),
+    ),
+    (
+        (0.0, 0.0, 0.0, 0.125, 0.0, -0.125, 0.0, 0.0),
+        (0.0, 0.0, 0.0, -0.125, 0.0, 0.0, 0.125, 0.0),
+        (-0.125, 0.0, 0.0, 0.0, 0.0, 0.125, 0.0, 0.0),
+        (0.125, 0.0, 0.0, 0.0, 0.0, 0.0, -0.125, 0.0),
+    ),
+    (
+        (0.0, 0.0, 0.0, -0.125, 0.0, -0.125, 0.0, 0.0),
+        (0.0, -0.125, 0.0, 0.0, 0.0, 0.0, 0.0, 0.125),
+        (0.0, 0.0, 0.0, 0.0, 0.0, 0.125, 0.0, -0.125),
+        (-0.125, 0.125, -0.125, 0.0, 0.0, 0.0, 0.0, 0.125),
+    ),
+    (
+        (0.125, 0.0, 0.0, -0.125, 0.0, 0.0, 0.125, 0.0),
+        (-0.125, 0.0, 0.0, 0.0, 0.125, 0.0, 0.0, 0.0),
+        (0.0, 0.0, 0.125, 0.0, 0.0, 0.0, -0.125, 0.0),
+        (-0.125, 0.0, 0.0, 0.125, 0.0, 0.0, 0.0, 0.0),
+    ),
+    (
+        (0.0, 0.0, -0.125, 0.0, 0.0, 0.0, 0.0, 0.0),
+        (0.0, 0.0, 0.0, 0.0, -0.125, -0.125, 0.0, -0.125),
+        (0.125, -0.125, 0.0, 0.0, 0.0, 0.0, 0.125, 0.0),
+        (0.0, 0.0, 0.0, 0.0, 0.0, 0.125, -0.125, 0.0),
+    ),
+)
+
+
+def _pq_books_values() -> str:
+    """(j, c, cent) VALUES rows for the DuckDB codebook replay —
+    repr() keeps the dyadic literals exact in both parsers."""
+    rows = []
+    for j, book in enumerate(_PQ_BOOKS):
+        for c, cent in enumerate(book):
+            lst = ", ".join(repr(float(x)) for x in cent)
+            rows.append(f"({j}, {c}, [{lst}])")
+    return ", ".join(rows)
+
 _IVF_ORACLE = f"""
     WITH corpus0 AS (
         SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -1890,8 +1964,99 @@ _IVF_ORACLE = f"""
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
         FROM scored
+    ),
+    -- ===== PQ leg (round 13): encode argmin -> per-query LUT -> ADC
+    -- sum -> shortlist -> exact rerank, against the FROZEN literal
+    -- codebook. All inputs dyadic (corpus quantized to 1/16 with the
+    -- floor-tie rule, codebook entries 0/±1/8), so every distance,
+    -- LUT entry and ADC sum is exact in both engines.
+    qcorpus AS (
+        SELECT vec_id,
+               list_transform(vec, x -> floor(x * 16 + 0.5) / 16.0) AS qv
+        FROM corpus0
+    ),
+    pq_books AS (
+        SELECT * FROM (VALUES {_pq_books_values()}) AS t(j, c, cent)
+    ),
+    pq_queries AS (
+        SELECT vec_id AS query_id, qv FROM qcorpus WHERE vec_id < 3
+    ),
+    -- encode replay: argmin_c ||c||^2 - 2<x_j, c> (the ||x_j||^2 term
+    -- is constant per row), ties to the LOWEST code index — the
+    -- numpy argmin convention pq_encode pins
+    pq_dist AS (
+        SELECT v.vec_id, b.j, b.c,
+               list_sum(list_transform(b.cent, x -> x*x))
+               - 2 * list_sum(list_transform(
+                     list_zip(list_slice(v.qv, b.j*8 + 1, b.j*8 + 8),
+                              b.cent),
+                     p -> p[1]*p[2])) AS dist
+        FROM qcorpus v CROSS JOIN pq_books b
+    ),
+    pq_codes AS (
+        SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY dist ASC, c ASC) AS rn
+            FROM pq_dist) WHERE rn = 1
+    ),
+    pq_norms AS (
+        SELECT vec_id, sqrt(list_sum(list_transform(qv, x -> x*x))) AS nrm
+        FROM qcorpus
+    ),
+    pq_luts AS (
+        SELECT q.query_id, b.j, b.c,
+               list_sum(list_transform(
+                   list_zip(list_slice(q.qv, b.j*8 + 1, b.j*8 + 8),
+                            b.cent),
+                   p -> p[1]*p[2])) AS lut
+        FROM pq_queries q CROSS JOIN pq_books b
+    ),
+    pq_qn AS (
+        SELECT vec_id AS query_id,
+               sqrt(list_sum(list_transform(qv, x -> x*x))) AS qn
+        FROM qcorpus WHERE vec_id < 3
+    ),
+    pq_adc AS (
+        SELECT l.query_id, e.vec_id, sum(l.lut) AS adc
+        FROM pq_codes e JOIN pq_luts l ON l.j = e.j AND l.c = e.c
+        GROUP BY l.query_id, e.vec_id
+    ),
+    pq_scored AS (
+        SELECT a.query_id, a.vec_id,
+               round(CASE WHEN q.qn > 0 AND n.nrm > 0
+                          THEN a.adc / (q.qn * n.nrm)
+                          ELSE 0.0 END, 6) AS adc_sim
+        FROM pq_adc a
+        JOIN pq_qn q USING (query_id)
+        JOIN pq_norms n USING (vec_id)
+    ),
+    pq_short AS (
+        SELECT query_id, vec_id, adc_sim FROM (
+            SELECT query_id, vec_id, adc_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_sim DESC, vec_id ASC) AS rk
+            FROM pq_scored) WHERE rk <= 40
+    ),
+    pq_exact AS (
+        SELECT s.query_id, s.vec_id, s.adc_sim,
+               {_IVF_COS.format(a="v.qv", b="q.qv")} AS cos_sim
+        FROM pq_short s
+        JOIN qcorpus v ON v.vec_id = s.vec_id
+        JOIN pq_queries q ON q.query_id = s.query_id
+    ),
+    pq_final AS (
+        SELECT query_id, vec_id, cos_sim, adc_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM pq_exact
     )
-    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    SELECT 'ivf_int8' AS leg, query_id, vec_id, cos_sim,
+           CAST(NULL AS DOUBLE) AS adc_sim, rank
+    FROM ranked WHERE rank <= 10
+    UNION ALL
+    SELECT 'pq_adc' AS leg, query_id, vec_id, cos_sim, adc_sim, rank
+    FROM pq_final WHERE rank <= 10
     """
 
 
@@ -1921,7 +2086,22 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     what had tripled the driver-row cost. The checkpoint is the
     serve-from-a-materialized-quantized-store shape: at production
     scale that materialization is the IvfIndex(quantized=True) table
-    itself."""
+    itself.
+
+    Round 13 (VERDICT r12 item 1): a second LEG puts product
+    quantization under the same hash — the REAL pq_encode (Arrow
+    numpy argmin, lowest-code tie-break), pq_query_luts and
+    pq_topk's _adc_dot zip_with + DECIMAL(28,12) fold + shortlist +
+    exact rerank (keep_adc exposes the ADC score in the output), all
+    against the FROZEN literal codebook _PQ_BOOKS. The corpus is
+    quantized to 1/16 (floor-tie) first, so every number either
+    engine computes before the final norms division is exact dyadic:
+    a broken encode tie-break, the 1-based element_at LUT seam, or a
+    widening decimal fold each flips adc_sim (or the shortlist) and
+    fails the hash. Compression economics are measured in BASELINE
+    (this leg pins ARITHMETIC; recall floors live in test_pq.py)."""
+    from ..operators.pq import PqModel, pq_encode, pq_topk
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -1933,7 +2113,55 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         S.quantize_roundtrip(F.col("embedding")).alias("embedding"),
     ).localCheckpoint()
-    return S.ivf_topk(emb_dq, queries_df, k=10, nprobe=3, sim_round=6)
+    ivf_leg = S.ivf_topk(emb_dq, queries_df, k=10, nprobe=3, sim_round=6).select(
+        F.lit("ivf_int8").alias("leg"),
+        "query_id",
+        "vec_id",
+        "cos_sim",
+        F.lit(None).cast("double").alias("adc_sim"),
+        "rank",
+    )
+
+    model = PqModel(
+        m=_PQ_M, sub_dim=_PQ_SUB, n_codes=_PQ_NCODES, codebooks=_PQ_BOOKS
+    )
+    # dyadic 1/16 quantization (floor-tie) -> exact cross-engine dots;
+    # one materialization feeds encode, queries AND the rerank store.
+    # coalesce(2): the demo corpus is small, so don't pay 32 Arrow
+    # worker spin-ups for the encode pass (at production scale the
+    # codes table is a PqIndex build, not an in-plan encode)
+    embq = (
+        emb.select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.floor(x * 16 + F.lit(0.5)) / 16.0
+            ).alias("embedding"),
+        )
+        .coalesce(2)
+        .localCheckpoint()
+    )
+    pq_queries = embq.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    pq_leg = pq_topk(
+        pq_encode(embq, model),
+        pq_queries,
+        model,
+        k=10,
+        rerank=embq,
+        shortlist=40,
+        sim_round=6,
+        keep_adc=True,
+    ).select(
+        F.lit("pq_adc").alias("leg"),
+        "query_id",
+        "vec_id",
+        "cos_sim",
+        "adc_sim",
+        "rank",
+    )
+    return ivf_leg.unionByName(pq_leg)
 
 
 def _mm_oracle_sql() -> str:

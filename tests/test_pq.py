@@ -612,3 +612,33 @@ def test_sampled_codebook_training_parity(spark, tmp_path):
     assert {c for b in by_rows.codebooks for c in b} == {
         c for b in full.codebooks for c in b
     }
+
+
+def test_pq_topk_keep_adc_carries_shortlist_scores(spark):
+    """keep_adc=True (round 13, the driver-hash leg's shape) exposes
+    each reranked hit's ADC score unchanged from the raw ADC ranking,
+    alongside the exact cos_sim."""
+    from etl_process_for_fraud_transactions_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq,
+    )
+
+    rows, corpus = _random_corpus(spark, n=40, dim=8, seed=2)
+    model = train_pq(corpus, m=2, n_codes=4, seed=1, max_iter=5)
+    codes = pq_encode(corpus, model)
+    q = spark.createDataFrame(
+        [(0, rows[1][1])], "query_id: long, query_vec: array<double>"
+    )
+    out = pq_topk(
+        codes, q, model, k=3, rerank=corpus, shortlist=10, keep_adc=True
+    )
+    assert out.columns == ["query_id", "rank", "vec_id", "adc_sim", "cos_sim"]
+    raw = {
+        r["vec_id"]: r["adc_sim"]
+        for r in pq_topk(codes, q, model, k=40).collect()
+    }
+    got = out.collect()
+    assert len(got) == 3
+    for r in got:
+        assert r["adc_sim"] == raw[r["vec_id"]]
