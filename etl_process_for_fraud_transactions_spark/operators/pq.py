@@ -601,6 +601,7 @@ class PqIndex:
         vec_col: str = "embedding",
         cell_col: str = "pq_cell",
         versioned: bool = False,
+        partitioned: bool = False,
     ):
         self.wh = wh
         self.name = name
@@ -608,6 +609,14 @@ class PqIndex:
         self.vec_col = vec_col
         self.cell_col = cell_col
         self.versioned = versioned
+        #: partitioned=True sub-partitions the codes table by a
+        #: `__batch` epoch stamp (plus the cell id in IVF-PQ mode);
+        #: absorb(batch=) is then a dynamic partition overwrite of
+        #: that epoch's partitions — encode is deterministic given
+        #: the frozen codebooks, so a replayed streaming epoch
+        #: rewrites exactly the same rows (the IvfIndex/Bm25Index
+        #: exactly-once convention; pq_absorb_sink requires it)
+        self.partitioned = partitioned
 
     @property
     def version_table(self) -> str:
@@ -688,6 +697,7 @@ class PqIndex:
             self.cell_col,
             bool(residual),
             train_spec,
+            self.partitioned,
         )
 
     def _validate(self) -> dict:
@@ -700,13 +710,18 @@ class PqIndex:
             "id_col": self.id_col,
             "vec_col": self.vec_col,
             "versioned": self.versioned,
+            # legacy metas (pre-round-13) lack the key: treated as an
+            # unpartitioned layout, which is what they were
+            "partitioned": self.partitioned,
         }
         # cell_col matters only on a celled (IVF-PQ) store; flat
         # metas written before round 12's composition lack the key
         if stored.get("n_cells") is not None:
             mine["cell_col"] = self.cell_col
         diff = {
-            k: (stored[k], v) for k, v in mine.items() if stored[k] != v
+            k: (stored.get(k) or False, v)
+            for k, v in mine.items()
+            if (stored.get(k) or False) != (v or False)
         }
         if diff:
             raise ValueError(
@@ -752,7 +767,7 @@ class PqIndex:
     _META_SCHEMA = (
         "id_col string, vec_col string, m int, n_codes int, "
         "dim int, versioned boolean, n_cells int, cell_col string, "
-        "residual boolean, train_spec string"
+        "residual boolean, train_spec string, partitioned boolean"
     )
 
     def build(
@@ -853,12 +868,17 @@ class PqIndex:
         encode_src = (
             corpus.drop(train_col) if residual else corpus
         )
+        encoded = pq_encode(
+            encode_src, model, self.vec_col, center_col=center_col
+        )
+        parts = [] if n_cells is None else [self.cell_col]
+        if self.partitioned:
+            encoded = encoded.withColumn("__batch", F.lit("__build__"))
+            parts.append("__batch")
         atomic_overwrite(
-            pq_encode(
-                encode_src, model, self.vec_col, center_col=center_col
-            ),
+            encoded,
             self.wh.path(codes_t),
-            partition_by=None if n_cells is None else [self.cell_col],
+            partition_by=parts or None,
         )
         self.wh.overwrite(
             books_t,
@@ -905,15 +925,22 @@ class PqIndex:
         )
         return model
 
-    def absorb(self, new_vectors: DataFrame) -> None:
-        """Encode against the frozen codebooks and append — O(batch);
-        a replayed batch duplicates rows (route replays through an
-        epoch sink or rebuild, the index-family caveat). In IVF-PQ
-        mode the batch is cell-assigned against the FROZEN centroids
-        first (the IvfIndex.absorb contract: assignment deterministic,
-        centroids never move on absorb)."""
+    def absorb(self, new_vectors: DataFrame, batch=None) -> None:
+        """Encode against the frozen codebooks and add to the codes
+        layout — O(batch). In IVF-PQ mode the batch is cell-assigned
+        against the FROZEN centroids first (the IvfIndex.absorb
+        contract: assignment deterministic, centroids never move on
+        absorb; residual stores subtract the assigned centroid before
+        encoding).
+
+        Unpartitioned index: a plain append (pass no `batch`) — a
+        replayed batch duplicates rows. Partitioned index: `batch` is
+        required and the write is a dynamic partition overwrite of
+        that epoch's partitions — encode is deterministic given the
+        frozen codebooks, so a replayed streaming epoch rewrites
+        exactly the same rows (pq_absorb_sink rides this)."""
         stored, (codes_t, books_t, cells_t) = self._resolve()
-        batch = new_vectors
+        frame = new_vectors
         center_col = None
         if stored.get("n_cells") is not None:
             from .similarity import cosine
@@ -922,8 +949,8 @@ class PqIndex:
             w = Window.partitionBy(self.id_col).orderBy(
                 F.desc("__sim"), F.asc(self.cell_col)
             )
-            batch = (
-                batch.crossJoin(F.broadcast(cents))
+            frame = (
+                frame.crossJoin(F.broadcast(cents))
                 .withColumn(
                     "__sim",
                     cosine(F.col(self.vec_col), F.col("centroid")),
@@ -938,17 +965,36 @@ class PqIndex:
                 # build — the centroid column feeds pq_encode)
                 center_col = "centroid"
             else:
-                batch = batch.drop("centroid")
+                frame = frame.drop("centroid")
         encoded = pq_encode(
-            batch, self._model(books_t), self.vec_col,
+            frame, self._model(books_t), self.vec_col,
             center_col=center_col,
         )
-        if stored.get("n_cells") is not None:
+        parts = (
+            [] if stored.get("n_cells") is None else [self.cell_col]
+        )
+        if self.partitioned:
+            if batch is None:
+                raise ValueError(
+                    "a partitioned index requires a batch id for absorb()"
+                )
+            self.wh.append_partitioned(
+                codes_t,
+                encoded.withColumn("__batch", F.lit(str(batch))),
+                parts + ["__batch"],
+            )
+            return
+        if batch is not None:
+            raise ValueError(
+                "batch stamps need a partitioned index "
+                "(PqIndex(partitioned=True))"
+            )
+        if parts:
             # the append must keep the hive cell layout — a root-level
             # file in a partitioned table corrupts partition discovery
-            encoded.write.mode("append").partitionBy(
-                self.cell_col
-            ).parquet(self.wh.path(codes_t))
+            encoded.write.mode("append").partitionBy(*parts).parquet(
+                self.wh.path(codes_t)
+            )
         else:
             self.wh.append(codes_t, encoded)
 

