@@ -143,6 +143,12 @@ def bm25_scores(
     postings aggregate (df = exact per-term row count of the
     per-(doc, term) postings, the same value the distinct-explode
     computed), so the corpus is tokenized once and exploded once.
+    Round 13: the explode is additionally pre-filtered to the query
+    vocabulary IN THE ARRAY (the bounded term set collects like
+    Bm25Index's bucket ids), so the exploded intermediate is
+    |matched tokens| not |all tokens|, and df comes from a count
+    window over the checkpointed matched postings instead of a
+    groupBy + join-back — identical values, two fewer stages.
     Ordering trade, documented: in this mode the max-df guard prunes
     AFTER the postings aggregate rather than before the explode-join
     — safe exactly because cache_tokens is the ONE-SHOT bounded-
@@ -170,16 +176,31 @@ def bm25_scores(
                 / F.count(F.lit(1)).cast("double")
             ).alias("__avgdl"),
         )
-        # ONE explode over the cached arrays; the per-(doc, term)
-        # aggregate is checkpointed so the df rollup and the scoring
-        # join both read it instead of re-running the explode subtree
+        # ONE explode over the cached arrays, pre-filtered to the
+        # query vocabulary IN THE ARRAY (round 13): the term set is
+        # bounded by the query-workload contract, so collecting it is
+        # the Bm25Index bucket-id class of tiny job, and the isin
+        # filter runs map-side BEFORE the explode — the exploded
+        # intermediate shrinks from |all tokens| to |matched tokens|
+        # (the same row set the old explode->broadcast-join produced,
+        # so scores are bit-identical). The per-(doc, term) aggregate
+        # is checkpointed so the df rollup and the scoring join both
+        # read it instead of re-running the explode subtree.
+        qterms_local = [
+            r[0] for r in queries.select("term").distinct().collect()
+        ]
+        matched = (
+            F.filter(tk, lambda t: t.isin(*qterms_local))
+            if qterms_local
+            # empty workload: no term can match (isin() takes >= 1 arg)
+            else F.filter(tk, lambda t: F.lit(False))
+        )
         post_pre = (
             cached.select(
                 F.col(id_col),
                 F.size(tk).alias("__dl"),
-                F.explode(tk).alias("term"),
+                F.explode(matched).alias("term"),
             )
-            .join(F.broadcast(queries.select("term").distinct()), "term")
             .groupBy(id_col, "term")
             .agg(
                 F.count(F.lit(1)).alias("__tf"),
@@ -187,20 +208,27 @@ def bm25_scores(
             )
             .localCheckpoint()
         )
-        dfreq = post_pre.groupBy("term").agg(
-            F.count(F.lit(1)).alias("__df")
+        # df as a count window over the checkpointed postings (round
+        # 13): post_pre is exactly one row per (doc, term), so
+        # count-over-partition(term) IS the document frequency — same
+        # integer the old groupBy+broadcast-join computed, one stage
+        # fewer. Safe only here: post_pre is the checkpointed bounded
+        # matched set, not a corpus-wide frame.
+        from pyspark.sql.window import Window as _W
+
+        post = post_pre.withColumn(
+            "__df", F.count(F.lit(1)).over(_W.partitionBy("term"))
         )
         if max_df_frac is not None:
-            dfreq = (
-                dfreq.crossJoin(F.broadcast(stats.select("__n")))
+            post = (
+                post.crossJoin(F.broadcast(stats.select("__n")))
                 .filter(
                     F.col("__df").cast("double")
                     <= F.lit(float(max_df_frac))
                     * F.col("__n").cast("double")
                 )
-                .select("term", "__df")
+                .drop("__n")
             )
-        post = post_pre.join(F.broadcast(dfreq), "term")
         return _score_postings(post, stats, queries, id_col, k1, b)
     qterms = queries.select("term").distinct()
 
