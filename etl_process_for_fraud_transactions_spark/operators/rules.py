@@ -394,34 +394,51 @@ def _brute_force_window_candidates(base: DataFrame) -> DataFrame:
     )
 
 
-def _brute_force_pair_candidates(base: DataFrame, salt=None) -> DataFrame:
-    """Pair-join candidate stage of rule 5 (same output columns as the
-    window form, including the start timestamp the member fetch
-    anchors on). The self-pair (r2 == r1) is inside the interval, so
-    the per-start count equals the forward frame's count."""
+def _brute_force_pair_members(base: DataFrame, salt=None) -> DataFrame:
+    """Hot-leg member rows in ONE interval self-join (round 13,
+    VERDICT r12 item 6): the old hot leg aggregated the pairs into
+    candidate anchors and then re-joined those anchors back to the
+    base over the same interval — materializing the pair set twice.
+    On dense keys the candidate filter barely prunes (that is what
+    made the key hot), so instead the candidate flags (>3 attempts,
+    both outcomes present — main.py:458-467) are computed as window
+    aggregates over the SAME (client, anchor) partition the verdicts
+    tail ranks in: one shuffle serves candidate selection AND
+    ranking, and the second interval join disappears. Output is the
+    exact member-fetch row set: for anchor a, the fetch returned the
+    base rows in [a, a+20min] of the same client — precisely the r2
+    side of a's pairs (self-pair included, BETWEEN is inclusive)."""
     pairs = bucketed_interval_self_join(
         base,
         key_cols=["client_id"],
         ts_col="trans_date",
         window_us=TWENTY_MIN_US,
         salt=salt,
+    ).select(
+        F.col("r1.client_id").alias("client_id"),
+        F.col("r1.trans_id").alias("trans_id_start"),
+        F.col("r2.trans_id").alias("trans_id_20min"),
+        F.col("r2.amt").alias("amt_20min"),
+        F.col("r2.trans_date").alias("trans_date_20min"),
+        F.col("r2.oper_result").alias("oper_result"),
     )
-    res = F.col("r2.oper_result")
+    wc = Window.partitionBy("client_id", "trans_id_start")
+    res = F.col("oper_result")
     return (
-        pairs.groupBy(
-            F.col("r1.client_id").alias("client_id"),
-            F.col("r1.trans_id").alias("trans_id_start"),
-            F.col("r1.trans_date").alias("trans_date_start"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.max(F.when(res == "SUCCESS", 1).otherwise(0)).alias("__s"),
-            F.max(F.when(res == "REJECT", 1).otherwise(0)).alias("__r"),
+        pairs.select(
+            "*",
+            F.count(F.lit(1)).over(wc).alias("__cnt"),
+            F.max(F.when(res == "SUCCESS", 1).otherwise(0))
+            .over(wc)
+            .alias("__s"),
+            F.max(F.when(res == "REJECT", 1).otherwise(0))
+            .over(wc)
+            .alias("__r"),
         )
         .filter(
             (F.col("__cnt") > 3) & (F.col("__s") == 1) & (F.col("__r") == 1)
         )
-        .select("client_id", "trans_id_start", "trans_date_start")
+        .drop("__cnt", "__s", "__r")
     )
 
 
@@ -474,10 +491,6 @@ def rule_brute_force_20min_window(
     if hot is not None:
         cand = _brute_force_window_candidates(
             base.join(hot, "client_id", "left_anti")
-        ).unionByName(
-            _brute_force_pair_candidates(
-                base.join(hot, "client_id"), salt="auto"
-            )
         )
     else:
         cand = _brute_force_window_candidates(base)
@@ -496,6 +509,14 @@ def rule_brute_force_20min_window(
         F.col("r2.trans_date").alias("trans_date_20min"),
         F.col("r2.oper_result").alias("oper_result"),
     )
+    if hot is not None:
+        # hot clients skip the member fetch entirely: their pairs ARE
+        # the members (round 13 — see _brute_force_pair_members)
+        members = members.unionByName(
+            _brute_force_pair_members(
+                base.join(hot, "client_id"), salt="auto"
+            )
+        )
     result = _brute_force_verdicts(members)
     if persist_registry is None and local_registry:
         result._gate_persists = tuple(local_registry)
