@@ -723,6 +723,22 @@ HELDOUT_SENTENCES_HAN: dict[str, tuple[str, ...]] = {
 #: out-of-family case to calibrate a gate against — an unmeasured
 #: threshold would be exactly the hand-set knob the gate tradition
 #: exists to avoid. A Han-family abstain therefore never fires.
+#:
+#: Round 13 (VERDICT r12 item 7) — the in-family ambiguity class
+#: (kana-less Japanese kanji fragments vs Chinese) was MEASURED and
+#: the distributions do not separate, in either direction:
+#:   - per-gram margins of the 15 confident held-out sentences span
+#:     0.110..1.342 while shared-codepoint kanji-only fragments span
+#:     0.005 ('先生学生')..1.194 ('学生' — wrong-confident: the
+#:     bigram evidence genuinely IS one-sided in the training text);
+#:   - an evidence-count (few-grams) floor fails the other direction:
+#:     'ねこが好き' — kana-bearing, unambiguously Japanese — margins
+#:     at 0.005 with n=6, below almost every ambiguous fragment.
+#: Any frozen (margin, avg, n) gate either misses wrong-confident
+#: kanji compounds or abstains on clearly-identifiable short kana /
+#: hangul text, so the family still ships NO gates — the honest
+#: negative, pinned in tests/test_langid.py (measured numbers in
+#: BASELINE.md r13).
 FROZEN_HAN = train_langid(_TRAIN_SNIPPETS_HAN)
 
 

@@ -569,3 +569,45 @@ def test_classify_py_zero_grams_abstains_like_spark(spark):
         assert served[i] == model.classify_py(t, abstain_label="und"), (
             i, t, served[i]
         )
+
+
+def test_han_family_gate_negative_is_measured():
+    """Directive r12 #7, the honest negative pinned: no frozen
+    (margin / avg / evidence-count) gate separates the Han family's
+    ambiguity class. (a) a genuinely ambiguous shared-codepoint kanji
+    compound ('学生') margins HIGHER than real held-out sentences —
+    the bigram evidence is one-sided, so a margin floor cannot catch
+    it without abstaining on real text; (b) an unambiguous kana
+    sentence margins LOWER than most kanji fragments, so neither a
+    margin floor nor a few-grams floor survives the control
+    direction; (c) consequently FROZEN_HAN ships no gates and a
+    Han-route abstain never fires."""
+    from etl_process_for_fraud_transactions_spark.operators.langid import (
+        FROZEN_HAN,
+        HELDOUT_SENTENCES_HAN,
+        _grams_py,
+    )
+
+    def margin(text):
+        s = FROZEN_HAN.score_py(text)
+        n = len(_grams_py(text, FROZEN_HAN.n))
+        vals = sorted(s.values(), reverse=True)
+        return (vals[0] - vals[1]) / n
+
+    confident = [
+        margin(t) for sents in HELDOUT_SENTENCES_HAN.values() for t in sents
+    ]
+    # (a) the wrong-confident ambiguous compound out-margins most of
+    # the genuinely confident set
+    assert margin("学生") > min(confident)
+    assert margin("学生") > sorted(confident)[len(confident) // 2]
+    # (b) the unambiguous kana control under-margins the ambiguous
+    # fragments a margin floor would need to catch
+    assert margin("ねこが好き") < margin("天地")
+    assert margin("ねこが好き") < min(confident)
+    # (c) no gates shipped; abstain mode returns the plain verdict
+    assert FROZEN_HAN.abstain_margin is None
+    assert FROZEN_HAN.abstain_avg is None
+    assert FROZEN_HAN.classify_py("先生学生", abstain_label="und") in (
+        "zh", "ja", "ko",
+    )
