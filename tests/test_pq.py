@@ -737,3 +737,55 @@ def test_pq_absorb_sink_replay_safe_and_in_layout(spark, tmp_path):
     # partitioned store)
     with pytest.raises(ValueError, match="rebuild or match"):
         PqIndex(wh, name="spq").absorb(new)
+
+
+def test_pq_versioned_partitioned_residual_compose(spark, tmp_path):
+    """The three layout flags compose: a versioned + partitioned +
+    residual IVF-PQ store absorbs epochs exactly-once, then a
+    LAYOUT-CHANGING rebuild (flat, raw) flips pointer + layout
+    atomically — the new version serves raw-ADC arithmetic, absorb
+    routes to the new epoch layout, and prune removes every v1
+    table including cells."""
+    from etl_process_for_fraud_transactions_spark.operators.pq import PqIndex
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+    from etl_process_for_fraud_transactions_spark.streaming.upsert import (
+        pq_absorb_sink,
+    )
+
+    rows, corpus = _clustered_corpus(spark, per_cell=20)
+    queries = spark.createDataFrame(
+        [(0, rows[3][1])], "query_id: long, query_vec: array<double>"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = PqIndex(wh, name="vpr", versioned=True, partitioned=True)
+    idx.build(
+        corpus, m=4, n_codes=8, seed=2, max_iter=10,
+        n_cells=4, residual=True,
+    )
+    v, layout = idx._version_row()
+    assert (v, layout["residual"], layout["n_cells"]) == (1, True, 4)
+
+    sink = pq_absorb_sink(idx)
+    extra = spark.createDataFrame(
+        [(900, rows[3][1])], "vec_id long, embedding array<double>"
+    )
+    sink(extra, 3)
+    sink(extra, 3)  # replay
+    assert wh.read(idx.codes_table).filter("vec_id = 900").count() == 1
+
+    # layout-changing rebuild: flat raw codes, same instance
+    idx.build(corpus, m=4, n_codes=8, seed=9, max_iter=10)
+    v, layout = idx._version_row()
+    assert (v, layout["residual"], layout["n_cells"]) == (2, False, None)
+    assert idx.codes_table == "vpr_codes_v2"
+    # v2 serves (raw arithmetic, no cells) and absorb lands in v2
+    assert idx.topk(queries, k=5).count() == 5
+    idx.absorb(extra, batch=7)
+    assert wh.read("vpr_codes_v2").filter("vec_id = 900").count() == 1
+    removed = idx.prune_versions()
+    assert sorted(removed) == [
+        "vpr_cells_v1", "vpr_codebooks_v1", "vpr_codes_v1"
+    ]
+    assert idx.topk(queries, k=5).count() == 5
