@@ -36,20 +36,22 @@ bill shrinks with it; scoring is map-only against a broadcast
 `PqIndex` persists codes behind the repo's index conventions: a
 meta-frozen layout (mismatched readers fail loudly), codebooks in a
 warehouse table (servers never retrain to read), and an optional
-one-row version pointer with atomic pointer-flip rebuilds — the
-IvfIndex(versioned=True) machinery verbatim. An IVF-PQ composition
-(cells for pruning + codes for compression) is the documented next
-step: encode after cell assignment and partition the codes table by
-the cell id; the serving join composes unchanged.
+one-row version pointer whose row carries the LAYOUT FIELDS
+committed atomically with each pointer flip (round 13 — see the
+class docstring). The IVF-PQ composition (cells for pruning + codes
+for compression) is implemented (round 12), residual encoding and
+sample-based codebook training on top of it (round 13).
 
 Determinism: codebooks come from MLlib KMeans (seeded, deterministic
 given the corpus) and are FROZEN at build; encode is a deterministic
 argmin with index-ASC tie-break; ADC sums fold in fixed j order
-inside one expression. Unlike the int8 rung there is no DuckDB
-oracle replay (the codebook train is MLlib-side) — correctness is
-pinned by pytest: exact-reconstruction corpora recall 100%, a
+inside one expression. Correctness is pinned two ways: pytest
+(exact-reconstruction corpora recall 100% — raw AND residual — a
 measured recall floor vs exact cosine on a random corpus, and the
-encode round-trip.
+encode round-trip), and since round 13 the DRIVER HASH — the
+`pq_adc` leg of `ivf_cosine_topk` runs the real encode argmin /
+LUT / decimal fold / rerank against a frozen dyadic literal codebook
+that DuckDB replays exactly (plans/queries_llm.py::_PQ_BOOKS).
 """
 
 from __future__ import annotations
