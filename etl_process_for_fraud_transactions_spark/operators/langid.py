@@ -87,8 +87,14 @@ def _normalize_py(text: str) -> str:
 
 
 def _grams_py(text: str, n: int) -> list[str]:
+    """EXACT mirror of char_ngrams: always >= 1 gram — when the
+    normalized text is shorter than n, Spark's substring(s, 1, n)
+    yields the whole (truncated) string as one boundary gram, and so
+    does s[0:n] here (round 13: the old `[]` return made the driver
+    replay diverge from serving for n > 2 models on short inputs;
+    n = 2 is unaffected because normalization pads to two spaces)."""
     s = _normalize_py(text)
-    return [s[i : i + n] for i in range(len(s) - n + 1)]
+    return [s[i : i + n] for i in range(max(len(s) - n + 1, 1))]
 
 
 @dataclass(frozen=True)
@@ -156,12 +162,12 @@ class LangIdModel:
         best = max(sorted(scores), key=lambda l: scores[l])
         if abstain_label is None:
             return best
+        # n >= 1 always (char_ngrams / _grams_py truncated-boundary
+        # contract), so the gate divisions are well-defined — the
+        # ADVICE-r12 ZeroDivision edge is closed at the gram level,
+        # keeping the replay arithmetic IDENTICAL to serving instead
+        # of special-casing a state serving can never reach
         n = len(_grams_py(text, self.n))
-        if n == 0:
-            # zero grams (empty / no-letter input): the Spark path's
-            # per-gram gates compare against NULL and abstain — match
-            # it instead of dividing by zero (ADVICE r12)
-            return abstain_label
         vals = sorted(scores.values(), reverse=True)
         if (
             self.abstain_margin is not None

@@ -632,7 +632,10 @@ class PqIndex:
     #: pointer (ADVICE r12: a reader pairing one version's tables with
     #: another version's layout metadata — e.g. n_cells from a
     #: mid-rebuild meta overwrite — would be silently wrong)
-    _LAYOUT_FIELDS = ("n_cells", "cell_col", "m", "n_codes", "dim", "residual")
+    _LAYOUT_FIELDS = (
+        "n_cells", "cell_col", "m", "n_codes", "dim", "residual",
+        "partitioned",
+    )
 
     def _version_row(self) -> tuple[int, dict | None]:
         """(version, layout) from ONE read of the one-row pointer —
@@ -650,6 +653,10 @@ class PqIndex:
             return int(row["version"]), None
         layout = {k: row.get(k) for k in self._LAYOUT_FIELDS}
         layout["residual"] = bool(layout.get("residual"))
+        # pointer rows written before 'partitioned' joined the layout
+        # fall back to the instance flag (None, not False)
+        if "partitioned" not in row:
+            layout["partitioned"] = None
         return int(row["version"]), layout
 
     def _current_version(self) -> int:
@@ -823,7 +830,19 @@ class PqIndex:
                 corpus, n_cells, self.vec_col, self.cell_col,
                 seed, max_iter,
             )
-            cents = ivf_centroids(corpus, self.cell_col, self.vec_col)
+            # ONE evaluation of the centroid aggregate (bounded:
+            # n_cells rows). In residual mode the centroid frame feeds
+            # the ragged guard, every KMeans fit, the encode pass AND
+            # the cells overwrite — without the checkpoint each
+            # consumer re-runs the corpus-wide posexplode/avg, and
+            # avg's partial-merge order is nondeterministic across
+            # evaluations, so the centroid ENCODED against could
+            # differ in the last ulp from the one PERSISTED in
+            # <name>_cells (round-13 self-review; the exact-<q,c>
+            # reconstruction assumes they are the same doubles)
+            cents = ivf_centroids(
+                corpus, self.cell_col, self.vec_col
+            ).localCheckpoint(eager=True)
         train_col = self.vec_col
         center_col = None
         if residual:
@@ -905,9 +924,11 @@ class PqIndex:
                         int(model.n_codes),
                         int(model.dim),
                         bool(residual),
+                        bool(self.partitioned),
                     )],
                     "version int, n_cells int, cell_col string, "
-                    "m int, n_codes int, dim int, residual boolean",
+                    "m int, n_codes int, dim int, residual boolean, "
+                    "partitioned boolean",
                 ),
             )
         # shared meta LAST in versioned mode (pre-flip readers keep a
@@ -948,18 +969,26 @@ class PqIndex:
             from .similarity import cosine
 
             cents = self.wh.read(cells_t)
-            w = Window.partitionBy(self.id_col).orderBy(
+            # assignment is per ROW, not per id: partitioning the
+            # argmax window by id_col would silently drop all but one
+            # row of a batch that repeats an id (round-13 self-review;
+            # the flat path appends every row — the family contract is
+            # that duplicate handling belongs to the caller)
+            w = Window.partitionBy("__row").orderBy(
                 F.desc("__sim"), F.asc(self.cell_col)
             )
             frame = (
-                frame.crossJoin(F.broadcast(cents))
+                frame.withColumn(
+                    "__row", F.monotonically_increasing_id()
+                )
+                .crossJoin(F.broadcast(cents))
                 .withColumn(
                     "__sim",
                     cosine(F.col(self.vec_col), F.col("centroid")),
                 )
                 .withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
-                .drop("__sim", "__rn")
+                .drop("__sim", "__rn", "__row")
             )
             if stored.get("residual"):
                 # residual layout: encode v - centroid(cell) against
@@ -975,7 +1004,16 @@ class PqIndex:
         parts = (
             [] if stored.get("n_cells") is None else [self.cell_col]
         )
-        if self.partitioned:
+        # write mode follows the RESOLVED layout (atomic with the
+        # version in versioned mode — a rebuild that changed
+        # `partitioned` must not get epoch directories appended into a
+        # flat layout, or vice versa); legacy pointers without the
+        # field fall back to the instance flag
+        partitioned = stored.get("partitioned")
+        partitioned = (
+            self.partitioned if partitioned is None else bool(partitioned)
+        )
+        if partitioned:
             if batch is None:
                 raise ValueError(
                     "a partitioned index requires a batch id for absorb()"

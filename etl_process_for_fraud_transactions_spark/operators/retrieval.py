@@ -146,9 +146,10 @@ def bm25_scores(
     Round 13: the explode is additionally pre-filtered to the query
     vocabulary IN THE ARRAY (the bounded term set collects like
     Bm25Index's bucket ids), so the exploded intermediate is
-    |matched tokens| not |all tokens|, and df comes from a count
-    window over the checkpointed matched postings instead of a
-    groupBy + join-back — identical values, two fewer stages.
+    |matched tokens| not |all tokens|. (A df-as-count-window variant
+    was tried and reverted the same round: it shuffled every matched
+    posting by term — a stopword skew hotspot at scale; df stays a
+    map-side-aggregated groupBy + broadcast join-back.)
     Ordering trade, documented: in this mode the max-df guard prunes
     AFTER the postings aggregate rather than before the explode-join
     — safe exactly because cache_tokens is the ONE-SHOT bounded-
@@ -208,27 +209,30 @@ def bm25_scores(
             )
             .localCheckpoint()
         )
-        # df as a count window over the checkpointed postings (round
-        # 13): post_pre is exactly one row per (doc, term), so
-        # count-over-partition(term) IS the document frequency — same
-        # integer the old groupBy+broadcast-join computed, one stage
-        # fewer. Safe only here: post_pre is the checkpointed bounded
-        # matched set, not a corpus-wide frame.
-        from pyspark.sql.window import Window as _W
-
-        post = post_pre.withColumn(
-            "__df", F.count(F.lit(1)).over(_W.partitionBy("term"))
+        # df via groupBy + broadcast join-back, NOT a count window:
+        # a Window.partitionBy(term) would exchange every matched
+        # posting row by term and concentrate a stopword-frequency
+        # term's near-corpus-sized posting list into ONE task before
+        # the max-df prune runs — the exact skew case the guard
+        # exists for. The groupBy's map-side partial aggregation
+        # ships <= |query vocab| rows per task and post_pre itself
+        # never shuffles (round-13 self-review reverted the window
+        # variant; it saved one stage at demo scale and lost the
+        # 100 TB story).
+        dfreq = post_pre.groupBy("term").agg(
+            F.count(F.lit(1)).alias("__df")
         )
         if max_df_frac is not None:
-            post = (
-                post.crossJoin(F.broadcast(stats.select("__n")))
+            dfreq = (
+                dfreq.crossJoin(F.broadcast(stats.select("__n")))
                 .filter(
                     F.col("__df").cast("double")
                     <= F.lit(float(max_df_frac))
                     * F.col("__n").cast("double")
                 )
-                .drop("__n")
+                .select("term", "__df")
             )
+        post = post_pre.join(F.broadcast(dfreq), "term")
         return _score_postings(post, stats, queries, id_col, k1, b)
     qterms = queries.select("term").distinct()
 

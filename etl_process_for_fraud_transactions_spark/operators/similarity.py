@@ -712,17 +712,24 @@ class IvfIndex:
         self._validate(new_vectors, self.vec_col)
         vec_t, cent_t = self._table_names()
         cents = self.wh.read(cent_t)
-        w = Window.partitionBy(self.id_col).orderBy(
+        # assignment is per ROW, not per id: an id_col-partitioned
+        # argmax window silently drops all but one row of a batch
+        # that repeats an id (round-13 self-review) — duplicate
+        # handling belongs to the caller (class docstring contract)
+        w = Window.partitionBy("__row").orderBy(
             F.desc("__sim"), F.asc(self.cell_col)
         )
         assigned = (
-            new_vectors.crossJoin(F.broadcast(cents))
+            new_vectors.withColumn(
+                "__row", F.monotonically_increasing_id()
+            )
+            .crossJoin(F.broadcast(cents))
             .withColumn(
                 "__sim", cosine(F.col(self.vec_col), F.col("centroid"))
             )
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__sim", "__rn", "centroid")
+            .drop("__sim", "__rn", "centroid", "__row")
         )
         assigned = self._store_cols(assigned)
         if self.partitioned:

@@ -537,38 +537,55 @@ def test_curate_corpus_langid_abstain_drops_out_of_family(spark):
     assert {r["doc_id"] for r in gated.collect()} == {1}  # de dropped
 
 
-def test_classify_py_zero_grams_abstains_like_spark(spark):
-    """ADVICE r12: zero-gram input must abstain in the driver replay
-    instead of dividing by zero, matching the Spark path. The n=2
-    frozen models never see zero grams (normalization pads to two
-    spaces -> one gram), so the edge needs an n=4 model: empty /
-    no-letter text normalizes to '  ' (3 < 4 chars -> zero 4-grams)."""
+def test_classify_py_short_input_replays_spark_exactly(spark):
+    """ADVICE r12 (re-adjudicated in round 13's self-review): the
+    driver replay must match SERVING on short / no-letter input, and
+    serving never sees zero grams — char_ngrams always yields >= 1
+    (truncated) boundary gram, so the gates evaluate on real numbers
+    there. The old classify_py divided by zero for n > 2 models on
+    such input; the first fix abstained unconditionally, which
+    DIVERGED from serving. Now _grams_py mirrors the truncated-gram
+    contract and the replay is the same arithmetic. The n=2 frozen
+    families are unaffected either way (normalization pads to two
+    spaces -> one gram); this pins an n=4 model, gated and ungated,
+    on the previously-divergent inputs."""
     from etl_process_for_fraud_transactions_spark.operators.langid import (
+        _grams_py,
         classify_language,
         train_langid,
     )
 
-    model = train_langid(
+    # truncated-gram contract itself
+    assert _grams_py("", 4) == ["  "]
+    assert _grams_py("12345 !!!", 4) == ["  "]
+    assert len(_grams_py("gatos", 4)) == len(" gatos ") - 3
+
+    texts = ["", "12345 !!!", "\n\t ", "gatos y perros", "dogs and cats"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "id: int, text: string"
+    )
+    gated = train_langid(
         {"aa": "gatos y perros", "bb": "dogs and cats"},
         n=4,
         abstain_margin=0.125,
         abstain_avg=-6.0,
     )
-    texts = ["", "12345 !!!", "\n\t ", "gatos y perros"]
-    for t in texts:
-        got = model.classify_py(t, abstain_label="und")
-        assert got == ("aa" if t.startswith("gatos") else "und"), (t, got)
-    df = spark.createDataFrame(
-        list(enumerate(texts)), "id: int, text: string"
+    ungated = train_langid(
+        {"aa": "gatos y perros", "bb": "dogs and cats"}, n=4
     )
-    served = {
-        r["id"]: r["langid_pred"]
-        for r in classify_language(df, model, abstain_label="und").collect()
-    }
-    for i, t in enumerate(texts):
-        assert served[i] == model.classify_py(t, abstain_label="und"), (
-            i, t, served[i]
-        )
+    for model, label in ((gated, "und"), (ungated, "und"), (ungated, None)):
+        served = {
+            r["id"]: r["langid_pred"]
+            for r in classify_language(
+                df, model, abstain_label=label
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert served[i] == model.classify_py(t, abstain_label=label), (
+                i, t, label, served[i]
+            )
+    # the in-family positives still classify
+    assert gated.classify_py("gatos y perros", abstain_label="und") == "aa"
 
 
 def test_han_family_gate_negative_is_measured():

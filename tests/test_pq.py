@@ -789,3 +789,30 @@ def test_pq_versioned_partitioned_residual_compose(spark, tmp_path):
         "vpr_cells_v1", "vpr_codebooks_v1", "vpr_codes_v1"
     ]
     assert idx.topk(queries, k=5).count() == 5
+
+
+def test_celled_absorb_keeps_duplicate_id_rows(spark, tmp_path):
+    """Round-13 self-review: cell assignment is per ROW, not per id —
+    a batch that repeats a vec_id (update stream emitting two
+    revisions in one epoch) must land BOTH rows in the celled store,
+    exactly like the flat path appends both (duplicate handling is
+    the caller's contract, same as Bm25Index/IvfIndex absorb)."""
+    from etl_process_for_fraud_transactions_spark.operators.pq import PqIndex
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    rows, corpus = _clustered_corpus(spark, per_cell=20)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = PqIndex(wh, name="dup")
+    idx.build(corpus, m=4, n_codes=8, seed=2, max_iter=10, n_cells=4)
+    dup = spark.createDataFrame(
+        [(777, rows[3][1]), (777, rows[45][1])],
+        "vec_id long, embedding array<double>",
+    )
+    idx.absorb(dup)
+    got = wh.read(idx.codes_table).filter("vec_id = 777")
+    assert got.count() == 2
+    # and each row was assigned its OWN nearest cell (two different
+    # source vectors from two different planted clusters)
+    assert got.select("pq_cell").distinct().count() == 2

@@ -777,3 +777,50 @@ def test_calibrate_nprobe_measured_default(spark, tmp_path):
     idx.build(corpus, n_cells=4, seed=7, nprobe_recall_target=0.95)
     refreshed = wh.read(idx.meta_table).collect()[0]["default_nprobe"]
     assert refreshed == calib["default_nprobe"]
+
+
+def test_ivf_absorb_keeps_duplicate_id_rows(spark, tmp_path, corpus):
+    """Round-13 self-review (same defect class as PqIndex.absorb):
+    per-row cell assignment must not collapse a batch that repeats an
+    id — both rows land, each in its own nearest cell."""
+    pytest.importorskip("numpy")
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = S.IvfIndex(wh)
+    idx.build(corpus.drop("label"), n_cells=3, seed=42)
+    dup = spark.createDataFrame(
+        [(500, [1.0, 0.0, 0.0]), (500, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    idx.absorb(dup)
+    got = wh.read(idx.vectors_table).filter("vec_id = 500")
+    # BOTH rows land (the old id-partitioned window kept one); their
+    # per-row assignments match a fresh nearest-centroid computation
+    assert got.count() == 2
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl_process_for_fraud_transactions_spark.operators.similarity import (
+        cosine,
+    )
+
+    cents = wh.read(idx.centroids_table)
+    w = Window.partitionBy("__r").orderBy(
+        F.desc("__s"), F.asc(idx.cell_col)
+    )
+    want = sorted(
+        (r["embedding"][0], r[idx.cell_col])
+        for r in dup.withColumn("__r", F.monotonically_increasing_id())
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__s", cosine(F.col("embedding"), F.col("centroid")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .collect()
+    )
+    have = sorted(
+        (r["embedding"][0], r[idx.cell_col]) for r in got.collect()
+    )
+    assert have == want
