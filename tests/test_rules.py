@@ -324,30 +324,35 @@ def test_hot_key_gate_persist_registry_releases_deterministically(spark):
         rule_diff_city_1h_window,
     )
 
-    jsc = spark.sparkContext._jsc.sc()
+    # assert the registered frame's OWN storage level, not a global
+    # persistent-RDD count delta — the async ContextCleaner shrinks
+    # the global set mid-test (the flake class fixed in r12/r13's
+    # cache-release tests; this test carried the last instance)
+    def _live(frame):
+        lvl = frame.storageLevel
+        return lvl.useMemory or lvl.useDisk
+
     rows = [
         (1, 1000 + i, _mins(i), "CITY_A" if i % 2 == 0 else "CITY_B", 7)
         for i in range(60)
     ]
     df = _city_df(spark, rows)
-    before = jsc.getPersistentRDDs().size()
     registry: list = []
     out = rule_diff_city_1h_window(
         df, hot_key_max_rows=50, persist_registry=registry
     )
     out.collect()
     assert len(registry) == 1
-    assert jsc.getPersistentRDDs().size() > before
+    assert all(_live(f) for f in registry)
     for f in registry:
         f.unpersist(blocking=True)
-    assert jsc.getPersistentRDDs().size() == before
+    assert not any(_live(f) for f in registry)
     # an untripped probe registers nothing (and unpersists internally)
     registry2: list = []
     rule_diff_city_1h_window(
         df, hot_key_max_rows=1000, persist_registry=registry2
     ).collect()
     assert registry2 == []
-    assert jsc.getPersistentRDDs().size() == before
 
 
 def test_hot_key_gate_direct_caller_gets_release_handle(spark):
