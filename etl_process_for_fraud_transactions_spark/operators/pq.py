@@ -634,7 +634,7 @@ class PqIndex:
     #: mid-rebuild meta overwrite — would be silently wrong)
     _LAYOUT_FIELDS = (
         "n_cells", "cell_col", "m", "n_codes", "dim", "residual",
-        "partitioned",
+        "partitioned", "default_nprobe",
     )
 
     def _version_row(self) -> tuple[int, dict | None]:
@@ -651,10 +651,14 @@ class PqIndex:
         row = self.wh.read(self.version_table).collect()[0].asDict()
         if "n_cells" not in row:
             return int(row["version"]), None
-        layout = {k: row.get(k) for k in self._LAYOUT_FIELDS}
+        # only keys PRESENT in the row enter the layout overlay —
+        # fields that joined the pointer later (partitioned r13,
+        # default_nprobe r13) must not clobber a meta value with None
+        # when read against an older pointer; 'partitioned' is the
+        # exception: an explicit None there means "fall back to the
+        # instance flag" in absorb, so it is always surfaced
+        layout = {k: row[k] for k in self._LAYOUT_FIELDS if k in row}
         layout["residual"] = bool(layout.get("residual"))
-        # pointer rows written before 'partitioned' joined the layout
-        # fall back to the instance flag (None, not False)
         if "partitioned" not in row:
             layout["partitioned"] = None
         return int(row["version"]), layout
@@ -698,6 +702,7 @@ class PqIndex:
         n_cells: int | None,
         residual: bool = False,
         train_spec: str | None = None,
+        default_nprobe: int | None = None,
     ) -> tuple:
         return (
             self.id_col, self.vec_col, int(m), int(n_codes), int(dim),
@@ -707,6 +712,7 @@ class PqIndex:
             bool(residual),
             train_spec,
             self.partitioned,
+            None if default_nprobe is None else int(default_nprobe),
         )
 
     def _validate(self) -> dict:
@@ -776,7 +782,8 @@ class PqIndex:
     _META_SCHEMA = (
         "id_col string, vec_col string, m int, n_codes int, "
         "dim int, versioned boolean, n_cells int, cell_col string, "
-        "residual boolean, train_spec string, partitioned boolean"
+        "residual boolean, train_spec string, partitioned boolean, "
+        "default_nprobe int"
     )
 
     def build(
@@ -790,12 +797,21 @@ class PqIndex:
         residual: bool = False,
         train_fraction: float | None = None,
         train_rows: int | None = None,
+        nprobe_recall_target: float | None = None,
     ) -> PqModel:
         """Train codebooks and persist the codes table. `n_cells`
         turns the store into IVF-PQ: the corpus is cell-assigned by
         the IvfIndex coarse quantizer first, the codes table is
         hive-partitioned by the cell id (file-level probe pruning)
         and exact float centroids land in `<name>_cells`.
+
+        `nprobe_recall_target` (round 13 — the IvfIndex auto-nprobe
+        convention): when set (needs n_cells), runs calibrate_nprobe
+        against the freshly written tables while the float corpus is
+        still in hand, and the measured default commits WITH the
+        version (inside the pointer row in versioned mode — a
+        committed version always carries the default measured on its
+        own geometry, and a flip to new geometry nulls the old one).
 
         `residual` (needs n_cells) — the published IVF-PQ refinement:
         codebooks train on and codes quantize v - centroid(cell);
@@ -910,6 +926,29 @@ class PqIndex:
         )
         if n_cells is not None:
             self.wh.overwrite(cells_t, cents)
+        default_nprobe = None
+        if nprobe_recall_target is not None:
+            if n_cells is None:
+                raise ValueError(
+                    "PqIndex.build: nprobe_recall_target needs n_cells "
+                    "(a flat store has no probe width to calibrate)"
+                )
+            # measured on the freshly written tables, BEFORE the flip
+            # (versioned) — the committed version carries the default
+            # measured on its own geometry
+            default_nprobe = self.calibrate_nprobe(
+                corpus.drop(
+                    *(
+                        c
+                        for c in ("__pq_res", "__pq_center")
+                        if c in corpus.columns
+                    )
+                ),
+                recall_target=nprobe_recall_target,
+                seed=seed,
+                _tables=(codes_t, books_t, cells_t),
+                _layout={"residual": bool(residual)},
+            )["default_nprobe"]
         if self.versioned:
             # the commit point: the new version AND the layout that
             # interprets its tables become visible in ONE row
@@ -925,10 +964,11 @@ class PqIndex:
                         int(model.dim),
                         bool(residual),
                         bool(self.partitioned),
+                        default_nprobe,
                     )],
                     "version int, n_cells int, cell_col string, "
                     "m int, n_codes int, dim int, residual boolean, "
-                    "partitioned boolean",
+                    "partitioned boolean, default_nprobe int",
                 ),
             )
         # shared meta LAST in versioned mode (pre-flip readers keep a
@@ -941,6 +981,7 @@ class PqIndex:
                     self._params(
                         model.m, model.n_codes, model.dim, n_cells,
                         residual=residual, train_spec=train_spec,
+                        default_nprobe=default_nprobe,
                     )
                 ],
                 self._META_SCHEMA,
@@ -1038,11 +1079,175 @@ class PqIndex:
         else:
             self.wh.append(codes_t, encoded)
 
+    def calibrate_nprobe(
+        self,
+        corpus: DataFrame,
+        recall_target: float = 0.95,
+        n_probes: int = 32,
+        k: int = 10,
+        seed: int = 42,
+        rerank: bool = True,
+        shortlist: int | None = None,
+        _tables: tuple[str, str, str] | None = None,
+        _layout: dict | None = None,
+    ) -> dict:
+        """Measured auto-nprobe for the IVF-PQ store (round 13 — the
+        IvfIndex.calibrate_nprobe convention applied to the
+        compression rung): derive the serving probe width from a
+        held-out probe set's measured recall against exact brute
+        force, instead of the hand-set 2.
+
+        The PQ store holds codes + norms, never float vectors, so the
+        calibration takes the FLOAT `corpus` (<id_col>, <vec_col>) —
+        available at build time (build(nprobe_recall_target=) calls
+        this on the freshly written tables, pre-flip in versioned
+        mode) or from the rerank store an operator serves hybrid
+        queries against. Probes are n_probes corpus vectors drawn
+        deterministically (xxhash64 order, seeded); ground truth is
+        exact cosine top-k over the corpus (one scan, bounded
+        collects); nprobe doubles from 1 until measured recall@k
+        reaches `recall_target` or every cell is probed.
+
+        `rerank=True` (default) measures the PRODUCTION serving shape
+        — ADC shortlist then exact rerank against `corpus` — where
+        probe pruning is the dominant loss; rerank=False measures raw
+        ADC recall, which is bounded above by quantization error and
+        may honestly never reach the target (met_target=False, the
+        full trace returned either way).
+
+        Persistence: called directly (post-build), the measured
+        default lands in the meta AND — when the current pointer row
+        carries layout fields — in the pointer row, atomic with the
+        version it was measured on; legacy layoutless pointers leave
+        the meta as the default's source (the _version_row overlay
+        drops absent keys, so the meta value serves). Called from
+        build() the default commits with the version instead."""
+        from .similarity import cosine
+
+        persist = _tables is None
+        if persist:
+            stored, (codes_t, books_t, cells_t) = self._resolve()
+            residual = bool(stored.get("residual"))
+            if stored.get("n_cells") is None:
+                raise ValueError(
+                    f"PqIndex '{self.name}': calibrate_nprobe needs an "
+                    "IVF-PQ store (n_cells) — a flat store has no "
+                    "probe width to calibrate"
+                )
+        else:
+            codes_t, books_t, cells_t = _tables
+            residual = bool((_layout or {}).get("residual"))
+        model = self._model(books_t)
+        cents = self.wh.read(cells_t)
+        n_cells = cents.count()
+        probes = (
+            corpus.select(
+                F.col(self.id_col).alias("query_id"),
+                F.col(self.vec_col).alias("query_vec"),
+            )
+            .orderBy(F.xxhash64(F.col("query_id"), F.lit(int(seed))))
+            .limit(int(n_probes))
+            .localCheckpoint()
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("__sim"), F.asc(self.id_col)
+        )
+        truth_df = (
+            corpus.crossJoin(F.broadcast(probes))
+            .select(
+                "query_id",
+                self.id_col,
+                F.round(
+                    cosine(F.col(self.vec_col), F.col("query_vec")), 6
+                ).alias("__sim"),
+            )
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+        )
+        # bounded: n_probes * k rows
+        truth = {
+            (r["query_id"], r[self.id_col]) for r in truth_df.collect()
+        }
+        codes = self.wh.read(codes_t)
+        trace: dict[int, float] = {}
+        nprobe = 1
+        while True:
+            approx = pq_topk(
+                codes,
+                probes,
+                model,
+                k=k,
+                id_col=self.id_col,
+                sim_round=6,
+                rerank=corpus if rerank else None,
+                rerank_vec_col=self.vec_col,
+                shortlist=shortlist,
+                centroids=cents,
+                cell_col=self.cell_col,
+                nprobe=nprobe,
+                residual=residual,
+            )
+            got = {
+                (r["query_id"], r[self.id_col]) for r in approx.collect()
+            }
+            recall = len(got & truth) / len(truth) if truth else 1.0
+            trace[nprobe] = recall
+            if recall >= recall_target or nprobe >= n_cells:
+                break
+            nprobe = min(nprobe * 2, int(n_cells))
+        if persist:
+            meta = self.wh.read(self.meta_table).collect()[0].asDict()
+            # legacy metas lack the r13 fields: absent means the store
+            # predates them — unpartitioned, raw codes, no sample spec
+            row = (
+                meta["id_col"], meta["vec_col"], meta["m"],
+                meta["n_codes"], meta["dim"], meta["versioned"],
+                meta.get("n_cells"), meta.get("cell_col"),
+                bool(meta.get("residual")), meta.get("train_spec"),
+                bool(meta.get("partitioned")), int(nprobe),
+            )
+            self.wh.overwrite(
+                self.meta_table,
+                self.wh.spark.createDataFrame([row], self._META_SCHEMA),
+            )
+            if self.versioned:
+                v, layout = self._version_row()
+                if layout is not None:
+                    self.wh.overwrite(
+                        self.version_table,
+                        self.wh.spark.createDataFrame(
+                            [(
+                                int(v),
+                                layout.get("n_cells"),
+                                layout.get("cell_col"),
+                                layout.get("m"),
+                                layout.get("n_codes"),
+                                layout.get("dim"),
+                                bool(layout.get("residual")),
+                                layout.get("partitioned"),
+                                int(nprobe),
+                            )],
+                            "version int, n_cells int, cell_col string, "
+                            "m int, n_codes int, dim int, "
+                            "residual boolean, partitioned boolean, "
+                            "default_nprobe int",
+                        ),
+                    )
+        return {
+            "default_nprobe": int(nprobe),
+            "recall": trace[nprobe],
+            "met_target": trace[nprobe] >= recall_target,
+            "trace": trace,
+            "n_probes": int(n_probes),
+            "k": int(k),
+            "rerank": bool(rerank),
+        }
+
     def topk(
         self,
         queries: DataFrame,
         k: int = 10,
-        nprobe: int = 2,
+        nprobe: int | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
         sim_round: int | None = 6,
@@ -1052,12 +1257,17 @@ class PqIndex:
     ) -> DataFrame:
         """Serve ADC top-k; in IVF-PQ mode only the `nprobe` probed
         cells' partitions are read (file-level pruning — the probe
-        frame broadcasts). `rerank`/`shortlist`/`keep_adc` — see
-        pq_topk."""
+        frame broadcasts). nprobe=None (default) serves at the
+        MEASURED `default_nprobe` calibrate_nprobe stored (atomic
+        with the version in versioned mode), falling back to 2 when
+        no calibration ran — the IvfIndex.topk convention.
+        `rerank`/`shortlist`/`keep_adc` — see pq_topk."""
         # ONE pointer read resolves tables + layout together — a
         # concurrent rebuild flip can no longer pair one version's
         # codes with another's codebooks or layout (ADVICE r12)
         stored, (codes_t, books_t, cells_t) = self._resolve()
+        if nprobe is None:
+            nprobe = stored.get("default_nprobe") or 2
         model = self._model(books_t)
         cents = (
             self.wh.read(cells_t)

@@ -519,7 +519,7 @@ def test_residual_absorb_and_pointer_layout_atomicity(spark, tmp_path):
         spark.createDataFrame(
             [(
                 good_meta["id_col"], good_meta["vec_col"], 99, 99, 99,
-                True, None, "pq_cell", False, None, False,
+                True, None, "pq_cell", False, None, False, None,
             )],
             PqIndex._META_SCHEMA,
         ),
@@ -816,3 +816,84 @@ def test_celled_absorb_keeps_duplicate_id_rows(spark, tmp_path):
     # and each row was assigned its OWN nearest cell (two different
     # source vectors from two different planted clusters)
     assert got.select("pq_cell").distinct().count() == 2
+
+
+def test_pq_calibrate_nprobe_measured_default(spark, tmp_path):
+    """Round 13: auto-nprobe for the IVF-PQ store — the measured-gate
+    convention applied to the compression rung. Planted arc corpus
+    (the IvfIndex calibration fixture): cells are arc segments, a
+    boundary query's true neighbors straddle cells, so nprobe=1
+    provably under-recalls; calibration walks nprobe up, stores the
+    default in the meta AND the versioned pointer row, and
+    topk(nprobe=None) serves at it. build(nprobe_recall_target=)
+    commits a freshly measured default WITH the new version; a plain
+    rebuild resets it (new geometry, stale measurement)."""
+    import math
+
+    from etl_process_for_fraud_transactions_spark.operators.pq import PqIndex
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    rows = [
+        (i, [math.cos(math.radians(t)), math.sin(math.radians(t))])
+        for i, t in enumerate([i * (180.0 / 39.0) for i in range(40)])
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = PqIndex(wh, name="cal", versioned=True)
+    idx.build(corpus, m=2, n_codes=8, seed=7, max_iter=10, n_cells=4)
+
+    calib = idx.calibrate_nprobe(
+        corpus, recall_target=0.95, n_probes=16, k=5, seed=7
+    )
+    assert calib["trace"][1] < 0.95  # nprobe=1 provably under-recalls
+    assert calib["met_target"] and calib["default_nprobe"] > 1
+    meta = wh.read(idx.meta_table).collect()[0].asDict()
+    assert meta["default_nprobe"] == calib["default_nprobe"]
+    _, layout = idx._version_row()
+    assert layout["default_nprobe"] == calib["default_nprobe"]
+
+    probes = corpus.filter(
+        F.col("vec_id").isin([0, 7, 14, 21, 28, 35])
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    key = lambda df: sorted(
+        (r["query_id"], r["rank"], r["vec_id"]) for r in df.collect()
+    )
+    assert key(idx.topk(probes, k=5)) == key(
+        idx.topk(probes, k=5, nprobe=calib["default_nprobe"])
+    )
+    assert key(idx.topk(probes, k=5)) != key(
+        idx.topk(probes, k=5, nprobe=1)
+    )
+
+    # build-time calibration: the new version's pointer row carries a
+    # default measured on ITS geometry
+    idx.build(
+        corpus, m=2, n_codes=8, seed=9, max_iter=10, n_cells=4,
+        nprobe_recall_target=0.95,
+    )
+    v, layout = idx._version_row()
+    assert v == 2 and layout["default_nprobe"] is not None
+
+    # a plain rebuild RESETS the default
+    idx.build(corpus, m=2, n_codes=8, seed=11, max_iter=10, n_cells=4)
+    _, layout = idx._version_row()
+    assert layout["default_nprobe"] is None
+    assert wh.read(idx.meta_table).collect()[0]["default_nprobe"] is None
+
+    # flat stores have no probe width to calibrate
+    flat = PqIndex(wh, name="flatcal")
+    flat.build(corpus, m=2, n_codes=8, seed=7, max_iter=10)
+    with pytest.raises(ValueError, match="probe width"):
+        flat.calibrate_nprobe(corpus)
+    with pytest.raises(ValueError, match="probe width"):
+        flat.build(
+            corpus, m=2, n_codes=8, seed=7, max_iter=10,
+            nprobe_recall_target=0.95,
+        )
