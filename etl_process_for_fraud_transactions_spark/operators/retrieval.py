@@ -1063,7 +1063,17 @@ def hybrid_topk(
     nprobe=None (round 12) lets the vector leg serve at the IvfIndex's
     MEASURED default (calibrate_nprobe's stored value, falling back to
     the historical 2 on uncalibrated stores) — an explicit int still
-    wins, so pre-round-12 callers are unchanged."""
+    wins, so pre-round-12 callers are unchanged.
+
+    The vector leg is DUCK-TYPED (round 13): any index exposing
+    `.topk(queries, k=, nprobe=, sim_round=)` and `.id_col` serves —
+    IvfIndex (float/int8 store, exact cosine inside probed cells) or
+    PqIndex (compressed codes, ADC ranking; its nprobe=None likewise
+    serves the calibrated default). RRF consumes leg RANKS only, so
+    the legs' different score columns (cos_sim vs adc_sim) fuse
+    unchanged — swapping the vector store for its 20x-compressed
+    rung is a one-argument change to the serving path (pinned in
+    tests/test_pq.py)."""
     bm_leg = bm25_index.topk(term_queries, topk=leg_k, max_df_frac=max_df_frac)
     vec_leg = ivf_index.topk(
         vec_queries, k=leg_k, nprobe=nprobe, sim_round=sim_round

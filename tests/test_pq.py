@@ -897,3 +897,50 @@ def test_pq_calibrate_nprobe_measured_default(spark, tmp_path):
             corpus, m=2, n_codes=8, seed=7, max_iter=10,
             nprobe_recall_target=0.95,
         )
+
+
+def test_hybrid_topk_composes_with_pq_index(spark, tmp_path):
+    """Round 13: the hybrid serving path is duck-typed on the vector
+    leg — swapping the IvfIndex for its compressed PqIndex rung is a
+    one-argument change. Pins: the fused output has both leg ranks,
+    the PQ leg serves at its calibrated default (nprobe=None), and a
+    doc surfaced only by the keyword leg still fuses in."""
+    from etl_process_for_fraud_transactions_spark.operators.pq import PqIndex
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+        hybrid_topk,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    rows, corpus = _clustered_corpus(spark, per_cell=15)
+    docs = spark.createDataFrame(
+        [
+            (i, "hash join merge" if i % 3 == 0 else "window sort group")
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    bm = Bm25Index(wh, name="hb")
+    bm.build(docs)
+    pq = PqIndex(wh, name="hp", id_col="vec_id")
+    pq.build(corpus, m=4, n_codes=8, seed=2, max_iter=10, n_cells=4)
+    pq.calibrate_nprobe(corpus, recall_target=0.9, n_probes=8, k=5)
+
+    vq = spark.createDataFrame(
+        [("q0", rows[3][1])], "query_id string, query_vec array<double>"
+    )
+    fused = hybrid_topk(
+        {"q0": ["hash", "join"]}, vq, bm, pq, k=10, leg_k=20
+    )
+    got = fused.collect()
+    assert {"query_id", "rank", "doc_id", "bm25_rank", "vec_rank"} <= set(
+        fused.columns
+    )
+    assert len(got) == 10
+    # both legs contributed: some hits have a vec rank, some a bm25
+    # rank (doc ids 3-adjacent vectors vs 'hash join' docs)
+    assert any(r["vec_rank"] is not None for r in got)
+    assert any(r["bm25_rank"] is not None for r in got)
