@@ -1293,6 +1293,58 @@ class PqIndex:
             keep_adc=keep_adc,
         )
 
+    def cell_skew(self) -> dict:
+        """Measured cell-balance probe for the IVF-PQ store — the
+        IvfIndex.cell_skew convention on the codes table: one
+        column-pruned aggregate over cell ids (map-side partial
+        aggregation to <= n_cells rows). Absorb freezes BOTH the
+        centroids and the codebooks, so a drifting stream degrades
+        balance (a fat cell slows every probe that touches it) AND
+        quantization fit (residuals/vectors leave the region the
+        codebooks were trained on) — this probe measures the first,
+        which is the observable proxy for the second. One _resolve()
+        call: the codes table and n_cells come from the same pointer
+        read, so a concurrent rebuild flip cannot produce a phantom
+        verdict. Raises on flat stores (no cells to balance)."""
+        stored, (codes_t, _, _) = self._resolve()
+        if stored.get("n_cells") is None:
+            raise ValueError(
+                f"PqIndex '{self.name}': cell_skew needs an IVF-PQ "
+                "store (n_cells) — a flat store has no cells"
+            )
+        counts = (
+            self.wh.read(codes_t)
+            .groupBy(self.cell_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        row = counts.agg(
+            F.sum("__n").alias("total"),
+            F.count(F.lit(1)).alias("occupied"),
+            F.max("__n").alias("max_cell"),
+        ).first()
+        n_cells = int(stored["n_cells"])
+        total = row["total"] or 0
+        max_cell = row["max_cell"] or 0
+        skew = (
+            max_cell / (total / n_cells) if total and n_cells else 0.0
+        )
+        return {
+            "n_vectors": total,
+            "n_cells_stored": n_cells,
+            "n_cells_occupied": row["occupied"],
+            "max_cell_rows": max_cell,
+            "skew": skew,
+        }
+
+    def needs_retrain(self, max_skew: float = 4.0) -> bool:
+        """True when the measured cell skew exceeds `max_skew` — the
+        IvfIndex convention (4.0 tolerates healthy non-uniformity
+        while catching absorb-under-drift). The remedy is a rebuild
+        (versioned stores flip atomically); rebuilds retrain the
+        coarse quantizer AND the codebooks, so the fix covers both
+        failure modes the class docstring names."""
+        return self.cell_skew()["skew"] > max_skew
+
     def prune_versions(self, keep: int = 1) -> list[str]:
         """Delete old versions (keep = how many most-recent versions
         to retain; see Bm25Index.prune_versions for the in-flight

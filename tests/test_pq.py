@@ -944,3 +944,51 @@ def test_hybrid_topk_composes_with_pq_index(spark, tmp_path):
     # rank (doc ids 3-adjacent vectors vs 'hash join' docs)
     assert any(r["vec_rank"] is not None for r in got)
     assert any(r["bm25_rank"] is not None for r in got)
+
+
+def test_pq_cell_skew_and_sink_drift_gate(spark, tmp_path):
+    """Round 13: the PQ sink gains the ivf_absorb_sink drift gate.
+    (a) cell_skew is a measured probe — a planted-hot-cell stream
+    (every absorbed vector lands in one cell) trips needs_retrain
+    while the balanced build does not; (b) a probing epoch writes the
+    durable one-row health marker and replays converge; (c) flat
+    stores refuse cell_skew and max_skew up front."""
+    from etl_process_for_fraud_transactions_spark.operators.pq import PqIndex
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+    from etl_process_for_fraud_transactions_spark.streaming.upsert import (
+        pq_absorb_sink,
+    )
+
+    rows, corpus = _clustered_corpus(spark, per_cell=15)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = PqIndex(wh, name="sk", partitioned=True)
+    idx.build(corpus, m=4, n_codes=8, seed=2, max_iter=10, n_cells=4)
+    s0 = idx.cell_skew()
+    assert s0["n_vectors"] == 60 and s0["n_cells_stored"] == 4
+    assert not idx.needs_retrain(max_skew=2.0)
+
+    # drift: a stream that piles into cluster 0's frozen cell
+    drift = spark.createDataFrame(
+        [(2000 + i, rows[3][1]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    sink = pq_absorb_sink(idx, max_skew=2.0)
+    sink(drift, 1)
+    s1 = idx.cell_skew()
+    assert s1["skew"] > 2.0 and idx.needs_retrain(max_skew=2.0)
+    health = wh.read("sk_health").collect()[0]
+    assert health["needs_retrain"] is True
+    assert health["as_of_batch"] == "1"
+    sink(drift, 1)  # replayed probing epoch: idempotent marker + rows
+    assert wh.read(idx.codes_table).count() == 60 + 120
+    assert wh.read("sk_health").count() == 1
+
+    # flat stores refuse loudly
+    flat = PqIndex(wh, name="skflat", partitioned=True)
+    flat.build(corpus, m=4, n_codes=8, seed=2, max_iter=10)
+    with pytest.raises(ValueError, match="no cells"):
+        flat.cell_skew()
+    with pytest.raises(ValueError, match="cells to probe"):
+        pq_absorb_sink(flat, max_skew=2.0)
