@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .epochs import guard_sentinel_batch, replay_skippable
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array columns, as a single codegen'd
@@ -548,14 +550,20 @@ class IvfIndex:
         return lo
 
     def _write_meta(
-        self, n_cells: int, dim: int, default_nprobe: int | None = None
+        self,
+        n_cells: int,
+        dim: int,
+        default_nprobe: int | None = None,
+        compacted_through: int | None = None,
     ) -> None:
         # default_nprobe: the MEASURED serving default written by
         # calibrate_nprobe (round 12) — NULL until a calibration runs,
         # and reset to NULL by build/retrain (new geometry invalidates
         # the old measurement) unless they re-calibrate. Extra meta
         # columns are layout-safe: _validate compares only the
-        # identity keys.
+        # identity keys. compacted_through (round 13): the replay
+        # watermark compact() records — build resets it, retrain
+        # carries it (see operators/epochs.py).
         self.wh.overwrite(
             self.meta_table,
             self.wh.spark.createDataFrame(
@@ -570,14 +578,34 @@ class IvfIndex:
                         self.quantized,
                         self.versioned,
                         default_nprobe,
+                        compacted_through,
                     )
                 ],
                 "id_col string, vec_col string, cell_col string, "
                 "n_cells int, dim int, partitioned boolean, "
                 "quantized boolean, versioned boolean, "
-                "default_nprobe int",
+                "default_nprobe int, compacted_through long",
             ),
         )
+        self._stored_meta = self.wh.read(self.meta_table).collect()[0].asDict()
+
+    def _watermark(self) -> int | None:
+        """The compaction replay watermark, read FRESH per call (the
+        cached `_stored_meta` may predate a concurrent compact): from
+        the version pointer row in versioned mode (it commits with
+        the flip), else from the meta table. None = never compacted
+        (legacy rows simply lack the column)."""
+        if self.versioned:
+            if not self.wh.exists(self.version_table):
+                return None
+            row = self.wh.read(self.version_table).collect()[0].asDict()
+            wm = row.get("compacted_through")
+        else:
+            if not self.wh.exists(self.meta_table):
+                return None
+            row = self.wh.read(self.meta_table).collect()[0].asDict()
+            wm = row.get("compacted_through")
+        return None if wm is None else int(wm)
 
     def _store_cols(self, assigned: DataFrame) -> DataFrame:
         """Project the frame to its at-rest layout: float arrays, or
@@ -708,8 +736,21 @@ class IvfIndex:
         dynamic partition overwrite of that epoch's (cell, batch)
         partitions — assignment is deterministic given the (frozen)
         centroids, so a replayed streaming epoch rewrites exactly the
-        same rows instead of duplicating them."""
+        same rows instead of duplicating them.
+
+        Compacted stores (round 13, operators/epochs.py): an epoch
+        <= the recorded `compacted_through` watermark is a REPLAY of
+        rows already merged into the `__compacted__` partition —
+        absorb no-ops instead of duplicating them (the one fresh
+        one-row watermark read per call is noise next to the
+        centroid read)."""
         self._validate(new_vectors, self.vec_col)
+        if batch is not None:
+            guard_sentinel_batch(batch)
+            if self.partitioned and replay_skippable(
+                batch, self._watermark()
+            ):
+                return
         vec_t, cent_t = self._table_names()
         cents = self.wh.read(cent_t)
         # assignment is per ROW, not per id: an id_col-partitioned
@@ -751,6 +792,112 @@ class IvfIndex:
             assigned.write.mode("append").partitionBy(self.cell_col).parquet(
                 self.wh.path(vec_t)
             )
+
+    def compact(self, files_per_partition: int = 1) -> dict:
+        """Epoch-partition maintenance (round 13, operators/epochs.py
+        has the full semantics): collapse every `__batch` partition
+        into one `__compacted__` stamp, preserving the cell level —
+        a pure LAYOUT rewrite (one shuffle keyed on the partition
+        columns; nothing is re-assigned or re-trained, unlike
+        retrain()), recording the `compacted_through` replay
+        watermark that absorb() skips against.
+
+        Why it matters at scale: a 1-minute streaming trigger writes
+        ~1,440 epoch directories a day under EVERY cell — after a
+        month, a 64-cell store lists ~2.7M partition directories and
+        opens millions of tiny files per probe; probing nprobe cells
+        is only file-level pruning if each cell is a handful of
+        well-sized files. Serving output is bit-identical (same rows,
+        same arithmetic) — only the file layout changes.
+
+        Non-versioned stores persist the watermark BEFORE the data
+        swap (either crash side is correct — see epochs.py);
+        versioned stores write the collapsed tables off to the side
+        and commit watermark + layout in the one pointer flip.
+
+        Returns {"stamps_merged", "compacted_through",
+        "files_before", "files_after"}."""
+        from ..sources.warehouse import atomic_overwrite
+        from .epochs import (
+            collapse_epochs,
+            epoch_watermark,
+            parquet_file_count,
+        )
+
+        self._validate()
+        if not self.partitioned:
+            raise ValueError(
+                f"IvfIndex '{self.name}': compact() is epoch-partition "
+                "maintenance — only a partitioned=True store "
+                "accumulates __batch partitions"
+            )
+        if not hasattr(self, "_stored_meta"):
+            raise ValueError(
+                f"IvfIndex '{self.name}': compact() needs the meta "
+                "marker to record the replay watermark — pre-meta "
+                "stores must rebuild once"
+            )
+        meta = self._stored_meta
+        if self.versioned:
+            cur = self._current_version()
+            cur_vec, cur_cent = self._table_names(cur)
+            new_vec, new_cent = self._table_names(cur + 1)
+        else:
+            cur_vec = new_vec = self.vectors_table
+            cur_cent = new_cent = self.centroids_table
+        # raw at-rest read: quantized stores keep their int8 codes
+        # byte-identical through the rewrite
+        vecs = self.wh.read(cur_vec)
+        stamps = [
+            r["__batch"]
+            for r in vecs.select("__batch").distinct().collect()
+        ]
+        wm = epoch_watermark(stamps, self._watermark())
+        files_before = parquet_file_count(self.wh.path(cur_vec))
+        collapsed = collapse_epochs(
+            vecs,
+            "__batch",
+            [self.cell_col, "__batch"],
+            self.id_col,
+            files_per_partition,
+        )
+        if self.versioned:
+            atomic_overwrite(
+                collapsed,
+                self.wh.path(new_vec),
+                partition_by=[self.cell_col, "__batch"],
+            )
+            self.wh.overwrite(new_cent, self.wh.read(cur_cent))
+            # the commit point: collapsed tables + watermark flip as one
+            self._write_version(
+                cur + 1, meta["n_cells"], compacted_through=wm
+            )
+            self._write_meta(
+                meta["n_cells"],
+                meta["dim"],
+                default_nprobe=meta.get("default_nprobe"),
+                compacted_through=wm,
+            )
+        else:
+            # watermark FIRST: a crash after it leaves replays
+            # skipping partitions that still exist with identical rows
+            self._write_meta(
+                meta["n_cells"],
+                meta["dim"],
+                default_nprobe=meta.get("default_nprobe"),
+                compacted_through=wm,
+            )
+            atomic_overwrite(
+                collapsed,
+                self.wh.path(cur_vec),
+                partition_by=[self.cell_col, "__batch"],
+            )
+        return {
+            "stamps_merged": len(stamps),
+            "compacted_through": wm,
+            "files_before": files_before,
+            "files_after": parquet_file_count(self.wh.path(new_vec)),
+        }
 
     def cell_skew(self) -> dict:
         """Measured cell-balance probe (VERDICT r10 item 5): one
@@ -920,10 +1067,10 @@ class IvfIndex:
             nprobe = min(nprobe * 2, int(n_cells))
         meta = self._stored_meta
         self._write_meta(
-            meta["n_cells"], meta["dim"], default_nprobe=int(nprobe)
-        )
-        self._stored_meta = (
-            self.wh.read(self.meta_table).collect()[0].asDict()
+            meta["n_cells"],
+            meta["dim"],
+            default_nprobe=int(nprobe),
+            compacted_through=meta.get("compacted_through"),
         )
         return {
             "default_nprobe": int(nprobe),
@@ -980,6 +1127,10 @@ class IvfIndex:
                 if getattr(self, "_stored_meta", None)
                 else 16
             )
+        # retrain PRESERVES row-level __batch stamps (docstring), so
+        # replay targeting — and therefore the compaction watermark —
+        # carries forward; only build() resets it (fresh lineage)
+        wm = self._watermark()
         if self.versioned:
             cur = self._current_version()
             cur_vec, _ = self._table_names(cur)
@@ -1006,9 +1157,10 @@ class IvfIndex:
             ),
         )
         self._write_meta(
-            n_cells, self._frame_dim(self._read_vectors(new_vec), self.vec_col)
+            n_cells,
+            self._frame_dim(self._read_vectors(new_vec), self.vec_col),
+            compacted_through=wm,
         )
-        self._stored_meta = self.wh.read(self.meta_table).collect()[0].asDict()
         if nprobe_recall_target is not None:
             # re-measure the serving default on the NEW geometry (and
             # in versioned mode commit it with the same pointer flip)
@@ -1021,13 +1173,19 @@ class IvfIndex:
             # the single commit point: everything above wrote OFF TO
             # THE SIDE; serving keeps reading version `cur` until this
             # one-row atomic overwrite flips the pointer
-            self._write_version(cur + 1, n_cells)
+            self._write_version(cur + 1, n_cells, compacted_through=wm)
 
-    def _write_version(self, version: int, n_cells: int) -> None:
+    def _write_version(
+        self,
+        version: int,
+        n_cells: int,
+        compacted_through: int | None = None,
+    ) -> None:
         self.wh.overwrite(
             self.version_table,
             self.wh.spark.createDataFrame(
-                [(int(version), int(n_cells))], "version int, n_cells int"
+                [(int(version), int(n_cells), compacted_through)],
+                "version int, n_cells int, compacted_through long",
             ),
         )
 
