@@ -57,6 +57,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .epochs import guard_sentinel_batch, replay_skippable
 from .text import tokens
 
 __all__ = [
@@ -473,16 +474,20 @@ class Bm25Index:
     def version_table(self) -> str:
         return f"{self.name}_version"
 
-    def _version_row(self) -> tuple[int, str | None]:
-        """(version, id_type) from ONE read of the one-row pointer
-        table — every versioned decision in a call derives from this
-        single row, so a concurrent rebuild flip can never pair one
-        version's layout with another's metadata (the ADVICE-r11
-        cell_skew lesson, applied here from the start). id_type rides
-        in the pointer row (round 12) so it commits ATOMICALLY with
-        the version it describes — the shared meta table is refreshed
-        only after the flip and is never the source of truth for a
-        versioned index's id column type."""
+    def _version_row(self) -> tuple[int, str | None, int | None]:
+        """(version, id_type, compacted_through) from ONE read of the
+        one-row pointer table — every versioned decision in a call
+        derives from this single row, so a concurrent rebuild flip can
+        never pair one version's layout with another's metadata (the
+        ADVICE-r11 cell_skew lesson, applied here from the start).
+        id_type rides in the pointer row (round 12) so it commits
+        ATOMICALLY with the version it describes — the shared meta
+        table is refreshed only after the flip and is never the source
+        of truth for a versioned index's id column type.
+        compacted_through (round 13, operators/epochs.py) is the
+        replay watermark: it commits with the compaction flip the same
+        way, so absorb's skip decision and the tables it would write
+        always come from one version."""
         if not self.wh.exists(self.version_table):
             raise ValueError(
                 f"Bm25Index '{self.name}' is versioned but has no "
@@ -490,8 +495,14 @@ class Bm25Index:
                 "writes the pointer) or fix the warehouse root"
             )
         row = self.wh.read(self.version_table).collect()[0].asDict()
-        # pointer rows written before round 12 carry only `version`
-        return int(row["version"]), row.get("id_type")
+        # pointer rows written before round 12 carry only `version`;
+        # pre-round-13 rows lack the watermark (never compacted)
+        wm = row.get("compacted_through")
+        return (
+            int(row["version"]),
+            row.get("id_type"),
+            None if wm is None else int(wm),
+        )
 
     def _current_version(self) -> int:
         return self._version_row()[0]
@@ -542,20 +553,48 @@ class Bm25Index:
             "versioned": self.versioned,
         }
 
-    def _write_meta(self, id_type: str = "bigint") -> None:
+    def _write_meta(
+        self,
+        id_type: str = "bigint",
+        compacted_through: int | None = None,
+    ) -> None:
         # id_type rides along (outside the _params equality check) so
         # topk's day-zero empty frame matches the populated-index id
         # column type — a string-keyed corpus must not lock a bigint
-        # schema into a downstream unionByName/writer (ADVICE r10)
+        # schema into a downstream unionByName/writer (ADVICE r10).
+        # compacted_through (round 13) is the replay watermark for the
+        # NON-versioned layout — persisted BEFORE compact()'s data
+        # swap (epochs.py crash ordering); versioned stores carry it
+        # in the pointer row instead.
         self.wh.overwrite(
             self.meta_table,
             self.wh.spark.createDataFrame(
-                [tuple(self._params().values()) + (id_type,)],
+                [
+                    tuple(self._params().values())
+                    + (id_type, compacted_through)
+                ],
                 "text_col string, id_col string, n_buckets int, "
                 "k1 double, b double, partitioned boolean, "
-                "versioned boolean, id_type string",
+                "versioned boolean, id_type string, "
+                "compacted_through long",
             ),
         )
+
+    def _watermark(self) -> int | None:
+        """The replay watermark (None = never compacted): pointer row
+        for versioned stores, meta row otherwise. Legacy rows lack the
+        column — such stores were never compacted."""
+        if self.versioned:
+            return self._version_row()[2]
+        if not self.wh.exists(self.meta_table):
+            return None
+        wm = (
+            self.wh.read(self.meta_table)
+            .collect()[0]
+            .asDict()
+            .get("compacted_through")
+        )
+        return None if wm is None else int(wm)
 
     def _validate(self) -> None:
         if getattr(self, "_params_ok", False):
@@ -565,9 +604,11 @@ class Bm25Index:
             return
         stored = self.wh.read(self.meta_table).collect()[0].asDict()
         # metas written before the partitioned/versioned flags take
-        # their defaults; id_type is layout metadata, not identity
+        # their defaults; id_type and the compaction watermark are
+        # layout metadata, not identity
         stored = {"partitioned": False, "versioned": False, **stored}
         stored.pop("id_type", None)
+        stored.pop("compacted_through", None)
         if stored != self._params():
             raise ValueError(
                 f"Bm25Index '{self.name}' was built with {stored}, but "
@@ -681,11 +722,16 @@ class Bm25Index:
         id_type = docs.schema[self.id_col].dataType.simpleString()
         if self.versioned:
             # the commit point: the new version AND its id_type become
-            # visible in this one atomic pointer flip
+            # visible in this one atomic pointer flip. The replay
+            # watermark RESETS to None — a rebuild indexes a
+            # caller-supplied corpus under a fresh __build__ stamp, so
+            # the old epoch lineage is meaningless (epochs.py: restart
+            # the stream from a fresh checkpoint after a rebuild)
             self.wh.overwrite(
                 self.version_table,
                 self.wh.spark.createDataFrame(
-                    [(int(new_v), id_type)], "version int, id_type string"
+                    [(int(new_v), id_type, None)],
+                    "version int, id_type string, compacted_through long",
                 ),
             )
         self._write_meta(id_type=id_type)
@@ -725,9 +771,34 @@ class Bm25Index:
         replayed batch duplicates postings; see the class docstring.
         Partitioned index: `batch` is required and the write is a
         dynamic partition overwrite of that epoch's partitions, so a
-        re-offered epoch rewrites exactly its own rows."""
+        re-offered epoch rewrites exactly its own rows.
+
+        Compacted stores (round 13, operators/epochs.py): an epoch
+        <= the recorded `compacted_through` watermark is a REPLAY of
+        rows already merged into the `__compacted__` partitions —
+        absorb no-ops instead of duplicating them. A batch id that
+        collides with a maintenance stamp is always refused: writing
+        a caller batch under `__build__` would dynamic-overwrite the
+        build partition itself."""
         self._validate()
-        post_t, dl_t, stats_t = self._table_names()  # one pointer read
+        if batch is not None:
+            guard_sentinel_batch(batch)
+        if self.versioned:
+            # ONE pointer read: the skip decision (watermark) and the
+            # tables a non-skipped absorb writes come from the same row
+            v, _, wm = self._version_row()
+            post_t, dl_t, stats_t = self._table_names(v)
+        else:
+            post_t, dl_t, stats_t = self._table_names()
+            # one fresh one-row meta read per call — noise next to the
+            # tokenize/aggregate work (the IvfIndex.absorb precedent)
+            wm = self._watermark() if self.partitioned else None
+        if (
+            self.partitioned
+            and batch is not None
+            and replay_skippable(batch, wm)
+        ):
+            return
         # legacy upgrade (round 12 self-review): an index BUILT before
         # the stats table existed must not let this absorb create a
         # stats table holding ONLY the new batch — topk would prefer
@@ -810,6 +881,208 @@ class Bm25Index:
                 ),
             )
 
+    def compact(
+        self,
+        files_per_partition: int = 1,
+        through: int | None = None,
+    ) -> dict:
+        """Epoch-partition maintenance (round 13, operators/epochs.py
+        has the full semantics): collapse `__batch` partitions into
+        one `__compacted__` stamp — postings keep the `__tb`
+        term-bucket level (query pruning is unchanged), doclens
+        collapse to one partition, and the merged epochs' stats rows
+        SUM into a single (`__compacted__`, n_docs, sum_dl) row, so
+        serving's N/avgdl read shrinks back to O(1) rows no matter
+        how many epochs were absorbed. The sums are exact integers —
+        post-compaction scores are bit-identical. A pure LAYOUT
+        rewrite: nothing is retokenized (unlike build()).
+
+        Why it matters at scale: a 1-minute trigger writes ~1,440
+        epoch directories a day under EVERY term bucket — after a
+        month a 64-bucket store lists ~2.7M partition directories and
+        a 3-term query opens ~130k tiny files; bucket pruning is only
+        file-level pruning when each bucket is a handful of
+        well-sized files.
+
+        `through` bounds WHICH epochs merge (integer epoch ids
+        <= through; maintenance stamps always merge): epochs above it
+        keep their own partitions and stay individually replayable.
+        Structured Streaming processes epochs serially, so every
+        epoch below the latest is fully committed — pass
+        `through = latest_epoch - 1` to compact under a LIVE stream.
+        The default (None, merge everything) is for a quiesced
+        stream: the newest epoch might be a partially-written crash
+        victim, and merging it bakes the partial rows in where the
+        replay can no longer repair them (epochs.py has the full
+        argument).
+
+        Non-versioned stores persist the watermark BEFORE the data
+        swap (either crash side is correct — see epochs.py);
+        versioned stores write the collapsed tables off to the side
+        and commit watermark + layout in the one pointer flip.
+
+        Returns {"stamps_merged", "compacted_through",
+        "files_before", "files_after"}."""
+        from ..sources.warehouse import atomic_overwrite
+        from .epochs import (
+            COMPACTED_STAMP,
+            SENTINEL_STAMPS,
+            collapse_epochs,
+            epoch_watermark,
+            parquet_file_count,
+        )
+
+        self._validate()
+        if not self.partitioned:
+            raise ValueError(
+                f"Bm25Index '{self.name}': compact() is epoch-partition "
+                "maintenance — only a partitioned=True store "
+                "accumulates __batch partitions"
+            )
+        if not self.wh.exists(self.meta_table):
+            raise ValueError(
+                f"Bm25Index '{self.name}': no meta marker — run build()"
+            )
+        meta = self.wh.read(self.meta_table).collect()[0].asDict()
+        if self.versioned:
+            cur, id_type, prev_wm = self._version_row()
+            if id_type is None:  # legacy pre-r12 pointer
+                id_type = meta.get("id_type") or "bigint"
+            cur_post, cur_dl, cur_stats = self._table_names(cur)
+            new_post, new_dl, new_stats = self._table_names(cur + 1)
+        else:
+            id_type = meta.get("id_type") or "bigint"
+            prev_wm = meta.get("compacted_through")
+            prev_wm = None if prev_wm is None else int(prev_wm)
+            cur_post = new_post = self._table_names()[0]
+            cur_dl = new_dl = self._table_names()[1]
+            cur_stats = new_stats = self._table_names()[2]
+        # stats is the COMPLETE epoch record — an empty epoch writes a
+        # (0, 0) stats row but no postings/doclens files, and its stamp
+        # must still advance the watermark or its replay would append a
+        # duplicate stats row after compaction. The stamp column is
+        # cast to string up front: partition-type inference reads an
+        # all-numeric-epoch store's __batch as int, and the
+        # restamp-to-__compacted__ union must not mix types.
+        def _stamped(table):
+            return self.wh.read(table).withColumn(
+                _BATCH_COL, F.col(_BATCH_COL).cast("string")
+            )
+
+        stats = _stamped(cur_stats)
+        stamps = {r[_BATCH_COL] for r in stats.select(_BATCH_COL).distinct().collect()}
+        post = dl = None
+        if self.wh.exists(cur_post):
+            post = _stamped(cur_post)
+            stamps |= {
+                r[_BATCH_COL]
+                for r in post.select(_BATCH_COL).distinct().collect()
+            }
+        if self.wh.exists(cur_dl):
+            dl = _stamped(cur_dl)
+        # integer-orderability check over ALL stamps first (raises on
+        # ad-hoc ids — they cannot be ordered against `through` or the
+        # watermark), then the merge subset and its watermark
+        epoch_watermark(stamps)
+        merged = sorted(
+            s
+            for s in stamps
+            if s in SENTINEL_STAMPS
+            or through is None
+            or int(s) <= int(through)
+        )
+        wm = epoch_watermark(merged, prev_wm)
+        files_before = (
+            parquet_file_count(self.wh.path(cur_post))
+            if post is not None
+            else 0
+        )
+
+        def _split(df):
+            return (
+                df.filter(F.col(_BATCH_COL).isin(merged)),
+                df.filter(~F.col(_BATCH_COL).isin(merged)),
+            )
+
+        writes = []
+        if post is not None:
+            merge_p, keep_p = _split(post)
+            writes.append((
+                new_post,
+                collapse_epochs(
+                    merge_p, _BATCH_COL, ["__tb", _BATCH_COL],
+                    self.id_col, files_per_partition,
+                ).unionByName(keep_p),
+                ["__tb", _BATCH_COL],
+            ))
+        elif self.versioned:
+            writes.append((new_post, post, None))  # nothing to carry
+        if dl is not None:
+            merge_d, keep_d = _split(dl)
+            writes.append((
+                new_dl,
+                collapse_epochs(
+                    merge_d, _BATCH_COL, [_BATCH_COL],
+                    self.id_col, files_per_partition,
+                ).unionByName(keep_d),
+                [_BATCH_COL],
+            ))
+        merge_s, keep_s = _split(stats)
+        compacted_stats = merge_s.agg(
+            F.lit(COMPACTED_STAMP).alias(_BATCH_COL),
+            F.coalesce(F.sum("n_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.coalesce(F.sum("sum_dl"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_dl"),
+        )
+        writes.append((
+            new_stats,
+            compacted_stats.unionByName(
+                keep_s.select(_BATCH_COL, "n_docs", "sum_dl")
+            ),
+            [_BATCH_COL],
+        ))
+        if self.versioned:
+            for table, frame, parts in writes:
+                if frame is None:
+                    continue
+                atomic_overwrite(
+                    frame, self.wh.path(table), partition_by=parts
+                )
+            # the commit point: collapsed tables + watermark + id_type
+            # become visible in one pointer flip
+            self.wh.overwrite(
+                self.version_table,
+                self.wh.spark.createDataFrame(
+                    [(int(cur + 1), id_type, wm)],
+                    "version int, id_type string, compacted_through long",
+                ),
+            )
+            self._write_meta(id_type=id_type)
+        else:
+            # watermark FIRST: a crash after it leaves replays skipping
+            # partitions that still exist with identical rows, and
+            # re-running compact() converges (epochs.py crash ordering)
+            self._write_meta(id_type=id_type, compacted_through=wm)
+            for table, frame, parts in writes:
+                if frame is None:
+                    continue
+                atomic_overwrite(
+                    frame, self.wh.path(table), partition_by=parts
+                )
+        return {
+            "stamps_merged": len(merged),
+            "compacted_through": wm,
+            "files_before": files_before,
+            "files_after": (
+                parquet_file_count(self.wh.path(new_post))
+                if post is not None
+                else 0
+            ),
+        }
+
     def topk(
         self,
         queries: Mapping[str, Sequence[str]] | DataFrame,
@@ -860,7 +1133,7 @@ class Bm25Index:
                 # pre-round-12 pointer (no id_type column) falls back
                 # to the meta table — which may record the real type —
                 # before the 'bigint' default (ADVICE r12)
-                _, id_type = self._version_row()
+                _, id_type, _ = self._version_row()
                 if id_type is None and self.wh.exists(self.meta_table):
                     meta = (
                         self.wh.read(self.meta_table).collect()[0].asDict()

@@ -204,3 +204,168 @@ def test_ivf_versioned_compact_flips_pointer_and_retrain_carries_wm(
     assert idx._watermark() is None
     idx.absorb(_epoch(spark, [50]), batch=1)  # epoch ids start over
     assert 50 in {r.vec_id for r in wh.read(idx.vectors_table).collect()}
+
+
+# ---------------------------------------------------------------- BM25
+
+
+def _bm25(spark, tmp_path, **kw):
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "whbm"))
+    idx = Bm25Index(wh, n_buckets=4, partitioned=True, **kw)
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join hash"),
+            (2, "hash scan scan scan scan"),
+            (3, "merge sort merge sort"),
+            (4, "hash"),
+        ],
+        "doc_id: int, text: string",
+    )
+    idx.build(docs)
+    return wh, idx
+
+
+def _bm_epoch(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"hash probe word{i}") for i in ids],
+        "doc_id: int, text: string",
+    )
+
+
+def _bm_snapshot(idx):
+    return sorted(
+        tuple(r) for r in idx.topk({"q": ["hash", "probe"]}).collect()
+    )
+
+
+def test_bm25_compact_layout_stats_merge_and_replay(spark, tmp_path):
+    import os
+
+    wh, idx = _bm25(spark, tmp_path)
+    for b in (1, 2, 3):
+        idx.absorb(_bm_epoch(spark, [100 + b]), batch=b)
+    before = _bm_snapshot(idx)
+    stats_rows_before = wh.read(idx.stats_table).count()
+    assert stats_rows_before == 4  # __build__ + 3 epochs
+    files_before = E.parquet_file_count(wh.path(idx.postings_table))
+
+    report = idx.compact()
+    assert report["compacted_through"] == 3
+    assert report["stamps_merged"] == 4
+    assert report["files_after"] < files_before
+    # serving bit-identical: exact scores, not approximate
+    assert _bm_snapshot(idx) == before
+    # the serving-path stats read is O(1) rows again
+    stats = wh.read(idx.stats_table).collect()
+    assert len(stats) == 1
+    assert stats[0]["__batch"] == E.COMPACTED_STAMP
+    assert stats[0]["n_docs"] == 7 and stats[0]["sum_dl"] == 15 + 9
+    # term-bucket pruning level survives under each bucket dir
+    buckets = [
+        d
+        for d in os.listdir(wh.path(idx.postings_table))
+        if d.startswith("__tb=")
+    ]
+    assert buckets
+    for bdir in buckets:
+        subdirs = os.listdir(os.path.join(wh.path(idx.postings_table), bdir))
+        assert all(s == "__batch=__compacted__" for s in subdirs if s.startswith("__batch="))
+
+    # replayed epoch <= watermark: complete NO-OP (stats included)
+    idx.absorb(_bm_epoch(spark, [102]), batch=2)
+    assert wh.read(idx.stats_table).count() == 1
+    assert _bm_snapshot(idx) == before
+    # fresh epoch > watermark still absorbs and replays idempotently
+    idx.absorb(_bm_epoch(spark, [105]), batch=5)
+    after5 = _bm_snapshot(idx)
+    assert after5 != before
+    idx.absorb(_bm_epoch(spark, [105]), batch=5)  # replay: overwrite
+    assert _bm_snapshot(idx) == after5
+    assert wh.read(idx.stats_table).count() == 2
+    # reserved stamps always refused (bug fixed this round: an absorb
+    # under "__build__" would dynamic-overwrite the build partition)
+    with pytest.raises(ValueError, match="reserved"):
+        idx.absorb(_bm_epoch(spark, [106]), batch="__build__")
+    # non-integer epoch id on a compacted store fails loudly
+    with pytest.raises(ValueError, match="compacted through"):
+        idx.absorb(_bm_epoch(spark, [106]), batch="b6")
+
+    # a flat store has no epochs to compact
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    flat = Bm25Index(Warehouse(spark, str(tmp_path / "whbmflat")))
+    flat.build(_bm_epoch(spark, [1, 2]))
+    with pytest.raises(ValueError, match="partitioned"):
+        flat.compact()
+
+
+def test_bm25_compact_through_keeps_live_epochs_replayable(spark, tmp_path):
+    """`through` bounds the merge: epochs above it keep their own
+    partitions (still individually replayable — the live-stream
+    contract), and the watermark advances only to `through`."""
+    wh, idx = _bm25(spark, tmp_path)
+    for b in (1, 2, 3):
+        idx.absorb(_bm_epoch(spark, [100 + b]), batch=b)
+    before = _bm_snapshot(idx)
+
+    report = idx.compact(through=2)
+    assert report["compacted_through"] == 2
+    assert report["stamps_merged"] == 3  # __build__, 1, 2
+    assert _bm_snapshot(idx) == before
+    stamps = {
+        r["__batch"]
+        for r in wh.read(idx.stats_table).select("__batch").collect()
+    }
+    assert stamps == {E.COMPACTED_STAMP, "3"}
+    # epoch 3 is still individually replayable (its own partition)
+    idx.absorb(_bm_epoch(spark, [103]), batch=3)
+    assert _bm_snapshot(idx) == before
+    assert wh.read(idx.stats_table).count() == 2
+    # epoch 2 was merged: replay no-ops
+    idx.absorb(_bm_epoch(spark, [102]), batch=2)
+    assert wh.read(idx.stats_table).count() == 2
+    # second compaction folds epoch 3 in monotonically
+    report2 = idx.compact()
+    assert report2["compacted_through"] == 3
+    assert wh.read(idx.stats_table).count() == 1
+    assert _bm_snapshot(idx) == before
+
+
+def test_bm25_versioned_compact_flips_pointer(spark, tmp_path):
+    import os
+
+    wh, idx = _bm25(spark, tmp_path, versioned=True)
+    for b in (1, 2):
+        idx.absorb(_bm_epoch(spark, [100 + b]), batch=b)
+    before = _bm_snapshot(idx)
+    v0 = idx._current_version()
+
+    report = idx.compact()
+    assert idx._current_version() == v0 + 1
+    assert idx._watermark() == 2 == report["compacted_through"]
+    # old version intact until pruned (lagging readers)
+    assert os.path.isdir(wh.path(f"{idx.name}_postings_v{v0}"))
+    assert _bm_snapshot(idx) == before
+    # id_type carried through the flip: day-zero empty frame keeps type
+    assert idx._version_row()[1] == "int"
+    idx.absorb(_bm_epoch(spark, [101]), batch=1)  # replay: no-op
+    assert _bm_snapshot(idx) == before
+    # rebuild resets the watermark: fresh epoch lineage
+    idx.build(_bm_epoch(spark, [1, 2, 3]))
+    assert idx._watermark() is None
+    idx.absorb(_bm_epoch(spark, [50]), batch=1)
+    assert 50 in {
+        r["doc_id"] for r in wh.read(idx.postings_table).collect()
+    }
