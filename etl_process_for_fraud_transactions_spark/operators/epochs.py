@@ -28,11 +28,23 @@ Watermark semantics, stated precisely:
 - The watermark is MONOTONE: a second compaction keeps
   max(previous, newly merged), so absorbing epoch N, compacting,
   then replaying epoch N is a no-op forever.
-- Skipping is always sound, even mid-crash: absorb is deterministic
-  given the frozen model artifacts, so an epoch <= watermark holds
-  exactly the rows a replay would write — whether it still sits in
-  its own partition (compaction crashed before the data swap) or
-  inside `__compacted__` (compaction finished).
+- Skipping a COMPLETED epoch is always sound, even mid-crash:
+  absorb is deterministic given the frozen model artifacts, so an
+  epoch <= watermark holds exactly the rows a replay would write —
+  whether it still sits in its own partition (compaction crashed
+  before the data swap) or inside `__compacted__` (compaction
+  finished).
+- The one epoch that is NOT provably complete is the newest: if its
+  absorb itself crashed mid-write (a dynamic partition overwrite is
+  not atomic across partitions, and Bm25Index writes three tables
+  per epoch), its partitions hold PARTIAL rows that only the replay
+  can repair — and compacting it first bakes the partial rows in
+  where the replay (now skipped) can no longer reach them.
+  Structured Streaming processes epochs serially, so every epoch
+  below the latest has a committed checkpoint behind it; compact a
+  LIVE stream's store with `through = latest_epoch - 1` (each
+  compact() takes it as a bound), and reserve the merge-everything
+  default for a quiesced stream.
 - Crash ordering (non-versioned stores): the watermark is persisted
   BEFORE the data swap. Either crash side leaves a correct store —
   watermark-only means replays skip partitions that still exist

@@ -62,6 +62,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .epochs import guard_sentinel_batch, replay_skippable
+
 __all__ = [
     "PqModel",
     "train_pq",
@@ -634,7 +636,7 @@ class PqIndex:
     #: mid-rebuild meta overwrite — would be silently wrong)
     _LAYOUT_FIELDS = (
         "n_cells", "cell_col", "m", "n_codes", "dim", "residual",
-        "partitioned", "default_nprobe",
+        "partitioned", "default_nprobe", "compacted_through",
     )
 
     def _version_row(self) -> tuple[int, dict | None]:
@@ -703,6 +705,7 @@ class PqIndex:
         residual: bool = False,
         train_spec: str | None = None,
         default_nprobe: int | None = None,
+        compacted_through: int | None = None,
     ) -> tuple:
         return (
             self.id_col, self.vec_col, int(m), int(n_codes), int(dim),
@@ -713,6 +716,7 @@ class PqIndex:
             train_spec,
             self.partitioned,
             None if default_nprobe is None else int(default_nprobe),
+            None if compacted_through is None else int(compacted_through),
         )
 
     def _validate(self) -> dict:
@@ -783,8 +787,47 @@ class PqIndex:
         "id_col string, vec_col string, m int, n_codes int, "
         "dim int, versioned boolean, n_cells int, cell_col string, "
         "residual boolean, train_spec string, partitioned boolean, "
-        "default_nprobe int"
+        "default_nprobe int, compacted_through long"
     )
+
+    #: one-row version-pointer schema — every pointer write (build,
+    #: calibrate_nprobe, compact) goes through _write_pointer so the
+    #: positional row can never drift from it
+    _POINTER_SCHEMA = (
+        "version int, n_cells int, cell_col string, "
+        "m int, n_codes int, dim int, residual boolean, "
+        "partitioned boolean, default_nprobe int, "
+        "compacted_through long"
+    )
+
+    def _write_pointer(self, version: int, layout: dict) -> None:
+        """Overwrite the one-row version pointer: the version AND the
+        layout that interprets its tables (plus the replay watermark)
+        commit in this single row (ADVICE r12)."""
+        dn = layout.get("default_nprobe")
+        wm = layout.get("compacted_through")
+        self.wh.overwrite(
+            self.version_table,
+            self.wh.spark.createDataFrame(
+                [(
+                    int(version),
+                    (
+                        None
+                        if layout.get("n_cells") is None
+                        else int(layout["n_cells"])
+                    ),
+                    layout.get("cell_col"),
+                    int(layout["m"]),
+                    int(layout["n_codes"]),
+                    int(layout["dim"]),
+                    bool(layout.get("residual")),
+                    layout.get("partitioned"),
+                    None if dn is None else int(dn),
+                    None if wm is None else int(wm),
+                )],
+                self._POINTER_SCHEMA,
+            ),
+        )
 
     def build(
         self,
@@ -951,25 +994,24 @@ class PqIndex:
             )["default_nprobe"]
         if self.versioned:
             # the commit point: the new version AND the layout that
-            # interprets its tables become visible in ONE row
-            self.wh.overwrite(
-                self.version_table,
-                self.wh.spark.createDataFrame(
-                    [(
-                        int(new_v),
-                        None if n_cells is None else int(n_cells),
-                        self.cell_col,
-                        int(model.m),
-                        int(model.n_codes),
-                        int(model.dim),
-                        bool(residual),
-                        bool(self.partitioned),
-                        default_nprobe,
-                    )],
-                    "version int, n_cells int, cell_col string, "
-                    "m int, n_codes int, dim int, residual boolean, "
-                    "partitioned boolean, default_nprobe int",
-                ),
+            # interprets its tables become visible in ONE row. The
+            # replay watermark RESETS — a rebuild indexes a fresh
+            # corpus under a fresh __build__ stamp, so the old epoch
+            # lineage is meaningless (epochs.py: restart the stream
+            # from a fresh checkpoint after a rebuild)
+            self._write_pointer(
+                new_v,
+                {
+                    "n_cells": n_cells,
+                    "cell_col": self.cell_col,
+                    "m": model.m,
+                    "n_codes": model.n_codes,
+                    "dim": model.dim,
+                    "residual": residual,
+                    "partitioned": bool(self.partitioned),
+                    "default_nprobe": default_nprobe,
+                    "compacted_through": None,
+                },
             )
         # shared meta LAST in versioned mode (pre-flip readers keep a
         # consistent old-version view; the meta is the commit marker
@@ -1002,8 +1044,31 @@ class PqIndex:
         required and the write is a dynamic partition overwrite of
         that epoch's partitions — encode is deterministic given the
         frozen codebooks, so a replayed streaming epoch rewrites
-        exactly the same rows (pq_absorb_sink rides this)."""
+        exactly the same rows (pq_absorb_sink rides this).
+
+        Compacted stores (round 13, operators/epochs.py): an epoch
+        <= the `compacted_through` watermark — which rides the same
+        resolved row as the tables it guards — is a REPLAY of rows
+        already merged into the `__compacted__` partitions; absorb
+        no-ops instead of duplicating them. A batch id colliding with
+        a maintenance stamp is always refused (it would
+        dynamic-overwrite the build or compacted partition itself)."""
         stored, (codes_t, books_t, cells_t) = self._resolve()
+        # write mode follows the RESOLVED layout (atomic with the
+        # version in versioned mode — a rebuild that changed
+        # `partitioned` must not get epoch directories appended into a
+        # flat layout, or vice versa); legacy pointers without the
+        # field fall back to the instance flag
+        partitioned = stored.get("partitioned")
+        partitioned = (
+            self.partitioned if partitioned is None else bool(partitioned)
+        )
+        if batch is not None:
+            guard_sentinel_batch(batch)
+            if partitioned and replay_skippable(
+                batch, stored.get("compacted_through")
+            ):
+                return
         frame = new_vectors
         center_col = None
         if stored.get("n_cells") is not None:
@@ -1045,15 +1110,6 @@ class PqIndex:
         parts = (
             [] if stored.get("n_cells") is None else [self.cell_col]
         )
-        # write mode follows the RESOLVED layout (atomic with the
-        # version in versioned mode — a rebuild that changed
-        # `partitioned` must not get epoch directories appended into a
-        # flat layout, or vice versa); legacy pointers without the
-        # field fall back to the instance flag
-        partitioned = stored.get("partitioned")
-        partitioned = (
-            self.partitioned if partitioned is None else bool(partitioned)
-        )
         if partitioned:
             if batch is None:
                 raise ValueError(
@@ -1078,6 +1134,158 @@ class PqIndex:
             )
         else:
             self.wh.append(codes_t, encoded)
+
+    def compact(
+        self,
+        files_per_partition: int = 1,
+        through: int | None = None,
+    ) -> dict:
+        """Epoch-partition maintenance (round 13, operators/epochs.py
+        has the full semantics): collapse the codes table's `__batch`
+        partitions into one `__compacted__` stamp, preserving the
+        cell level in IVF-PQ mode — probe pruning is unchanged, and
+        the codes are rewritten byte-identical (a pure LAYOUT rewrite:
+        nothing is re-encoded, codebooks and centroids are untouched).
+        Records the `compacted_through` replay watermark that
+        absorb() skips against.
+
+        Why it matters at scale: the codes table is the ONLY
+        corpus-sized artifact of the PQ store — its whole point is a
+        dense 20x-smaller scan, and a 1-minute trigger shredding it
+        into ~1,440 epoch directories a day under every cell turns
+        that scan into file-open overhead (epochs.py has the
+        arithmetic).
+
+        `through` bounds WHICH epochs merge (ids <= through;
+        maintenance stamps always merge) so a LIVE stream's newest —
+        possibly still uncommitted — epoch keeps its own replayable
+        partition; the default merges everything and is for a
+        quiesced stream.
+
+        Non-versioned stores persist the watermark (in the shared
+        meta) BEFORE the data swap — either crash side is correct
+        (epochs.py); versioned stores write the collapsed codes off
+        to the side and commit watermark + layout in the one pointer
+        flip.
+
+        Returns {"stamps_merged", "compacted_through",
+        "files_before", "files_after"}."""
+        from ..sources.warehouse import atomic_overwrite
+        from .epochs import (
+            SENTINEL_STAMPS,
+            collapse_epochs,
+            epoch_watermark,
+            parquet_file_count,
+        )
+
+        meta = self._validate()
+        stored = meta
+        layout = None
+        if self.versioned:
+            # ONE pointer read drives the whole compaction: the tables
+            # rewritten, the layout republished, and the previous
+            # watermark all come from this row
+            v, layout = self._version_row()
+            if layout is not None:
+                stored = {**stored, **layout}
+            cur_codes, cur_books, cur_cells = self._table_names(v)
+            new_codes, new_books, new_cells = self._table_names(v + 1)
+        else:
+            cur_codes = new_codes = self._table_names()[0]
+            cur_books = new_books = self._table_names()[1]
+            cur_cells = new_cells = self._table_names()[2]
+        partitioned = stored.get("partitioned")
+        partitioned = (
+            self.partitioned if partitioned is None else bool(partitioned)
+        )
+        if not partitioned:
+            raise ValueError(
+                f"PqIndex '{self.name}': compact() is epoch-partition "
+                "maintenance — only a partitioned=True store "
+                "accumulates __batch partitions"
+            )
+        prev_wm = stored.get("compacted_through")
+        prev_wm = None if prev_wm is None else int(prev_wm)
+        # partition-type inference reads an all-numeric-epoch store's
+        # __batch as int; cast up front so the restamp union can't mix
+        # types (and collected stamps compare as strings)
+        codes = self.wh.read(cur_codes).withColumn(
+            "__batch", F.col("__batch").cast("string")
+        )
+        stamps = {
+            r["__batch"]
+            for r in codes.select("__batch").distinct().collect()
+        }
+        # integer-orderability over ALL stamps first (loud failure on
+        # ad-hoc ids), then the merge subset and its watermark
+        epoch_watermark(stamps)
+        merged = sorted(
+            s
+            for s in stamps
+            if s in SENTINEL_STAMPS
+            or through is None
+            or int(s) <= int(through)
+        )
+        wm = epoch_watermark(merged, prev_wm)
+        files_before = parquet_file_count(self.wh.path(cur_codes))
+        parts = (
+            [] if stored.get("n_cells") is None else [self.cell_col]
+        ) + ["__batch"]
+        collapsed = collapse_epochs(
+            codes.filter(F.col("__batch").isin(merged)),
+            "__batch",
+            parts,
+            self.id_col,
+            files_per_partition,
+        ).unionByName(codes.filter(~F.col("__batch").isin(merged)))
+        if self.versioned:
+            atomic_overwrite(
+                collapsed, self.wh.path(new_codes), partition_by=parts
+            )
+            self.wh.overwrite(new_books, self.wh.read(cur_books))
+            if self.wh.exists(cur_cells):
+                self.wh.overwrite(new_cells, self.wh.read(cur_cells))
+            # the commit point: collapsed codes + watermark + the
+            # unchanged layout flip together; the shared meta is
+            # untouched (no identity field changed, and the versioned
+            # watermark's source of truth is the pointer row)
+            self._write_pointer(
+                v + 1,
+                {
+                    **{
+                        k: stored.get(k)
+                        for k in self._LAYOUT_FIELDS
+                    },
+                    "partitioned": True,
+                    "compacted_through": wm,
+                },
+            )
+        else:
+            # watermark FIRST (epochs.py crash ordering): a crash after
+            # it leaves replays skipping partitions that still exist
+            # with identical rows; re-running compact() converges
+            row = (
+                meta["id_col"], meta["vec_col"], meta["m"],
+                meta["n_codes"], meta["dim"], meta["versioned"],
+                meta.get("n_cells"), meta.get("cell_col"),
+                bool(meta.get("residual")), meta.get("train_spec"),
+                bool(meta.get("partitioned")),
+                meta.get("default_nprobe"),
+                int(wm) if wm is not None else None,
+            )
+            self.wh.overwrite(
+                self.meta_table,
+                self.wh.spark.createDataFrame([row], self._META_SCHEMA),
+            )
+            atomic_overwrite(
+                collapsed, self.wh.path(cur_codes), partition_by=parts
+            )
+        return {
+            "stamps_merged": len(merged),
+            "compacted_through": wm,
+            "files_before": files_before,
+            "files_after": parquet_file_count(self.wh.path(new_codes)),
+        }
 
     def calibrate_nprobe(
         self,
@@ -1199,12 +1407,14 @@ class PqIndex:
             meta = self.wh.read(self.meta_table).collect()[0].asDict()
             # legacy metas lack the r13 fields: absent means the store
             # predates them — unpartitioned, raw codes, no sample spec
+            wm = meta.get("compacted_through")
             row = (
                 meta["id_col"], meta["vec_col"], meta["m"],
                 meta["n_codes"], meta["dim"], meta["versioned"],
                 meta.get("n_cells"), meta.get("cell_col"),
                 bool(meta.get("residual")), meta.get("train_spec"),
                 bool(meta.get("partitioned")), int(nprobe),
+                None if wm is None else int(wm),
             )
             self.wh.overwrite(
                 self.meta_table,
@@ -1213,25 +1423,11 @@ class PqIndex:
             if self.versioned:
                 v, layout = self._version_row()
                 if layout is not None:
-                    self.wh.overwrite(
-                        self.version_table,
-                        self.wh.spark.createDataFrame(
-                            [(
-                                int(v),
-                                layout.get("n_cells"),
-                                layout.get("cell_col"),
-                                layout.get("m"),
-                                layout.get("n_codes"),
-                                layout.get("dim"),
-                                bool(layout.get("residual")),
-                                layout.get("partitioned"),
-                                int(nprobe),
-                            )],
-                            "version int, n_cells int, cell_col string, "
-                            "m int, n_codes int, dim int, "
-                            "residual boolean, partitioned boolean, "
-                            "default_nprobe int",
-                        ),
+                    # a calibration is NOT a compaction or rebuild:
+                    # the layout (watermark included) carries through
+                    # unchanged, only default_nprobe updates
+                    self._write_pointer(
+                        v, {**layout, "default_nprobe": int(nprobe)}
                     )
         return {
             "default_nprobe": int(nprobe),

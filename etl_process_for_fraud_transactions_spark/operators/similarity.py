@@ -793,7 +793,11 @@ class IvfIndex:
                 self.wh.path(vec_t)
             )
 
-    def compact(self, files_per_partition: int = 1) -> dict:
+    def compact(
+        self,
+        files_per_partition: int = 1,
+        through: int | None = None,
+    ) -> dict:
         """Epoch-partition maintenance (round 13, operators/epochs.py
         has the full semantics): collapse every `__batch` partition
         into one `__compacted__` stamp, preserving the cell level —
@@ -810,6 +814,19 @@ class IvfIndex:
         well-sized files. Serving output is bit-identical (same rows,
         same arithmetic) — only the file layout changes.
 
+        `through` (round 13, the family-wide knob) bounds WHICH
+        epochs merge: integer epoch ids <= through (maintenance
+        stamps always merge); epochs above it keep their own
+        partitions and stay individually replayable. Structured
+        Streaming processes epochs serially, so every epoch below
+        the latest is fully committed — pass
+        `through = latest_epoch - 1` to compact under a LIVE stream.
+        The default (None, merge everything) is for a quiesced
+        stream: the newest epoch might be a partially-written crash
+        victim, and merging it bakes the partial rows in where the
+        replay can no longer repair them (epochs.py has the full
+        argument).
+
         Non-versioned stores persist the watermark BEFORE the data
         swap (either crash side is correct — see epochs.py);
         versioned stores write the collapsed tables off to the side
@@ -819,6 +836,7 @@ class IvfIndex:
         "files_before", "files_after"}."""
         from ..sources.warehouse import atomic_overwrite
         from .epochs import (
+            SENTINEL_STAMPS,
             collapse_epochs,
             epoch_watermark,
             parquet_file_count,
@@ -846,21 +864,36 @@ class IvfIndex:
             cur_vec = new_vec = self.vectors_table
             cur_cent = new_cent = self.centroids_table
         # raw at-rest read: quantized stores keep their int8 codes
-        # byte-identical through the rewrite
-        vecs = self.wh.read(cur_vec)
+        # byte-identical through the rewrite. The stamp column is cast
+        # to string up front — partition-type inference reads an
+        # all-numeric-epoch store's __batch as int, and the
+        # restamp-to-__compacted__ union must not mix types
+        vecs = self.wh.read(cur_vec).withColumn(
+            "__batch", F.col("__batch").cast("string")
+        )
         stamps = [
             r["__batch"]
             for r in vecs.select("__batch").distinct().collect()
         ]
-        wm = epoch_watermark(stamps, self._watermark())
+        # integer-orderability over ALL stamps first (loud failure on
+        # ad-hoc ids), then the merge subset and its watermark
+        epoch_watermark(stamps)
+        merged = sorted(
+            s
+            for s in stamps
+            if s in SENTINEL_STAMPS
+            or through is None
+            or int(s) <= int(through)
+        )
+        wm = epoch_watermark(merged, self._watermark())
         files_before = parquet_file_count(self.wh.path(cur_vec))
         collapsed = collapse_epochs(
-            vecs,
+            vecs.filter(F.col("__batch").isin(merged)),
             "__batch",
             [self.cell_col, "__batch"],
             self.id_col,
             files_per_partition,
-        )
+        ).unionByName(vecs.filter(~F.col("__batch").isin(merged)))
         if self.versioned:
             atomic_overwrite(
                 collapsed,
@@ -893,7 +926,7 @@ class IvfIndex:
                 partition_by=[self.cell_col, "__batch"],
             )
         return {
-            "stamps_merged": len(stamps),
+            "stamps_merged": len(merged),
             "compacted_through": wm,
             "files_before": files_before,
             "files_after": parquet_file_count(self.wh.path(new_vec)),

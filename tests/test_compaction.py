@@ -369,3 +369,208 @@ def test_bm25_versioned_compact_flips_pointer(spark, tmp_path):
     assert 50 in {
         r["doc_id"] for r in wh.read(idx.postings_table).collect()
     }
+
+
+# ----------------------------------------------------------------- PQ
+
+
+def _ml_available():
+    try:
+        import numpy  # noqa: F401
+        from pyspark.ml.clustering import KMeans  # noqa: F401
+
+        return True
+    except ImportError:  # pragma: no cover
+        return False
+
+
+def _pq(spark, tmp_path, **kw):
+    import random
+
+    from etl_process_for_fraud_transactions_spark.operators.pq import (
+        PqIndex,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [10.0 * (i % 2) + rnd.gauss(0, 1) for _ in range(8)])
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+    wh = Warehouse(spark, str(tmp_path / "whpq"))
+    idx = PqIndex(wh, name="cpq", partitioned=True, **kw)
+    idx.build(corpus, m=4, n_codes=8, seed=2, max_iter=10, n_cells=2)
+    return wh, idx, rows
+
+
+def _pq_epoch(spark, rows, ids):
+    return spark.createDataFrame(
+        [(900 + i, rows[i][1]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _pq_snapshot(idx, spark, rows):
+    queries = spark.createDataFrame(
+        [(1, rows[0][1]), (2, rows[1][1])],
+        "query_id long, query_vec array<double>",
+    )
+    return sorted(
+        tuple(r) for r in idx.topk(queries, k=5, nprobe=2).collect()
+    )
+
+
+@pytest.mark.skipif(not _ml_available(), reason="pyspark.ml unavailable")
+def test_pq_compact_codes_byte_identical_and_through(spark, tmp_path):
+    import os
+
+    wh, idx, rows = _pq(spark, tmp_path)
+    for b in (1, 2, 3):
+        idx.absorb(_pq_epoch(spark, rows, [10 + b]), batch=b)
+    before = _pq_snapshot(idx, spark, rows)
+    codes_before = sorted(
+        (r["vec_id"], tuple(r["pq_codes"]))
+        for r in wh.read(idx.codes_table).collect()
+    )
+    files_before = E.parquet_file_count(wh.path(idx.codes_table))
+
+    report = idx.compact(through=2)
+    assert report["compacted_through"] == 2
+    assert report["stamps_merged"] == 3  # __build__, 1, 2
+    # codes byte-identical through the rewrite; serving bit-identical
+    assert (
+        sorted(
+            (r["vec_id"], tuple(r["pq_codes"]))
+            for r in wh.read(idx.codes_table).collect()
+        )
+        == codes_before
+    )
+    assert _pq_snapshot(idx, spark, rows) == before
+    # epoch 3 keeps its own partition: still individually replayable
+    batch_dirs = {
+        d
+        for c in os.listdir(wh.path(idx.codes_table))
+        if c.startswith(f"{idx.cell_col}=")
+        for d in os.listdir(os.path.join(wh.path(idx.codes_table), c))
+        if d.startswith("__batch=")
+    }
+    assert batch_dirs == {"__batch=__compacted__", "__batch=3"}
+    idx.absorb(_pq_epoch(spark, rows, [13]), batch=3)
+    assert _pq_snapshot(idx, spark, rows) == before
+    # merged epoch: replay no-ops
+    n = wh.read(idx.codes_table).count()
+    idx.absorb(_pq_epoch(spark, rows, [12]), batch=2)
+    assert wh.read(idx.codes_table).count() == n
+    # full compaction folds the rest in monotonically; fewer files
+    report2 = idx.compact()
+    assert report2["compacted_through"] == 3
+    assert report2["files_after"] < files_before
+    assert report2["files_after"] <= 2  # one file per occupied cell
+    assert _pq_snapshot(idx, spark, rows) == before
+    # sentinel / ad-hoc batch ids fail loudly
+    with pytest.raises(ValueError, match="reserved"):
+        idx.absorb(_pq_epoch(spark, rows, [14]), batch="__build__")
+    with pytest.raises(ValueError, match="compacted through"):
+        idx.absorb(_pq_epoch(spark, rows, [14]), batch="b9")
+    # a flat store has no epochs to compact
+    from etl_process_for_fraud_transactions_spark.operators.pq import (
+        PqIndex,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    flat = PqIndex(Warehouse(spark, str(tmp_path / "whpqf")), name="fpq")
+    flat.build(
+        spark.createDataFrame(
+            rows[:10], "vec_id: long, embedding: array<double>"
+        ),
+        m=4, n_codes=8, seed=2, max_iter=5,
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        flat.compact()
+
+
+@pytest.mark.skipif(not _ml_available(), reason="pyspark.ml unavailable")
+def test_pq_versioned_compact_flips_pointer_calibrate_preserves_wm(
+    spark, tmp_path
+):
+    import os
+
+    wh, idx, rows = _pq(spark, tmp_path, versioned=True)
+    for b in (1, 2):
+        idx.absorb(_pq_epoch(spark, rows, [10 + b]), batch=b)
+    before = _pq_snapshot(idx, spark, rows)
+    v0 = idx._current_version()
+
+    report = idx.compact()
+    assert idx._current_version() == v0 + 1
+    _, layout = idx._version_row()
+    assert layout["compacted_through"] == 2 == report["compacted_through"]
+    # old version intact until pruned (lagging readers)
+    assert os.path.isdir(wh.path(f"{idx.name}_codes_v{v0}"))
+    assert _pq_snapshot(idx, spark, rows) == before
+    idx.absorb(_pq_epoch(spark, rows, [11]), batch=1)  # replay: no-op
+    assert _pq_snapshot(idx, spark, rows) == before
+
+    # calibrate_nprobe is not a compaction: the watermark carries
+    # through its pointer rewrite unchanged
+    corpus = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+    idx.calibrate_nprobe(corpus, recall_target=0.5, n_probes=4, k=3)
+    _, layout = idx._version_row()
+    assert layout["compacted_through"] == 2
+    assert layout["default_nprobe"] is not None
+    idx.absorb(_pq_epoch(spark, rows, [12]), batch=2)  # still a replay
+    assert _pq_snapshot(idx, spark, rows) == before
+
+    # rebuild resets the watermark: fresh epoch lineage
+    idx.build(corpus, m=4, n_codes=8, seed=2, max_iter=10, n_cells=2)
+    _, layout = idx._version_row()
+    assert layout["compacted_through"] is None
+    idx.absorb(_pq_epoch(spark, rows, [20]), batch=1)
+    assert 920 in {
+        r["vec_id"] for r in wh.read(idx.codes_table).collect()
+    }
+
+
+def test_ivf_compact_through_keeps_live_epochs_replayable(spark, tmp_path):
+    """The live-stream bound on the IvfIndex leg: epochs above
+    `through` keep their own partitions (individually replayable —
+    the newest epoch is the one a crashed absorb may have left
+    partial), the watermark advances only to `through`, and a later
+    full compaction folds the rest in monotonically."""
+    import os
+
+    wh, idx = _ivf(spark, tmp_path)
+    for b in (1, 2, 3):
+        idx.absorb(_epoch(spark, [100 + b]), batch=b)
+    before = _topk_snapshot(idx, spark)
+
+    report = idx.compact(through=2)
+    assert report["compacted_through"] == 2
+    assert report["stamps_merged"] == 3  # __build__, 1, 2
+    assert _topk_snapshot(idx, spark) == before
+    batch_dirs = {
+        d
+        for c in os.listdir(wh.path(idx.vectors_table))
+        if c.startswith("ivf_cell=")
+        for d in os.listdir(os.path.join(wh.path(idx.vectors_table), c))
+        if d.startswith("__batch=")
+    }
+    assert batch_dirs == {"__batch=__compacted__", "__batch=3"}
+    # epoch 3 is still individually replayable; epoch 2 no-ops
+    n = wh.read(idx.vectors_table).count()
+    idx.absorb(_epoch(spark, [103]), batch=3)
+    assert wh.read(idx.vectors_table).count() == n
+    idx.absorb(_epoch(spark, [102]), batch=2)
+    assert wh.read(idx.vectors_table).count() == n
+    report2 = idx.compact()
+    assert report2["compacted_through"] == 3
+    assert _topk_snapshot(idx, spark) == before

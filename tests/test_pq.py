@@ -519,7 +519,7 @@ def test_residual_absorb_and_pointer_layout_atomicity(spark, tmp_path):
         spark.createDataFrame(
             [(
                 good_meta["id_col"], good_meta["vec_col"], 99, 99, 99,
-                True, None, "pq_cell", False, None, False, None,
+                True, None, "pq_cell", False, None, False, None, None,
             )],
             PqIndex._META_SCHEMA,
         ),
