@@ -177,16 +177,41 @@ class NearDupIndex:
             "partitioned": self.partitioned,
         }
 
-    def _write_meta(self) -> None:
-        row = [tuple(self._params().values())]
+    def _write_meta(self, compacted_through: int | None = None) -> None:
+        # compacted_through (round 13, operators/epochs.py) is the
+        # replay watermark — persisted BEFORE compact()'s data swap;
+        # bootstrap() writes the default None, resetting the lineage
+        # (a re-bootstrap starts a fresh epoch history)
+        row = [
+            tuple(self._params().values())
+            + (
+                None
+                if compacted_through is None
+                else int(compacted_through),
+            )
+        ]
         self.wh.overwrite(
             self.meta_table,
             self.wh.spark.createDataFrame(
                 row,
                 "k int, num_hashes int, bands int, portable boolean, "
-                "store string, partitioned boolean",
+                "store string, partitioned boolean, "
+                "compacted_through long",
             ),
         )
+
+    def _watermark(self) -> int | None:
+        """The replay watermark (None = never compacted); legacy metas
+        lack the column — such stores were never compacted."""
+        if not self.wh.exists(self.meta_table):
+            return None
+        wm = (
+            self.wh.read(self.meta_table)
+            .collect()[0]
+            .asDict()
+            .get("compacted_through")
+        )
+        return None if wm is None else int(wm)
 
     def _validate_params(self) -> None:
         """Candidates from mismatched hash families silently vanish, so
@@ -199,8 +224,10 @@ class NearDupIndex:
             self._params_ok = True
             return
         stored = self.wh.read(self.meta_table).collect()[0].asDict()
-        # metas written before these parameters existed take defaults
+        # metas written before these parameters existed take defaults;
+        # the compaction watermark is layout metadata, not identity
         stored = {"store": "raw", "partitioned": False, **stored}
+        stored.pop("compacted_through", None)
         mine = self._params()
         if stored != mine:
             raise ValueError(
@@ -320,8 +347,25 @@ class NearDupIndex:
         Partitioned index: `batch` is required, and the write is a
         dynamic partition overwrite of that epoch's partition — a
         replayed epoch REPLACES its own rows instead of duplicating
-        them (the streaming sink's idempotency contract)."""
+        them (the streaming sink's idempotency contract).
+
+        Compacted stores (round 13, operators/epochs.py): an epoch
+        <= the `compacted_through` watermark is a replay of rows
+        already merged into the `__compacted__` partition — absorb
+        no-ops instead of duplicating them (near_dedup_sink skips
+        the WHOLE epoch earlier, before filter_new; this skip covers
+        direct callers). Maintenance-stamp batch ids are refused:
+        absorb(batch="bootstrap") would dynamic-overwrite the
+        bootstrap partition itself."""
+        from .epochs import guard_sentinel_batch, replay_skippable
+
         self._validate_params()
+        if batch is not None:
+            guard_sentinel_batch(batch)
+            if self.partitioned and replay_skippable(
+                batch, self._watermark()
+            ):
+                return
         accepted = accepted.localCheckpoint()
         b = self._buckets(accepted)
         s = self._shingles(accepted)
@@ -344,6 +388,108 @@ class NearDupIndex:
                 )
             self.wh.append(self.buckets_table, b)
             self.wh.append(self.shingles_table, s)
+
+    def compact(
+        self,
+        files_per_partition: int = 1,
+        through: int | None = None,
+    ) -> dict:
+        """Epoch-partition maintenance (round 13, operators/epochs.py
+        has the full semantics): collapse both index tables' `__batch`
+        partitions into one `__compacted__` stamp — a pure LAYOUT
+        rewrite (signatures and shingles are rewritten byte-identical,
+        nothing re-hashed), recording the `compacted_through`
+        watermark. After it, absorb() no-ops replays of merged epochs
+        and check/filter_new REFUSE exclude_batch on them (the as-of
+        view is gone — see check()); epochs above `through` keep
+        their own partitions and stay fully replayable, so a LIVE
+        stream compacts with `through = latest_epoch - 1` and only a
+        quiesced stream uses the merge-everything default.
+
+        The index tables have no second pruning level (the batch
+        stamp is the only partition column), so `files_per_partition`
+        is the knob that sizes the compacted partition's files — at
+        corpus scale pass ~ rows x bands / target_rows_per_file
+        rather than the single-file default.
+
+        The watermark persists to the meta BEFORE the data swaps
+        (epochs.py crash ordering: either crash side serves
+        correctly and re-running compact() converges).
+
+        Returns {"stamps_merged", "compacted_through",
+        "files_before", "files_after"}."""
+        from ..sources.warehouse import atomic_overwrite
+        from .epochs import (
+            SENTINEL_STAMPS,
+            collapse_epochs,
+            epoch_watermark,
+            parquet_file_count,
+        )
+
+        self._validate_params()
+        if not self.partitioned:
+            raise ValueError(
+                f"NearDupIndex '{self.name}': compact() is "
+                "epoch-partition maintenance — only a partitioned=True "
+                "store accumulates __batch partitions"
+            )
+        if not self.wh.exists(self.meta_table):
+            raise ValueError(
+                f"NearDupIndex '{self.name}': no meta marker — run "
+                "bootstrap()"
+            )
+        prev_wm = self._watermark()
+        frames = {}
+        stamps: set = set()
+        for table in (self.buckets_table, self.shingles_table):
+            if not self.wh.exists(table):
+                continue  # day-zero bootstrap wrote no files
+            # cast up front: partition-type inference reads an
+            # all-numeric-epoch store's __batch as int, and the
+            # restamp-to-__compacted__ union must not mix types
+            df = self.wh.read(table).withColumn(
+                BATCH_COL, F.col(BATCH_COL).cast("string")
+            )
+            frames[table] = df
+            stamps |= {
+                r[BATCH_COL]
+                for r in df.select(BATCH_COL).distinct().collect()
+            }
+        # integer-orderability over ALL stamps first (loud failure on
+        # ad-hoc bootstrap stamps), then the merge subset
+        epoch_watermark(stamps)
+        merged = sorted(
+            s
+            for s in stamps
+            if s in SENTINEL_STAMPS
+            or through is None
+            or int(s) <= int(through)
+        )
+        wm = epoch_watermark(merged, prev_wm)
+        files_before = sum(
+            parquet_file_count(self.wh.path(t)) for t in frames
+        )
+        # watermark FIRST (epochs.py crash ordering)
+        self._write_meta(compacted_through=wm)
+        for table, df in frames.items():
+            collapsed = collapse_epochs(
+                df.filter(F.col(BATCH_COL).isin(merged)),
+                BATCH_COL,
+                [BATCH_COL],
+                self.id_col,
+                files_per_partition,
+            ).unionByName(df.filter(~F.col(BATCH_COL).isin(merged)))
+            atomic_overwrite(
+                collapsed, self.wh.path(table), partition_by=[BATCH_COL]
+            )
+        return {
+            "stamps_merged": len(merged),
+            "compacted_through": wm,
+            "files_before": files_before,
+            "files_after": sum(
+                parquet_file_count(self.wh.path(t)) for t in frames
+            ),
+        }
 
     def _resolve_threshold(self, threshold: float | None) -> float:
         """None -> the auto_band_threshold the family was tuned for,
@@ -372,9 +518,29 @@ class NearDupIndex:
         exclude_batch (partitioned index only): ignore rows absorbed
         under this stamp — reads the index AS OF before that epoch, so
         a replayed epoch sees the same index state as its first
-        attempt regardless of partial writes."""
+        attempt regardless of partial writes. An epoch MERGED by
+        compaction fails loudly here: its rows live inside the
+        `__compacted__` partition where the stamp filter cannot reach
+        them, so the as-of view no longer exists — a silent pass
+        would let a replayed batch reject its own documents as
+        duplicates of themselves. Replays of merged epochs must be
+        skipped whole (near_dedup_sink does) — their first attempt
+        is fully committed."""
         threshold = self._resolve_threshold(threshold)
         self._validate_params()
+        if exclude_batch is not None:
+            from .epochs import replay_skippable
+
+            if replay_skippable(exclude_batch, self._watermark()):
+                raise ValueError(
+                    f"NearDupIndex '{self.name}': epoch "
+                    f"{exclude_batch!r} was merged by compaction "
+                    "(compacted_through >= it) — the index state AS OF "
+                    "before it is no longer reconstructible. Skip the "
+                    "replayed epoch (its first attempt committed) or "
+                    "re-bootstrap; compact a live stream only with "
+                    "through=latest_epoch-1"
+                )
         corpus_b = self._read_index_or_none(self.buckets_table, exclude_batch)
         corpus_sh_all = self._read_index_or_none(
             self.shingles_table, exclude_batch

@@ -71,7 +71,12 @@ from pyspark.sql import functions as F
 COMPACTED_STAMP = "__compacted__"
 
 #: non-epoch stamps that never participate in watermark ordering
-SENTINEL_STAMPS = frozenset({"__build__", COMPACTED_STAMP, "__legacy__"})
+#: ("bootstrap" is NearDupIndex.bootstrap's default stamp; a
+#: caller-supplied ad-hoc bootstrap stamp makes the store
+#: non-compactable — re-bootstrap under the default instead)
+SENTINEL_STAMPS = frozenset(
+    {"__build__", COMPACTED_STAMP, "__legacy__", "bootstrap"}
+)
 
 
 def epoch_watermark(stamps, prev: int | None = None) -> int | None:

@@ -112,7 +112,17 @@ def near_dedup_sink(
 
     Every write REPLACES the epoch's own partitions, so a crashed
     epoch replays to exactly the committed state — no duplicate
-    curated rows, no duplicate index rows."""
+    curated rows, no duplicate index rows.
+
+    Compacted stores (round 13, operators/epochs.py): an epoch
+    <= the index's `compacted_through` watermark is skipped WHOLE —
+    its first attempt fully committed (the out_table partition and
+    the index rows, now inside `__compacted__`), and its pre-epoch
+    as-of view no longer exists, so re-running filter_new would
+    reject the batch's documents as duplicates of themselves and
+    dynamic-overwrite the committed output partition with an empty
+    kept set. Only compact a live stream's index with
+    `through = latest_epoch - 1` (see NearDupIndex.compact)."""
     if not getattr(idx, "partitioned", False):
         raise ValueError(
             "near_dedup_sink needs NearDupIndex(partitioned=True): with a "
@@ -121,6 +131,10 @@ def near_dedup_sink(
         )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.epochs import replay_skippable
+
+        if replay_skippable(batch_id, idx._watermark()):
+            return
         if batch_df.isEmpty():
             return
         kept = idx.filter_new(

@@ -574,3 +574,154 @@ def test_ivf_compact_through_keeps_live_epochs_replayable(spark, tmp_path):
     report2 = idx.compact()
     assert report2["compacted_through"] == 3
     assert _topk_snapshot(idx, spark) == before
+
+
+# ------------------------------------------------------------ NearDup
+
+
+_ND_BASE = [
+    "the quick brown fox jumps over the lazy dog and runs far away today",
+    "cook rice and beans with garlic in the small red kitchen pot tonight",
+    "train dogs to sit and wait before the long morning walk begins daily",
+    "plant roses and tulips along the sunny side of the wooden fence line",
+]
+
+
+def _nd_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _nd(spark, tmp_path):
+    from etl_process_for_fraud_transactions_spark.operators.dedup_incremental import (
+        NearDupIndex,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "whnd"))
+    idx = NearDupIndex(wh, partitioned=True)
+    idx.bootstrap(
+        _nd_docs(spark, [(i, t) for i, t in enumerate(_ND_BASE)])
+    )
+    return wh, idx
+
+
+def _nd_epoch(spark, b):
+    return _nd_docs(
+        spark,
+        [
+            (100 * b, f"entirely fresh epoch {b} text about adaptive "
+                      f"query execution stage {b} planning today"),
+        ],
+    )
+
+
+def test_neardup_compact_watermark_and_asof_refusal(spark, tmp_path):
+    wh, idx = _nd(spark, tmp_path)
+    for b in (1, 2, 3):
+        kept = idx.filter_new(_nd_epoch(spark, b), exclude_batch=b)
+        idx.absorb(kept, batch=b)
+    # the check() verdict against a near-dup of an epoch-2 doc
+    probe = _nd_docs(
+        spark,
+        [(999, "entirely fresh epoch 2 text about adaptive query "
+               "execution stage 2 planning tonight")],
+    )
+    before = sorted(
+        (r["new_id"], r["dup_id"]) for r in idx.check(probe).collect()
+    )
+    assert before  # the probe really does hit the epoch-2 doc
+    buckets_before = sorted(
+        tuple(r)
+        for r in wh.read(idx.buckets_table).drop("__batch").collect()
+    )
+    files_before = E.parquet_file_count(wh.path(idx.buckets_table)) + \
+        E.parquet_file_count(wh.path(idx.shingles_table))
+
+    report = idx.compact(through=2)
+    assert report["compacted_through"] == 2
+    assert report["stamps_merged"] == 3  # bootstrap, 1, 2
+    # verdicts and signatures byte-identical through the rewrite
+    assert (
+        sorted(
+            (r["new_id"], r["dup_id"]) for r in idx.check(probe).collect()
+        )
+        == before
+    )
+    assert (
+        sorted(
+            tuple(r)
+            for r in wh.read(idx.buckets_table).drop("__batch").collect()
+        )
+        == buckets_before
+    )
+    # merged epoch: as-of view is gone — loud refusal, not silence
+    with pytest.raises(ValueError, match="no longer reconstructible"):
+        idx.check(probe, exclude_batch=2)
+    # un-merged epoch 3 still serves its as-of view
+    idx.check(probe, exclude_batch=3).collect()
+    # absorb replay of a merged epoch: no-op; epoch 3 replays
+    n = wh.read(idx.buckets_table).count()
+    idx.absorb(_nd_epoch(spark, 2), batch=2)
+    assert wh.read(idx.buckets_table).count() == n
+    idx.absorb(
+        idx.filter_new(_nd_epoch(spark, 3), exclude_batch=3), batch=3
+    )
+    assert wh.read(idx.buckets_table).count() == n
+    # bootstrap-stamp absorb is always refused (it would overwrite
+    # the bootstrap partition)
+    with pytest.raises(ValueError, match="reserved"):
+        idx.absorb(_nd_epoch(spark, 9), batch="bootstrap")
+    # full compaction folds epoch 3 in; fewer files than the shredded
+    # layout, and the verdicts still hold
+    report2 = idx.compact()
+    assert report2["compacted_through"] == 3
+    assert (
+        E.parquet_file_count(wh.path(idx.buckets_table))
+        + E.parquet_file_count(wh.path(idx.shingles_table))
+        < files_before
+    )
+    assert (
+        sorted(
+            (r["new_id"], r["dup_id"]) for r in idx.check(probe).collect()
+        )
+        == before
+    )
+    # re-bootstrap resets the watermark (fresh epoch lineage)
+    idx.bootstrap(
+        _nd_docs(spark, [(i, t) for i, t in enumerate(_ND_BASE)])
+    )
+    assert idx._watermark() is None
+
+
+def test_neardup_sink_skips_replay_of_merged_epoch(spark, tmp_path):
+    """A replayed epoch <= watermark is skipped WHOLE by the sink: the
+    committed out_table partition survives (re-running filter_new
+    would have rejected the batch against its own merged rows and
+    overwritten the partition with an empty kept set)."""
+    from etl_process_for_fraud_transactions_spark.streaming.upsert import (
+        near_dedup_sink,
+    )
+
+    wh, idx = _nd(spark, tmp_path)
+    sink = near_dedup_sink(idx, out_table="curated")
+    sink(_nd_epoch(spark, 1), 1)
+    out_before = sorted(
+        r["doc_id"] for r in wh.read("curated").collect()
+    )
+    assert out_before == [100]
+
+    idx.compact()
+    assert idx._watermark() == 1
+    # replay of the merged epoch: out_table and index untouched
+    sink(_nd_epoch(spark, 1), 1)
+    assert (
+        sorted(r["doc_id"] for r in wh.read("curated").collect())
+        == out_before
+    )
+    # the next epoch flows normally
+    sink(_nd_epoch(spark, 2), 2)
+    assert sorted(
+        r["doc_id"] for r in wh.read("curated").collect()
+    ) == [100, 200]
