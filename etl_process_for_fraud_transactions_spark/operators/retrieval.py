@@ -542,6 +542,18 @@ class Bm25Index:
     def meta_table(self) -> str:
         return f"{self.name}_meta"
 
+    def _tombstones_table(self, version: int | None = None) -> str:
+        """Deletion tombstones (round 13): (id_col, dl) rows, one per
+        deleted DOCUMENT OCCURRENCE. Per-version in versioned mode —
+        a rebuild's fresh version starts with no tombstones (the new
+        corpus is the caller's statement of record), and a purging
+        compaction commits 'tombstones applied' atomically by simply
+        not creating the table for the new version."""
+        if not self.versioned:
+            return f"{self.name}_tombstones"
+        v = version if version is not None else self._current_version()
+        return f"{self.name}_tombstones_v{v}"
+
     def _params(self) -> dict:
         return {
             "text_col": self.text_col,
@@ -735,6 +747,20 @@ class Bm25Index:
                 ),
             )
         self._write_meta(id_type=id_type)
+        if not self.versioned:
+            # a rebuild's corpus is the caller's statement of record:
+            # stale tombstones must not filter it. Removed LAST — a
+            # crash beforehand leaves the new corpus OVER-filtered
+            # (safe for takedowns, converges on re-run), never an
+            # un-filtered window for deleted docs. Versioned rebuilds
+            # get this atomically: the new version has no tombstone
+            # table at all.
+            import os
+            import shutil
+
+            p = self.wh.path(self._tombstones_table())
+            if os.path.isdir(p):
+                shutil.rmtree(p)
         self._params_ok = True
 
     def prune_versions(self, keep: int = 1) -> list[str]:
@@ -756,7 +782,7 @@ class Bm25Index:
         cur = self._current_version()
         removed = []
         for v in range(1, cur - keep + 1):
-            for t in self._table_names(v):
+            for t in self._table_names(v) + (self._tombstones_table(v),):
                 path = self.wh.path(t)
                 if os.path.isdir(path):
                     shutil.rmtree(path)
@@ -788,8 +814,10 @@ class Bm25Index:
             # tables a non-skipped absorb writes come from the same row
             v, _, wm = self._version_row()
             post_t, dl_t, stats_t = self._table_names(v)
+            tomb_t = self._tombstones_table(v)
         else:
             post_t, dl_t, stats_t = self._table_names()
+            tomb_t = self._tombstones_table()
             # one fresh one-row meta read per call — noise next to the
             # tokenize/aggregate work (the IvfIndex.absorb precedent)
             wm = self._watermark() if self.partitioned else None
@@ -799,6 +827,20 @@ class Bm25Index:
             and replay_skippable(batch, wm)
         ):
             return
+        if self.wh.exists(tomb_t):
+            # a deleted id stays deleted until a purging compaction:
+            # re-absorbing it would re-admit a taken-down document AND
+            # double-count it in the stats (its tombstone subtracts
+            # exactly the occurrences indexed BEFORE the delete). The
+            # ban is a broadcast anti-join against the bounded
+            # tombstone id set — deterministic, so replays converge.
+            new_docs = new_docs.join(
+                F.broadcast(
+                    self.wh.read(tomb_t).select(self.id_col).distinct()
+                ),
+                self.id_col,
+                "left_anti",
+            )
         # legacy upgrade (round 12 self-review): an index BUILT before
         # the stats table existed must not let this absorb create a
         # stats table holding ONLY the new batch — topk would prefer
@@ -881,6 +923,69 @@ class Bm25Index:
                 ),
             )
 
+    def delete(self, ids: DataFrame) -> dict:
+        """Tombstone documents (round 13 — deletion propagation, the
+        doclens table's stated purpose): takedowns and
+        contaminated-doc removals on an immutable parquet layout.
+        `ids` is a frame holding `self.id_col`.
+
+        What lands: one (id, dl) tombstone row per indexed OCCURRENCE
+        of each id, with dl read from the per-doc doclens record — so
+        serving can subtract the exact integer (count, sum dl) from
+        the stats fold and N/avgdl/idf are bit-identical to a store
+        that never held the docs. Ids not currently indexed tombstone
+        nothing; ids already tombstoned are skipped (never
+        double-subtracted) — delete() is idempotent.
+
+        Cost model: serving stays O(postings-pruned + tombstones)
+        per query — the tombstone set broadcasts, bounded between
+        compactions. delete() itself scans doclens once (a narrow
+        2-column table) — maintenance-time cost, like compact().
+
+        A deleted id stays deleted (absorb filters it) until a FULL
+        versioned compaction physically purges rows and tombstones
+        behind one pointer flip; non-versioned stores keep filtering
+        at serve time (the honest non-atomic-rebuild layout). A
+        rebuild starts the new version with no tombstones — the new
+        corpus is the caller's statement of record.
+
+        Returns {"deleted_docs", "deleted_dl"} (occurrences actually
+        tombstoned by THIS call)."""
+        self._validate()
+        if self.versioned:
+            v, _, _ = self._version_row()
+            _, dl_t, _ = self._table_names(v)
+            tomb_t = self._tombstones_table(v)
+        else:
+            dl_t = self._table_names()[1]
+            tomb_t = self._tombstones_table()
+        dl = self.wh.read(dl_t)
+        if self.partitioned:
+            dl = dl.drop(_BATCH_COL)
+        new_tombs = dl.join(
+            F.broadcast(ids.select(self.id_col).distinct()),
+            self.id_col,
+            "left_semi",
+        )
+        if self.wh.exists(tomb_t):
+            new_tombs = new_tombs.join(
+                F.broadcast(
+                    self.wh.read(tomb_t).select(self.id_col).distinct()
+                ),
+                self.id_col,
+                "left_anti",
+            )
+        new_tombs = new_tombs.select(
+            self.id_col, F.col("dl").cast("bigint").alias("dl")
+        ).localCheckpoint()
+        row = new_tombs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("d"),
+        ).first()
+        if row["n"]:
+            self.wh.append(tomb_t, new_tombs)
+        return {"deleted_docs": int(row["n"]), "deleted_dl": int(row["d"])}
+
     def compact(
         self,
         files_per_partition: int = 1,
@@ -950,6 +1055,8 @@ class Bm25Index:
                 id_type = meta.get("id_type") or "bigint"
             cur_post, cur_dl, cur_stats = self._table_names(cur)
             new_post, new_dl, new_stats = self._table_names(cur + 1)
+            cur_tomb = self._tombstones_table(cur)
+            new_tomb = self._tombstones_table(cur + 1)
         else:
             id_type = meta.get("id_type") or "bigint"
             prev_wm = meta.get("compacted_through")
@@ -957,6 +1064,10 @@ class Bm25Index:
             cur_post = new_post = self._table_names()[0]
             cur_dl = new_dl = self._table_names()[1]
             cur_stats = new_stats = self._table_names()[2]
+            cur_tomb = new_tomb = self._tombstones_table()
+        tombs = (
+            self.wh.read(cur_tomb) if self.wh.exists(cur_tomb) else None
+        )
         # stats is the COMPLETE epoch record — an empty epoch writes a
         # (0, 0) stats row but no postings/doclens files, and its stamp
         # must still advance the watermark or its replay would append a
@@ -992,6 +1103,18 @@ class Bm25Index:
             or int(s) <= int(through)
         )
         wm = epoch_watermark(merged, prev_wm)
+        # physical deletion (round 13): a FULL merge on a VERSIONED
+        # store applies the tombstones for real — purged postings and
+        # doclens, stats folded down by the exact tombstone totals,
+        # and the new version simply has NO tombstone table, so
+        # "tombstones applied" commits atomically inside the pointer
+        # flip (a crash pre-flip leaves the old version serving with
+        # its tombstones intact). A bounded merge keeps un-merged
+        # epochs' raw rows, so tombstones carry to the new version
+        # un-applied; a non-versioned store cannot purge atomically
+        # and keeps filtering at serve time — delete() documents this.
+        full = set(merged) == stamps
+        purge = self.versioned and full and tombs is not None
         files_before = (
             parquet_file_count(self.wh.path(cur_post))
             if post is not None
@@ -1004,15 +1127,26 @@ class Bm25Index:
                 df.filter(~F.col(_BATCH_COL).isin(merged)),
             )
 
+        def _purged(df):
+            if not purge or df is None:
+                return df
+            return df.join(
+                F.broadcast(tombs.select(self.id_col).distinct()),
+                self.id_col,
+                "left_anti",
+            )
+
         writes = []
         if post is not None:
             merge_p, keep_p = _split(post)
             writes.append((
                 new_post,
-                collapse_epochs(
-                    merge_p, _BATCH_COL, ["__tb", _BATCH_COL],
-                    self.id_col, files_per_partition,
-                ).unionByName(keep_p),
+                _purged(
+                    collapse_epochs(
+                        merge_p, _BATCH_COL, ["__tb", _BATCH_COL],
+                        self.id_col, files_per_partition,
+                    ).unionByName(keep_p)
+                ),
                 ["__tb", _BATCH_COL],
             ))
         elif self.versioned:
@@ -1021,14 +1155,31 @@ class Bm25Index:
             merge_d, keep_d = _split(dl)
             writes.append((
                 new_dl,
-                collapse_epochs(
-                    merge_d, _BATCH_COL, [_BATCH_COL],
-                    self.id_col, files_per_partition,
-                ).unionByName(keep_d),
+                _purged(
+                    collapse_epochs(
+                        merge_d, _BATCH_COL, [_BATCH_COL],
+                        self.id_col, files_per_partition,
+                    ).unionByName(keep_d)
+                ),
                 [_BATCH_COL],
             ))
         merge_s, keep_s = _split(stats)
-        compacted_stats = merge_s.agg(
+        stats_src = merge_s.select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sum_dl").cast("bigint").alias("sum_dl"),
+        )
+        if purge:
+            # exact integer fold-down: the purged corpus's stats are
+            # bit-identical to one that never held the deleted docs
+            stats_src = stats_src.unionByName(
+                tombs.agg(
+                    (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+                    (-F.coalesce(F.sum("dl"), F.lit(0)))
+                    .cast("bigint")
+                    .alias("sum_dl"),
+                )
+            )
+        compacted_stats = stats_src.agg(
             F.lit(COMPACTED_STAMP).alias(_BATCH_COL),
             F.coalesce(F.sum("n_docs"), F.lit(0))
             .cast("bigint")
@@ -1044,6 +1195,9 @@ class Bm25Index:
             ),
             [_BATCH_COL],
         ))
+        if self.versioned and tombs is not None and not purge:
+            # bounded merge: tombstones stay live on the new version
+            writes.append((new_tomb, tombs, None))
         if self.versioned:
             for table, frame, parts in writes:
                 if frame is None:
@@ -1075,6 +1229,7 @@ class Bm25Index:
         return {
             "stamps_merged": len(merged),
             "compacted_through": wm,
+            "purged": purge,
             "files_before": files_before,
             "files_after": (
                 parquet_file_count(self.wh.path(new_post))
@@ -1103,10 +1258,18 @@ class Bm25Index:
         O(corpus) footnote."""
         self._validate()
         spark = self.wh.spark
-        # one pointer resolution for the whole query: postings, stats
-        # (and the legacy-fallback doclens) always come from the SAME
-        # version, even across a concurrent versioned rebuild flip
-        post_t, dl_t, stats_t = self._table_names()
+        # one pointer resolution for the whole query: postings, stats,
+        # tombstones (and the legacy-fallback doclens) always come
+        # from the SAME version, even across a concurrent versioned
+        # rebuild flip
+        if self.versioned:
+            _v, _ptr_id_type, _ = self._version_row()
+            post_t, dl_t, stats_t = self._table_names(_v)
+            tomb_t = self._tombstones_table(_v)
+        else:
+            _ptr_id_type = None
+            post_t, dl_t, stats_t = self._table_names()
+            tomb_t = self._tombstones_table()
         q = (
             queries
             if isinstance(queries, DataFrame)
@@ -1129,11 +1292,12 @@ class Bm25Index:
                 raise
             if self.versioned:
                 # the pointer row IS the commit marker, and its
-                # id_type is atomic with the version it describes; a
-                # pre-round-12 pointer (no id_type column) falls back
-                # to the meta table — which may record the real type —
-                # before the 'bigint' default (ADVICE r12)
-                _, id_type, _ = self._version_row()
+                # id_type is atomic with the version it describes (the
+                # row was already read once above); a pre-round-12
+                # pointer (no id_type column) falls back to the meta
+                # table — which may record the real type — before the
+                # 'bigint' default (ADVICE r12)
+                id_type = _ptr_id_type
                 if id_type is None and self.wh.exists(self.meta_table):
                     meta = (
                         self.wh.read(self.meta_table).collect()[0].asDict()
@@ -1171,10 +1335,40 @@ class Bm25Index:
         )
         if self.partitioned:
             post = post.drop(_BATCH_COL)
+        # deletion tombstones (round 13): the bounded tombstone set
+        # broadcast-anti-joins the pruned postings (a deleted doc
+        # never serves, and df auto-adjusts because df derives from
+        # the filtered postings), and its exact (count, sum dl)
+        # subtracts from the stats fold below — integer arithmetic,
+        # so N/avgdl are bit-identical to a store that never held the
+        # deleted docs. Physical purge happens at full versioned
+        # compaction; until then this filter IS the delete.
+        tombs = self.wh.read(tomb_t) if self.wh.exists(tomb_t) else None
+        if tombs is not None:
+            post = post.join(
+                F.broadcast(tombs.select(self.id_col).distinct()),
+                self.id_col,
+                "left_anti",
+            )
         if self.wh.exists(stats_t):
             # <= #batches rows; integer sums are exact, so this is
             # bit-identical to the full doclens aggregate it replaces
-            stats = self.wh.read(stats_t).agg(
+            base = self.wh.read(stats_t).select(
+                F.col("n_docs").cast("bigint").alias("n_docs"),
+                F.col("sum_dl").cast("bigint").alias("sum_dl"),
+            )
+            if tombs is not None:
+                base = base.unionByName(
+                    tombs.agg(
+                        (-F.count(F.lit(1)))
+                        .cast("bigint")
+                        .alias("n_docs"),
+                        (-F.coalesce(F.sum("dl"), F.lit(0)))
+                        .cast("bigint")
+                        .alias("sum_dl"),
+                    )
+                )
+            stats = base.agg(
                 F.sum("n_docs").alias("__n"),
                 (
                     F.sum("sum_dl").cast("double")
@@ -1184,10 +1378,17 @@ class Bm25Index:
         else:
             # legacy pre-round-12 layout (no stats table persisted):
             # the old full-doclens aggregate, kept so an existing
-            # store keeps serving without a rebuild
+            # store keeps serving without a rebuild (tombstones
+            # filter the doclens rows directly, same arithmetic)
             dl = self.wh.read(dl_t)
             if self.partitioned:
                 dl = dl.drop(_BATCH_COL)
+            if tombs is not None:
+                dl = dl.join(
+                    F.broadcast(tombs.select(self.id_col).distinct()),
+                    self.id_col,
+                    "left_anti",
+                )
             stats = dl.select(
                 F.count(F.lit(1)).alias("__n"),
                 (
