@@ -167,6 +167,10 @@ class NearDupIndex:
     def meta_table(self) -> str:
         return f"{self.name}_meta"
 
+    @property
+    def tombstones_table(self) -> str:
+        return f"{self.name}_tombstones"
+
     def _params(self) -> dict:
         return {
             "k": self.k,
@@ -305,6 +309,20 @@ class NearDupIndex:
                 )
             # partition-pruned: __batch is the hive partition column
             df = df.filter(F.col(BATCH_COL) != str(exclude_batch))
+        if self.wh.exists(self.tombstones_table):
+            # deletion tombstones (round 13): a deleted corpus doc no
+            # longer blocks near-duplicates of itself — the bounded
+            # set broadcast-anti-joins both index tables at this one
+            # choke point (check and filter_new both read through it)
+            df = df.join(
+                F.broadcast(
+                    self.wh.read(self.tombstones_table).select(
+                        self.id_col
+                    )
+                ),
+                self.id_col,
+                "left_anti",
+            )
         return df.drop(BATCH_COL) if self.partitioned else df
 
     def bootstrap(self, corpus: DataFrame, batch="bootstrap") -> None:
@@ -330,6 +348,17 @@ class NearDupIndex:
             self.wh.overwrite(self.buckets_table, b)
             self.wh.overwrite(self.shingles_table, s)
         self._write_meta()
+        # a re-bootstrap's corpus is the caller's statement of record:
+        # stale tombstones must not filter it. Removed LAST — a crash
+        # beforehand leaves the new corpus OVER-filtered (safe for
+        # takedowns, converges on re-run), never an un-filtered window
+        # for deleted docs.
+        import os
+        import shutil
+
+        tomb_p = self.wh.path(self.tombstones_table)
+        if os.path.isdir(tomb_p):
+            shutil.rmtree(tomb_p)
         self._params_ok = True
 
     def absorb(self, accepted: DataFrame, batch=None) -> None:
@@ -366,6 +395,19 @@ class NearDupIndex:
                 batch, self._watermark()
             ):
                 return
+        if self.wh.exists(self.tombstones_table):
+            # a deleted id stays deleted until a purging compaction
+            # (the family contract): re-indexing it would resurrect a
+            # taken-down document's signatures
+            accepted = accepted.join(
+                F.broadcast(
+                    self.wh.read(self.tombstones_table).select(
+                        self.id_col
+                    )
+                ),
+                self.id_col,
+                "left_anti",
+            )
         accepted = accepted.localCheckpoint()
         b = self._buckets(accepted)
         s = self._shingles(accepted)
@@ -388,6 +430,46 @@ class NearDupIndex:
                 )
             self.wh.append(self.buckets_table, b)
             self.wh.append(self.shingles_table, s)
+
+    def delete(self, ids: DataFrame) -> dict:
+        """Tombstone indexed documents (round 13 — deletion
+        propagation): a taken-down corpus doc must stop blocking
+        near-duplicates of itself, and its signatures must stop
+        serving. `ids` holds `self.id_col`; both index tables
+        broadcast-anti-join the bounded tombstone set at the
+        `_read_index` choke point, and absorb() refuses to re-index a
+        tombstoned id. Idempotent; unknown ids tombstone nothing.
+
+        Physical purge happens at a FULL compact() — sound here
+        WITHOUT a version flip (unlike Bm25Index, nothing derived
+        subtracts tombstones: filtering rows that are already purged
+        is a no-op, so any crash ordering converges on re-run) — or
+        at re-bootstrap, which resets the lineage.
+
+        Returns {"deleted_ids": n} — ids actually tombstoned by THIS
+        call."""
+        self._validate_params()
+        new_tombs = (
+            self.wh.read(self.buckets_table)
+            .select(self.id_col)
+            .join(
+                F.broadcast(ids.select(self.id_col).distinct()),
+                self.id_col,
+                "left_semi",
+            )
+            .distinct()
+        )
+        if self.wh.exists(self.tombstones_table):
+            new_tombs = new_tombs.join(
+                self.wh.read(self.tombstones_table).select(self.id_col),
+                self.id_col,
+                "left_anti",
+            )
+        new_tombs = new_tombs.localCheckpoint()
+        n = new_tombs.count()
+        if n:
+            self.wh.append(self.tombstones_table, new_tombs)
+        return {"deleted_ids": int(n)}
 
     def compact(
         self,
@@ -466,6 +548,21 @@ class NearDupIndex:
             or int(s) <= int(through)
         )
         wm = epoch_watermark(merged, prev_wm)
+        # physical deletion (round 13): a FULL merge applies the
+        # tombstones — sound here WITHOUT a version flip because no
+        # derived statistic subtracts them (see delete()): after the
+        # purged rewrite, a still-live tombstone filters rows that no
+        # longer exist (a no-op), so any crash ordering converges by
+        # re-running compact(). The tombstone table itself is removed
+        # LAST. A bounded merge keeps un-merged epochs' raw rows and
+        # leaves the tombstones live.
+        full = set(merged) == stamps
+        tombs = (
+            self.wh.read(self.tombstones_table)
+            if self.wh.exists(self.tombstones_table)
+            else None
+        )
+        purge = full and tombs is not None
         files_before = sum(
             parquet_file_count(self.wh.path(t)) for t in frames
         )
@@ -479,12 +576,26 @@ class NearDupIndex:
                 self.id_col,
                 files_per_partition,
             ).unionByName(df.filter(~F.col(BATCH_COL).isin(merged)))
+            if purge:
+                collapsed = collapsed.join(
+                    F.broadcast(tombs.select(self.id_col).distinct()),
+                    self.id_col,
+                    "left_anti",
+                )
             atomic_overwrite(
                 collapsed, self.wh.path(table), partition_by=[BATCH_COL]
             )
+        if purge:
+            import os
+            import shutil
+
+            p = self.wh.path(self.tombstones_table)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
         return {
             "stamps_merged": len(merged),
             "compacted_through": wm,
+            "purged": purge,
             "files_before": files_before,
             "files_after": sum(
                 parquet_file_count(self.wh.path(t)) for t in frames

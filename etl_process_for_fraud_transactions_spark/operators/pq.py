@@ -751,17 +751,28 @@ class PqIndex:
             )
         return stored
 
-    def _resolve(self) -> tuple[dict, tuple[str, str, str]]:
+    def _tombstones_table(self, version: int | None = None) -> str:
+        """Deletion tombstones (round 13): one id per deleted vector.
+        Per-version in versioned mode — a rebuild's fresh version
+        starts clean, and a purging compaction commits 'tombstones
+        applied' by not creating the table for the new version."""
+        if not self.versioned:
+            return f"{self.name}_tombstones"
+        v = version if version is not None else self._current_version()
+        return f"{self.name}_tombstones_v{v}"
+
+    def _resolve(self) -> tuple[dict, tuple[str, str, str], str]:
         """Identity-validate against the shared meta, then resolve the
-        SERVING layout + table names. In versioned mode the pointer is
-        read exactly ONCE and its layout fields override the shared
-        meta — so codes/codebooks/cells AND the layout that interprets
-        them (n_cells, residual, ...) are mutually consistent even
-        across a concurrent rebuild flip (ADVICE r12: the old
-        _table_names() + _model() pair read the pointer twice)."""
+        SERVING layout + table names (codes/codebooks/cells +
+        tombstones). In versioned mode the pointer is read exactly
+        ONCE and its layout fields override the shared meta — so the
+        tables AND the layout that interprets them (n_cells,
+        residual, ...) are mutually consistent even across a
+        concurrent rebuild flip (ADVICE r12: the old _table_names()
+        + _model() pair read the pointer twice)."""
         stored = self._validate()
         if not self.versioned:
-            return stored, self._table_names()
+            return stored, self._table_names(), self._tombstones_table()
         v, layout = self._version_row()
         if layout is not None:
             stored = {**stored, **layout}
@@ -774,7 +785,7 @@ class PqIndex:
                     f"with cell_col={stored.get('cell_col')!r}, this "
                     f"instance uses {self.cell_col!r}"
                 )
-        return stored, self._table_names(v)
+        return stored, self._table_names(v), self._tombstones_table(v)
 
     def _model(self, books_table: str | None = None) -> PqModel:
         if books_table is None:
@@ -1029,6 +1040,20 @@ class PqIndex:
                 self._META_SCHEMA,
             ),
         )
+        if not self.versioned:
+            # a rebuild's corpus is the caller's statement of record:
+            # stale tombstones must not filter it. Removed LAST — a
+            # crash beforehand leaves the new corpus OVER-filtered
+            # (safe for takedowns, converges on re-run), never an
+            # un-filtered window for deleted vectors. Versioned
+            # rebuilds get this atomically: the new version has no
+            # tombstone table at all.
+            import os
+            import shutil
+
+            tomb_p = self.wh.path(self._tombstones_table())
+            if os.path.isdir(tomb_p):
+                shutil.rmtree(tomb_p)
         return model
 
     def absorb(self, new_vectors: DataFrame, batch=None) -> None:
@@ -1053,7 +1078,7 @@ class PqIndex:
         no-ops instead of duplicating them. A batch id colliding with
         a maintenance stamp is always refused (it would
         dynamic-overwrite the build or compacted partition itself)."""
-        stored, (codes_t, books_t, cells_t) = self._resolve()
+        stored, (codes_t, books_t, cells_t), tomb_t = self._resolve()
         # write mode follows the RESOLVED layout (atomic with the
         # version in versioned mode — a rebuild that changed
         # `partitioned` must not get epoch directories appended into a
@@ -1069,6 +1094,17 @@ class PqIndex:
                 batch, stored.get("compacted_through")
             ):
                 return
+        if self.wh.exists(tomb_t):
+            # a deleted id stays deleted until a purging compaction:
+            # the ban is a broadcast anti-join against the bounded
+            # tombstone set — deterministic, so replays converge
+            new_vectors = new_vectors.join(
+                F.broadcast(
+                    self.wh.read(tomb_t).select(self.id_col).distinct()
+                ),
+                self.id_col,
+                "left_anti",
+            )
         frame = new_vectors
         center_col = None
         if stored.get("n_cells") is not None:
@@ -1135,6 +1171,42 @@ class PqIndex:
         else:
             self.wh.append(codes_t, encoded)
 
+    def delete(self, ids: DataFrame) -> dict:
+        """Tombstone vectors (round 13 — deletion propagation, the
+        IvfIndex.delete contract on the compression rung): `ids`
+        holds `self.id_col`; tombstoned ids are broadcast-anti-joined
+        out of every topk() scan and refused by absorb(). ADC scores
+        of surviving rows are untouched (no corpus-size statistics
+        here). Idempotent; ids not in the store tombstone nothing.
+        Physical purge at a FULL versioned compact() (atomic in the
+        pointer flip); build() starts a fresh lineage without
+        tombstones.
+
+        Returns {"deleted_ids": n} — ids actually tombstoned by THIS
+        call."""
+        stored, (codes_t, _, _), tomb_t = self._resolve()
+        new_tombs = (
+            self.wh.read(codes_t)
+            .select(self.id_col)
+            .join(
+                F.broadcast(ids.select(self.id_col).distinct()),
+                self.id_col,
+                "left_semi",
+            )
+            .distinct()
+        )
+        if self.wh.exists(tomb_t):
+            new_tombs = new_tombs.join(
+                self.wh.read(tomb_t).select(self.id_col),
+                self.id_col,
+                "left_anti",
+            )
+        new_tombs = new_tombs.localCheckpoint()
+        n = new_tombs.count()
+        if n:
+            self.wh.append(tomb_t, new_tombs)
+        return {"deleted_ids": int(n)}
+
     def compact(
         self,
         files_per_partition: int = 1,
@@ -1190,10 +1262,16 @@ class PqIndex:
                 stored = {**stored, **layout}
             cur_codes, cur_books, cur_cells = self._table_names(v)
             new_codes, new_books, new_cells = self._table_names(v + 1)
+            cur_tomb = self._tombstones_table(v)
+            new_tomb = self._tombstones_table(v + 1)
         else:
             cur_codes = new_codes = self._table_names()[0]
             cur_books = new_books = self._table_names()[1]
             cur_cells = new_cells = self._table_names()[2]
+            cur_tomb = new_tomb = self._tombstones_table()
+        tombs = (
+            self.wh.read(cur_tomb) if self.wh.exists(cur_tomb) else None
+        )
         partitioned = stored.get("partitioned")
         partitioned = (
             self.partitioned if partitioned is None else bool(partitioned)
@@ -1227,6 +1305,14 @@ class PqIndex:
             or int(s) <= int(through)
         )
         wm = epoch_watermark(merged, prev_wm)
+        # physical deletion (round 13): a FULL merge on a VERSIONED
+        # store applies the tombstones — codes purged, and the new
+        # version has no tombstone table, so 'tombstones applied'
+        # commits atomically inside the pointer flip. A bounded merge
+        # carries them live; a non-versioned store cannot purge
+        # atomically and keeps filtering at serve time.
+        full = set(merged) == stamps
+        purge = self.versioned and full and tombs is not None
         files_before = parquet_file_count(self.wh.path(cur_codes))
         parts = (
             [] if stored.get("n_cells") is None else [self.cell_col]
@@ -1238,6 +1324,12 @@ class PqIndex:
             self.id_col,
             files_per_partition,
         ).unionByName(codes.filter(~F.col("__batch").isin(merged)))
+        if purge:
+            collapsed = collapsed.join(
+                F.broadcast(tombs.select(self.id_col).distinct()),
+                self.id_col,
+                "left_anti",
+            )
         if self.versioned:
             atomic_overwrite(
                 collapsed, self.wh.path(new_codes), partition_by=parts
@@ -1245,6 +1337,9 @@ class PqIndex:
             self.wh.overwrite(new_books, self.wh.read(cur_books))
             if self.wh.exists(cur_cells):
                 self.wh.overwrite(new_cells, self.wh.read(cur_cells))
+            if tombs is not None and not purge:
+                # bounded merge: tombstones stay live on the new version
+                self.wh.overwrite(new_tomb, tombs)
             # the commit point: collapsed codes + watermark + the
             # unchanged layout flip together; the shared meta is
             # untouched (no identity field changed, and the versioned
@@ -1283,6 +1378,7 @@ class PqIndex:
         return {
             "stamps_merged": len(merged),
             "compacted_through": wm,
+            "purged": purge,
             "files_before": files_before,
             "files_after": parquet_file_count(self.wh.path(new_codes)),
         }
@@ -1334,7 +1430,7 @@ class PqIndex:
 
         persist = _tables is None
         if persist:
-            stored, (codes_t, books_t, cells_t) = self._resolve()
+            stored, (codes_t, books_t, cells_t), _ = self._resolve()
             residual = bool(stored.get("residual"))
             if stored.get("n_cells") is None:
                 raise ValueError(
@@ -1461,7 +1557,7 @@ class PqIndex:
         # ONE pointer read resolves tables + layout together — a
         # concurrent rebuild flip can no longer pair one version's
         # codes with another's codebooks or layout (ADVICE r12)
-        stored, (codes_t, books_t, cells_t) = self._resolve()
+        stored, (codes_t, books_t, cells_t), tomb_t = self._resolve()
         if nprobe is None:
             nprobe = stored.get("default_nprobe") or 2
         model = self._model(books_t)
@@ -1470,8 +1566,20 @@ class PqIndex:
             if stored.get("n_cells") is not None
             else None
         )
+        codes = self.wh.read(codes_t)
+        if self.wh.exists(tomb_t):
+            # deletion tombstones (round 13): the bounded set
+            # broadcast-anti-joins the probed codes — a deleted vector
+            # never serves; purge happens at full versioned compaction
+            codes = codes.join(
+                F.broadcast(
+                    self.wh.read(tomb_t).select(self.id_col).distinct()
+                ),
+                self.id_col,
+                "left_anti",
+            )
         return pq_topk(
-            self.wh.read(codes_t),
+            codes,
             queries,
             model,
             k=k,
@@ -1502,7 +1610,7 @@ class PqIndex:
         call: the codes table and n_cells come from the same pointer
         read, so a concurrent rebuild flip cannot produce a phantom
         verdict. Raises on flat stores (no cells to balance)."""
-        stored, (codes_t, _, _) = self._resolve()
+        stored, (codes_t, _, _), _ = self._resolve()
         if stored.get("n_cells") is None:
             raise ValueError(
                 f"PqIndex '{self.name}': cell_skew needs an IVF-PQ "
@@ -1555,7 +1663,7 @@ class PqIndex:
         cur = self._current_version()
         removed = []
         for v in range(1, cur - keep + 1):
-            for t in self._table_names(v):
+            for t in self._table_names(v) + (self._tombstones_table(v),):
                 path = self.wh.path(t)
                 if os.path.isdir(path):
                     shutil.rmtree(path)

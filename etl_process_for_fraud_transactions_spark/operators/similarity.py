@@ -535,6 +535,18 @@ class IvfIndex:
     def meta_table(self) -> str:
         return f"{self.name}_meta"
 
+    def _tombstones_table(self, version: int | None = None) -> str:
+        """Deletion tombstones (round 13): one id per deleted
+        document. Per-version in versioned mode — a build's fresh
+        lineage starts clean, and a purging compaction commits
+        'tombstones applied' by not creating the table for the new
+        version (retrain CARRIES them: it preserves rows, so the
+        filter must survive the re-shard)."""
+        if not self.versioned:
+            return f"{self.name}_tombstones"
+        v = version if version is not None else self._current_version()
+        return f"{self.name}_tombstones_v{v}"
+
     def _frame_dim(self, frame: DataFrame, vec_col: str) -> int:
         """min/max vector length in one aggregate; raises on ragged."""
         lo, hi = frame.select(
@@ -725,6 +737,20 @@ class IvfIndex:
         if self.versioned:
             # the commit point: v1 becomes visible only here
             self._write_version(1, n_cells)
+        # a (re)build's corpus is the caller's statement of record:
+        # stale tombstones must not filter it (versioned build
+        # recommits v1, whose tombstone table may survive from the
+        # previous lineage). Removed LAST — a crash beforehand leaves
+        # the new corpus OVER-filtered (safe for takedowns, converges
+        # on re-run), never an un-filtered window for deleted docs.
+        import os
+        import shutil
+
+        tomb_p = self.wh.path(
+            self._tombstones_table(1 if self.versioned else None)
+        )
+        if os.path.isdir(tomb_p):
+            shutil.rmtree(tomb_p)
 
     def absorb(self, new_vectors: DataFrame, batch=None) -> None:
         """Assign new vectors to their nearest EXISTING centroid and
@@ -751,7 +777,24 @@ class IvfIndex:
                 batch, self._watermark()
             ):
                 return
-        vec_t, cent_t = self._table_names()
+        if self.versioned:
+            _v = self._current_version()
+            vec_t, cent_t = self._table_names(_v)
+            tomb_t = self._tombstones_table(_v)
+        else:
+            vec_t, cent_t = self._table_names()
+            tomb_t = self._tombstones_table()
+        if self.wh.exists(tomb_t):
+            # a deleted id stays deleted until a purging compaction:
+            # the ban is a broadcast anti-join against the bounded
+            # tombstone set — deterministic, so replays converge
+            new_vectors = new_vectors.join(
+                F.broadcast(
+                    self.wh.read(tomb_t).select(self.id_col).distinct()
+                ),
+                self.id_col,
+                "left_anti",
+            )
         cents = self.wh.read(cent_t)
         # assignment is per ROW, not per id: an id_col-partitioned
         # argmax window silently drops all but one row of a batch
@@ -792,6 +835,55 @@ class IvfIndex:
             assigned.write.mode("append").partitionBy(self.cell_col).parquet(
                 self.wh.path(vec_t)
             )
+
+    def delete(self, ids: DataFrame) -> dict:
+        """Tombstone vectors (round 13 — deletion propagation):
+        takedowns on the immutable cell layout. `ids` holds
+        `self.id_col`; every stored occurrence of a tombstoned id is
+        filtered out of topk() by a broadcast anti-join over the
+        probed rows, and absorb() refuses to re-admit it. Exact
+        cosine results are unaffected for every surviving row (no
+        statistics depend on corpus size here — unlike Bm25Index,
+        whose delete() adjusts N/avgdl). cell_skew() keeps counting
+        tombstoned rows until they are purged — its skew verdict is
+        about the physical layout, which still holds them.
+
+        Idempotent; ids not in the store tombstone nothing. Physical
+        purge happens at a FULL versioned compact() (atomic in the
+        pointer flip); retrain() carries tombstones to the new
+        version; build() starts a fresh lineage without them.
+
+        Returns {"deleted_ids": n} — ids actually tombstoned by THIS
+        call."""
+        self._validate()
+        if self.versioned:
+            v = self._current_version()
+            vec_t, _ = self._table_names(v)
+            tomb_t = self._tombstones_table(v)
+        else:
+            vec_t, _ = self._table_names()
+            tomb_t = self._tombstones_table()
+        new_tombs = (
+            self.wh.read(vec_t)
+            .select(self.id_col)
+            .join(
+                F.broadcast(ids.select(self.id_col).distinct()),
+                self.id_col,
+                "left_semi",
+            )
+            .distinct()
+        )
+        if self.wh.exists(tomb_t):
+            new_tombs = new_tombs.join(
+                self.wh.read(tomb_t).select(self.id_col),
+                self.id_col,
+                "left_anti",
+            )
+        new_tombs = new_tombs.localCheckpoint()
+        n = new_tombs.count()
+        if n:
+            self.wh.append(tomb_t, new_tombs)
+        return {"deleted_ids": int(n)}
 
     def compact(
         self,
@@ -860,9 +952,15 @@ class IvfIndex:
             cur = self._current_version()
             cur_vec, cur_cent = self._table_names(cur)
             new_vec, new_cent = self._table_names(cur + 1)
+            cur_tomb = self._tombstones_table(cur)
+            new_tomb = self._tombstones_table(cur + 1)
         else:
             cur_vec = new_vec = self.vectors_table
             cur_cent = new_cent = self.centroids_table
+            cur_tomb = new_tomb = self._tombstones_table()
+        tombs = (
+            self.wh.read(cur_tomb) if self.wh.exists(cur_tomb) else None
+        )
         # raw at-rest read: quantized stores keep their int8 codes
         # byte-identical through the rewrite. The stamp column is cast
         # to string up front — partition-type inference reads an
@@ -886,6 +984,15 @@ class IvfIndex:
             or int(s) <= int(through)
         )
         wm = epoch_watermark(merged, self._watermark())
+        # physical deletion (round 13): a FULL merge on a VERSIONED
+        # store applies the tombstones — rows purged, and the new
+        # version simply has no tombstone table, so 'tombstones
+        # applied' commits atomically inside the pointer flip. A
+        # bounded merge keeps un-merged epochs' raw rows, so the
+        # tombstones carry live; a non-versioned store cannot purge
+        # atomically and keeps filtering at serve time.
+        full = set(merged) == set(stamps)
+        purge = self.versioned and full and tombs is not None
         files_before = parquet_file_count(self.wh.path(cur_vec))
         collapsed = collapse_epochs(
             vecs.filter(F.col("__batch").isin(merged)),
@@ -894,6 +1001,12 @@ class IvfIndex:
             self.id_col,
             files_per_partition,
         ).unionByName(vecs.filter(~F.col("__batch").isin(merged)))
+        if purge:
+            collapsed = collapsed.join(
+                F.broadcast(tombs.select(self.id_col).distinct()),
+                self.id_col,
+                "left_anti",
+            )
         if self.versioned:
             atomic_overwrite(
                 collapsed,
@@ -901,6 +1014,9 @@ class IvfIndex:
                 partition_by=[self.cell_col, "__batch"],
             )
             self.wh.overwrite(new_cent, self.wh.read(cur_cent))
+            if tombs is not None and not purge:
+                # bounded merge: tombstones stay live on the new version
+                self.wh.overwrite(new_tomb, tombs)
             # the commit point: collapsed tables + watermark flip as one
             self._write_version(
                 cur + 1, meta["n_cells"], compacted_through=wm
@@ -928,6 +1044,7 @@ class IvfIndex:
         return {
             "stamps_merged": len(merged),
             "compacted_through": wm,
+            "purged": purge,
             "files_before": files_before,
             "files_after": parquet_file_count(self.wh.path(new_vec)),
         }
@@ -1203,6 +1320,14 @@ class IvfIndex:
                 _tables=(new_vec, new_cent),
             )
         if self.versioned:
+            # retrain preserves rows, so live tombstones must survive
+            # the re-shard — copied BEFORE the flip, committed with it
+            cur_tomb = self._tombstones_table(cur)
+            if self.wh.exists(cur_tomb):
+                self.wh.overwrite(
+                    self._tombstones_table(cur + 1),
+                    self.wh.read(cur_tomb),
+                )
             # the single commit point: everything above wrote OFF TO
             # THE SIDE; serving keeps reading version `cur` until this
             # one-row atomic overwrite flips the pointer
@@ -1235,7 +1360,7 @@ class IvfIndex:
         cur = self._current_version()
         removed = []
         for v in range(1, cur):
-            for t in self._table_names(v):
+            for t in self._table_names(v) + (self._tombstones_table(v),):
                 path = self.wh.path(t)
                 import os
 
@@ -1267,13 +1392,31 @@ class IvfIndex:
             nprobe = (
                 getattr(self, "_stored_meta", None) or {}
             ).get("default_nprobe") or 2
-        # one pointer resolution for BOTH tables: in versioned mode a
+        # one pointer resolution for ALL tables: in versioned mode a
         # concurrent retrain flip cannot hand this query v(N) vectors
-        # with v(N+1) centroids (the joint-atomicity gap the
-        # unversioned layout documents)
-        vec_t, cent_t = self._table_names()
+        # with v(N+1) centroids or tombstones (the joint-atomicity
+        # gap the unversioned layout documents)
+        if self.versioned:
+            _v = self._current_version()
+            vec_t, cent_t = self._table_names(_v)
+            tomb_t = self._tombstones_table(_v)
+        else:
+            vec_t, cent_t = self._table_names()
+            tomb_t = self._tombstones_table()
+        vectors = self._read_vectors(vec_t)
+        if self.wh.exists(tomb_t):
+            # deletion tombstones: the bounded set broadcast-anti-joins
+            # the probed rows — a deleted vector never serves; purge
+            # happens at full versioned compaction
+            vectors = vectors.join(
+                F.broadcast(
+                    self.wh.read(tomb_t).select(self.id_col).distinct()
+                ),
+                self.id_col,
+                "left_anti",
+            )
         return ivf_topk(
-            self._read_vectors(vec_t),
+            vectors,
             queries,
             k=k,
             nprobe=nprobe,

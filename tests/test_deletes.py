@@ -157,3 +157,250 @@ def test_bm25_delete_duplicate_occurrences_all_tombstoned(spark, tmp_path):
     ref = Bm25Index(Warehouse(spark, str(tmp_path / "whref")))
     ref.build(_docs(spark, [d for d in DOCS if d[0] != 4]))
     assert _served(idx) == _served(ref)
+
+
+# ------------------------------------------------------- vector stores
+
+
+def _vec_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.9, 0.1]),
+            (5, [0.0, 0.0, 1.0]),
+            (6, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _vec_ids(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "vec_id: long")
+
+
+def _ml_available():
+    try:
+        import numpy  # noqa: F401
+        from pyspark.ml.clustering import KMeans  # noqa: F401
+
+        return True
+    except ImportError:  # pragma: no cover
+        return False
+
+
+pytest_ml = pytest.mark.skipif(
+    not _ml_available(), reason="pyspark.ml/numpy unavailable"
+)
+
+
+@pytest_ml
+def test_ivf_delete_filter_ban_purge_and_retrain_carry(spark, tmp_path):
+    import os
+
+    from etl_process_for_fraud_transactions_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = IvfIndex(wh, partitioned=True, versioned=True)
+    idx.build(_vec_corpus(spark), n_cells=3, seed=42)
+    idx.absorb(
+        spark.createDataFrame(
+            [(7, [0.95, 0.05, 0.0])], "vec_id long, embedding array<double>"
+        ),
+        batch=1,
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.05, 0.0])], "query_id long, query_vec array<double>"
+    )
+
+    def served_ids():
+        return {
+            r["vec_id"] for r in idx.topk(q, k=10, nprobe=3).collect()
+        }
+
+    assert {2, 7} <= served_ids()
+    assert idx.delete(_vec_ids(spark, [2, 7, 999])) == {"deleted_ids": 2}
+    assert served_ids() & {2, 7} == set()
+    # idempotent; the ban holds across absorb
+    assert idx.delete(_vec_ids(spark, [2]))["deleted_ids"] == 0
+    idx.absorb(
+        spark.createDataFrame(
+            [(2, [0.9, 0.1, 0.0])], "vec_id long, embedding array<double>"
+        ),
+        batch=2,
+    )
+    assert 2 not in served_ids()
+
+    # retrain carries live tombstones to the new version
+    idx.retrain(n_cells=3, seed=7)
+    assert served_ids() & {2, 7} == set()
+
+    # bounded compaction carries them too (no purge)
+    report = idx.compact(through=0)
+    assert report["purged"] is False
+    assert served_ids() & {2, 7} == set()
+    v_bounded = idx._current_version()
+    assert wh.exists(f"{idx.name}_tombstones_v{v_bounded}")
+
+    # FULL compaction purges rows + tombstones behind the flip
+    report = idx.compact()
+    assert report["purged"] is True
+    v = idx._current_version()
+    assert not wh.exists(f"{idx.name}_tombstones_v{v}")
+    assert (
+        wh.read(idx.vectors_table).filter("vec_id in (2, 7)").count() == 0
+    )
+    assert served_ids() & {2, 7} == set()
+    # old versions' tombstones GC with them
+    removed = idx.prune_versions()
+    assert any("tombstones" in t for t in removed)
+    # post-purge, the id may legitimately return
+    idx.absorb(
+        spark.createDataFrame(
+            [(2, [0.9, 0.1, 0.0])], "vec_id long, embedding array<double>"
+        ),
+        batch=9,
+    )
+    assert 2 in served_ids()
+
+
+@pytest_ml
+def test_pq_delete_filter_ban_and_versioned_purge(spark, tmp_path):
+    from etl_process_for_fraud_transactions_spark.operators.pq import (
+        PqIndex,
+    )
+
+    import random
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [10.0 * (i % 2) + rnd.gauss(0, 1) for _ in range(8)])
+        for i in range(30)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = PqIndex(wh, name="dpq", partitioned=True, versioned=True)
+    idx.build(corpus, m=4, n_codes=8, seed=2, max_iter=10, n_cells=2)
+    idx.absorb(
+        spark.createDataFrame(
+            [(100, rows[0][1])], "vec_id long, embedding array<double>"
+        ),
+        batch=1,
+    )
+    q = spark.createDataFrame(
+        [(1, rows[0][1])], "query_id long, query_vec array<double>"
+    )
+
+    def served_ids():
+        return {
+            r["vec_id"] for r in idx.topk(q, k=30, nprobe=2).collect()
+        }
+
+    assert {0, 100} <= served_ids()
+    assert idx.delete(_vec_ids(spark, [0, 100, 999])) == {"deleted_ids": 2}
+    assert served_ids() & {0, 100} == set()
+    assert idx.delete(_vec_ids(spark, [0]))["deleted_ids"] == 0
+    # a banned id plus a fresh one: only the fresh row lands
+    idx.absorb(
+        spark.createDataFrame(
+            [(0, rows[0][1]), (200, rows[2][1])],
+            "vec_id long, embedding array<double>",
+        ),
+        batch=2,
+    )
+    assert 0 not in served_ids()
+    assert 200 in served_ids()
+
+    # bounded compaction (epoch 2 stays): tombstones carry live
+    report = idx.compact(through=1)
+    assert report["purged"] is False
+    assert served_ids() & {0, 100} == set()
+
+    report = idx.compact()
+    assert report["purged"] is True
+    v, _ = idx._version_row()
+    assert not wh.exists(f"{idx.name}_tombstones_v{v}")
+    assert (
+        wh.read(idx.codes_table).filter("vec_id in (0, 100)").count() == 0
+    )
+    assert served_ids() & {0, 100} == set()
+    idx.absorb(
+        spark.createDataFrame(
+            [(0, rows[0][1])], "vec_id long, embedding array<double>"
+        ),
+        batch=9,
+    )
+    assert 0 in served_ids()
+
+
+# ------------------------------------------------------------- NearDup
+
+
+def test_neardup_delete_unblocks_near_duplicates_and_purges(
+    spark, tmp_path
+):
+    from etl_process_for_fraud_transactions_spark.operators.dedup_incremental import (
+        NearDupIndex,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "cook rice and beans with garlic in the small red kitchen pot"),
+        ],
+        "doc_id long, text string",
+    )
+    near = spark.createDataFrame(
+        [(100, base.replace("today", "tomorrow"))],
+        "doc_id long, text string",
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = NearDupIndex(wh, partitioned=True)
+    idx.bootstrap(corpus)
+
+    # before the takedown, the near-dup of doc 1 is rejected
+    assert idx.filter_new(near, threshold=0.5).count() == 0
+    assert idx.delete(
+        spark.createDataFrame([(1,), (999,)], "doc_id: long")
+    ) == {"deleted_ids": 1}
+    # the taken-down doc no longer blocks its near-duplicates
+    kept = idx.filter_new(near, threshold=0.5)
+    assert [r["doc_id"] for r in kept.collect()] == [100]
+    # idempotent; a deleted id cannot be re-indexed while tombstoned
+    assert idx.delete(
+        spark.createDataFrame([(1,)], "doc_id: long")
+    )["deleted_ids"] == 0
+    idx.absorb(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        batch=1,
+    )
+    assert (
+        wh.read(idx.buckets_table).filter("doc_id = 1").count() == 0
+        or idx.filter_new(near, threshold=0.5).count() == 1
+    )
+
+    # FULL compaction physically purges signatures + tombstones
+    # (sound without a version flip — see delete() docstring)
+    report = idx.compact()
+    assert report["purged"] is True
+    assert not wh.exists(idx.tombstones_table)
+    assert wh.read(idx.buckets_table).filter("doc_id = 1").count() == 0
+    assert wh.read(idx.shingles_table).filter("doc_id = 1").count() == 0
+    # post-purge, the id may legitimately be re-indexed
+    idx.absorb(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        batch=2,
+    )
+    assert idx.filter_new(near, threshold=0.5).count() == 0
+
+    # re-bootstrap resets tombstones
+    idx.delete(spark.createDataFrame([(2,)], "doc_id: long"))
+    assert wh.exists(idx.tombstones_table)
+    idx.bootstrap(corpus)
+    assert not wh.exists(idx.tombstones_table)
