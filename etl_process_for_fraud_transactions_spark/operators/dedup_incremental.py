@@ -449,6 +449,9 @@ class NearDupIndex:
         Returns {"deleted_ids": n} — ids actually tombstoned by THIS
         call."""
         self._validate_params()
+        if not self.wh.exists(self.buckets_table):
+            # day-zero store: nothing indexed, nothing to tombstone
+            return {"deleted_ids": 0}
         new_tombs = (
             self.wh.read(self.buckets_table)
             .select(self.id_col)

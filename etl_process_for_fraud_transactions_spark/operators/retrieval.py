@@ -959,6 +959,10 @@ class Bm25Index:
         else:
             dl_t = self._table_names()[1]
             tomb_t = self._tombstones_table()
+        if not self.wh.exists(dl_t):
+            # day-zero store (empty build writes no doclens files):
+            # nothing indexed, nothing to tombstone
+            return {"deleted_docs": 0, "deleted_dl": 0}
         dl = self.wh.read(dl_t)
         if self.partitioned:
             dl = dl.drop(_BATCH_COL)

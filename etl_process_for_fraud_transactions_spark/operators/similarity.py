@@ -863,6 +863,9 @@ class IvfIndex:
         else:
             vec_t, _ = self._table_names()
             tomb_t = self._tombstones_table()
+        if not self.wh.exists(vec_t):
+            # day-zero store: nothing indexed, nothing to tombstone
+            return {"deleted_ids": 0}
         new_tombs = (
             self.wh.read(vec_t)
             .select(self.id_col)

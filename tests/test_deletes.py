@@ -404,3 +404,31 @@ def test_neardup_delete_unblocks_near_duplicates_and_purges(
     assert wh.exists(idx.tombstones_table)
     idx.bootstrap(corpus)
     assert not wh.exists(idx.tombstones_table)
+
+
+def test_delete_on_day_zero_stores_reports_zero(spark, tmp_path):
+    """Deleting from a store with no indexed data (empty build /
+    fresh warehouse) reports zero instead of raising on the file-less
+    data table."""
+    from etl_process_for_fraud_transactions_spark.operators.dedup_incremental import (
+        NearDupIndex,
+    )
+    from etl_process_for_fraud_transactions_spark.operators.similarity import (
+        IvfIndex,
+    )
+
+    bm = Bm25Index(Warehouse(spark, str(tmp_path / "whb")))
+    bm.build(spark.createDataFrame([], "doc_id: int, text: string"))
+    assert bm.delete(_ids(spark, [1])) == {
+        "deleted_docs": 0,
+        "deleted_dl": 0,
+    }
+
+    nd = NearDupIndex(Warehouse(spark, str(tmp_path / "whn")))
+    nd.bootstrap(spark.createDataFrame([], "doc_id: long, text: string"))
+    assert nd.delete(
+        spark.createDataFrame([(1,)], "doc_id: long")
+    ) == {"deleted_ids": 0}
+
+    ivf = IvfIndex(Warehouse(spark, str(tmp_path / "whi")))
+    assert ivf.delete(_vec_ids(spark, [1])) == {"deleted_ids": 0}
