@@ -478,6 +478,7 @@ class NearDupIndex:
         self,
         files_per_partition: int = 1,
         through: int | None = None,
+        live: bool = False,
     ) -> dict:
         """Epoch-partition maintenance (round 13, operators/epochs.py
         has the full semantics): collapse both index tables' `__batch`
@@ -543,6 +544,18 @@ class NearDupIndex:
         # integer-orderability over ALL stamps first (loud failure on
         # ad-hoc bootstrap stamps), then the merge subset
         epoch_watermark(stamps)
+        if live:
+            # live-stream mode: derive the bound from the scanned
+            # stamps — merge everything below the NEWEST integer
+            # epoch, which is the only one a crashed absorb may have
+            # left partially written (epochs.py)
+            if through is not None:
+                raise ValueError(
+                    "compact(live=True) derives its own bound — pass "
+                    "through= or live=True, not both"
+                )
+            ints = [int(s) for s in stamps if s not in SENTINEL_STAMPS]
+            through = max(ints) - 1 if ints else None
         merged = sorted(
             s
             for s in stamps

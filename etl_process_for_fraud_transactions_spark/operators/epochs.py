@@ -42,9 +42,10 @@ Watermark semantics, stated precisely:
   where the replay (now skipped) can no longer reach them.
   Structured Streaming processes epochs serially, so every epoch
   below the latest has a committed checkpoint behind it; compact a
-  LIVE stream's store with `through = latest_epoch - 1` (each
-  compact() takes it as a bound), and reserve the merge-everything
-  default for a quiesced stream.
+  LIVE stream's store with `compact(live=True)` (derives
+  `through = latest_epoch - 1` from the scanned stamps; an explicit
+  `through=` bound is also accepted), and reserve the
+  merge-everything default for a quiesced stream.
 - Crash ordering (non-versioned stores): the watermark is persisted
   BEFORE the data swap. Either crash side leaves a correct store —
   watermark-only means replays skip partitions that still exist

@@ -994,6 +994,7 @@ class Bm25Index:
         self,
         files_per_partition: int = 1,
         through: int | None = None,
+        live: bool = False,
     ) -> dict:
         """Epoch-partition maintenance (round 13, operators/epochs.py
         has the full semantics): collapse `__batch` partitions into
@@ -1099,6 +1100,18 @@ class Bm25Index:
         # ad-hoc ids — they cannot be ordered against `through` or the
         # watermark), then the merge subset and its watermark
         epoch_watermark(stamps)
+        if live:
+            # live-stream mode: derive the bound from the scanned
+            # stamps — merge everything below the NEWEST integer
+            # epoch, which is the only one a crashed absorb may have
+            # left partially written (epochs.py)
+            if through is not None:
+                raise ValueError(
+                    "compact(live=True) derives its own bound — pass "
+                    "through= or live=True, not both"
+                )
+            ints = [int(s) for s in stamps if s not in SENTINEL_STAMPS]
+            through = max(ints) - 1 if ints else None
         merged = sorted(
             s
             for s in stamps

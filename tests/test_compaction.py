@@ -725,3 +725,46 @@ def test_neardup_sink_skips_replay_of_merged_epoch(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in wh.read("curated").collect()
     ) == [100, 200]
+
+
+def test_compact_live_mode_derives_the_bound(spark, tmp_path):
+    """compact(live=True) = merge everything below the newest integer
+    epoch (the only possibly-partial one), derived from the scanned
+    stamps — the one-call shape for compacting under a live stream.
+    Exclusive with an explicit through=."""
+    wh, idx = _bm25(spark, tmp_path)
+    for b in (1, 2, 5):  # gaps are fine: only the MAX epoch is open
+        idx.absorb(_bm_epoch(spark, [100 + b]), batch=b)
+    before = _bm_snapshot(idx)
+
+    with pytest.raises(ValueError, match="not both"):
+        idx.compact(through=1, live=True)
+    report = idx.compact(live=True)
+    # the derived bound is max(5)-1 = 4, but the WATERMARK is the max
+    # epoch actually merged (2) — epochs 3/4 never existed, and a
+    # future absorb under those ids must not be skipped
+    assert report["compacted_through"] == 2
+    stamps = {
+        r["__batch"]
+        for r in wh.read(idx.stats_table).select("__batch").collect()
+    }
+    assert stamps == {E.COMPACTED_STAMP, "5"}
+    assert _bm_snapshot(idx) == before
+    # epoch 5 stays individually replayable
+    idx.absorb(_bm_epoch(spark, [105]), batch=5)
+    assert _bm_snapshot(idx) == before
+    # a store with no integer epochs: live mode merges sentinels only
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    fresh = Bm25Index(
+        Warehouse(spark, str(tmp_path / "whfresh")), partitioned=True
+    )
+    fresh.build(_bm_epoch(spark, [1, 2]))
+    r2 = fresh.compact(live=True)
+    assert r2["compacted_through"] is None
+    assert r2["stamps_merged"] == 1  # just __build__
