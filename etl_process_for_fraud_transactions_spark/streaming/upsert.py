@@ -74,10 +74,39 @@ def dedup_append_sink(
     return apply
 
 
+
+def _maybe_compact(idx, batch_id: int, compact_every: int | None) -> None:
+    """In-stream epoch-compaction hook shared by the absorb sinks
+    (round 13): every compact_every-th epoch ends with
+    idx.compact(live=True) — merge everything below the CURRENT
+    epoch's own partitions, which live=True guarantees stay
+    individually replayable, so the small-files debt of a 1-minute
+    trigger never outlives compact_every epochs.
+
+    Replay-safe by the same serial-epoch argument as live mode:
+    epochs below the current one all have committed checkpoints; a
+    crash anywhere (mid-compact, or after compact but before this
+    epoch's offsets commit) converges on replay — absorb rewrites
+    the current epoch's still-separate partitions and the re-run
+    compaction is idempotent (epochs.py crash ordering).
+
+    Cost honesty (the skew_probe_every tradition): compact() is an
+    O(store) layout rewrite, NOT O(batch) — the per-epoch cost claim
+    of each sink holds only for the absorb itself; compact_every
+    amortizes the rewrite, so size it to trigger cadence (e.g. ~1440
+    for a daily rewrite under a 1-minute trigger). Default None
+    keeps maintenance a deliberate operator action."""
+    if not compact_every or batch_id <= 0:
+        return
+    if batch_id % int(compact_every) == 0:
+        idx.compact(live=True)
+
+
 def near_dedup_sink(
     idx,
     out_table: str,
     threshold: float | None = None,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch incremental NEAR-dedup: each micro-batch is checked
     against the persisted signature index
@@ -146,6 +175,7 @@ def near_dedup_sink(
             "__batch",
         )
         idx.absorb(kept, batch=batch_id)
+        _maybe_compact(idx, batch_id, compact_every)
 
     return apply
 
@@ -154,6 +184,7 @@ def ivf_absorb_sink(
     idx,
     max_skew: float | None = None,
     skew_probe_every: int = 1,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch incremental embedding ingest: every micro-batch of
     (id, vector) rows is assigned to its nearest stored centroid and
@@ -214,11 +245,15 @@ def ivf_absorb_sink(
                     "as_of_batch string",
                 ),
             )
+        _maybe_compact(idx, batch_id, compact_every)
 
     return apply
 
 
-def bm25_absorb_sink(idx) -> Callable[[DataFrame, int], None]:
+def bm25_absorb_sink(
+    idx,
+    compact_every: int | None = None,
+) -> Callable[[DataFrame, int], None]:
     """foreachBatch incremental retrieval ingest: every micro-batch of
     (id, text) rows lands in the persisted BM25 postings index
     (operators.retrieval.Bm25Index), so keyword retrieval always
@@ -239,6 +274,7 @@ def bm25_absorb_sink(idx) -> Callable[[DataFrame, int], None]:
         if batch_df.isEmpty():
             return
         idx.absorb(batch_df, batch=batch_id)
+        _maybe_compact(idx, batch_id, compact_every)
 
     return apply
 
@@ -247,6 +283,7 @@ def pq_absorb_sink(
     idx,
     max_skew: float | None = None,
     skew_probe_every: int = 1,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch incremental compressed-vector ingest (round 13,
     VERDICT r12 item 5 — completes the index-family streaming story):
@@ -314,6 +351,7 @@ def pq_absorb_sink(
                     "as_of_batch string",
                 ),
             )
+        _maybe_compact(idx, batch_id, compact_every)
 
     return apply
 

@@ -768,3 +768,55 @@ def test_compact_live_mode_derives_the_bound(spark, tmp_path):
     r2 = fresh.compact(live=True)
     assert r2["compacted_through"] is None
     assert r2["stamps_merged"] == 1  # just __build__
+
+
+def test_sink_compact_every_amortized_in_stream(spark, tmp_path):
+    """compact_every on the absorb sinks: every Nth epoch ends with
+    compact(live=True); the current epoch stays replayable (the
+    crash-after-compact-before-commit window), and serving is
+    bit-identical through the in-stream rewrites."""
+    from etl_process_for_fraud_transactions_spark.streaming.upsert import (
+        bm25_absorb_sink,
+        near_dedup_sink,
+    )
+
+    wh, idx = _bm25(spark, tmp_path)
+    sink = bm25_absorb_sink(idx, compact_every=2)
+    sink(_bm_epoch(spark, [101]), 1)
+    sink(_bm_epoch(spark, [102]), 2)  # compaction fires here
+    snap = _bm_snapshot(idx)
+    stamps = {
+        r["__batch"]
+        for r in wh.read(idx.stats_table).select("__batch").collect()
+    }
+    assert stamps == {E.COMPACTED_STAMP, "2"}
+    # the crash window: epoch 2's offsets never committed, replay
+    sink(_bm_epoch(spark, [102]), 2)
+    assert _bm_snapshot(idx) == snap
+    sink(_bm_epoch(spark, [103]), 3)
+    sink(_bm_epoch(spark, [104]), 4)  # fires again: merges 2, 3
+    stamps = {
+        r["__batch"]
+        for r in wh.read(idx.stats_table).select("__batch").collect()
+    }
+    assert stamps == {E.COMPACTED_STAMP, "4"}
+    # a replay of the MERGED epoch 3 now no-ops inside absorb
+    sink(_bm_epoch(spark, [103]), 3)
+    assert wh.read(idx.stats_table).count() == 2
+
+    # the near-dedup sink composes the same hook with its whole-epoch
+    # skip: a replayed merged epoch leaves the committed output alone
+    whn, nd = _nd(spark, tmp_path)
+    ndsink = near_dedup_sink(nd, out_table="curated", compact_every=2)
+    ndsink(_nd_epoch(spark, 1), 1)
+    ndsink(_nd_epoch(spark, 2), 2)  # compaction fires: merges 1
+    out = sorted(r["doc_id"] for r in whn.read("curated").collect())
+    assert out == [100, 200]
+    ndsink(_nd_epoch(spark, 1), 1)  # merged epoch replay: skipped whole
+    assert (
+        sorted(r["doc_id"] for r in whn.read("curated").collect()) == out
+    )
+    ndsink(_nd_epoch(spark, 2), 2)  # current epoch replay: converges
+    assert (
+        sorted(r["doc_id"] for r in whn.read("curated").collect()) == out
+    )
