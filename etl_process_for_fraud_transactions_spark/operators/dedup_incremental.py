@@ -309,20 +309,15 @@ class NearDupIndex:
                 )
             # partition-pruned: __batch is the hive partition column
             df = df.filter(F.col(BATCH_COL) != str(exclude_batch))
-        if self.wh.exists(self.tombstones_table):
-            # deletion tombstones (round 13): a deleted corpus doc no
-            # longer blocks near-duplicates of itself — the bounded
-            # set broadcast-anti-joins both index tables at this one
-            # choke point (check and filter_new both read through it)
-            df = df.join(
-                F.broadcast(
-                    self.wh.read(self.tombstones_table).select(
-                        self.id_col
-                    )
-                ),
-                self.id_col,
-                "left_anti",
-            )
+        from .tombstones import anti_join_tombstones
+
+        # deletion tombstones (round 13): a deleted corpus doc no
+        # longer blocks near-duplicates of itself — the size-gated
+        # anti-join applies at this one choke point (check and
+        # filter_new both read through it); no-op without tombstones
+        df = anti_join_tombstones(
+            df, self.wh, self.tombstones_table, self.id_col
+        )
         return df.drop(BATCH_COL) if self.partitioned else df
 
     def bootstrap(self, corpus: DataFrame, batch="bootstrap") -> None:
@@ -395,19 +390,14 @@ class NearDupIndex:
                 batch, self._watermark()
             ):
                 return
-        if self.wh.exists(self.tombstones_table):
-            # a deleted id stays deleted until a purging compaction
-            # (the family contract): re-indexing it would resurrect a
-            # taken-down document's signatures
-            accepted = accepted.join(
-                F.broadcast(
-                    self.wh.read(self.tombstones_table).select(
-                        self.id_col
-                    )
-                ),
-                self.id_col,
-                "left_anti",
-            )
+        from .tombstones import anti_join_tombstones
+
+        # a deleted id stays deleted until a purging compaction (the
+        # family contract): re-indexing it would resurrect a
+        # taken-down document's signatures
+        accepted = anti_join_tombstones(
+            accepted, self.wh, self.tombstones_table, self.id_col
+        )
         accepted = accepted.localCheckpoint()
         b = self._buckets(accepted)
         s = self._shingles(accepted)

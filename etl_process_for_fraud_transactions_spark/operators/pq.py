@@ -1094,17 +1094,14 @@ class PqIndex:
                 batch, stored.get("compacted_through")
             ):
                 return
-        if self.wh.exists(tomb_t):
-            # a deleted id stays deleted until a purging compaction:
-            # the ban is a broadcast anti-join against the bounded
-            # tombstone set — deterministic, so replays converge
-            new_vectors = new_vectors.join(
-                F.broadcast(
-                    self.wh.read(tomb_t).select(self.id_col).distinct()
-                ),
-                self.id_col,
-                "left_anti",
-            )
+        from .tombstones import anti_join_tombstones
+
+        # a deleted id stays deleted until a purging compaction: the
+        # ban is a size-gated anti-join against the tombstone id set
+        # — deterministic, so replays converge
+        new_vectors = anti_join_tombstones(
+            new_vectors, self.wh, tomb_t, self.id_col
+        )
         frame = new_vectors
         center_col = None
         if stored.get("n_cells") is not None:
@@ -1579,18 +1576,14 @@ class PqIndex:
             if stored.get("n_cells") is not None
             else None
         )
-        codes = self.wh.read(codes_t)
-        if self.wh.exists(tomb_t):
-            # deletion tombstones (round 13): the bounded set
-            # broadcast-anti-joins the probed codes — a deleted vector
-            # never serves; purge happens at full versioned compaction
-            codes = codes.join(
-                F.broadcast(
-                    self.wh.read(tomb_t).select(self.id_col).distinct()
-                ),
-                self.id_col,
-                "left_anti",
-            )
+        from .tombstones import anti_join_tombstones
+
+        # deletion tombstones (round 13): the size-gated anti-join
+        # drops deleted vectors from the probed codes; purge happens
+        # at full versioned compaction
+        codes = anti_join_tombstones(
+            self.wh.read(codes_t), self.wh, tomb_t, self.id_col
+        )
         return pq_topk(
             codes,
             queries,

@@ -832,14 +832,12 @@ class Bm25Index:
             # re-absorbing it would re-admit a taken-down document AND
             # double-count it in the stats (its tombstone subtracts
             # exactly the occurrences indexed BEFORE the delete). The
-            # ban is a broadcast anti-join against the bounded
-            # tombstone id set — deterministic, so replays converge.
-            new_docs = new_docs.join(
-                F.broadcast(
-                    self.wh.read(tomb_t).select(self.id_col).distinct()
-                ),
-                self.id_col,
-                "left_anti",
+            # ban is a size-gated anti-join against the tombstone id
+            # set — deterministic, so replays converge.
+            from .tombstones import anti_join_tombstones
+
+            new_docs = anti_join_tombstones(
+                new_docs, self.wh, tomb_t, self.id_col
             )
         # legacy upgrade (round 12 self-review): an index BUILT before
         # the stats table existed must not let this absorb create a
@@ -1362,11 +1360,9 @@ class Bm25Index:
         # compaction; until then this filter IS the delete.
         tombs = self.wh.read(tomb_t) if self.wh.exists(tomb_t) else None
         if tombs is not None:
-            post = post.join(
-                F.broadcast(tombs.select(self.id_col).distinct()),
-                self.id_col,
-                "left_anti",
-            )
+            from .tombstones import anti_join_tombstones
+
+            post = anti_join_tombstones(post, self.wh, tomb_t, self.id_col)
         if self.wh.exists(stats_t):
             # <= #batches rows; integer sums are exact, so this is
             # bit-identical to the full doclens aggregate it replaces
@@ -1401,11 +1397,7 @@ class Bm25Index:
             if self.partitioned:
                 dl = dl.drop(_BATCH_COL)
             if tombs is not None:
-                dl = dl.join(
-                    F.broadcast(tombs.select(self.id_col).distinct()),
-                    self.id_col,
-                    "left_anti",
-                )
+                dl = anti_join_tombstones(dl, self.wh, tomb_t, self.id_col)
             stats = dl.select(
                 F.count(F.lit(1)).alias("__n"),
                 (

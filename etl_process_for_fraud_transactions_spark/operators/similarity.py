@@ -784,17 +784,14 @@ class IvfIndex:
         else:
             vec_t, cent_t = self._table_names()
             tomb_t = self._tombstones_table()
-        if self.wh.exists(tomb_t):
-            # a deleted id stays deleted until a purging compaction:
-            # the ban is a broadcast anti-join against the bounded
-            # tombstone set — deterministic, so replays converge
-            new_vectors = new_vectors.join(
-                F.broadcast(
-                    self.wh.read(tomb_t).select(self.id_col).distinct()
-                ),
-                self.id_col,
-                "left_anti",
-            )
+        from .tombstones import anti_join_tombstones
+
+        # a deleted id stays deleted until a purging compaction: the
+        # ban is a size-gated anti-join against the tombstone id set
+        # — deterministic, so replays converge
+        new_vectors = anti_join_tombstones(
+            new_vectors, self.wh, tomb_t, self.id_col
+        )
         cents = self.wh.read(cent_t)
         # assignment is per ROW, not per id: an id_col-partitioned
         # argmax window silently drops all but one row of a batch
@@ -1419,18 +1416,15 @@ class IvfIndex:
         else:
             vec_t, cent_t = self._table_names()
             tomb_t = self._tombstones_table()
-        vectors = self._read_vectors(vec_t)
-        if self.wh.exists(tomb_t):
-            # deletion tombstones: the bounded set broadcast-anti-joins
-            # the probed rows — a deleted vector never serves; purge
-            # happens at full versioned compaction
-            vectors = vectors.join(
-                F.broadcast(
-                    self.wh.read(tomb_t).select(self.id_col).distinct()
-                ),
-                self.id_col,
-                "left_anti",
-            )
+        from .tombstones import anti_join_tombstones
+
+        # deletion tombstones: the size-gated anti-join drops deleted
+        # vectors from the probed rows (broadcast under the at-rest
+        # byte cap, Catalyst-decided above it); purge happens at full
+        # versioned compaction. No-op when no tombstone table exists.
+        vectors = anti_join_tombstones(
+            self._read_vectors(vec_t), self.wh, tomb_t, self.id_col
+        )
         return ivf_topk(
             vectors,
             queries,

@@ -432,3 +432,32 @@ def test_delete_on_day_zero_stores_reports_zero(spark, tmp_path):
 
     ivf = IvfIndex(Warehouse(spark, str(tmp_path / "whi")))
     assert ivf.delete(_vec_ids(spark, [1])) == {"deleted_ids": 0}
+
+
+def test_tombstone_broadcast_gate(spark, tmp_path):
+    """The serving filter never FORCES an unbounded broadcast: under
+    the at-rest byte cap the anti-join is hinted broadcast; over it
+    the hint is omitted and Catalyst decides — identical rows either
+    way (the NearDupIndex broadcast_max_rows tradition)."""
+    from etl_process_for_fraud_transactions_spark.operators.tombstones import (
+        anti_join_tombstones,
+        table_bytes,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.append(
+        "t_tombs", spark.createDataFrame([(2,), (4,)], "doc_id: int")
+    )
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id: int")
+    assert table_bytes(wh.path("t_tombs")) > 0
+
+    hinted = anti_join_tombstones(df, wh, "t_tombs", "doc_id")
+    gated = anti_join_tombstones(df, wh, "t_tombs", "doc_id", max_bytes=0)
+    want = [0, 1, 3, 5]
+    assert sorted(r["doc_id"] for r in hinted.collect()) == want
+    assert sorted(r["doc_id"] for r in gated.collect()) == want
+    # the hint is present under the cap, absent over it
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
+    # missing table: literally the same frame back, no plan change
+    assert anti_join_tombstones(df, wh, "no_such", "doc_id") is df
