@@ -710,6 +710,17 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: must drop), so every leg of filter_new is exercised non-trivially.
 _NEARDUP_SPLIT = 250
 _NEARDUP_THRESHOLD = 0.5
+#: corpus ids taken down AFTER bootstrap (round 13 — deletion
+#: propagation under the driver hash): doc 45 is the corpus anchor of
+#: the transitive dirty cluster {45, 267, 413} at sf0.01, so its
+#: takedown is load-bearing — batch docs that only duplicated doc 45
+#: lose their corpus-dup count and their cluster may flip to kept.
+#: The oracle replays the takedown by excluding these ids from the
+#: corpus side of the pair set; the engine goes through the REAL
+#: delete() -> tombstone-filtered check/filter_new path, so a
+#: tombstone that leaked into (or vanished from) either index table
+#: flips the hash.
+_NEARDUP_DELETED = (7, 45)
 
 
 def _neardup_incremental_oracle_sql() -> str:
@@ -719,6 +730,7 @@ def _neardup_incremental_oracle_sql() -> str:
     within-batch pairs, and the dirty-cluster drop — the independent
     twin of NearDupIndex.check + filter_new."""
     s, t = _NEARDUP_SPLIT, _NEARDUP_THRESHOLD
+    deleted = ", ".join(str(i) for i in _NEARDUP_DELETED)
     ctes = _minhash_ctes().replace("WITH toks", "WITH RECURSIVE toks", 1)
     return f"""
     {ctes},
@@ -732,7 +744,8 @@ def _neardup_incremental_oracle_sql() -> str:
     batch_docs AS (SELECT doc_id FROM documents WHERE doc_id >= {s}),
     corp_dups AS (
         SELECT id_b AS doc_id, COUNT(DISTINCT id_a) AS n_corpus_dups
-        FROM pairs WHERE id_a < {s} AND id_b >= {s}
+        FROM pairs
+        WHERE id_a < {s} AND id_a NOT IN ({deleted}) AND id_b >= {s}
         GROUP BY id_b
     ),
     sym AS (
@@ -776,6 +789,14 @@ def neardup_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascade. Output per batch doc: how many indexed corpus documents
     near-duplicate it, and whether the incremental filter keeps it.
 
+    Round 13: the row also exercises DELETION PROPAGATION under the
+    hash — two corpus docs (_NEARDUP_DELETED, incl. the transitive
+    dirty-cluster anchor 45) are taken down via idx.delete() after
+    bootstrap, and the oracle excludes them from the corpus side of
+    the pair set: a taken-down doc must stop blocking near-duplicates
+    of itself, and a tombstone leaking into either index table (or
+    failing to filter it) flips the hash.
+
     (Supersedes the round-3..5 `dedup_incremental_new_docs` row, whose
     exact fingerprint anti-join is a special case of this path and
     stays covered by tests/test_dedup_text.py::dedup_against_corpus.)
@@ -800,6 +821,18 @@ def neardup_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = NearDupIndex(Warehouse(spark, scratch), portable=True)
     idx.bootstrap(corpus)
+    # round 13 — deletion propagation under the hash: take down two
+    # corpus docs through the REAL delete() path (tombstones filter
+    # both index tables at the _read_index choke point), so every
+    # n_corpus_dups/kept verdict below is computed against the
+    # post-takedown index; bootstrap resets tombstones each run, so
+    # the delete re-applies deterministically. Doc 45 anchors the
+    # {45, 267, 413} transitive dirty cluster — see _NEARDUP_DELETED.
+    idx.delete(
+        spark.createDataFrame(
+            [(int(i),) for i in _NEARDUP_DELETED], "doc_id: long"
+        )
+    )
 
     # ONE check() feeds both outputs (round 10): the candidate/verify
     # path, its broadcast-gate count and the index reads run once;
