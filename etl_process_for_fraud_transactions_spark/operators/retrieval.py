@@ -1381,11 +1381,19 @@ class Bm25Index:
                         .alias("sum_dl"),
                     )
                 )
+            # N can legitimately reach 0 on a live store: delete()
+            # tombstoning EVERY doc leaves postings files on disk (so
+            # the day-zero fallback above does not fire) with all rows
+            # filtered — avgdl goes NULL instead of dividing by zero
+            # (no posting survives to consume it; the hypothesis pin
+            # in tests/test_deletes.py found this corner under ANSI)
             stats = base.agg(
                 F.sum("n_docs").alias("__n"),
                 (
                     F.sum("sum_dl").cast("double")
-                    / F.sum("n_docs").cast("double")
+                    / F.nullif(
+                        F.sum("n_docs").cast("double"), F.lit(0.0)
+                    )
                 ).alias("__avgdl"),
             )
         else:
@@ -1402,7 +1410,9 @@ class Bm25Index:
                 F.count(F.lit(1)).alias("__n"),
                 (
                     F.sum("dl").cast("double")
-                    / F.count(F.lit(1)).cast("double")
+                    / F.nullif(
+                        F.count(F.lit(1)).cast("double"), F.lit(0.0)
+                    )
                 ).alias("__avgdl"),
             )
         dfreq = post.groupBy("term").agg(

@@ -461,3 +461,50 @@ def test_tombstone_broadcast_gate(spark, tmp_path):
     assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
     # missing table: literally the same frame back, no plan change
     assert anti_join_tombstones(df, wh, "no_such", "doc_id") is df
+
+
+# ------------------------------------------------------ property pin
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["hash", "join", "scan", "probe", "merge", "sort", "spill"]
+
+_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=6).map(
+        " ".join
+    ),
+    min_size=2,
+    max_size=10,
+)
+_delete_mask = st.lists(st.booleans(), min_size=10, max_size=10)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(_corpus_strategy, _delete_mask)
+def test_bm25_delete_equals_rebuild_without(spark, tmp_path_factory, texts, mask):
+    """Model pin for the tombstone arithmetic: for ANY corpus and ANY
+    delete set (including ids never indexed and the everything-deleted
+    corner), post-delete serving is tuple-identical to an index built
+    without the deleted docs — scores included, so a drift anywhere in
+    the (count, sum dl) stats subtraction or the postings filter fails
+    the property."""
+    docs = [(i, t) for i, t in enumerate(texts)]
+    deleted = [i for i, m in enumerate(mask) if m]
+    base = tmp_path_factory.mktemp("bm25prop")
+
+    idx = Bm25Index(Warehouse(spark, str(base / "a")))
+    idx.build(_docs(spark, docs))
+    idx.delete(_ids(spark, deleted))
+
+    ref = Bm25Index(Warehouse(spark, str(base / "b")))
+    ref.build(
+        _docs(spark, [d for d in docs if d[0] not in deleted])
+    )
+    queries = {"q1": ["hash", "probe"], "q2": ["merge", "scan", "sort"]}
+    assert sorted(
+        tuple(r) for r in idx.topk(queries, topk=5).collect()
+    ) == sorted(tuple(r) for r in ref.topk(queries, topk=5).collect())
