@@ -820,3 +820,28 @@ def test_sink_compact_every_amortized_in_stream(spark, tmp_path):
     assert (
         sorted(r["doc_id"] for r in whn.read("curated").collect()) == out
     )
+
+
+def test_compact_files_per_partition_salts_fat_partitions(spark, tmp_path):
+    """files_per_partition > 1 (the fat-cell knob): each hive
+    partition splits into up to N files via the id-hash salt, and
+    serving stays bit-identical — the path a cell too fat for one
+    executor's write buffer takes at full scale."""
+    import os
+
+    wh, idx = _ivf(spark, tmp_path)
+    for b in (1, 2):
+        idx.absorb(_epoch(spark, [100 + b, 200 + b, 300 + b]), batch=b)
+    before = _topk_snapshot(idx, spark)
+
+    report = idx.compact(files_per_partition=3)
+    assert _topk_snapshot(idx, spark) == before
+    # per compacted hive partition: at least one, at most 3 files
+    root = wh.path(idx.vectors_table)
+    for cell in os.listdir(root):
+        if not cell.startswith("ivf_cell="):
+            continue
+        pdir = os.path.join(root, cell, "__batch=__compacted__")
+        n = len([f for f in os.listdir(pdir) if f.startswith("part-")])
+        assert 1 <= n <= 3, (cell, n)
+    assert report["files_after"] >= E.parquet_file_count(root) // 2
