@@ -143,3 +143,141 @@ class Warehouse:
         scale is dominated by file-open overhead once files < ~32 MB)."""
         df = self.read(table).repartition(target_partitions)
         atomic_overwrite(df, self.path(table))
+
+    def erase_keys(
+        self,
+        table: str,
+        key_cols: list[str] | str,
+        keys: DataFrame,
+        partition_cols: list[str] | str | None = None,
+    ) -> dict:
+        """Right-to-erasure on the warehouse layouts (round 13 — the
+        warehouse twin of the index families' delete()): remove every
+        row of `table` matching `keys` on `key_cols`. For an SCD2
+        dimension that is the key's WHOLE history (erasure means the
+        subject's record goes away, not just the current row); for a
+        fact table, every event of the key.
+
+        Scale shape: with `partition_cols` (the batch-date-partitioned
+        facts), only the partitions that actually CONTAIN matching
+        rows are rewritten — discovered by one semi-joined distinct
+        over the partition columns (bounded by the partition count) —
+        via dynamic partition overwrite; untouched partitions' files
+        are never opened for write. Without `partition_cols` (snapshot
+        dims) the table is one anti-joined atomic rewrite. The key
+        join is hint-free: a handful of erasure subjects broadcasts
+        under Spark's own threshold, a mass erasure (revoked-license
+        scale) degrades to a shuffle join instead of a forced
+        broadcast.
+
+        A partition whose every row is erased is REMOVED outright:
+        dynamic overwrite only replaces partitions present in the new
+        data, so an all-erased partition would otherwise keep its old
+        files — silent resurrection. Removal happens AFTER the
+        rewrite; a crash in between leaves the old files in place and
+        a RE-RUN converges (the leftover partition still matches
+        `keys`, is re-discovered as affected, and is removed).
+        Partition values must round-trip through their hive directory
+        names (dates/ints/simple strings — the layouts this warehouse
+        writes).
+
+        Returns {"rows_erased", "partitions_rewritten",
+        "partitions_removed"}."""
+        kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        pcols = (
+            [partition_cols]
+            if isinstance(partition_cols, str)
+            else list(partition_cols or [])
+        )
+        if not self.exists(table):
+            return {
+                "rows_erased": 0,
+                "partitions_rewritten": 0,
+                "partitions_removed": 0,
+            }
+        df = self.read(table)
+        kset = keys.select(*kcols).distinct().localCheckpoint()
+        matches = df.join(kset, kcols, "left_semi")
+        if not pcols:
+            n = matches.count()
+            if n:
+                atomic_overwrite(
+                    df.join(kset, kcols, "left_anti"), self.path(table)
+                )
+            return {
+                "rows_erased": int(n),
+                "partitions_rewritten": 1 if n else 0,
+                "partitions_removed": 0,
+            }
+        # bounded: one collect of (#affected partitions) rows carrying
+        # the per-partition erase counts
+        hit_rows = (
+            matches.groupBy(*pcols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        affected = [tuple(r)[:-1] for r in hit_rows]
+        n = sum(r["__n"] for r in hit_rows)
+        if not affected:
+            return {
+                "rows_erased": 0,
+                "partitions_rewritten": 0,
+                "partitions_removed": 0,
+            }
+
+        def _pred(values):
+            c = F.lit(True)
+            for col, v in zip(pcols, values):
+                c = c & (F.col(col) == F.lit(v))
+            return c
+
+        import functools
+
+        in_affected = functools.reduce(
+            lambda a, b: a | b, (_pred(v) for v in affected)
+        )
+        # localCheckpoint: the rewrite reads the same path the dynamic
+        # overwrite replaces — the read-your-own-overwrite hazard the
+        # module docstring warns about; pinning the surviving rows
+        # first fully consumes the input before any partition is
+        # touched (and the remaining-counts collect rides the same
+        # materialization)
+        kept = (
+            df.filter(in_affected)
+            .join(kset, kcols, "left_anti")
+            .localCheckpoint()
+        )
+        remaining = {
+            tuple(r)[:-1]: r["__n"]
+            for r in kept.groupBy(*pcols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        }
+        survivors = [v for v in affected if remaining.get(v)]
+        if survivors:
+            write_df = kept
+            if len(survivors) != len(affected):
+                write_df = kept.filter(
+                    functools.reduce(
+                        lambda a, b: a | b, (_pred(v) for v in survivors)
+                    )
+                )
+            self.append_partitioned(table, write_df, pcols)
+        # all-erased partitions: removed LAST (see docstring)
+        removed = 0
+        for values in affected:
+            if remaining.get(values):
+                continue
+            p = os.path.join(
+                self.path(table),
+                *(f"{c}={v}" for c, v in zip(pcols, values)),
+            )
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+                removed += 1
+        self.spark.catalog.refreshByPath(self.path(table))
+        return {
+            "rows_erased": int(n),
+            "partitions_rewritten": len(survivors),
+            "partitions_removed": removed,
+        }
