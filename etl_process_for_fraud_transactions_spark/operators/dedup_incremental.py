@@ -446,7 +446,9 @@ class NearDupIndex:
             self.wh.read(self.buckets_table)
             .select(self.id_col)
             .join(
-                F.broadcast(ids.select(self.id_col).distinct()),
+                # hint-free: a mass delete must not force-broadcast
+                # an unbounded caller frame (the erase_keys convention)
+                ids.select(self.id_col).distinct(),
                 self.id_col,
                 "left_semi",
             )

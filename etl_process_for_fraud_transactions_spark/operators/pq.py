@@ -1186,7 +1186,9 @@ class PqIndex:
             self.wh.read(codes_t)
             .select(self.id_col)
             .join(
-                F.broadcast(ids.select(self.id_col).distinct()),
+                # hint-free: a mass delete must not force-broadcast
+                # an unbounded caller frame (the erase_keys convention)
+                ids.select(self.id_col).distinct(),
                 self.id_col,
                 "left_semi",
             )

@@ -964,16 +964,16 @@ class Bm25Index:
         dl = self.wh.read(dl_t)
         if self.partitioned:
             dl = dl.drop(_BATCH_COL)
+        # hint-free joins (the erase_keys convention): a handful of
+        # takedown ids auto-broadcasts under Spark's own threshold, a
+        # MASS delete degrades to a shuffle join instead of a forced
+        # broadcast of an unbounded caller frame
         new_tombs = dl.join(
-            F.broadcast(ids.select(self.id_col).distinct()),
-            self.id_col,
-            "left_semi",
+            ids.select(self.id_col).distinct(), self.id_col, "left_semi"
         )
         if self.wh.exists(tomb_t):
             new_tombs = new_tombs.join(
-                F.broadcast(
-                    self.wh.read(tomb_t).select(self.id_col).distinct()
-                ),
+                self.wh.read(tomb_t).select(self.id_col).distinct(),
                 self.id_col,
                 "left_anti",
             )

@@ -867,7 +867,9 @@ class IvfIndex:
             self.wh.read(vec_t)
             .select(self.id_col)
             .join(
-                F.broadcast(ids.select(self.id_col).distinct()),
+                # hint-free: a mass delete must not force-broadcast
+                # an unbounded caller frame (the erase_keys convention)
+                ids.select(self.id_col).distinct(),
                 self.id_col,
                 "left_semi",
             )
