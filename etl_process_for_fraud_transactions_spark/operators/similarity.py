@@ -1362,19 +1362,25 @@ class IvfIndex:
             ),
         )
 
-    def prune_versions(self) -> list[str]:
-        '''Delete all non-current versions' table directories (the
-        versioned-retrain garbage collector). Returns the removed
-        table names. Only call after in-flight queries against older
-        versions have drained — a lazy DataFrame pins its resolved
-        paths at plan time.'''
+    def prune_versions(self, keep: int = 1) -> list[str]:
+        '''Delete old versions' table directories (the versioned-
+        retrain garbage collector). `keep` retains the most recent
+        `keep` versions (default 1 = current only, the historical
+        behavior); pass keep=2 while lagging readers may still hold
+        plans resolved against the previous version — a lazy
+        DataFrame pins its resolved paths at plan time (the
+        Bm25Index/PqIndex knob, round 13: now uniform across the
+        family, which in-stream maintenance relies on). Returns the
+        removed table names.'''
         if not self.versioned:
             return []
+        if keep < 1:
+            raise ValueError("prune_versions keep must be >= 1")
         import shutil
 
         cur = self._current_version()
         removed = []
-        for v in range(1, cur):
+        for v in range(1, cur - keep + 1):
             for t in self._table_names(v) + (self._tombstones_table(v),):
                 path = self.wh.path(t)
                 import os

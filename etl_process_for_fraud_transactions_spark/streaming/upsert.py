@@ -75,7 +75,22 @@ def dedup_append_sink(
 
 
 
-def _maybe_compact(idx, batch_id: int, compact_every: int | None) -> None:
+def _guard_prune_keep(prune_keep: int | None) -> None:
+    if prune_keep is not None and prune_keep < 2:
+        raise ValueError(
+            "in-stream prune_keep must be >= 2: external readers' lazy "
+            "plans pin the previous version's paths, and pruning it "
+            "while it may still serve is the lagging-reader hazard "
+            "prune_versions documents"
+        )
+
+
+def _maybe_compact(
+    idx,
+    batch_id: int,
+    compact_every: int | None,
+    prune_keep: int | None = None,
+) -> None:
     """In-stream epoch-compaction hook shared by the absorb sinks
     (round 13): every compact_every-th epoch ends with
     idx.compact(live=True) — merge everything below the CURRENT
@@ -95,11 +110,23 @@ def _maybe_compact(idx, batch_id: int, compact_every: int | None) -> None:
     of each sink holds only for the absorb itself; compact_every
     amortizes the rewrite, so size it to trigger cadence (e.g. ~1440
     for a daily rewrite under a 1-minute trigger). Default None
-    keeps maintenance a deliberate operator action."""
+    keeps maintenance a deliberate operator action.
+
+    `prune_keep` (versioned stores): every in-stream compaction FLIPS
+    a new version, so without GC a long-running stream accumulates
+    full store copies; prune_keep bounds them via
+    prune_versions(keep=prune_keep) right after each compaction. The
+    sink cannot see EXTERNAL serving readers, whose lazy plans pin
+    the resolved paths of the version current when they planned —
+    prune_keep must be >= 2 so the immediately-preceding version
+    always survives one compaction cycle (enforced at sink
+    construction; a longer reader horizon wants a bigger keep)."""
     if not compact_every or batch_id <= 0:
         return
     if batch_id % int(compact_every) == 0:
         idx.compact(live=True)
+        if prune_keep is not None and hasattr(idx, "prune_versions"):
+            idx.prune_versions(keep=int(prune_keep))
 
 
 def near_dedup_sink(
@@ -107,6 +134,7 @@ def near_dedup_sink(
     out_table: str,
     threshold: float | None = None,
     compact_every: int | None = None,
+    prune_keep: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch incremental NEAR-dedup: each micro-batch is checked
     against the persisted signature index
@@ -158,6 +186,7 @@ def near_dedup_sink(
             "plain append-layout index a replayed epoch would duplicate "
             "curated rows and index entries"
         )
+    _guard_prune_keep(prune_keep)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.epochs import replay_skippable
@@ -175,7 +204,7 @@ def near_dedup_sink(
             "__batch",
         )
         idx.absorb(kept, batch=batch_id)
-        _maybe_compact(idx, batch_id, compact_every)
+        _maybe_compact(idx, batch_id, compact_every, prune_keep)
 
     return apply
 
@@ -185,6 +214,7 @@ def ivf_absorb_sink(
     max_skew: float | None = None,
     skew_probe_every: int = 1,
     compact_every: int | None = None,
+    prune_keep: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch incremental embedding ingest: every micro-batch of
     (id, vector) rows is assigned to its nearest stored centroid and
@@ -223,6 +253,7 @@ def ivf_absorb_sink(
             "plain append layout a replayed epoch would duplicate "
             "index rows"
         )
+    _guard_prune_keep(prune_keep)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -245,7 +276,7 @@ def ivf_absorb_sink(
                     "as_of_batch string",
                 ),
             )
-        _maybe_compact(idx, batch_id, compact_every)
+        _maybe_compact(idx, batch_id, compact_every, prune_keep)
 
     return apply
 
@@ -253,6 +284,7 @@ def ivf_absorb_sink(
 def bm25_absorb_sink(
     idx,
     compact_every: int | None = None,
+    prune_keep: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch incremental retrieval ingest: every micro-batch of
     (id, text) rows lands in the persisted BM25 postings index
@@ -269,12 +301,13 @@ def bm25_absorb_sink(
             "a plain append layout a replayed epoch would duplicate "
             "postings"
         )
+    _guard_prune_keep(prune_keep)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         idx.absorb(batch_df, batch=batch_id)
-        _maybe_compact(idx, batch_id, compact_every)
+        _maybe_compact(idx, batch_id, compact_every, prune_keep)
 
     return apply
 
@@ -284,6 +317,7 @@ def pq_absorb_sink(
     max_skew: float | None = None,
     skew_probe_every: int = 1,
     compact_every: int | None = None,
+    prune_keep: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch incremental compressed-vector ingest (round 13,
     VERDICT r12 item 5 — completes the index-family streaming story):
@@ -320,6 +354,7 @@ def pq_absorb_sink(
             "plain append layout a replayed epoch would duplicate "
             "code rows"
         )
+    _guard_prune_keep(prune_keep)
     if max_skew is not None:
         # fail at sink-construction time, not on the first probing
         # epoch mid-stream
@@ -351,7 +386,7 @@ def pq_absorb_sink(
                     "as_of_batch string",
                 ),
             )
-        _maybe_compact(idx, batch_id, compact_every)
+        _maybe_compact(idx, batch_id, compact_every, prune_keep)
 
     return apply
 

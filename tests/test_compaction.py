@@ -845,3 +845,59 @@ def test_compact_files_per_partition_salts_fat_partitions(spark, tmp_path):
         n = len([f for f in os.listdir(pdir) if f.startswith("part-")])
         assert 1 <= n <= 3, (cell, n)
     assert report["files_after"] >= E.parquet_file_count(root) // 2
+
+
+def test_sink_prune_keep_bounds_versions_in_stream(spark, tmp_path):
+    """prune_keep closes the versioned in-stream maintenance loop:
+    each compaction flips a version, prune_versions(keep=prune_keep)
+    GCs beyond it — the immediately-preceding version always survives
+    one cycle (lagging readers), keep < 2 refused at construction."""
+    import os
+
+    from etl_process_for_fraud_transactions_spark.streaming.upsert import (
+        bm25_absorb_sink,
+    )
+
+    wh, idx = _bm25(spark, tmp_path, versioned=True)
+    with pytest.raises(ValueError, match=">= 2"):
+        bm25_absorb_sink(idx, compact_every=2, prune_keep=1)
+
+    sink = bm25_absorb_sink(idx, compact_every=2, prune_keep=2)
+    for b in (1, 2, 3, 4, 5, 6):
+        sink(_bm_epoch(spark, [100 + b]), b)
+    snap = _bm_snapshot(idx)
+    cur = idx._current_version()
+    assert cur == 4  # v1 build + 3 in-stream compaction flips
+    dirs = {
+        d
+        for d in os.listdir(wh.root)
+        if d.startswith(f"{idx.name}_postings_v")
+    }
+    # exactly keep=2 versions on disk: current + its predecessor
+    assert dirs == {
+        f"{idx.name}_postings_v{cur}",
+        f"{idx.name}_postings_v{cur - 1}",
+    }
+    # and the store still serves + replays correctly
+    assert _bm_snapshot(idx) == snap
+    sink(_bm_epoch(spark, [105]), 5)  # merged epoch: no-op
+    assert _bm_snapshot(idx) == snap
+
+
+def test_ivf_prune_versions_keep(spark, tmp_path):
+    """keep= joins IvfIndex.prune_versions (family-uniform API):
+    keep=2 retains the predecessor, default 1 collapses to current."""
+    import os
+
+    wh, idx = _ivf(spark, tmp_path, versioned=True)
+    idx.retrain(n_cells=3, seed=7)
+    idx.retrain(n_cells=3, seed=8)
+    assert idx._current_version() == 3
+    removed = idx.prune_versions(keep=2)
+    assert all("_v1" in t for t in removed)
+    assert os.path.isdir(wh.path(f"{idx.name}_vectors_v2"))
+    removed = idx.prune_versions()
+    assert any("_v2" in t for t in removed)
+    assert not os.path.isdir(wh.path(f"{idx.name}_vectors_v2"))
+    with pytest.raises(ValueError, match=">= 1"):
+        idx.prune_versions(keep=0)
