@@ -585,10 +585,14 @@ class NearDupIndex:
                 files_per_partition,
             ).unionByName(df.filter(~F.col(BATCH_COL).isin(merged)))
             if purge:
-                collapsed = collapsed.join(
-                    F.broadcast(tombs.select(self.id_col).distinct()),
+                # size-gated, like serving (ADVICE r13): a mass
+                # takedown followed by a full compaction must degrade
+                # to a shuffle anti-join, never a forced broadcast
+                from .tombstones import anti_join_tombstones
+
+                collapsed = anti_join_tombstones(
+                    collapsed, self.wh, self.tombstones_table,
                     self.id_col,
-                    "left_anti",
                 )
             atomic_overwrite(
                 collapsed, self.wh.path(table), partition_by=[BATCH_COL]

@@ -1337,10 +1337,13 @@ class PqIndex:
             files_per_partition,
         ).unionByName(codes.filter(~F.col("__batch").isin(merged)))
         if purge:
-            collapsed = collapsed.join(
-                F.broadcast(tombs.select(self.id_col).distinct()),
-                self.id_col,
-                "left_anti",
+            # size-gated, like serving (ADVICE r13): a mass takedown
+            # followed by a full compaction must degrade to a shuffle
+            # anti-join, never a forced unbounded broadcast
+            from .tombstones import anti_join_tombstones
+
+            collapsed = anti_join_tombstones(
+                collapsed, self.wh, cur_tomb, self.id_col
             )
         if self.versioned:
             atomic_overwrite(

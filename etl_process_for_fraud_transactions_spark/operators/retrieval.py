@@ -1083,6 +1083,19 @@ class Bm25Index:
                 _BATCH_COL, F.col(_BATCH_COL).cast("string")
             )
 
+        # legacy pre-stats store (ADVICE r13): topk and absorb both
+        # handle the missing-stats layout explicitly, so compact()
+        # must fail GUIDED, not with a raw AnalysisException — one
+        # absorb() backfills the stats table from the doclens record
+        # (the round-12 legacy-upgrade path), after which compact()
+        # has the complete epoch record it folds.
+        if not self.wh.exists(cur_stats):
+            raise ValueError(
+                f"Bm25Index '{self.name}': no stats table — this is a "
+                "legacy pre-stats store. Run one absorb() first (it "
+                "backfills per-epoch stats from the doclens record), "
+                "then compact()."
+            )
         stats = _stamped(cur_stats)
         stamps = {r[_BATCH_COL] for r in stats.select(_BATCH_COL).distinct().collect()}
         post = dl = None
@@ -1145,11 +1158,12 @@ class Bm25Index:
         def _purged(df):
             if not purge or df is None:
                 return df
-            return df.join(
-                F.broadcast(tombs.select(self.id_col).distinct()),
-                self.id_col,
-                "left_anti",
-            )
+            # size-gated, like serving (ADVICE r13): a mass takedown
+            # followed by a full compaction must degrade to a shuffle
+            # anti-join, never a forced unbounded broadcast
+            from .tombstones import anti_join_tombstones
+
+            return anti_join_tombstones(df, self.wh, cur_tomb, self.id_col)
 
         writes = []
         if post is not None:

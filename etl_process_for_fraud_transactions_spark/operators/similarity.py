@@ -504,14 +504,29 @@ class IvfIndex:
     def version_table(self) -> str:
         return f"{self.name}_version"
 
-    def _current_version(self) -> int:
+    def _version_row(self) -> tuple[int, int | None]:
+        """(version, compacted_through) from ONE pointer-row read.
+
+        Callers that make a replay-skip decision AND act on the
+        version's tables must take both from the same read (the
+        Bm25Index._version_row pattern): reading the watermark and
+        the version separately lets a concurrent compact(live=True)
+        flip land between the two reads, pairing a STALE watermark
+        with the NEW version's tables — a crash-replayed epoch
+        already merged into __compacted__ would not be skipped and
+        would write duplicate rows (ADVICE r13)."""
         if not self.wh.exists(self.version_table):
             raise ValueError(
                 f"IvfIndex '{self.name}' is versioned but has no "
                 "version pointer — run build() (it commits v1 and "
                 "writes the pointer) or fix the warehouse root"
             )
-        return int(self.wh.read(self.version_table).collect()[0]["version"])
+        row = self.wh.read(self.version_table).collect()[0].asDict()
+        wm = row.get("compacted_through")
+        return int(row["version"]), (None if wm is None else int(wm))
+
+    def _current_version(self) -> int:
+        return self._version_row()[0]
 
     def _table_names(self, version: int | None = None) -> tuple[str, str]:
         '''(vectors, centroids) names — resolved from ONE pointer
@@ -773,17 +788,24 @@ class IvfIndex:
         self._validate(new_vectors, self.vec_col)
         if batch is not None:
             guard_sentinel_batch(batch)
-            if self.partitioned and replay_skippable(
-                batch, self._watermark()
-            ):
-                return
+        # version, tables, tombstones AND the replay watermark all
+        # resolve from ONE pointer read (_version_row) so the skip
+        # decision and the tables it protects are jointly consistent
+        # across a concurrent compact(live=True) flip (ADVICE r13)
         if self.versioned:
-            _v = self._current_version()
+            _v, _wm = self._version_row()
             vec_t, cent_t = self._table_names(_v)
             tomb_t = self._tombstones_table(_v)
         else:
+            _wm = self._watermark()
             vec_t, cent_t = self._table_names()
             tomb_t = self._tombstones_table()
+        if (
+            batch is not None
+            and self.partitioned
+            and replay_skippable(batch, _wm)
+        ):
+            return
         from .tombstones import anti_join_tombstones
 
         # a deleted id stays deleted until a purging compaction: the
@@ -952,7 +974,8 @@ class IvfIndex:
             )
         meta = self._stored_meta
         if self.versioned:
-            cur = self._current_version()
+            # one pointer read → jointly consistent (version, wm)
+            cur, prev_wm = self._version_row()
             cur_vec, cur_cent = self._table_names(cur)
             new_vec, new_cent = self._table_names(cur + 1)
             cur_tomb = self._tombstones_table(cur)
@@ -998,7 +1021,10 @@ class IvfIndex:
             or through is None
             or int(s) <= int(through)
         )
-        wm = epoch_watermark(merged, self._watermark())
+        wm = epoch_watermark(
+            merged,
+            prev_wm if self.versioned else self._watermark(),
+        )
         # physical deletion (round 13): a FULL merge on a VERSIONED
         # store applies the tombstones — rows purged, and the new
         # version simply has no tombstone table, so 'tombstones
@@ -1017,10 +1043,13 @@ class IvfIndex:
             files_per_partition,
         ).unionByName(vecs.filter(~F.col("__batch").isin(merged)))
         if purge:
-            collapsed = collapsed.join(
-                F.broadcast(tombs.select(self.id_col).distinct()),
-                self.id_col,
-                "left_anti",
+            # size-gated, like serving (ADVICE r13): a mass takedown
+            # followed by a full compaction must degrade to a shuffle
+            # anti-join, never a forced unbounded broadcast
+            from .tombstones import anti_join_tombstones
+
+            collapsed = anti_join_tombstones(
+                collapsed, self.wh, cur_tomb, self.id_col
             )
         if self.versioned:
             atomic_overwrite(
@@ -1295,12 +1324,13 @@ class IvfIndex:
         # retrain PRESERVES row-level __batch stamps (docstring), so
         # replay targeting — and therefore the compaction watermark —
         # carries forward; only build() resets it (fresh lineage)
-        wm = self._watermark()
         if self.versioned:
-            cur = self._current_version()
+            # one pointer read → jointly consistent (version, wm)
+            cur, wm = self._version_row()
             cur_vec, _ = self._table_names(cur)
             new_vec, new_cent = self._table_names(cur + 1)
         else:
+            wm = self._watermark()
             cur_vec = new_vec = self.vectors_table
             new_cent = self.centroids_table
         corpus = self._read_vectors(cur_vec).drop(self.cell_col)

@@ -179,7 +179,8 @@ class Warehouse:
         `keys`, is re-discovered as affected, and is removed).
         Partition values must round-trip through their hive directory
         names (dates/ints/simple strings — the layouts this warehouse
-        writes).
+        writes); a NULL partition value is matched null-safely and its
+        directory is hive's `__HIVE_DEFAULT_PARTITION__`.
 
         Returns {"rows_erased", "partitions_rewritten",
         "partitions_removed"}."""
@@ -226,9 +227,17 @@ class Warehouse:
             }
 
         def _pred(values):
+            # null-SAFE (ADVICE r13): a null partition value under a
+            # null-unsafe == evaluates to NULL, so matching rows would
+            # be counted in rows_erased but never rewritten — the data
+            # silently survives the erasure request
             c = F.lit(True)
             for col, v in zip(pcols, values):
-                c = c & (F.col(col) == F.lit(v))
+                c = c & (
+                    F.col(col).isNull()
+                    if v is None
+                    else F.col(col).eqNullSafe(F.lit(v))
+                )
             return c
 
         import functools
@@ -268,9 +277,14 @@ class Warehouse:
         for values in affected:
             if remaining.get(values):
                 continue
+            # null partition values live under hive's sentinel
+            # directory name, not 'col=None' (ADVICE r13)
             p = os.path.join(
                 self.path(table),
-                *(f"{c}={v}" for c, v in zip(pcols, values)),
+                *(
+                    f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                    for c, v in zip(pcols, values)
+                ),
             )
             if os.path.isdir(p):
                 shutil.rmtree(p)

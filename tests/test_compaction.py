@@ -901,3 +901,59 @@ def test_ivf_prune_versions_keep(spark, tmp_path):
     assert not os.path.isdir(wh.path(f"{idx.name}_vectors_v2"))
     with pytest.raises(ValueError, match=">= 1"):
         idx.prune_versions(keep=0)
+
+
+def test_bm25_compact_legacy_store_without_stats_fails_guided(
+    spark, tmp_path
+):
+    """ADVICE r13: a legacy pre-stats partitioned store (topk and
+    absorb handle it explicitly) must get a GUIDED error from
+    compact(), not a raw AnalysisException — and one absorb()
+    backfills the stats record, after which compact() works."""
+    import shutil
+
+    wh, idx = _bm25(spark, tmp_path)
+    idx.absorb(_bm_epoch(spark, [101]), batch=1)
+    # simulate the legacy layout: the stats table never existed
+    shutil.rmtree(wh.path(idx.stats_table))
+    spark.catalog.refreshByPath(wh.path(idx.stats_table))
+    with pytest.raises(ValueError, match="absorb"):
+        idx.compact()
+    # the prescribed recovery: one absorb backfills per-epoch stats
+    idx.absorb(_bm_epoch(spark, [102]), batch=2)
+    report = idx.compact()
+    assert report["stamps_merged"] >= 2
+    assert idx.topk({"q": ["word102"]}).count() > 0
+
+
+def test_ivf_absorb_resolves_pointer_in_one_read(spark, tmp_path):
+    """ADVICE r13: absorb's replay-skip decision and the tables it
+    writes must come from ONE version-pointer read — two reads let a
+    concurrent compact(live=True) flip pair a stale watermark with
+    the new version's tables (duplicate rows on crash replay)."""
+    wh, idx = _ivf(spark, tmp_path, versioned=True)
+    idx.absorb(_epoch(spark, [10]), batch=1)
+
+    reads = {"n": 0}
+    orig_read = wh.read
+
+    def counting_read(table, *a, **kw):
+        if table == idx.version_table:
+            reads["n"] += 1
+        return orig_read(table, *a, **kw)
+
+    wh.read = counting_read
+    try:
+        idx.absorb(_epoch(spark, [11]), batch=2)
+        assert reads["n"] == 1, (
+            f"absorb read the version pointer {reads['n']} times — "
+            "the skip decision and the tables must share one read"
+        )
+        # the skip path too: a replayed pre-watermark epoch after
+        # compaction must also decide from the same single read
+        idx.compact(through=2)
+        reads["n"] = 0
+        idx.absorb(_epoch(spark, [11]), batch=2)  # replay: no-op
+        assert reads["n"] == 1
+    finally:
+        wh.read = orig_read

@@ -136,3 +136,56 @@ def test_erase_crash_window_converges_on_rerun(spark, tmp_path):
         sorted(r["trans_id"] for r in wh.read("facts").collect())
         == [1, 5]
     )
+
+
+def test_erase_null_partition_value_is_null_safe(spark, tmp_path):
+    """ADVICE r13: a NULL partition value must not silently survive an
+    erasure request — the match predicate is null-safe and the
+    directory removal targets hive's __HIVE_DEFAULT_PARTITION__."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = [
+        (1, 10, 5.0, "2024-01-01"),
+        (2, 20, 6.0, None),   # null partition: client 20 + survivor 30
+        (3, 30, 7.0, None),
+        (4, 40, 8.0, None),
+    ]
+    facts = spark.createDataFrame(
+        rows,
+        "trans_id int, client_id int, amount double, batch_date string",
+    )
+    wh.append_partitioned("facts", facts, "batch_date")
+    null_dir = os.path.join(
+        wh.path("facts"), "batch_date=__HIVE_DEFAULT_PARTITION__"
+    )
+    assert os.path.isdir(null_dir)
+
+    # survivor in the null partition: rewrite, keep the directory
+    report = wh.erase_keys(
+        "facts", "client_id", _keys(spark, [20]), partition_cols="batch_date"
+    )
+    assert report == {
+        "rows_erased": 1,
+        "partitions_rewritten": 1,
+        "partitions_removed": 0,
+    }
+    assert wh.read("facts").filter("client_id = 20").count() == 0
+    assert os.path.isdir(null_dir)
+    assert sorted(
+        r["trans_id"]
+        for r in wh.read("facts").filter("batch_date is null").collect()
+    ) == [3, 4]
+
+    # all remaining null-partition rows erased: directory removed
+    report = wh.erase_keys(
+        "facts",
+        "client_id",
+        _keys(spark, [30, 40]),
+        partition_cols="batch_date",
+    )
+    assert report == {
+        "rows_erased": 2,
+        "partitions_rewritten": 0,
+        "partitions_removed": 1,
+    }
+    assert not os.path.isdir(null_dir)
+    assert sorted(r["trans_id"] for r in wh.read("facts").collect()) == [1]
