@@ -336,12 +336,31 @@ _SQL_BM25_QUERY_ROWS = ", ".join(
     for t in terms
 )
 
+#: corpus split for the PERSISTED-index serving row (round 14): docs
+#: below _BM25_SPLITS[0] are the build() corpus, [s1, s2) is streaming
+#: epoch 1, >= s2 is epoch 2 — per-batch stats rows SUM to the exact
+#: global aggregate (pinned), so the split itself is score-invariant;
+#: what it buys is making absorb, the epoch layout, and the compaction
+#: watermark all load-bearing under the driver hash.
+_BM25_SPLITS = (300, 400)
+#: docs taken down via the REAL Bm25Index.delete() after indexing:
+#: 237 (rank-1 of q_join_path at sf0.01, in the compacted build
+#: segment) and 321 (rank-1 of q_stream, in merged epoch 1) — their
+#: removal flips top-10 membership AND shifts N/avgdl/df for every
+#: query, so the tombstone stats subtraction is load-bearing. The
+#: oracle replays the takedown by scoring over corpus-minus-deleted
+#: (delete() parity with a never-held-the-docs build is the r13
+#: bit-identity pin).
+_BM25_DELETED = (237, 321)
+_BM25_DELETED_SQL = ", ".join(str(i) for i in _BM25_DELETED)
+
 
 @query(
     "bm25_topk_docs",
     f"""
     WITH toks AS (
       SELECT doc_id, {_SQL_BM25_TOKS} AS t FROM documents
+      WHERE doc_id NOT IN ({_BM25_DELETED_SQL})
     ),
     q(query_id, term) AS (VALUES {_SQL_BM25_QUERY_ROWS}),
     exploded AS (
@@ -494,23 +513,66 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-order two-term sum of single IEEE divisions, rounded to
     9 dp before the rank window — exactly replayed by the oracle's
     FULL OUTER JOIN. Fusion-only hits (docs neither leg ranked top-10
-    alone) are pinned in tests/test_retrieval.py; the persisted-index
-    serving twin is `hybrid_topk` over Bm25Index + IvfIndex."""
-    from ..operators.retrieval import bm25_topk, rrf_fuse, terms_frame
+    alone) are pinned in tests/test_retrieval.py.
 
-    docs = load_table(spark, sf_dir, "documents")
-    # cache_tokens (round 12, VERDICT r11 item 7 — the ivf_cosine_topk
-    # checkpoint lesson): the keyword leg consumes the token arrays
-    # three times (stats, df pre-pass, postings); checkpointing the
-    # (id, tokens) projection tokenizes once instead of thrice —
-    # same-session A/B at sf0.01: 2.5-4.9 s -> 1.9-2.8 s on the leg.
-    bm_leg = bm25_topk(
-        docs,
-        terms_frame(spark, _BM25_QUERIES),
-        topk=50,
-        max_df_frac=0.8,
-        cache_tokens=True,
+    Round 14 (VERDICT r13 item 1 — the production serving shape under
+    the driver hash, replacing the retired in-plan <=2 s target): the
+    keyword leg now serves from a PERSISTED `Bm25Index`
+    (operators/retrieval.py:380) built inside the row, the
+    neardup_incremental_filter precedent. The full maintenance cycle
+    runs against a deterministic scratch warehouse: build(docs < 300)
+    -> absorb(epoch 1: 300..399) -> absorb(epoch 2: >= 400) ->
+    delete() two docs that each held a rank-1 slot (_BM25_DELETED;
+    exact integer stats subtraction shifts N/avgdl/idf for EVERY
+    score) -> compact(through=1) (merges __build__ + epoch 1, records
+    the replay watermark) -> a deliberate REPLAY of epoch 1, which the
+    watermark must skip (a broken skip re-appends the merged epoch's
+    postings and stats row — double-counted tf/df/N flip the hash) ->
+    topk over the pruned term buckets, summed per-batch stats rows,
+    and the tombstone-subtracted fold. Each mechanism is load-bearing
+    under the oracle, which independently scores corpus-minus-deleted
+    in DuckDB (the r13 delete-parity bit-identity pin is what makes
+    that replay exact; delete-disabled negative control measured —
+    the hash flips). The former in-plan bm25_scores path keeps its
+    pytest parity pin (tests/test_retrieval.py) — in-plan and
+    persisted serving are bit-identical by construction, they share
+    `_score_postings`."""
+    import os
+    import re
+    import tempfile
+
+    from ..operators.retrieval import Bm25Index, rrf_fuse
+    from ..sources.warehouse import Warehouse
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s1, s2 = _BM25_SPLITS
+    epoch1 = docs.filter(
+        (F.col("doc_id") >= s1) & (F.col("doc_id") < s2)
     )
+    # deterministic per-sf scratch path (the neardup row's contract):
+    # the returned frame lazily reads the index tables, so the store
+    # must outlive this call; build() re-overwrites atomically on
+    # every run and resets watermark + tombstones — no temp growth,
+    # no cross-run state
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "bm25_idx_" + re.sub(r"\W+", "_", sf_dir).strip("_"),
+    )
+    idx = Bm25Index(Warehouse(spark, scratch), partitioned=True)
+    idx.build(docs.filter(F.col("doc_id") < s1))
+    idx.absorb(epoch1, batch=1)
+    idx.absorb(docs.filter(F.col("doc_id") >= s2), batch=2)
+    idx.delete(
+        spark.createDataFrame(
+            [(int(i),) for i in _BM25_DELETED], "doc_id: long"
+        )
+    )
+    idx.compact(through=1)
+    # replay of the already-merged epoch: the compaction watermark
+    # must no-op this (skip broken -> epoch-1 rows land alongside
+    # their __compacted__ copies -> hash flips)
+    idx.absorb(epoch1, batch=1)
+    bm_leg = idx.topk(_BM25_QUERIES, topk=50, max_df_frac=0.8)
 
     from ..operators.similarity import dot, l2_norm
 
