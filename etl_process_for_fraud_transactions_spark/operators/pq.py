@@ -852,6 +852,7 @@ class PqIndex:
         train_fraction: float | None = None,
         train_rows: int | None = None,
         nprobe_recall_target: float | None = None,
+        books: "PqModel | None" = None,
     ) -> PqModel:
         """Train codebooks and persist the codes table. `n_cells`
         turns the store into IVF-PQ: the corpus is cell-assigned by
@@ -877,6 +878,17 @@ class PqIndex:
         training (train_pq): the m KMeans fits scan a bounded
         deterministic sample keyed on this index's id_col instead of
         the full corpus; the encode pass still covers every row.
+
+        `books` (round 14) — bring-your-own-codebook: skip training
+        entirely and persist the caller's frozen PqModel (the
+        standard offline-train / online-serve split — codebooks
+        trained on a reference sample, or vendored as literals, while
+        the index only encodes and serves). m/n_codes are taken from
+        the model (the arguments are ignored);
+        train_fraction/train_rows are rejected (nothing trains). The
+        corpus dim is validated against model.dim up front — zip_with
+        truncates to the shorter array, so a mismatch would silently
+        encode prefixes instead of erroring.
 
         Versioned-mode write order (ADVICE r12): per-version tables
         first, then the POINTER FLIP — which carries the layout
@@ -935,17 +947,37 @@ class PqIndex:
             )
             train_col = "__pq_res"
         train_spec = None
-        if train_fraction is not None or train_rows is not None:
-            train_spec = (
-                f"fraction={train_fraction} rows={train_rows} "
-                f"id_col={self.id_col}"
+        if books is not None:
+            if train_fraction is not None or train_rows is not None:
+                raise ValueError(
+                    "PqIndex.build: books= is the offline-trained "
+                    "codebook path — train_fraction/train_rows do "
+                    "not apply (nothing trains here)"
+                )
+            lo, hi = corpus.select(
+                F.min(F.size(train_col)), F.max(F.size(train_col))
+            ).first()
+            if lo is not None and (lo != hi or lo != books.dim):
+                raise ValueError(
+                    f"PqIndex.build: corpus '{train_col}' dim "
+                    f"{lo}..{hi} does not match the frozen model's "
+                    f"dim {books.dim} — zip_with would silently "
+                    "encode prefixes"
+                )
+            model = books
+            train_spec = "frozen"
+        else:
+            if train_fraction is not None or train_rows is not None:
+                train_spec = (
+                    f"fraction={train_fraction} rows={train_rows} "
+                    f"id_col={self.id_col}"
+                )
+            model = train_pq(
+                corpus, m=m, n_codes=n_codes, vec_col=train_col,
+                seed=seed, max_iter=max_iter,
+                train_fraction=train_fraction, train_rows=train_rows,
+                sample_id_col=self.id_col,
             )
-        model = train_pq(
-            corpus, m=m, n_codes=n_codes, vec_col=train_col,
-            seed=seed, max_iter=max_iter,
-            train_fraction=train_fraction, train_rows=train_rows,
-            sample_id_col=self.id_col,
-        )
         if self.versioned:
             new_v = (
                 self._current_version() + 1

@@ -1937,6 +1937,18 @@ def _pq_books_values() -> str:
             rows.append(f"({j}, {c}, [{lst}])")
     return ", ".join(rows)
 
+
+#: vectors taken down via the REAL PqIndex.delete() after the build
+#: (round 14, VERDICT r13 item 2 — a vector-side delete under the
+#: driver hash): 365 (rank-2 of query 0 at sf0.01) and 386 (rank-2 of
+#: query 1) — both sat in the served top-10, so the size-gated
+#: tombstone anti-join over the codes table is load-bearing: a
+#: disabled filter returns the deleted ids and flips the hash. The
+#: oracle replays the takedown by never encoding them (pq_dist
+#: excludes the ids), exactly what serving-minus-tombstones computes.
+_PQ_DELETED = (365, 386)
+_PQ_DELETED_SQL = ", ".join(str(i) for i in _PQ_DELETED)
+
 _IVF_ORACLE = f"""
     WITH corpus0 AS (
         SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -2025,6 +2037,7 @@ _IVF_ORACLE = f"""
                               b.cent),
                      p -> p[1]*p[2])) AS dist
         FROM qcorpus v CROSS JOIN pq_books b
+        WHERE v.vec_id NOT IN ({_PQ_DELETED_SQL})
     ),
     pq_codes AS (
         SELECT vec_id, j, c FROM (
@@ -2132,8 +2145,30 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broken encode tie-break, the 1-based element_at LUT seam, or a
     widening decimal fold each flips adc_sim (or the shortlist) and
     fails the hash. Compression economics are measured in BASELINE
-    (this leg pins ARITHMETIC; recall floors live in test_pq.py)."""
-    from ..operators.pq import PqModel, pq_encode, pq_topk
+    (this leg pins ARITHMETIC; recall floors live in test_pq.py).
+
+    Round 14 (VERDICT r13 item 2 — vector-side deletes under the
+    hash): the pq leg now serves from a PERSISTED `PqIndex` in a
+    deterministic scratch warehouse — build(books=) persists the
+    frozen literal codebook through the offline-train/online-serve
+    path (the codes table is the REAL at-rest artifact, encode ran
+    through the index's own Arrow pass), then delete() tombstones two
+    vectors that sat in the served top-10 (_PQ_DELETED), and topk()
+    applies the size-gated tombstone anti-join over the codes before
+    ADC. The oracle never encodes the deleted ids, so a tombstone
+    that leaks into (or vanishes from) the codes scan flips the hash;
+    a disabled filter returns the deleted ids and fails (negative
+    control measured). The ivf_int8 leg stays the in-plan
+    label-quantizer cascade — its kmeans-free oracle is what makes
+    the whole row SQL-replayable; the kmeans-built IvfIndex serving
+    path keeps its pytest + recall pins (tests/test_similarity.py,
+    test_deletes.py)."""
+    import os
+    import re
+    import tempfile
+
+    from ..operators.pq import PqIndex, PqModel
+    from ..sources.warehouse import Warehouse
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
@@ -2177,10 +2212,24 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    pq_leg = pq_topk(
-        pq_encode(embq, model),
+    # persisted serving (round 14): build-with-frozen-books writes the
+    # codes table through the index's own encode pass into a
+    # deterministic scratch store (re-overwritten atomically per run,
+    # tombstones reset by build — no cross-run state), then the REAL
+    # delete() -> size-gated anti-join -> ADC path serves the leg
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "pq_idx_" + re.sub(r"\W+", "_", sf_dir).strip("_"),
+    )
+    pidx = PqIndex(Warehouse(spark, scratch), name="pqserve")
+    pidx.build(embq, books=model)
+    pidx.delete(
+        spark.createDataFrame(
+            [(int(i),) for i in _PQ_DELETED], "vec_id: long"
+        )
+    )
+    pq_leg = pidx.topk(
         pq_queries,
-        model,
         k=10,
         rerank=embq,
         shortlist=40,

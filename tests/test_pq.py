@@ -992,3 +992,64 @@ def test_pq_cell_skew_and_sink_drift_gate(spark, tmp_path):
         flat.cell_skew()
     with pytest.raises(ValueError, match="cells to probe"):
         pq_absorb_sink(flat, max_skew=2.0)
+
+
+def test_build_with_frozen_books_skips_training(spark, tmp_path):
+    """books= (round 14): the offline-train/online-serve split — the
+    index persists the caller's frozen codebooks verbatim, encode runs
+    through the index's own pass with IDENTICAL codes to an in-plan
+    pq_encode against the same model, and the guards fire (training
+    knobs rejected, dim mismatch rejected before silent prefix
+    encoding)."""
+    from etl_process_for_fraud_transactions_spark.operators.pq import (
+        PqIndex,
+        PqModel,
+        pq_encode,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    _, corpus = _random_corpus(spark, n=60, dim=8, seed=11)
+    books = PqModel(
+        m=2,
+        sub_dim=4,
+        n_codes=2,
+        codebooks=(
+            ((0.5, 0.0, 0.0, 0.0), (0.0, -0.5, 0.0, 0.0)),
+            ((0.0, 0.0, 0.5, 0.0), (0.0, 0.0, 0.0, -0.5)),
+        ),
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = PqIndex(wh, name="frozen")
+    out = idx.build(corpus, books=books)
+    assert out is books
+    # persisted codebooks round-trip exactly (dyadic literals)
+    stored = idx._model()
+    assert stored.codebooks == books.codebooks
+    # codes identical to an in-plan encode against the same model
+    got = {
+        (r["vec_id"], tuple(r["pq_codes"]))
+        for r in wh.read(idx.codes_table).collect()
+    }
+    want = {
+        (r["vec_id"], tuple(r["pq_codes"]))
+        for r in pq_encode(corpus, books).collect()
+    }
+    assert got == want
+    # training knobs are meaningless with frozen books
+    with pytest.raises(ValueError, match="offline-trained"):
+        idx.build(corpus, books=books, train_fraction=0.5)
+    # dim mismatch fails loudly instead of silently encoding prefixes
+    _, wide = _random_corpus(spark, n=10, dim=16, seed=12)
+    with pytest.raises(ValueError, match="dim"):
+        idx.build(wide, books=books)
+    # the serving path composes: delete a vector, topk never returns it
+    queries = corpus.filter(F.col("vec_id") < 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    victim = idx.topk(queries, k=3).collect()[0]["vec_id"]
+    idx.delete(spark.createDataFrame([(int(victim),)], "vec_id: long"))
+    left = {r["vec_id"] for r in idx.topk(queries, k=3).collect()}
+    assert victim not in left
