@@ -581,9 +581,21 @@ def brute_force_hits_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.rule_brute_force_20min_window(resolved, hot_key_max_rows=200)
 
 
+#: clients erased through the REAL Warehouse.erase_keys after the
+#: SCD2 replay (round 14, VERDICT r13 item 7 — right-to-erasure under
+#: the driver hash): 7 is a %7 changed key, so its WHOLE history (the
+#: closed-out 2024-01-01 row AND the 2024-01-02 current row) must go;
+#: 1000013 is a %13 FRESH insert, the insert-then-erase case. The
+#: oracle excludes both keys from the replayed dim — a skipped or
+#: partial erasure leaves their rows behind and fails rows_match.
+_SCD2_ERASED = (7, 1000013)
+_SCD2_ERASED_SQL = ", ".join(str(k) for k in _SCD2_ERASED)
+
+
 @query(
     "scd2_replay",
-    """
+    f"""
+    SELECT * FROM (
     WITH b1 AS (
         SELECT c_custkey AS ckey, c_name AS name, c_mktsegment AS segment FROM customer
     ),
@@ -610,6 +622,7 @@ def brute_force_hits_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b2.ckey, b2.name, b2.segment, '2024-01-02', '3000-01-01', FALSE
     FROM b2 LEFT JOIN b1 ON b2.ckey = b1.ckey
     WHERE b1.ckey IS NULL OR (b1.name <> b2.name OR b1.segment <> b2.segment)
+    ) WHERE ckey NOT IN ({_SCD2_ERASED_SQL})
     """,
 )
 def scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,7 +630,19 @@ def scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     bootstrap batch 1 from customer, then apply batch 2 with changed
     segments (custkey%7), new keys (custkey%13 offset by 1e6), and the
     rest unchanged. The oracle SQL is the declarative restatement of
-    close-out + insert semantics."""
+    close-out + insert semantics.
+
+    Round 14 (VERDICT r13 item 7 — right-to-erasure under the hash):
+    the replayed dimension is persisted to a deterministic scratch
+    warehouse and two clients (_SCD2_ERASED) are removed through the
+    REAL `Warehouse.erase_keys` (sources/warehouse.py) — the snapshot
+    path: one hint-free anti-joined atomic rewrite. Key 7 erases a
+    WHOLE SCD2 history (closed-out + current row), key 1000013 the
+    insert-then-erase case. The served frame is the read-back of the
+    rewritten table, so a skipped, partial, or resurrecting erasure
+    flips rows_match; the oracle simply never emits the erased keys.
+    The partitioned / null-partition / crash-window erasure semantics
+    stay pinned in tests/test_erasure.py."""
     from ..operators.scd2 import scd2_apply
 
     c = load_table(spark, sf_dir, "customer")
@@ -641,7 +666,7 @@ def scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h1 = scd2_apply(None, b1, ["ckey"], ["name", "segment"], F.lit("2024-01-01").cast("date"))
     h2 = scd2_apply(h1, b2, ["ckey"], ["name", "segment"], F.lit("2024-01-02").cast("date"))
-    return h2.select(
+    dim = h2.select(
         "ckey",
         "name",
         "segment",
@@ -649,6 +674,29 @@ def scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("effective_to", "yyyy-MM-dd").alias("effective_to"),
         "deleted_flg",
     )
+    # right-to-erasure through the real operator (round 14): persist
+    # the dim, erase, serve the read-back — overwrite is atomic and
+    # re-runs converge (the erased keys are simply absent again)
+    import os
+    import re
+    import tempfile
+
+    from ..sources.warehouse import Warehouse
+
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "scd2_wh_" + re.sub(r"\W+", "_", sf_dir).strip("_"),
+    )
+    wh = Warehouse(spark, scratch)
+    wh.overwrite("dim_clients", dim)
+    wh.erase_keys(
+        "dim_clients",
+        "ckey",
+        spark.createDataFrame(
+            [(int(k),) for k in _SCD2_ERASED], "ckey: long"
+        ),
+    )
+    return wh.read("dim_clients")
 
 
 @query(
