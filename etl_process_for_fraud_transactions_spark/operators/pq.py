@@ -244,6 +244,232 @@ def _np_books(model: PqModel):
     return np.asarray(model.codebooks, dtype=np.float64)  # m x n x s
 
 
+def _rotated_col(
+    df: DataFrame, vec_col: str, out_col: str, rotation
+) -> DataFrame:
+    """Append `out_col` = R @ vec (Arrow batch, numpy matvec) —
+    training-time plumbing for train_opq; serving rotates only the
+    bounded query frame (pq_query_luts) and the encode pass folds the
+    rotation into its own batch."""
+    rot = [list(r) for r in rotation]
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        )
+        + f", {out_col} array<double>"
+    )
+
+    def go(batches):
+        import numpy as np
+
+        R = np.asarray(rot, dtype=np.float64)
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = [
+                (R @ np.asarray(v, dtype=np.float64)).tolist()
+                for v in pdf[vec_col]
+            ]
+            yield out
+
+    return df.mapInPandas(go, schema=out_schema)
+
+
+def train_opq(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    opq_iters: int = 5,
+    train_fraction: float | None = None,
+    train_rows: int | None = None,
+    sample_id_col: str | None = None,
+) -> tuple[PqModel, tuple]:
+    """Optimized product quantization, non-parametric solution
+    (Ge, He, Ke & Sun, CVPR 2013 §4): alternately (a) train the m
+    codebooks on the ROTATED sample (train_pq — the exact machinery
+    raw PQ uses) and (b) solve the orthogonal Procrustes problem for
+    the rotation that best aligns data with its current
+    reconstruction — R* = U V^T from the SVD of M = sum_i y_hat_i
+    x_i^T (d x d, tiny), maximizing tr(R^T M), i.e. minimizing
+    sum ||R x - y_hat||^2 over orthogonal R. A final codebook fit on
+    the converged rotation closes the loop. Returns (model,
+    rotation) with the rotation as a frozen tuple-of-tuples — the
+    PqModel convention.
+
+    The rotation INITIALIZES at Ge et al.'s parametric solution
+    (§3.2), not identity: PCA the sample covariance, then greedily
+    allocate eigenvectors to the m sub-spaces balancing per-bucket
+    log-variance (eigenvalue-product balance). Identity is a FIXED
+    POINT of the non-parametric alternation on axis-aligned data (the
+    first reconstruction's M is near-symmetric-PSD, so Procrustes
+    returns ~identity forever) — measured on the planted
+    variance-imbalance corpus the identity start left quantization
+    error unchanged while the eigen-allocation start cut it 3.3x
+    (4.6x on the mixed-cluster corpus; tests/test_pq.py pins the
+    recall consequence).
+
+    Why it helps: raw PQ quantizes each d/m-dim slice independently,
+    so variance that straddles a sub-space boundary (anisotropic /
+    correlated dims) is unquantizable at any n_codes; an orthogonal
+    rotation re-axes the data so the product structure matches it
+    (measured on a planted anisotropic corpus in tests/test_pq.py —
+    the residual-pin pattern).
+
+    Scale shape: everything iterative runs on the bounded
+    deterministic sample (`train_fraction`/`train_rows`, the train_pq
+    sampling contract — codebooks AND the rotation are distribution
+    statistics); per iteration the cost is m KMeans fits plus ONE
+    Arrow pass accumulating per-partition d x d partials (collect is
+    <= #partitions rows of d^2 doubles). The d x d SVD is driver-side
+    numpy — d is an embedding dimension, not a corpus dimension."""
+    import numpy as np
+
+    lohi = corpus.select(
+        F.min(F.size(vec_col)), F.max(F.size(vec_col))
+    ).first()
+    if lohi is None or lohi[0] is None:
+        raise ValueError("train_opq: empty corpus")
+    if lohi[0] != lohi[1]:
+        raise ValueError(
+            f"train_opq: '{vec_col}' is ragged (lengths "
+            f"{lohi[0]}..{lohi[1]}) — PQ requires a fixed dimension"
+        )
+    d = int(lohi[0])
+    if d % m != 0:
+        raise ValueError(
+            f"train_opq: dim {d} is not divisible by m={m}"
+        )
+    if opq_iters < 1:
+        raise ValueError("train_opq: opq_iters must be >= 1")
+    sample = corpus
+    if train_fraction is not None or train_rows is not None:
+        from .sampling import deterministic_sample
+
+        if sample_id_col is None:
+            raise ValueError(
+                "train_opq: sampled training needs sample_id_col"
+            )
+        frac = train_fraction
+        if train_rows is not None:
+            total = corpus.count()
+            row_frac = min(1.0, train_rows / total) if total else 1.0
+            frac = row_frac if frac is None else min(frac, row_frac)
+        if frac < 1.0:
+            sample = deterministic_sample(
+                corpus, frac, id_col=sample_id_col, seed="opq"
+            )
+    # ONE materialization feeds every iteration's fits + encode +
+    # Procrustes pass (the train_pq sampling contract)
+    sample = sample.select(
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__x")
+    ).localCheckpoint(eager=True)
+    if sample.limit(1).count() == 0:
+        raise ValueError("train_opq: training sample is empty")
+
+    def _procrustes_m(enc_df, model) -> "np.ndarray":
+        books = model.codebooks
+        mm = model.m
+
+        def partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            B = np.asarray(books, dtype=np.float64)
+            acc = np.zeros((d, d), dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__x"]]
+                )
+                C = np.asarray([list(c) for c in pdf["__c"]], dtype=int)
+                Y = np.concatenate(
+                    [B[j][C[:, j]] for j in range(mm)], axis=1
+                )
+                acc += Y.T @ X
+            yield pd.DataFrame({"p": [acc.flatten().tolist()]})
+
+        parts = enc_df.mapInPandas(partials, "p array<double>").collect()
+        return sum(
+            np.asarray(r["p"], dtype=np.float64).reshape(d, d)
+            for r in parts
+        )
+
+    # parametric init (Ge et al. §3.2): distributed covariance
+    # partials (d^2 + d + 1 doubles per partition), driver-side eigh,
+    # greedy balanced log-variance eigenvector allocation
+    def cov_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        xx = np.zeros((d, d), dtype=np.float64)
+        s = np.zeros(d, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__x"]]
+            )
+            xx += X.T @ X
+            s += X.sum(axis=0)
+            n += len(X)
+        yield pd.DataFrame(
+            {"xx": [xx.flatten().tolist()], "s": [s.tolist()], "n": [n]}
+        )
+
+    cparts = sample.mapInPandas(
+        cov_partials, "xx array<double>, s array<double>, n long"
+    ).collect()
+    n_tot = sum(r["n"] for r in cparts)
+    xx = sum(
+        np.asarray(r["xx"], dtype=np.float64).reshape(d, d)
+        for r in cparts
+    )
+    mu = sum(np.asarray(r["s"], dtype=np.float64) for r in cparts) / n_tot
+    cov = xx / n_tot - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals)
+    evals, evecs = evals[order], evecs[:, order]
+    import math as _math
+
+    sub = d // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logs = [0.0] * m
+    for i, ev in enumerate(evals):
+        free = [b for b in range(m) if len(buckets[b]) < sub]
+        b = min(free, key=lambda b_: logs[b_])
+        buckets[b].append(i)
+        logs[b] += _math.log(max(float(ev), 1e-12))
+    perm = [i for b in buckets for i in b]
+    R = evecs[:, perm].T  # rows are the allocated basis: y = R x
+    model = None
+    for _ in range(opq_iters):
+        rotated = _rotated_col(sample, "__x", "__rx", R.tolist())
+        model = train_pq(
+            rotated, m=m, n_codes=n_codes, vec_col="__rx",
+            seed=seed, max_iter=max_iter,
+        )
+        enc = pq_encode(
+            rotated, model, vec_col="__rx",
+            codes_col="__c", norm_col="__n",
+        )
+        M = _procrustes_m(enc, model)
+        U, _, Vt = np.linalg.svd(M)
+        R = U @ Vt
+    # final codebooks on the converged rotation
+    model = train_pq(
+        _rotated_col(sample, "__x", "__rx", R.tolist()),
+        m=m, n_codes=n_codes, vec_col="__rx",
+        seed=seed, max_iter=max_iter,
+    )
+    rotation = tuple(tuple(float(x) for x in row) for row in R)
+    return model, rotation
+
+
 def pq_encode(
     df: DataFrame,
     model: PqModel,
@@ -251,6 +477,7 @@ def pq_encode(
     codes_col: str = "pq_codes",
     norm_col: str = "pq_norm",
     center_col: str | None = None,
+    rotation=None,
 ) -> DataFrame:
     """Replace `vec_col` with its PQ codes (array<smallint>, m
     entries) and the vector's TRUE L2 norm (double — the exact cosine
@@ -264,11 +491,20 @@ def pq_encode(
     `vec - center` (the model must have been trained on residuals),
     while `norm_col` stays the ORIGINAL vector's norm (the cosine
     denominator is a property of v, not of v - c; serving adds the
-    exact <q, center> term back). Both columns are consumed."""
+    exact <q, center> term back). Both columns are consumed.
+
+    `rotation` — OPQ (Ge et al., CVPR 2013): a d x d ORTHOGONAL
+    matrix (tuple-of-tuples from train_opq) applied to the vector
+    BEFORE the sub-space split; the model must have been trained on
+    rotated vectors. Rotation preserves norms and inner products
+    (<Rx, Rq> = <x, q>), so `norm_col` and the serving arithmetic are
+    unchanged — only the query side must rotate symmetrically
+    (pq_query_luts gets the same matrix)."""
     import pandas as pd
 
     books = model.codebooks
     m, sub = model.m, model.sub_dim
+    rot = None if rotation is None else [list(r) for r in rotation]
     dropped = {vec_col} | ({center_col} if center_col else set())
     out_schema = (
         ", ".join(
@@ -303,6 +539,9 @@ def pq_encode(
                 enc = vecs - centers
             else:
                 enc = vecs
+            if rot is not None:
+                # y = R x per row (row-major: enc @ R.T)
+                enc = enc @ np.asarray(rot, dtype=np.float64).T
             n = vecs.shape[0]
             codes = np.empty((n, m), dtype=np.int16)
             for j in range(m):
@@ -327,13 +566,19 @@ def pq_query_luts(
     query_vec_col: str = "query_vec",
     lut_col: str = "__lut",
     qnorm_col: str = "__qn",
+    rotation=None,
 ) -> DataFrame:
     """Per-query ADC lookup table: LUT[j][c] = <q_j, codebook[j][c]>
     (array<array<double>>, m x n_codes) plus the query norm. The
     query workload is BOUNDED by construction, so this Arrow batch
-    touches a handful of rows; the corpus never enters."""
+    touches a handful of rows; the corpus never enters.
+
+    `rotation` — OPQ: rotate the query into the codes' space before
+    slicing (the symmetric half of pq_encode's rotation); the norm
+    stays the original query's (rotation preserves it)."""
     books = model.codebooks
     m, sub = model.m, model.sub_dim
+    rot = None if rotation is None else [list(r) for r in rotation]
 
     out_schema = (
         ", ".join(
@@ -347,18 +592,21 @@ def pq_query_luts(
         import numpy as np
 
         B = np.asarray(books, dtype=np.float64)  # m x n x s
+        R = None if rot is None else np.asarray(rot, dtype=np.float64)
         for pdf in batches:
             rows = []
             norms = []
             for v in pdf[query_vec_col]:
                 q = np.asarray(v, dtype=np.float64)
+                norms.append(float(np.sqrt((q * q).sum())))
+                if R is not None:
+                    q = R @ q
                 rows.append(
                     [
                         (B[j] @ q[j * sub : (j + 1) * sub]).tolist()
                         for j in range(m)
                     ]
                 )
-                norms.append(float(np.sqrt((q * q).sum())))
             out = pdf.copy()
             out[lut_col] = rows
             out[qnorm_col] = norms
@@ -405,6 +653,7 @@ def pq_topk(
     nprobe: int = 2,
     residual: bool = False,
     keep_adc: bool = False,
+    rotation=None,
 ) -> DataFrame:
     """Approximate cosine top-k over a PQ codes table: (query_id,
     rank, <id_col>, adc_sim). adc_sim = ADC_dot / (||q|| * stored
@@ -453,7 +702,16 @@ def pq_topk(
             "pq_topk: residual=True needs the centroids frame — "
             "residual codes are meaningless without <q, centroid>"
         )
-    q = pq_query_luts(queries, model, query_vec_col)
+    if rotation is not None and residual:
+        # OPQ-IVF rotates RESIDUALS (Ge et al. §5); this flat OPQ
+        # rung rotates whole vectors — composing them here would pair
+        # a rotated LUT with an unrotated <q, centroid> correction
+        raise ValueError(
+            "pq_topk: rotation composes with flat or celled codes, "
+            "not residual ones — OPQ-on-residuals is a separate "
+            "layout (future rung)"
+        )
+    q = pq_query_luts(queries, model, query_vec_col, rotation=rotation)
     if centroids is None:
         probe_luts = q.select(query_id_col, "__lut", "__qn")
         scored_src = codes_df.join(F.broadcast(probe_luts), how="cross")
@@ -636,7 +894,7 @@ class PqIndex:
     #: mid-rebuild meta overwrite — would be silently wrong)
     _LAYOUT_FIELDS = (
         "n_cells", "cell_col", "m", "n_codes", "dim", "residual",
-        "partitioned", "default_nprobe", "compacted_through",
+        "partitioned", "default_nprobe", "compacted_through", "opq",
     )
 
     def _version_row(self) -> tuple[int, dict | None]:
@@ -706,6 +964,7 @@ class PqIndex:
         train_spec: str | None = None,
         default_nprobe: int | None = None,
         compacted_through: int | None = None,
+        opq: bool = False,
     ) -> tuple:
         return (
             self.id_col, self.vec_col, int(m), int(n_codes), int(dim),
@@ -717,6 +976,7 @@ class PqIndex:
             self.partitioned,
             None if default_nprobe is None else int(default_nprobe),
             None if compacted_through is None else int(compacted_through),
+            bool(opq),
         )
 
     def _validate(self) -> dict:
@@ -792,13 +1052,33 @@ class PqIndex:
             _, books_table, _ = self._table_names()
         return PqModel.from_rows(self.wh.read(books_table).collect())
 
+    @staticmethod
+    def _rotation_table_for(books_table: str) -> str:
+        """The OPQ rotation table is named alongside its version's
+        codebooks (derived from books_t, which came from the one
+        pointer read — rotation and codebooks can never split across
+        a concurrent rebuild flip)."""
+        return books_table.replace("_codebooks", "_rotation")
+
+    def _rotation(self, books_table: str | None = None) -> tuple:
+        """Load the frozen d x d OPQ rotation (bounded: d rows)."""
+        if books_table is None:
+            _, books_table, _ = self._table_names()
+        rows = self.wh.read(
+            self._rotation_table_for(books_table)
+        ).collect()
+        return tuple(
+            tuple(float(x) for x in r["r"])
+            for r in sorted(rows, key=lambda x: x["i"])
+        )
+
     #: shared-meta schema (train_spec documents the sampled-training
     #: provenance — "fraction=0.25 seed=pq" — or NULL for full-corpus)
     _META_SCHEMA = (
         "id_col string, vec_col string, m int, n_codes int, "
         "dim int, versioned boolean, n_cells int, cell_col string, "
         "residual boolean, train_spec string, partitioned boolean, "
-        "default_nprobe int, compacted_through long"
+        "default_nprobe int, compacted_through long, opq boolean"
     )
 
     #: one-row version-pointer schema — every pointer write (build,
@@ -808,7 +1088,7 @@ class PqIndex:
         "version int, n_cells int, cell_col string, "
         "m int, n_codes int, dim int, residual boolean, "
         "partitioned boolean, default_nprobe int, "
-        "compacted_through long"
+        "compacted_through long, opq boolean"
     )
 
     def _write_pointer(self, version: int, layout: dict) -> None:
@@ -835,6 +1115,7 @@ class PqIndex:
                     layout.get("partitioned"),
                     None if dn is None else int(dn),
                     None if wm is None else int(wm),
+                    bool(layout.get("opq")),
                 )],
                 self._POINTER_SCHEMA,
             ),
@@ -853,6 +1134,7 @@ class PqIndex:
         train_rows: int | None = None,
         nprobe_recall_target: float | None = None,
         books: "PqModel | None" = None,
+        opq_iters: int | None = None,
     ) -> PqModel:
         """Train codebooks and persist the codes table. `n_cells`
         turns the store into IVF-PQ: the corpus is cell-assigned by
@@ -890,6 +1172,18 @@ class PqIndex:
         truncates to the shorter array, so a mismatch would silently
         encode prefixes instead of erroring.
 
+        `opq_iters` (round 14) — optimized PQ (train_opq; Ge et al.
+        CVPR 2013): learn an orthogonal rotation before the sub-space
+        split, persist it in `<name>_rotation` with the `opq` layout
+        flag riding the meta AND (versioned) the pointer row — the
+        `residual` convention, so a raw-codes reader can never
+        misinterpret rotated codes. Serving rotates only the bounded
+        query frame (norms and inner products are rotation-invariant,
+        so every other number is unchanged). Flat stores only for
+        now: OPQ-on-residuals is a distinct published layout (Ge
+        §5) — composing this rotation with residual/celled codes is
+        rejected loudly rather than served subtly wrong.
+
         Versioned-mode write order (ADVICE r12): per-version tables
         first, then the POINTER FLIP — which carries the layout
         fields — is the commit point, and the shared meta is
@@ -903,6 +1197,15 @@ class PqIndex:
             raise ValueError(
                 "PqIndex.build: residual=True needs n_cells (residuals "
                 "are taken against the IVF cell centroids)"
+            )
+        if opq_iters is not None and (
+            books is not None or residual or n_cells is not None
+        ):
+            raise ValueError(
+                "PqIndex.build: opq_iters trains a rotation for FLAT "
+                "stores — books= brings its own space, and "
+                "OPQ-on-residuals/cells is a separate layout (Ge et "
+                "al. §5, future rung)"
             )
         cents = None
         if n_cells is not None:
@@ -947,6 +1250,7 @@ class PqIndex:
             )
             train_col = "__pq_res"
         train_spec = None
+        rotation = None
         if books is not None:
             if train_fraction is not None or train_rows is not None:
                 raise ValueError(
@@ -966,6 +1270,19 @@ class PqIndex:
                 )
             model = books
             train_spec = "frozen"
+        elif opq_iters is not None:
+            train_spec = f"opq_iters={opq_iters}"
+            if train_fraction is not None or train_rows is not None:
+                train_spec += (
+                    f" fraction={train_fraction} rows={train_rows} "
+                    f"id_col={self.id_col}"
+                )
+            model, rotation = train_opq(
+                corpus, m=m, n_codes=n_codes, vec_col=train_col,
+                seed=seed, max_iter=max_iter, opq_iters=opq_iters,
+                train_fraction=train_fraction, train_rows=train_rows,
+                sample_id_col=self.id_col,
+            )
         else:
             if train_fraction is not None or train_rows is not None:
                 train_spec = (
@@ -992,7 +1309,8 @@ class PqIndex:
             corpus.drop(train_col) if residual else corpus
         )
         encoded = pq_encode(
-            encode_src, model, self.vec_col, center_col=center_col
+            encode_src, model, self.vec_col, center_col=center_col,
+            rotation=rotation,
         )
         parts = [] if n_cells is None else [self.cell_col]
         if self.partitioned:
@@ -1010,6 +1328,28 @@ class PqIndex:
                 "sub_space int, code int, centroid array<double>",
             ),
         )
+        if rotation is not None:
+            self.wh.overwrite(
+                self._rotation_table_for(books_t),
+                self.wh.spark.createDataFrame(
+                    [
+                        (i, [float(x) for x in row])
+                        for i, row in enumerate(rotation)
+                    ],
+                    "i int, r array<double>",
+                ),
+            )
+        elif not self.versioned:
+            # a non-OPQ rebuild of a store that previously carried a
+            # rotation must not leave the stale table behind (the
+            # layout flag is the authority, but a half-truth on disk
+            # invites an external reader to misuse it)
+            import os as _os
+            import shutil as _shutil
+
+            rp = self.wh.path(self._rotation_table_for(books_t))
+            if _os.path.isdir(rp):
+                _shutil.rmtree(rp)
         if n_cells is not None:
             self.wh.overwrite(cells_t, cents)
         default_nprobe = None
@@ -1054,6 +1394,7 @@ class PqIndex:
                     "partitioned": bool(self.partitioned),
                     "default_nprobe": default_nprobe,
                     "compacted_through": None,
+                    "opq": rotation is not None,
                 },
             )
         # shared meta LAST in versioned mode (pre-flip readers keep a
@@ -1067,6 +1408,7 @@ class PqIndex:
                         model.m, model.n_codes, model.dim, n_cells,
                         residual=residual, train_spec=train_spec,
                         default_nprobe=default_nprobe,
+                        opq=rotation is not None,
                     )
                 ],
                 self._META_SCHEMA,
@@ -1171,6 +1513,9 @@ class PqIndex:
         encoded = pq_encode(
             frame, self._model(books_t), self.vec_col,
             center_col=center_col,
+            rotation=(
+                self._rotation(books_t) if stored.get("opq") else None
+            ),
         )
         parts = (
             [] if stored.get("n_cells") is None else [self.cell_col]
@@ -1382,6 +1727,14 @@ class PqIndex:
                 collapsed, self.wh.path(new_codes), partition_by=parts
             )
             self.wh.overwrite(new_books, self.wh.read(cur_books))
+            cur_rot = self._rotation_table_for(cur_books)
+            if self.wh.exists(cur_rot):
+                # OPQ stores: the rotation rides the version exactly
+                # like the codebooks it belongs to
+                self.wh.overwrite(
+                    self._rotation_table_for(new_books),
+                    self.wh.read(cur_rot),
+                )
             if self.wh.exists(cur_cells):
                 self.wh.overwrite(new_cells, self.wh.read(cur_cells))
             if tombs is not None and not purge:
@@ -1414,6 +1767,7 @@ class PqIndex:
                 bool(meta.get("partitioned")),
                 meta.get("default_nprobe"),
                 int(wm) if wm is not None else None,
+                bool(meta.get("opq")),
             )
             self.wh.overwrite(
                 self.meta_table,
@@ -1558,6 +1912,7 @@ class PqIndex:
                 bool(meta.get("residual")), meta.get("train_spec"),
                 bool(meta.get("partitioned")), int(nprobe),
                 None if wm is None else int(wm),
+                bool(meta.get("opq")),
             )
             self.wh.overwrite(
                 self.meta_table,
@@ -1638,6 +1993,13 @@ class PqIndex:
             nprobe=nprobe,
             residual=bool(stored.get("residual")),
             keep_adc=keep_adc,
+            # OPQ: rotation resolved from the SAME pointer read as
+            # the codebooks (name derives from books_t)
+            rotation=(
+                self._rotation(books_t)
+                if stored.get("opq")
+                else None
+            ),
         )
 
     def cell_skew(self) -> dict:
@@ -1706,7 +2068,11 @@ class PqIndex:
         cur = self._current_version()
         removed = []
         for v in range(1, cur - keep + 1):
-            for t in self._table_names(v) + (self._tombstones_table(v),):
+            names = self._table_names(v)
+            for t in names + (
+                self._tombstones_table(v),
+                self._rotation_table_for(names[1]),
+            ):
                 path = self.wh.path(t)
                 if os.path.isdir(path):
                     shutil.rmtree(path)
