@@ -271,6 +271,7 @@ def cap_per_domain(
     salt_buckets: int = 64,
     broadcast_max_rows: int = 4_000_000,
     return_persisted: bool = False,
+    over_cap_rows_hint: int | None = None,
 ) -> DataFrame:
     """Keep at most `max_docs` documents per registered domain
     (deterministic: smallest ids win) — the anti-dominance policy of
@@ -335,7 +336,20 @@ def cap_per_domain(
     `(result, persisted_frames)` and release the cache
     deterministically after materializing each output —
     `for f in persisted: f.unpersist()` (ADVICE r10: this is the
-    reliable handle for batch loops). For back-compat the frames are
+    reliable handle for batch loops).
+
+    `over_cap_rows_hint` (round 14 — the fraud_report
+    hot_key_max_rows=None precedent): a CALLER-ASSERTED upper bound
+    on the over-cap domain count that skips the plan-time count()
+    probe and decides both hint gates from the bound instead. Use it
+    only when the bound is provable without data — a corpus whose
+    domain universe is known by construction (the driver fixture: at
+    most one registered domain per source), or a re-run over a corpus
+    the caller just measured. An asserted bound that is WRONG on the
+    high side forces a broadcast the gate exists to prevent — when in
+    doubt, keep the measured default (None). The over-cap aggregate
+    still persists either way (three downstream joins reference it).
+    For back-compat the frames are
     ALSO exposed on the result as `_persisted_frames` (the report.py
     `_rule_hit_frames` precedent), but that attribute lives on THIS
     DataFrame object only: any further transformation
@@ -361,8 +375,10 @@ def cap_per_domain(
         .persist()
     )
     # the hint gate: measured, not assumed (see docstring) — a forced
-    # broadcast never falls back, so it must be provably small first
-    n_over = over.count()
+    # broadcast never falls back, so it must be provably small first.
+    # over_cap_rows_hint replaces the measurement with a caller-PROVEN
+    # bound (never a guess — the docstring contract).
+    n_over = over_cap_rows_hint if over_cap_rows_hint is not None else over.count()
     hint_over = n_over <= broadcast_max_rows
     hint_keep = n_over * max_docs <= broadcast_max_rows
 
