@@ -702,15 +702,13 @@ def pq_topk(
             "pq_topk: residual=True needs the centroids frame — "
             "residual codes are meaningless without <q, centroid>"
         )
-    if rotation is not None and residual:
-        # OPQ-IVF rotates RESIDUALS (Ge et al. §5); this flat OPQ
-        # rung rotates whole vectors — composing them here would pair
-        # a rotated LUT with an unrotated <q, centroid> correction
-        raise ValueError(
-            "pq_topk: rotation composes with flat or celled codes, "
-            "not residual ones — OPQ-on-residuals is a separate "
-            "layout (future rung)"
-        )
+    # OPQ composes with residual codes EXACTLY (Ge et al. §5, the
+    # global-rotation form): codes quantize R(v - c), the ADC fold
+    # approximates <Rq, R(v - c)> = <q, v - c> (R orthogonal), and
+    # the <q, centroid> correction stays in the UNROTATED space —
+    # both LUT and correction are exact-decomposition terms, so the
+    # same rotation parameter serves flat, celled and residual
+    # layouts with no extra arithmetic.
     q = pq_query_luts(queries, model, query_vec_col, rotation=rotation)
     if centroids is None:
         probe_luts = q.select(query_id_col, "__lut", "__qn")
@@ -1179,10 +1177,14 @@ class PqIndex:
         `residual` convention, so a raw-codes reader can never
         misinterpret rotated codes. Serving rotates only the bounded
         query frame (norms and inner products are rotation-invariant,
-        so every other number is unchanged). Flat stores only for
-        now: OPQ-on-residuals is a distinct published layout (Ge
-        §5) — composing this rotation with residual/celled codes is
-        rejected loudly rather than served subtly wrong.
+        so every other number is unchanged). Composes with EVERY
+        layout: celled stores assign cells on the unrotated vectors
+        (probing is rotation-free), and residual stores train and
+        encode R(v - centroid) — the global-rotation OPQ-IVF form
+        (Ge §5): ADC approximates <Rq, R(v-c)> = <q, v-c> exactly as
+        the unrotated decomposition, and the <q, centroid> correction
+        stays in the original space. Only books= is mutually
+        exclusive (a frozen model brings its own space).
 
         Versioned-mode write order (ADVICE r12): per-version tables
         first, then the POINTER FLIP — which carries the layout
@@ -1198,14 +1200,11 @@ class PqIndex:
                 "PqIndex.build: residual=True needs n_cells (residuals "
                 "are taken against the IVF cell centroids)"
             )
-        if opq_iters is not None and (
-            books is not None or residual or n_cells is not None
-        ):
+        if opq_iters is not None and books is not None:
             raise ValueError(
-                "PqIndex.build: opq_iters trains a rotation for FLAT "
-                "stores — books= brings its own space, and "
-                "OPQ-on-residuals/cells is a separate layout (Ge et "
-                "al. §5, future rung)"
+                "PqIndex.build: opq_iters trains a rotation — books= "
+                "brings its own (already-rotated-or-not) space; pick "
+                "one"
             )
         cents = None
         if n_cells is not None:
@@ -1833,6 +1832,7 @@ class PqIndex:
         if persist:
             stored, (codes_t, books_t, cells_t), _ = self._resolve()
             residual = bool(stored.get("residual"))
+            opq = bool(stored.get("opq"))
             if stored.get("n_cells") is None:
                 raise ValueError(
                     f"PqIndex '{self.name}': calibrate_nprobe needs an "
@@ -1842,6 +1842,8 @@ class PqIndex:
         else:
             codes_t, books_t, cells_t = _tables
             residual = bool((_layout or {}).get("residual"))
+            opq = bool((_layout or {}).get("opq"))
+        rotation = self._rotation(books_t) if opq else None
         model = self._model(books_t)
         cents = self.wh.read(cells_t)
         n_cells = cents.count()
@@ -1891,6 +1893,7 @@ class PqIndex:
                 cell_col=self.cell_col,
                 nprobe=nprobe,
                 residual=residual,
+                rotation=rotation,
             )
             got = {
                 (r["query_id"], r[self.id_col]) for r in approx.collect()

@@ -1148,6 +1148,7 @@ def test_pq_index_opq_lifecycle(spark, tmp_path):
 
     from etl_process_for_fraud_transactions_spark.operators.pq import (
         PqIndex,
+        PqModel,
         pq_encode,
         pq_topk,
     )
@@ -1162,8 +1163,17 @@ def test_pq_index_opq_lifecycle(spark, tmp_path):
     )
     wh = Warehouse(spark, str(tmp_path / "wh"))
     idx = PqIndex(wh, name="opq", versioned=True, partitioned=True)
-    with pytest.raises(ValueError, match="FLAT"):
-        idx.build(corpus, m=2, n_codes=8, opq_iters=2, n_cells=4)
+    # opq composes with cells/residual (the global-rotation form);
+    # only a frozen caller model is mutually exclusive with training
+    with pytest.raises(ValueError, match="books"):
+        idx.build(
+            corpus,
+            opq_iters=2,
+            books=PqModel(
+                m=2, sub_dim=4, n_codes=1,
+                codebooks=(((0.0,) * 4,), ((0.0,) * 4,)),
+            ),
+        )
     model = idx.build(
         corpus.filter(F.col("vec_id") < 150),
         m=2, n_codes=8, seed=7, opq_iters=2,
@@ -1202,3 +1212,48 @@ def test_pq_index_opq_lifecycle(spark, tmp_path):
     assert victim not in {
         r["vec_id"] for r in idx.topk(queries, k=5).collect()
     }
+
+
+def test_opq_composes_with_residual_ivf_pq(spark, tmp_path):
+    """OPQ x residual x cells (Ge §5, global-rotation form): codes
+    quantize R(v - centroid), ADC approximates <Rq, R(v-c)> =
+    <q, v-c>, the <q, centroid> correction stays unrotated — the
+    store round-trips through build/absorb/topk/calibrate with the
+    rotation riding the version like the codebooks."""
+    import numpy as np
+
+    from etl_process_for_fraud_transactions_spark.operators.pq import (
+        PqIndex,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    corpus = _anisotropic_corpus(spark, n=200, seed=9)
+    queries = corpus.limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = PqIndex(wh, name="opqres", versioned=True)
+    idx.build(
+        corpus.filter(F.col("vec_id") < 150),
+        m=2, n_codes=8, seed=7, n_cells=4, residual=True, opq_iters=2,
+    )
+    rotation = idx._rotation()
+    assert not np.allclose(np.asarray(rotation), np.eye(8))
+    # absorb encodes through the same subtract-then-rotate cascade
+    idx.absorb(corpus.filter(F.col("vec_id") >= 150))
+    # exact top-1 self-hit survives the full rotated-residual cascade
+    # with rerank (cos(q, q) = 1 ranks first)
+    hits = {
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in idx.topk(
+            queries, k=3, nprobe=4, rerank=corpus, shortlist=50
+        ).collect()
+    }
+    for qid in (0, 1, 2):
+        assert (qid, 1, qid) in hits
+    # the measured-default machinery runs with the rotation in play
+    report = idx.calibrate_nprobe(corpus, recall_target=0.9, k=3)
+    assert report["recall"] >= 0.9 or report["default_nprobe"] == 4
