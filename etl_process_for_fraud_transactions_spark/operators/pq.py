@@ -1133,6 +1133,7 @@ class PqIndex:
         nprobe_recall_target: float | None = None,
         books: "PqModel | None" = None,
         opq_iters: int | None = None,
+        rotation: tuple | None = None,
     ) -> PqModel:
         """Train codebooks and persist the codes table. `n_cells`
         turns the store into IVF-PQ: the corpus is cell-assigned by
@@ -1185,6 +1186,15 @@ class PqIndex:
         the unrotated decomposition, and the <q, centroid> correction
         stays in the original space. Only books= is mutually
         exclusive (a frozen model brings its own space).
+
+        `rotation` (round 14) — the frozen twin of opq_iters for the
+        books= path: an offline-learned (or vendored) orthogonal
+        d x d matrix persisted verbatim with the frozen codebooks,
+        for deployments that train OPQ elsewhere and ship both
+        artifacts. Valid only with books= (a trained build learns its
+        own rotation); validated orthogonal up front — a
+        non-orthogonal matrix silently breaks the norm-invariance
+        serving relies on.
 
         Versioned-mode write order (ADVICE r12): per-version tables
         first, then the POINTER FLIP — which carries the layout
@@ -1249,7 +1259,12 @@ class PqIndex:
             )
             train_col = "__pq_res"
         train_spec = None
-        rotation = None
+        if rotation is not None and books is None:
+            raise ValueError(
+                "PqIndex.build: a frozen rotation needs frozen books "
+                "(books=) — a trained build learns its own rotation "
+                "via opq_iters"
+            )
         if books is not None:
             if train_fraction is not None or train_rows is not None:
                 raise ValueError(
@@ -1257,6 +1272,19 @@ class PqIndex:
                     "codebook path — train_fraction/train_rows do "
                     "not apply (nothing trains here)"
                 )
+            if rotation is not None:
+                import numpy as _np
+
+                R = _np.asarray(rotation, dtype=_np.float64)
+                if R.shape != (books.dim, books.dim) or not _np.allclose(
+                    R @ R.T, _np.eye(books.dim), atol=1e-9
+                ):
+                    raise ValueError(
+                        "PqIndex.build: rotation must be an "
+                        f"orthogonal {books.dim}x{books.dim} matrix — "
+                        "a non-orthogonal one silently breaks the "
+                        "norm invariance serving relies on"
+                    )
             lo, hi = corpus.select(
                 F.min(F.size(train_col)), F.max(F.size(train_col))
             ).first()

@@ -1948,15 +1948,55 @@ def _pq_books_values() -> str:
     return ", ".join(rows)
 
 
+#: FROZEN OPQ rotation for the driver row (round 14): a signed
+#: permutation — orthogonal by construction and DYADIC, so the whole
+#: rotated encode/LUT cascade stays exactly replayable in DuckDB.
+#: rotated[i] = _PQ_ROT_SIGNS[i] * v[_PQ_ROT_PERM[i]]. A signed
+#: permutation exercises every piece of the rotation PLUMBING the
+#: trained path uses (encode rotates codes' inputs, serving rotates
+#: the bounded query frame, the opq flag rides meta + pointer, norms
+#: stay unrotated) — the plumbing cannot distinguish it from a dense
+#: learned rotation; recall GAINS of learned rotations are pinned in
+#: tests/test_pq.py where kmeans is available.
+#: dim = _PQ_M * _PQ_SUB = 64; perm is the LCG bijection 37i+11 mod 64
+#: (37 coprime to 64), signs a fixed mixed pattern — both frozen
+#: formulas, no RNG.
+_PQ_ROT_PERM = tuple((37 * i + 11) % 64 for i in range(64))
+_PQ_ROT_SIGNS = tuple(1 if (23 * i + 7) % 5 < 3 else -1 for i in range(64))
+_PQ_ROTATION = tuple(
+    tuple(
+        float(_PQ_ROT_SIGNS[i]) if j == _PQ_ROT_PERM[i] else 0.0
+        for j in range(64)
+    )
+    for i in range(64)
+)
+
+
+def _pq_rot_sql(vec: str) -> str:
+    """DuckDB list literal applying the frozen signed permutation to
+    a list column (1-based indexing)."""
+    return (
+        "["
+        + ", ".join(
+            f"{s}*{vec}[{p + 1}]"
+            for s, p in zip(_PQ_ROT_SIGNS, _PQ_ROT_PERM)
+        )
+        + "]"
+    )
+
+
 #: vectors taken down via the REAL PqIndex.delete() after the build
 #: (round 14, VERDICT r13 item 2 — a vector-side delete under the
-#: driver hash): 365 (rank-2 of query 0 at sf0.01) and 386 (rank-2 of
-#: query 1) — both sat in the served top-10, so the size-gated
-#: tombstone anti-join over the codes table is load-bearing: a
-#: disabled filter returns the deleted ids and flips the hash. The
-#: oracle replays the takedown by never encoding them (pq_dist
-#: excludes the ids), exactly what serving-minus-tombstones computes.
-_PQ_DELETED = (365, 386)
+#: driver hash): 387 (rank-2 of query 0 at sf0.01 in the ROTATED
+#: cascade) and 402 (rank-2 of query 1) — both sit in the served
+#: top-10, so the size-gated tombstone anti-join over the codes table
+#: is load-bearing: a disabled filter returns the deleted ids and
+#: flips the hash (re-picked when the frozen rotation landed — the
+#: pre-rotation victims 365/386 fell out of the rotated shortlist,
+#: which would have made the delete decorative). The oracle replays
+#: the takedown by never encoding them (pq_dist excludes the ids),
+#: exactly what serving-minus-tombstones computes.
+_PQ_DELETED = (387, 402)
 _PQ_DELETED_SQL = ", ".join(str(i) for i in _PQ_DELETED)
 
 _IVF_ORACLE = f"""
@@ -2030,6 +2070,12 @@ _IVF_ORACLE = f"""
                list_transform(vec, x -> floor(x * 16 + 0.5) / 16.0) AS qv
         FROM corpus0
     ),
+    -- r14: the frozen signed-permutation OPQ rotation — encode and
+    -- LUT read the ROTATED lists; norms and the exact rerank stay on
+    -- the originals (rotation preserves them)
+    qcorpus_rot AS (
+        SELECT vec_id, {_pq_rot_sql("qv")} AS rv FROM qcorpus
+    ),
     pq_books AS (
         SELECT * FROM (VALUES {_pq_books_values()}) AS t(j, c, cent)
     ),
@@ -2043,10 +2089,10 @@ _IVF_ORACLE = f"""
         SELECT v.vec_id, b.j, b.c,
                list_sum(list_transform(b.cent, x -> x*x))
                - 2 * list_sum(list_transform(
-                     list_zip(list_slice(v.qv, b.j*8 + 1, b.j*8 + 8),
+                     list_zip(list_slice(v.rv, b.j*8 + 1, b.j*8 + 8),
                               b.cent),
                      p -> p[1]*p[2])) AS dist
-        FROM qcorpus v CROSS JOIN pq_books b
+        FROM qcorpus_rot v CROSS JOIN pq_books b
         WHERE v.vec_id NOT IN ({_PQ_DELETED_SQL})
     ),
     pq_codes AS (
@@ -2063,10 +2109,12 @@ _IVF_ORACLE = f"""
     pq_luts AS (
         SELECT q.query_id, b.j, b.c,
                list_sum(list_transform(
-                   list_zip(list_slice(q.qv, b.j*8 + 1, b.j*8 + 8),
+                   list_zip(list_slice(r.rv, b.j*8 + 1, b.j*8 + 8),
                             b.cent),
                    p -> p[1]*p[2])) AS lut
-        FROM pq_queries q CROSS JOIN pq_books b
+        FROM pq_queries q
+        JOIN qcorpus_rot r ON r.vec_id = q.query_id
+        CROSS JOIN pq_books b
     ),
     pq_qn AS (
         SELECT vec_id AS query_id,
@@ -2232,7 +2280,13 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_idx_" + re.sub(r"\W+", "_", sf_dir).strip("_"),
     )
     pidx = PqIndex(Warehouse(spark, scratch), name="pqserve")
-    pidx.build(embq, books=model)
+    # r14 (late): the frozen signed-permutation OPQ rotation rides
+    # the store — encode quantizes the ROTATED vectors, serving
+    # rotates the bounded query frame, the opq flag rides meta +
+    # pointer, and the oracle replays the same dyadic permutation
+    # (_pq_rot_sql). Breaking any of the rotation plumbing (stale
+    # flag, unrotated query, wrong sign) flips adc_sim and the hash.
+    pidx.build(embq, books=model, rotation=_PQ_ROTATION)
     pidx.delete(
         spark.createDataFrame(
             [(int(i),) for i in _PQ_DELETED], "vec_id: long"
