@@ -255,15 +255,23 @@ _BOUNDED_TABLE_COLS = ("n_nationkey", "r_regionkey")
 _ALLOWED_WORKLOAD_HINTS = {
     # probe query vectors: Filter vec_id < 3 over embeddings
     "ann_cosine_topk": 1,
-    # probe vectors + the k-centroid aggregate (k bounded by config)
-    "ivf_cosine_topk": 2,
+    # probe vectors + the k-centroid aggregate (k bounded by config);
+    # r14 +1: the persisted PqIndex's tombstone-set distinct — the
+    # SIZE-GATED class (anti_join_tombstones hints broadcast only
+    # under a measured 256 MB at-rest cap; over the cap the hint is
+    # omitted — operators/tombstones.py, the same measured-gate
+    # contract the InMemoryRelation exemption above records)
+    "ivf_cosine_topk": 3,
     # benchmark n-gram counts + benchmark shingles (doc_id % 101 == 7
     # split stands in for the bounded-by-construction benchmark set)
     "corpus_curation_pipeline": 2,
     # r11 hybrid row: the 3-row query-vector frame (embeddings joined
     # to a 3-row literal map) broadcast into the exact-cosine leg —
-    # the same probe-workload class as ann/ivf's vec_id < 3 frames
-    "bm25_topk_docs": 1,
+    # the same probe-workload class as ann/ivf's vec_id < 3 frames;
+    # r14 +2: the persisted Bm25Index's tombstone-set distincts
+    # (postings anti-join + the absorb-ban path sharing the plan) —
+    # the size-gated class above
+    "bm25_topk_docs": 3,
 }
 
 
