@@ -708,18 +708,47 @@ class IvfIndex:
         seed: int = 42,
         max_iter: int = 20,
         nprobe_recall_target: float | None = None,
+        assigned: bool = False,
     ) -> None:
         """Build the index. `nprobe_recall_target` (round 12, VERDICT
         r11 item 5): when set, runs `calibrate_nprobe` against the
         freshly written tables and stores the measured serving default
         in meta — in versioned mode BEFORE the pointer flip, so the
         calibrated default commits together with the geometry it was
-        measured on."""
+        measured on.
+
+        `assigned=True` (round 14) — bring-your-own-quantizer: the
+        corpus arrives with `cell_col` ALREADY populated (an external
+        partitioner — category/tenant/shard keys, an offline
+        clustering, a feature store's precomputed cells) and the
+        kmeans training is skipped entirely; n_cells is measured from
+        the data (the argument is ignored) and the serving centroids
+        derive as the per-cell means of the persisted assignment,
+        exactly as in the trained path — absorb() keeps assigning new
+        vectors to the nearest of those centroids, and topk() probes
+        them identically. The caller owns assignment quality: a
+        partitioner uncorrelated with the vector space degrades
+        recall gracefully (never silently wrong — the probed cells
+        still score exactly)."""
         from ..sources.warehouse import atomic_overwrite
 
-        assigned = ivf_build(
-            corpus, n_cells, self.vec_col, self.cell_col, seed, max_iter
-        )
+        if assigned:
+            if self.cell_col not in corpus.columns:
+                raise ValueError(
+                    f"IvfIndex '{self.name}': build(assigned=True) "
+                    f"needs the corpus to carry '{self.cell_col}' — "
+                    "the external quantizer's assignment column"
+                )
+            assigned_df = corpus
+            n_cells = (
+                assigned_df.select(self.cell_col).distinct().count()
+            )
+        else:
+            assigned_df = ivf_build(
+                corpus, n_cells, self.vec_col, self.cell_col, seed,
+                max_iter,
+            )
+        assigned = assigned_df
         vec_t, cent_t = self._table_names(1) if self.versioned else self._table_names()
         parts = [self.cell_col]
         if self.partitioned:

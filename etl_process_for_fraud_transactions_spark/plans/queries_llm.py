@@ -1985,6 +1985,18 @@ def _pq_rot_sql(vec: str) -> str:
     )
 
 
+#: vectors taken down via the REAL IvfIndex.delete() (round 14, late
+#: — the LAST index family's serving path under the driver hash;
+#: NearDup r13, Bm25 + Pq earlier this round): 365 (rank-2 of query 0
+#: in the ivf_int8 leg at sf0.01) and 450 (rank-2 of query 2) — both
+#: sit in the served top-10, so the size-gated tombstone anti-join
+#: over the label-pruned store is load-bearing. The oracle excludes
+#: them from the SCORED rows only — the centroids were computed
+#: before the takedown and stay frozen, exactly the store's
+#: behavior (cents CTE keeps all vectors).
+_IVF_DELETED = (365, 450)
+_IVF_DELETED_SQL = ", ".join(str(i) for i in _IVF_DELETED)
+
 #: vectors taken down via the REAL PqIndex.delete() after the build
 #: (round 14, VERDICT r13 item 2 — a vector-side delete under the
 #: driver hash): 387 (rank-2 of query 0 at sf0.01 in the ROTATED
@@ -2053,6 +2065,7 @@ _IVF_ORACLE = f"""
         SELECT p.query_id, a.vec_id,
                {_IVF_COS.format(a="a.vec", b="p.qv")} AS cos_sim
         FROM corpus a JOIN probes p ON a.label = p.label
+        WHERE a.vec_id NOT IN ({_IVF_DELETED_SQL})
     ),
     ranked AS (
         SELECT query_id, vec_id, cos_sim,
@@ -2239,7 +2252,35 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         S.quantize_roundtrip(F.col("embedding")).alias("embedding"),
     ).localCheckpoint()
-    ivf_leg = S.ivf_topk(emb_dq, queries_df, k=10, nprobe=3, sim_round=6).select(
+    # r14 (late): the ivf leg serves from a PERSISTED IvfIndex — the
+    # bring-your-own-quantizer build (assigned=True: label IS the
+    # cell, the oracle's exact quantizer) persists the dequantized
+    # store hive-partitioned by label, derives the per-cell mean
+    # centroids exactly as the oracle's cents CTE, then delete()
+    # tombstones two vectors sitting in the served top-10
+    # (_IVF_DELETED) and topk() probes nprobe cells through the
+    # size-gated anti-join. With this leg the LAST index family's
+    # production serving path is under the driver hash.
+    import os
+    import re
+    import tempfile
+
+    from ..sources.warehouse import Warehouse
+
+    iscratch = os.path.join(
+        tempfile.gettempdir(),
+        "ivf_idx_" + re.sub(r"\W+", "_", sf_dir).strip("_"),
+    )
+    ividx = S.IvfIndex(
+        Warehouse(spark, iscratch), name="ivfserve", cell_col="label"
+    )
+    ividx.build(emb_dq, assigned=True)
+    ividx.delete(
+        spark.createDataFrame(
+            [(int(i),) for i in _IVF_DELETED], "vec_id: long"
+        )
+    )
+    ivf_leg = ividx.topk(queries_df, k=10, nprobe=3, sim_round=6).select(
         F.lit("ivf_int8").alias("leg"),
         "query_id",
         "vec_id",

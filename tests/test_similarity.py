@@ -824,3 +824,58 @@ def test_ivf_absorb_keeps_duplicate_id_rows(spark, tmp_path, corpus):
         (r["embedding"][0], r[idx.cell_col]) for r in got.collect()
     )
     assert have == want
+
+
+def test_ivf_index_build_assigned_external_quantizer(
+    spark, tmp_path, corpus, queries
+):
+    """build(assigned=True) — bring-your-own-quantizer (round 14):
+    the corpus's own cell column IS the layout, kmeans never runs,
+    centroids derive as per-cell means of the persisted assignment,
+    serving matches the in-plan cascade over the same cells, absorb
+    assigns new vectors to the nearest derived centroid, and delete
+    composes with the pruned serving path."""
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = S.IvfIndex(wh, cell_col="label")
+    with pytest.raises(ValueError, match="assignment column"):
+        idx.build(corpus.drop("label"), assigned=True)
+    idx.build(corpus, assigned=True)
+    # the given assignment round-trips untouched; n_cells measured
+    assert idx._stored_meta["n_cells"] == 3
+    stored = {
+        r.vec_id: r.label for r in wh.read(idx.vectors_table).collect()
+    }
+    assert stored == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2}
+    served = sorted(
+        tuple(r)
+        for r in idx.topk(queries, k=2, nprobe=2, sim_round=6).collect()
+    )
+    fresh = sorted(
+        tuple(r)
+        for r in S.ivf_topk(
+            corpus, queries, k=2, nprobe=2, sim_round=6
+        ).collect()
+    )
+    assert served == fresh
+    # absorb: nearest derived centroid, not a caller cell
+    idx.absorb(
+        spark.createDataFrame(
+            [(7, [0.95, 0.05, 0.0])], "vec_id long, embedding array<double>"
+        )
+    )
+    assert {
+        r.label
+        for r in wh.read(idx.vectors_table)
+        .filter("vec_id = 7")
+        .collect()
+    } == {0}
+    # delete composes with the label-pruned serving path
+    top = idx.topk(queries, k=1, nprobe=2).collect()[0]["vec_id"]
+    idx.delete(spark.createDataFrame([(int(top),)], "vec_id: long"))
+    assert top not in {
+        r["vec_id"] for r in idx.topk(queries, k=3, nprobe=2).collect()
+    }
