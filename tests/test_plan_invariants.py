@@ -256,12 +256,14 @@ _ALLOWED_WORKLOAD_HINTS = {
     # probe query vectors: Filter vec_id < 3 over embeddings
     "ann_cosine_topk": 1,
     # probe vectors + the k-centroid aggregate (k bounded by config);
-    # r14 +1: the persisted PqIndex's tombstone-set distinct — the
-    # SIZE-GATED class (anti_join_tombstones hints broadcast only
-    # under a measured 256 MB at-rest cap; over the cap the hint is
-    # omitted — operators/tombstones.py, the same measured-gate
-    # contract the InMemoryRelation exemption above records)
-    "ivf_cosine_topk": 3,
+    # r14 +2: BOTH persisted stores' tombstone-set distincts (IvfIndex
+    # + PqIndex) — the SIZE-GATED class (anti_join_tombstones hints
+    # broadcast only under a measured 256 MB at-rest cap; over the
+    # cap the hint is omitted — operators/tombstones.py, the same
+    # measured-gate contract the InMemoryRelation exemption above
+    # records); +1 probe frame for the persisted-ivf leg's query
+    # vectors
+    "ivf_cosine_topk": 5,
     # benchmark n-gram counts + benchmark shingles (doc_id % 101 == 7
     # split stands in for the bounded-by-construction benchmark set)
     "corpus_curation_pipeline": 2,
