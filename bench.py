@@ -19,25 +19,33 @@ the executors, no driver-side collect skewing the numbers.
 Self-calibration (round 11): this VM's wall-clock drifts 20-45%
 between sessions with zero code change (BASELINE.md r10; VERDICT r10
 "Performance vs baseline"), so every raw total needed a hand-written
-drift note to interpret. The bench now times a FROZEN synthetic
+drift note to interpret. The bench times a FROZEN synthetic
 reference job (pure spark.range -> join -> agg, no file I/O, no
-engine code — its source must never change) each run and emits both
-the raw total and a drift-normalized total:
+engine code — its source must never change) and emits both the raw
+total and a drift-normalized total:
 
-    drift_factor     = calibration_sec / CALIBRATION_REF_SEC
+    drift_factor     = median(probe_sec) / CALIBRATION_REF_SEC
     normalized_total = value / drift_factor
 
 CALIBRATION_REF_SEC was frozen in round 11 as the median of five
 independent measurements on the round-11 session (0.50-0.70 s
-observed; each measurement is itself a median-of-7 after a discarded
-warm-up). Normalized totals are therefore comparable across sessions
-in round-11 ambient units. The yardstick carries ~+/-15% inherent
-noise (the job is deliberately scheduler-overhead-dominated, like
-the sub-second headline queries it calibrates), so read drift_factor
-for the large ambient shifts it exists to expose (the recorded
-1.25-1.45x cross-session swings), not for single-digit percentages.
-A 1.3x raw inflation with drift_factor ~1.3 reads as zero code
-regression.
+observed). Normalized totals are therefore comparable across
+sessions in round-11 ambient units.
+
+Interleaved calibration (round 15): the round-14 artifact proved a
+single up-front calibration cannot represent BURSTY load — it read
+drift 0.778 (a momentarily fast box) while zero-code-diff queries
+inflated 20-65%, on a session whose drift swung 0.90→2.37 between
+back-to-back runs (VERDICT r14 directive #1). The probe is now
+INTERLEAVED through the measurement loop — one single-shot probe
+after every third headline query in every repetition — and the
+artifact reports the MEDIAN drift across all probes plus the
+per-probe spread (`calibration_probes`, `drift_spread`). A run
+whose drift_spread is wide (e.g. [0.8, 2.0]) is self-evidently
+bursty and its normalized total should be read with that spread,
+not as a point estimate; a tight spread certifies the median. The
+frozen job itself and CALIBRATION_REF_SEC are unchanged — only the
+sampling schedule moved.
 """
 
 from __future__ import annotations
@@ -74,7 +82,8 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 #: or edit when the machine changes speed — that is the drift this
 #: constant exists to expose.
 CALIBRATION_REF_SEC = 0.60
-CALIBRATION_REPS = 7
+#: Headline queries between interleaved single-shot probes (round 15).
+CALIBRATION_EVERY = 3
 
 
 def _calibration_job(spark) -> None:
@@ -106,15 +115,11 @@ def _calibration_job(spark) -> None:
     )
 
 
-def _measure_calibration(spark) -> float:
-    """One discarded warm-up, then median of CALIBRATION_REPS."""
+def _probe(spark) -> float:
+    """One single-shot timing of the frozen calibration job."""
+    t0 = time.perf_counter()
     _calibration_job(spark)
-    ts = []
-    for _ in range(CALIBRATION_REPS):
-        t0 = time.perf_counter()
-        _calibration_job(spark)
-        ts.append(time.perf_counter() - t0)
-    return statistics.median(ts)
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -141,24 +146,45 @@ def main() -> None:
                     "overwrite"
                 ).save()
 
-    calibration_sec = round(_measure_calibration(spark), 3)
+    # Discarded calibration warm-up (JIT/codegen for the probe shape),
+    # then one opening probe so the run starts with a sample.
+    _calibration_job(spark)
+    probes: list[float] = [_probe(spark)]
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE if name in QUERIES}
     # round-robin the repetitions (A,B,C,A,B,C — not A,A,A,B,B,B) so a
-    # transient load spike inflates at most one sample of each query
+    # transient load spike inflates at most one sample of each query;
+    # a single-shot calibration probe fires every CALIBRATION_EVERY
+    # queries so the drift estimate samples the SAME ambient conditions
+    # the query timings saw (r15 directive #1 — one up-front probe
+    # misread a bursty box in r14).
+    since_probe = 0
     for _ in range(max(REPS, 1)):
         for name in samples:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+            since_probe += 1
+            if since_probe >= CALIBRATION_EVERY:
+                probes.append(_probe(spark))
+                since_probe = 0
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     spread = {
         name: [round(min(ts), 3), round(max(ts), 3)] for name, ts in samples.items()
     }
     total = round(sum(timings.values()), 3)
+    calibration_sec = round(statistics.median(probes), 3)
     drift = (
         round(calibration_sec / CALIBRATION_REF_SEC, 3)
+        if CALIBRATION_REF_SEC
+        else None
+    )
+    drift_spread = (
+        [
+            round(min(probes) / CALIBRATION_REF_SEC, 3),
+            round(max(probes) / CALIBRATION_REF_SEC, 3),
+        ]
         if CALIBRATION_REF_SEC
         else None
     )
@@ -175,7 +201,9 @@ def main() -> None:
                 "sf": sf_num,
                 "calibration_sec": calibration_sec,
                 "calibration_ref_sec": CALIBRATION_REF_SEC,
+                "calibration_probes": [round(p, 3) for p in probes],
                 "drift_factor": drift,
+                "drift_spread": drift_spread,
                 "normalized_total": normalized,
             }
         )
