@@ -2274,20 +2274,6 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ividx = S.IvfIndex(
         Warehouse(spark, iscratch), name="ivfserve", cell_col="label"
     )
-    ividx.build(emb_dq, assigned=True)
-    ividx.delete(
-        spark.createDataFrame(
-            [(int(i),) for i in _IVF_DELETED], "vec_id: long"
-        )
-    )
-    ivf_leg = ividx.topk(queries_df, k=10, nprobe=3, sim_round=6).select(
-        F.lit("ivf_int8").alias("leg"),
-        "query_id",
-        "vec_id",
-        "cos_sim",
-        F.lit(None).cast("double").alias("adc_sim"),
-        "rank",
-    )
 
     model = PqModel(
         m=_PQ_M, sub_dim=_PQ_SUB, n_codes=_PQ_NCODES, codebooks=_PQ_BOOKS
@@ -2321,17 +2307,43 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_idx_" + re.sub(r"\W+", "_", sf_dir).strip("_"),
     )
     pidx = PqIndex(Warehouse(spark, scratch), name="pqserve")
-    # r14 (late): the frozen signed-permutation OPQ rotation rides
-    # the store — encode quantizes the ROTATED vectors, serving
-    # rotates the bounded query frame, the opq flag rides meta +
-    # pointer, and the oracle replays the same dyadic permutation
-    # (_pq_rot_sql). Breaking any of the rotation plumbing (stale
-    # flag, unrotated query, wrong sign) flips adc_sim and the hash.
-    pidx.build(embq, books=model, rotation=_PQ_ROTATION)
-    pidx.delete(
-        spark.createDataFrame(
-            [(int(i),) for i in _PQ_DELETED], "vec_id: long"
+    # Both persisted-store maintenance cycles (build + delete, all
+    # EAGER) run in one right-sized scope so an AQE-off external
+    # session never schedules 200 real tasks per fixture-scale
+    # shuffle (r15; measured flat on AQE-on sessions — the floor is
+    # job barriers, see BASELINE). The served topk frames are built
+    # AFTER the scope exits, so serving plans at the session's own
+    # setting.
+    from ..session import scratch_shuffle_partitions
+
+    with scratch_shuffle_partitions(spark, 8):
+        ividx.build(emb_dq, assigned=True)
+        ividx.delete(
+            spark.createDataFrame(
+                [(int(i),) for i in _IVF_DELETED], "vec_id: long"
+            )
         )
+        # r14 (late): the frozen signed-permutation OPQ rotation rides
+        # the store — encode quantizes the ROTATED vectors, serving
+        # rotates the bounded query frame, the opq flag rides meta +
+        # pointer, and the oracle replays the same dyadic permutation
+        # (_pq_rot_sql). Breaking any of the rotation plumbing (stale
+        # flag, unrotated query, wrong sign) flips adc_sim and the
+        # hash.
+        pidx.build(embq, books=model, rotation=_PQ_ROTATION)
+        pidx.delete(
+            spark.createDataFrame(
+                [(int(i),) for i in _PQ_DELETED], "vec_id: long"
+            )
+        )
+
+    ivf_leg = ividx.topk(queries_df, k=10, nprobe=3, sim_round=6).select(
+        F.lit("ivf_int8").alias("leg"),
+        "query_id",
+        "vec_id",
+        "cos_sim",
+        F.lit(None).cast("double").alias("adc_sim"),
+        "rank",
     )
     pq_leg = pidx.topk(
         pq_queries,

@@ -559,19 +559,31 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25_idx_" + re.sub(r"\W+", "_", sf_dir).strip("_"),
     )
     idx = Bm25Index(Warehouse(spark, scratch), partitioned=True)
-    idx.build(docs.filter(F.col("doc_id") < s1))
-    idx.absorb(epoch1, batch=1)
-    idx.absorb(docs.filter(F.col("doc_id") >= s2), batch=2)
-    idx.delete(
-        spark.createDataFrame(
-            [(int(i),) for i in _BM25_DELETED], "doc_id: long"
+    # The maintenance cycle (7 sequential job groups over a ~500-doc
+    # fixture) is EAGER — right-size its shuffles instead of running
+    # them at an external session's 200-partition default. MEASURED
+    # (r15, BASELINE): flat on an AQE-on session (AQE already
+    # coalesces these tiny shuffles; the warm floor is ~25 job
+    # barriers at ~0.4 s each, not partition width) — the scope's
+    # value is sessions with AQE disabled, where 200 real tasks per
+    # shuffle would be scheduled. The served plan below executes
+    # after the scope exits, so its shape is untouched either way.
+    from ..session import scratch_shuffle_partitions
+
+    with scratch_shuffle_partitions(spark, 8):
+        idx.build(docs.filter(F.col("doc_id") < s1))
+        idx.absorb(epoch1, batch=1)
+        idx.absorb(docs.filter(F.col("doc_id") >= s2), batch=2)
+        idx.delete(
+            spark.createDataFrame(
+                [(int(i),) for i in _BM25_DELETED], "doc_id: long"
+            )
         )
-    )
-    idx.compact(through=1)
-    # replay of the already-merged epoch: the compaction watermark
-    # must no-op this (skip broken -> epoch-1 rows land alongside
-    # their __compacted__ copies -> hash flips)
-    idx.absorb(epoch1, batch=1)
+        idx.compact(through=1)
+        # replay of the already-merged epoch: the compaction watermark
+        # must no-op this (skip broken -> epoch-1 rows land alongside
+        # their __compacted__ copies -> hash flips)
+        idx.absorb(epoch1, batch=1)
     bm_leg = idx.topk(_BM25_QUERIES, topk=50, max_df_frac=0.8)
 
     from ..operators.similarity import dot, l2_norm

@@ -11,6 +11,7 @@ AQE) on a real cluster.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -38,6 +39,48 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # non-runtime conf on this build; defaults acceptable
     return spark
+
+
+@contextmanager
+def scratch_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Temporarily right-size ``spark.sql.shuffle.partitions`` for a
+    block of EAGER small-fixture maintenance jobs (index builds,
+    absorbs, compactions on scratch stores), restoring the caller's
+    value on exit.
+
+    Why: an externally built session may run at the 200-partition
+    default with AQE disabled, in which case every fixture-scale
+    maintenance shuffle schedules 200 real tasks. Measured honestly
+    (r15, BASELINE): on an AQE-ON session this scope is FLAT — AQE's
+    coalescePartitions already collapses the tiny shuffles, and the
+    cycle's warm floor is its ~25 sequential job barriers (~0.4 s
+    each on the test box), not partition width. The scope is kept as
+    cheap insurance for AQE-off sessions, not claimed as a win under
+    AQE. Scoping the conf to the eager maintenance block leaves the
+    SERVED plan untouched: the lazy serving frame executes after the
+    block exits, so its shuffles plan at the session's own setting. Production guidance is the inverse — a real corpus build
+    wants cluster_profile()'s 3x-cores sizing; this context manager is
+    for maintenance cycles whose inputs are known-small (a streaming
+    epoch, a test fixture), mirroring ``compact_every``'s bounded-batch
+    reasoning.
+
+    The conf is a session-level SQL conf read at each action's
+    planning, so set/restore around eager actions is exact; the scope
+    is NOT thread-safe (one session, concurrent queries) — the driver
+    contract runs rows sequentially."""
+    key = "spark.sql.shuffle.partitions"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, str(int(n)))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def cluster_profile(
