@@ -1552,6 +1552,8 @@ def hybrid_topk(
     sim_round: int | None = 6,
     weight_bm25: float = 1.0,
     weight_vec: float = 1.0,
+    keep_bm25: Sequence[str] = (),
+    keep_vec: Sequence[str] = (),
 ) -> DataFrame:
     """Hybrid serving over the two persisted indexes (VERDICT r10
     item 3): the Bm25Index keyword leg and the IvfIndex vector leg
@@ -1580,7 +1582,14 @@ def hybrid_topk(
     the legs' different score columns (cos_sim vs adc_sim) fuse
     unchanged — swapping the vector store for its 20x-compressed
     rung is a one-argument change to the serving path (pinned in
-    tests/test_pq.py)."""
+    tests/test_pq.py).
+
+    keep_bm25/keep_vec (round 15): leg evidence columns carried
+    THROUGH the fusion join (rrf_fuse's keep_a/keep_b — NULL where a
+    leg missed the doc), so a caller can surface per-leg scores
+    (bm25's `score`/`n_terms_matched`, the vector leg's
+    `cos_sim`/`adc_sim`) without re-joining a leg subtree after
+    fusion."""
     bm_leg = bm25_index.topk(term_queries, topk=leg_k, max_df_frac=max_df_frac)
     vec_leg = ivf_index.topk(
         vec_queries, k=leg_k, nprobe=nprobe, sim_round=sim_round
@@ -1597,4 +1606,6 @@ def hybrid_topk(
         rank_b_col="vec_rank",
         weight_a=weight_bm25,
         weight_b=weight_vec,
+        keep_a=keep_bm25,
+        keep_b=keep_vec,
     )

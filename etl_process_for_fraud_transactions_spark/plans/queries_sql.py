@@ -12,6 +12,7 @@ from pyspark.sql.window import Window
 from ..functions.core import epoch_us
 from ..sources.testdata import load_events, load_table
 from .queries import query
+from .queries_llm import _IVF_COS
 
 
 @query(
@@ -420,7 +421,7 @@ _BM25_DELETED_SQL = ", ".join(str(i) for i in _BM25_DELETED)
       WHERE brank <= 50
     ),
     corpusv AS (
-      SELECT vec_id AS doc_id,
+      SELECT vec_id AS doc_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       FROM embeddings
     ),
@@ -430,14 +431,38 @@ _BM25_DELETED_SQL = ", ".join(str(i) for i in _BM25_DELETED)
     qvec AS (
       SELECT qv.query_id, c.vec FROM qv JOIN corpusv c ON c.doc_id = qv.m
     ),
+    -- IVF replay (round 15, persisted-persisted hybrid): per-cell
+    -- mean centroids over the label-assigned store, top-3 probed
+    -- cells per query by rounded centroid cosine, exact cosine
+    -- WITHIN probed cells only — the IvfIndex serving cascade
+    vexpl AS (
+      SELECT label, generate_subscripts(vec, 1) AS pos, unnest(vec) AS val
+      FROM corpusv
+    ),
+    cmeans AS (
+      SELECT label, pos, avg(val) AS mean_val FROM vexpl GROUP BY label, pos
+    ),
+    cents AS (
+      SELECT label, list(mean_val ORDER BY pos) AS centroid
+      FROM cmeans GROUP BY label
+    ),
+    probescored AS (
+      SELECT q.query_id, c.label, q.vec AS qvec,
+             {_IVF_COS.format(a="c.centroid", b="q.vec")} AS cent_sim
+      FROM cents c CROSS JOIN qvec q
+    ),
+    probes AS (
+      SELECT query_id, label, qvec FROM (
+        SELECT query_id, label, qvec,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cent_sim DESC, label ASC) AS pr
+        FROM probescored)
+      WHERE pr <= 3
+    ),
     vscored AS (
-      SELECT q.query_id, c.doc_id,
-             round(list_sum(list_transform(list_zip(c.vec, q.vec),
-                                           x -> x[1]*x[2]))
-                   / (sqrt(list_sum(list_transform(c.vec, x -> x*x)))
-                      * sqrt(list_sum(list_transform(q.vec, x -> x*x)))),
-                   6) AS cos_sim
-      FROM corpusv c CROSS JOIN qvec q
+      SELECT p.query_id, a.doc_id,
+             {_IVF_COS.format(a="a.vec", b="p.qvec")} AS cos_sim
+      FROM corpusv a JOIN probes p ON a.label = p.label
     ),
     vleg AS (
       SELECT query_id, doc_id, cos_sim, vrank
@@ -536,12 +561,28 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash flips). The former in-plan bm25_scores path keeps its
     pytest parity pin (tests/test_retrieval.py) — in-plan and
     persisted serving are bit-identical by construction, they share
-    `_score_postings`."""
+    `_score_postings`.
+
+    Round 15 (VERDICT r14 item 3 — persisted-persisted hybrid under
+    the hash): the vector leg swaps its in-plan exact-cosine
+    crossJoin for a PERSISTED IvfIndex (float store, label cells via
+    build(assigned=True), nprobe=3) built in-row, and the fusion runs
+    through the REAL `hybrid_topk` operator
+    (operators/retrieval.py) composing the two index stores — the
+    production keyword+vector serving path, previously pytest-only.
+    The oracle replays the IVF cascade (per-cell mean centroids ->
+    top-3 probed cells by rounded centroid cosine -> exact cosine
+    within probed cells) in the cents/probes/vscored CTEs next to the
+    BM25 replay and the RRF arithmetic; cell pruning is load-bearing
+    (a doc outside the probed cells cannot appear in the vector leg,
+    shifting vec_rank and rrf_score for every fused row vs the old
+    brute-force leg). Fusion-only hits on the persisted pair plus a
+    store-replay rank identity are pinned in tests/test_retrieval.py."""
     import os
     import re
     import tempfile
 
-    from ..operators.retrieval import Bm25Index, rrf_fuse
+    from ..operators.retrieval import Bm25Index, hybrid_topk
     from ..sources.warehouse import Warehouse
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -559,15 +600,42 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25_idx_" + re.sub(r"\W+", "_", sf_dir).strip("_"),
     )
     idx = Bm25Index(Warehouse(spark, scratch), partitioned=True)
-    # The maintenance cycle (7 sequential job groups over a ~500-doc
-    # fixture) is EAGER — right-size its shuffles instead of running
-    # them at an external session's 200-partition default. MEASURED
-    # (r15, BASELINE): flat on an AQE-on session (AQE already
-    # coalesces these tiny shuffles; the warm floor is ~25 job
-    # barriers at ~0.4 s each, not partition width) — the scope's
-    # value is sessions with AQE disabled, where 200 real tasks per
-    # shuffle would be scheduled. The served plan below executes
-    # after the scope exits, so its shape is untouched either way.
+    # r15 (VERDICT r14 item 3): the vector leg ALSO serves from a
+    # persisted store — an IvfIndex built in-row on the label-assigned
+    # embeddings (assigned=True: the bring-your-own-quantizer path;
+    # float store, per-cell mean centroids, nprobe=3 cell-pruned exact
+    # cosine) — so the row is the PERSISTED-PERSISTED hybrid: both
+    # legs read index tables and the fusion runs through the REAL
+    # hybrid_topk operator, with the oracle replaying the IVF cascade
+    # (cents/probes CTEs) next to the corpus-minus-deleted BM25
+    # scoring and the RRF arithmetic. A fusion-only hit on the
+    # persisted pair stays pinned in tests/test_retrieval.py.
+    iscratch = os.path.join(
+        tempfile.gettempdir(),
+        "bm25hyb_ivf_" + re.sub(r"\W+", "_", sf_dir).strip("_"),
+    )
+    from ..operators.similarity import IvfIndex
+
+    hivf = IvfIndex(
+        Warehouse(spark, iscratch), name="hybivf", cell_col="label"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    # The maintenance cycle (7 sequential bm25 job groups + the ivf
+    # build over a ~500-doc fixture) is EAGER — right-size its
+    # shuffles instead of running them at an external session's
+    # 200-partition default. MEASURED (r15, BASELINE): flat on an
+    # AQE-on session (AQE already coalesces these tiny shuffles; the
+    # warm floor is ~25 job barriers at ~0.4 s each, not partition
+    # width) — the scope's value is sessions with AQE disabled, where
+    # 200 real tasks per shuffle would be scheduled. The served plan
+    # below executes after the scope exits, so its shape is untouched
+    # either way.
     from ..session import scratch_shuffle_partitions
 
     with scratch_shuffle_partitions(spark, 8):
@@ -584,66 +652,39 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # must no-op this (skip broken -> epoch-1 rows land alongside
         # their __compacted__ copies -> hash flips)
         idx.absorb(epoch1, batch=1)
-    bm_leg = idx.topk(_BM25_QUERIES, topk=50, max_df_frac=0.8)
+        hivf.build(emb, assigned=True)
 
-    from ..operators.similarity import dot, l2_norm
-
-    # norms are projected ONCE per side (round 12): the crossJoin
-    # used to re-fold l2_norm(vec) for every (doc, query) pair —
-    # |queries| redundant folds per doc — and l2_norm(qvec) per pair;
-    # same doubles, same division, so cos_sim is bit-identical
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("doc_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
-    ).withColumn("__nrm", l2_norm(F.col("vec")))
     qmap = {"q_join_path": 0, "q_window_sort": 1, "q_stream": 2}
     qv = spark.createDataFrame(
         sorted(qmap.items()), "query_id: string, m: long"
     )
-    qvec = emb.join(
-        F.broadcast(qv), emb["doc_id"] == qv["m"]
-    ).select(
-        "query_id",
-        F.col("vec").alias("qvec"),
-        F.col("__nrm").alias("__qnrm"),
+    qvec = emb.join(F.broadcast(qv), emb["vec_id"] == qv["m"]).select(
+        "query_id", F.col("embedding").alias("query_vec")
     )
-    vscored = emb.crossJoin(F.broadcast(qvec)).select(
-        "query_id",
-        "doc_id",
-        F.round(
-            dot(F.col("vec"), F.col("qvec"))
-            / (F.col("__nrm") * F.col("__qnrm")),
-            6,
-        ).alias("cos_sim"),
-    )
-    from pyspark.sql.window import Window
-
-    wv = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("doc_id")
-    )
-    vec_leg = (
-        vscored.withColumn("rank", F.row_number().over(wv))
-        .filter(F.col("rank") <= 50)
-    )
-
-    # leg evidence rides THROUGH the fusion join (keep_a/keep_b) —
-    # re-joining the legs afterwards would duplicate each leg's whole
-    # subtree (the postings shuffle, the probe-vector broadcast) in
-    # the physical plan; the hint sweep caught exactly that
-    fused = rrf_fuse(
-        bm_leg.withColumnRenamed("score", "bm25_score"),
-        vec_leg,
-        id_col="doc_id",
+    # the composed persisted-persisted serving path: Bm25Index keyword
+    # leg + IvfIndex vector leg, RRF-fused by the real operator; leg
+    # evidence rides THROUGH the fusion join (keep columns) — re-
+    # joining a leg afterwards would duplicate its whole subtree (the
+    # postings scan, the probe broadcast) in the physical plan
+    fused = hybrid_topk(
+        _BM25_QUERIES,
+        qvec,
+        idx,
+        hivf,
         k=10,
         k_rrf=60,
-        rank_a_col="bm25_rank",
-        rank_b_col="vec_rank",
-        keep_a=("n_terms_matched", "bm25_score"),
-        keep_b=("cos_sim",),
+        leg_k=50,
+        nprobe=3,
+        max_df_frac=0.8,
+        sim_round=6,
+        keep_bm25=("n_terms_matched", "score"),
+        keep_vec=("cos_sim",),
     )
     return fused.select(
         "query_id", "rank", "doc_id", "bm25_rank", "vec_rank",
-        "n_terms_matched", "bm25_score", "cos_sim", "rrf_score",
+        "n_terms_matched",
+        F.col("score").alias("bm25_score"),
+        "cos_sim", "rrf_score",
     )
 
 

@@ -463,11 +463,27 @@ def test_hybrid_topk_over_persisted_indexes(spark, tmp_path):
 
 
 def test_bm25_topk_docs_row_has_fusion_only_hits(spark, duck):
-    """The registered hybrid row (bm25_topk_docs since round 11) must
+    """The registered hybrid row (bm25_topk_docs since round 11;
+    PERSISTED-PERSISTED since round 15 — Bm25Index keyword leg +
+    IvfIndex vector leg through the real hybrid_topk) must
     demonstrate fusion mattering on the driver fixture itself: at
     least one fused top-10 row that NEITHER leg ranked top-10, and
-    every row carrying at least one leg rank."""
+    every row carrying at least one leg rank. The persisted pair is
+    pinned structurally: the row's vector ranks must be byte-equal to
+    serving the SAME scratch IvfIndex store directly — if the leg
+    were quietly in-plan (or read a different store), the store
+    replay would diverge."""
+    import os
+    import re
+    import tempfile
+
+    from etl_process_for_fraud_transactions_spark.operators.similarity import (
+        IvfIndex,
+    )
     from etl_process_for_fraud_transactions_spark.plans import QUERIES
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
 
     from .conftest import SF_SMALL
 
@@ -483,6 +499,43 @@ def test_bm25_topk_docs_row_has_fusion_only_hits(spark, duck):
         and (r.vec_rank is None or r.vec_rank > 10)
     ]
     assert fusion_only, "no fused-only hit on the fixture"
+
+    # persisted-pair pin: replay the vector leg from the scratch
+    # IvfIndex store the row just built and compare ranks
+    iscratch = os.path.join(
+        tempfile.gettempdir(),
+        "bm25hyb_ivf_" + re.sub(r"\W+", "_", SF_SMALL).strip("_"),
+    )
+    assert os.path.isdir(iscratch), "row must persist its IvfIndex store"
+    hivf = IvfIndex(
+        Warehouse(spark, iscratch), name="hybivf", cell_col="label"
+    )
+    from pyspark.sql import functions as F
+
+    from etl_process_for_fraud_transactions_spark.sources.testdata import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    qv = spark.createDataFrame(
+        [("q_join_path", 0), ("q_stream", 2), ("q_window_sort", 1)],
+        "query_id: string, m: long",
+    )
+    qvec = emb.join(qv, emb["vec_id"] == qv["m"]).select(
+        "query_id", F.col("embedding").alias("query_vec")
+    )
+    store_leg = {
+        (r.query_id, r.vec_id): r.rank
+        for r in hivf.topk(qvec, k=50, nprobe=3, sim_round=6).collect()
+    }
+    for r in rows:
+        if r.vec_rank is not None:
+            assert store_leg.get((r.query_id, r.doc_id)) == r.vec_rank
 
 
 def test_rrf_fuse_weighted_variant(spark):
