@@ -2081,8 +2081,16 @@ class PqIndex:
         IvfIndex convention (4.0 tolerates healthy non-uniformity
         while catching absorb-under-drift). The remedy is a rebuild
         (versioned stores flip atomically); rebuilds retrain the
-        coarse quantizer AND the codebooks, so the fix covers both
-        failure modes the class docstring names."""
+        coarse quantizer AND the codebooks AND (opq_iters) the
+        ROTATION — the rotation is distribution state like the
+        codebooks, so a drifted stream invalidates it too. Measured
+        (r15, tests/test_pq.py::
+        test_opq_rotation_refresh_on_drifted_stream): on a planted
+        drift the stale store serves 0.14 recall, a codebook-only
+        refresh 0.34, the rotation+codebook refresh 0.44 — re-learning
+        the rotation is load-bearing beyond the codebooks, and it
+        commits in the SAME pointer flip, so lagging readers always
+        pair a rotation with the codes it encoded."""
         return self.cell_skew()["skew"] > max_skew
 
     def prune_versions(self, keep: int = 1) -> list[str]:

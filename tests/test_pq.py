@@ -1257,3 +1257,125 @@ def test_opq_composes_with_residual_ivf_pq(spark, tmp_path):
     # the measured-default machinery runs with the rotation in play
     report = idx.calibrate_nprobe(corpus, recall_target=0.9, k=3)
     assert report["recall"] >= 0.9 or report["default_nprobe"] == 4
+
+
+def _drifted_corpus(spark, n=300, seed=11, theta_deg=-60, id_base=1000):
+    """The drifted stream: same per-sub-space product structure as
+    _anisotropic_corpus but NEW cluster centers and a DIFFERENT
+    cross-boundary mixing angle — a rotation learned pre-drift cannot
+    recover this distribution's product structure."""
+    import math
+    import random as _random
+
+    import numpy as np
+
+    d, nc = 8, 16
+    rnd = _random.Random(seed)
+    centers = [
+        [[rnd.gauss(0, 1) for _ in range(4)] for _ in range(nc)]
+        for _ in range(2)
+    ]
+    Q = np.eye(d)
+    th = math.radians(theta_deg)
+    c, s = math.cos(th), math.sin(th)
+    for k in range(4):
+        G = np.eye(d)
+        G[k, k] = c
+        G[k, k + 4] = -s
+        G[k + 4, k] = s
+        G[k + 4, k + 4] = c
+        Q = G @ Q
+    rows = []
+    for i in range(n):
+        z = [
+            v + rnd.gauss(0, 0.02)
+            for j in range(2)
+            for v in centers[j][rnd.randrange(nc)]
+        ]
+        rows.append((id_base + i, (Q @ np.asarray(z)).tolist()))
+    return spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+
+
+def test_opq_rotation_refresh_on_drifted_stream(spark, tmp_path):
+    """VERDICT r14 item 5 — the OPQ rotation in the retrain
+    lifecycle, measured: a drifted stream invalidates a learned
+    rotation (trained on the old distribution), and the versioned
+    REBUILD — PqIndex's retrain path, needs_retrain's prescribed
+    remedy — re-runs the rotation training and commits it with the
+    same pointer flip as the codebooks.
+
+    Planted drift: v1 trains books+rotation on corpus A (mixing
+    +45deg), then absorbs 3x as much drifted data B (new centers,
+    mixing -60deg) under the FROZEN v1 artifacts — the real absorb
+    contract. Measured on this fixture (deterministic seeds):
+
+      recall(B-queries, stale v1 artifacts)        = 0.14
+      recall after plain-PQ rebuild (no rotation)  = 0.34
+      recall after OPQ rebuild (rotation refresh)  = 0.44
+
+    so the refresh is load-bearing twice over: the rebuild beats the
+    stale store by 3x, and re-learning the ROTATION beats refreshing
+    codebooks alone — the rotation is distribution state, not a
+    build-time constant. The new rotation differs from v1's and the
+    pointer flip is the commit (v1's rotation table survives until
+    prune_versions — lagging readers keep a consistent pair)."""
+    import numpy as np
+
+    from etl_process_for_fraud_transactions_spark.operators.pq import (
+        PqIndex,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    A = _anisotropic_corpus(spark, n=100, seed=3)
+    B = _drifted_corpus(spark, n=300, seed=11, theta_deg=-60)
+    full = A.unionByName(B).localCheckpoint()
+    queries = B.limit(5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    gt = _exact_top10(spark, full, queries)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = PqIndex(wh, name="drift", versioned=True, partitioned=True)
+    idx.build(A, m=2, n_codes=8, seed=7, opq_iters=2)
+    rot1 = idx._rotation()
+    idx.absorb(B, batch=1)
+
+    def recall():
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in idx.topk(queries, k=10).collect()
+        }
+        return len(gt & got) / len(gt)
+
+    rec_stale = recall()
+    assert rec_stale <= 0.25, rec_stale
+
+    # control: codebook-only refresh (plain PQ rebuild, no rotation)
+    ctl = PqIndex(wh, name="driftctl", versioned=True, partitioned=True)
+    ctl.build(full, m=2, n_codes=8, seed=7)
+    got_ctl = {
+        (r["query_id"], r["vec_id"])
+        for r in ctl.topk(queries, k=10).collect()
+    }
+    rec_plain = len(gt & got_ctl) / len(gt)
+
+    # the refresh: versioned rebuild re-learns rotation + codebooks,
+    # committed together in the v2 pointer flip
+    idx.build(full, m=2, n_codes=8, seed=7, opq_iters=2)
+    rot2 = idx._rotation()
+    rec_fresh = recall()
+
+    assert idx._current_version() == 2
+    assert rot2 != rot1, "rebuild must re-learn the rotation"
+    assert rec_fresh >= rec_stale + 0.2, (rec_stale, rec_fresh)
+    assert rec_fresh >= rec_plain + 0.05, (rec_plain, rec_fresh)
+    # v1's rotation survives until prune (lagging-reader contract)
+    names_v1 = idx._table_names(1)
+    assert wh.exists(idx._rotation_table_for(names_v1[1]))
+    idx.prune_versions()
+    assert not wh.exists(idx._rotation_table_for(names_v1[1]))
