@@ -147,7 +147,46 @@ def run_arm(spark, sf_dir: str, staging: str, base_n: int, compact_every):
 
 
 def main() -> None:
+    """Phases (each fits one driver window, sharing state under /tmp):
+
+        python tools/stream_compaction_bench.py stage
+        python tools/stream_compaction_bench.py arm none
+        python tools/stream_compaction_bench.py arm 100
+        python tools/stream_compaction_bench.py report
+        python tools/stream_compaction_bench.py clean
+    """
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    phase = sys.argv[1] if len(sys.argv) > 1 else "all"
+    state = os.path.join(
+        tempfile.gettempdir(), f"stream_compact_{N_EPOCHS}"
+    )
+    staging = os.path.join(state, "epochs")
+    os.makedirs(state, exist_ok=True)
+
+    if phase == "clean":
+        shutil.rmtree(state, ignore_errors=True)
+        print("cleaned", state)
+        return
+    if phase == "report":
+        arms = []
+        for tag in ("none", "100"):
+            with open(os.path.join(state, f"arm_{tag}.json")) as f:
+                arms.append(json.load(f))
+        a, b = arms
+        with open(os.path.join(state, "meta.json")) as f:
+            meta = json.load(f)
+        out = {
+            "metric": "bm25_in_stream_compaction",
+            "sf_dir": sf_dir,
+            **meta,
+            "arms": arms,
+            "serve_win_sec": round(a["serve_sec"] - b["serve_sec"], 3),
+            "maintenance_overhead_sec": round(
+                b["stream_wall_sec"] - a["stream_wall_sec"], 1
+            ),
+        }
+        print(json.dumps(out))
+        return
 
     from etl_process_for_fraud_transactions_spark.session import get_spark
 
@@ -160,29 +199,29 @@ def main() -> None:
     base_n = n_docs // 2
     per_epoch = max(1, (n_docs - base_n) // N_EPOCHS)
 
-    staging = tempfile.mkdtemp(prefix="stream_compact_epochs_")
-    try:
-        stage_epochs(spark, sf_dir, staging, base_n, per_epoch)
-        arms = [
-            run_arm(spark, sf_dir, staging, base_n, None),
-            run_arm(spark, sf_dir, staging, base_n, 100),
-        ]
-        a, b = arms
-        out = {
-            "metric": "bm25_in_stream_compaction",
-            "sf_dir": sf_dir,
-            "n_docs": n_docs,
-            "n_epochs": N_EPOCHS,
-            "docs_per_epoch": per_epoch,
-            "arms": arms,
-            "serve_win_sec": round(a["serve_sec"] - b["serve_sec"], 3),
-            "maintenance_overhead_sec": round(
-                b["stream_wall_sec"] - a["stream_wall_sec"], 1
-            ),
-        }
-        print(json.dumps(out))
-    finally:
+    if phase in ("stage", "all"):
         shutil.rmtree(staging, ignore_errors=True)
+        stage_epochs(spark, sf_dir, staging, base_n, per_epoch)
+        with open(os.path.join(state, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "n_docs": n_docs,
+                    "n_epochs": N_EPOCHS,
+                    "docs_per_epoch": per_epoch,
+                },
+                f,
+            )
+        print("staged", staging)
+    if phase == "arm" or phase == "all":
+        wanted = (
+            [sys.argv[2]] if phase == "arm" else ["none", "100"]
+        )
+        for tag in wanted:
+            ce = None if tag == "none" else int(tag)
+            arm = run_arm(spark, sf_dir, staging, base_n, ce)
+            with open(os.path.join(state, f"arm_{tag}.json"), "w") as f:
+                json.dump(arm, f)
+            print(json.dumps(arm))
     spark.stop()
 
 
