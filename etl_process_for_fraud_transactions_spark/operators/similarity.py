@@ -740,9 +740,12 @@ class IvfIndex:
                     "the external quantizer's assignment column"
                 )
             assigned_df = corpus
-            n_cells = (
-                assigned_df.select(self.cell_col).distinct().count()
-            )
+            # n_cells derives from the persisted CENTROIDS table below
+            # (one row per occupied cell) instead of a corpus-wide
+            # distinct().count() — at 10^9 vectors that distinct is a
+            # real shuffle for a number the centroid aggregate already
+            # produces (r15)
+            n_cells = None
         else:
             assigned_df = ivf_build(
                 corpus, n_cells, self.vec_col, self.cell_col, seed,
@@ -768,6 +771,10 @@ class IvfIndex:
                 self._read_vectors(vec_t), self.cell_col, self.vec_col
             ),
         )
+        if n_cells is None:
+            # assigned=True: count the bounded centroids table (one
+            # row per occupied cell), not the corpus
+            n_cells = self.wh.read(cent_t).count()
         self._write_meta(
             n_cells, self._frame_dim(self._read_vectors(vec_t), self.vec_col)
         )
