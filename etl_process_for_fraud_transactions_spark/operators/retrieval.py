@@ -658,10 +658,40 @@ class Bm25Index:
         scan (partition-pruned to the batch in partitioned mode), so
         stats derive from exactly the rows that were persisted, not
         from a second tokenization pass over the input. Empty builds
-        (day-zero stream) write a (0, 0) row."""
+        (day-zero stream) write a (0, 0) row.
+
+        Partitioned mode reads the batch's partition DIRECTORY
+        directly instead of the table root: a root read lists every
+        epoch's directory before pruning, so per-epoch absorb cost
+        grew with stream age — the live-stream bench measured the
+        accumulated-files tax on WRITERS at ~0.5 s/epoch by epoch 200
+        (BASELINE r15); the direct-path read keeps the listing O(this
+        epoch's files) forever."""
+        import os
+
         spark = self.wh.spark
         from pyspark.errors import AnalysisException
 
+        if self.partitioned:
+            p = os.path.join(
+                self.wh.path(dl_t), f"{_BATCH_COL}={batch}"
+            )
+            spark.catalog.refreshByPath(p)
+            try:
+                dl = spark.read.parquet(p)
+            except AnalysisException:
+                # an empty epoch writes no partition directory
+                return spark.createDataFrame(
+                    [(str(batch), 0, 0)],
+                    f"{_BATCH_COL} string, n_docs bigint, sum_dl bigint",
+                )
+            return dl.agg(
+                F.lit(str(batch)).alias(_BATCH_COL),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0))
+                .cast("bigint")
+                .alias("sum_dl"),
+            )
         spark.catalog.refreshByPath(self.wh.path(dl_t))
         try:
             dl = self.wh.read(dl_t)
@@ -671,8 +701,6 @@ class Bm25Index:
                 [(str(batch), 0, 0)],
                 f"{_BATCH_COL} string, n_docs bigint, sum_dl bigint",
             )
-        if self.partitioned:
-            dl = dl.filter(F.col(_BATCH_COL) == str(batch))
         return dl.agg(
             F.lit(str(batch)).alias(_BATCH_COL),
             F.count(F.lit(1)).alias("n_docs"),
