@@ -3,6 +3,8 @@ builder honors overrides), not just prose."""
 
 from __future__ import annotations
 
+import pytest
+
 from etl_process_for_fraud_transactions_spark.session import (
     cluster_profile,
     get_spark,
@@ -34,3 +36,25 @@ def test_profile_scales_with_fleet():
     small = cluster_profile(executors=10, cores_per_executor=8)
     assert small["spark.sql.shuffle.partitions"] == str(3 * 80)
     assert small["spark.executor.cores"] == "8"
+
+
+def test_scratch_shuffle_partitions_scopes_and_restores(spark):
+    """The r15 maintenance-scope context manager: sets the conf inside
+    the block, restores the caller's value on exit — including on an
+    exception (the maintenance cycle raising must not leave a served
+    plan at 8 partitions)."""
+    from etl_process_for_fraud_transactions_spark.session import (
+        scratch_shuffle_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with scratch_shuffle_partitions(spark, 8):
+        assert spark.conf.get(key) == "8"
+    assert spark.conf.get(key) == before
+
+    with pytest.raises(RuntimeError):
+        with scratch_shuffle_partitions(spark, 8):
+            assert spark.conf.get(key) == "8"
+            raise RuntimeError("maintenance failed")
+    assert spark.conf.get(key) == before
