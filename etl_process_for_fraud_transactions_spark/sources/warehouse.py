@@ -144,6 +144,39 @@ class Warehouse:
         df = self.read(table).repartition(target_partitions)
         atomic_overwrite(df, self.path(table))
 
+    def gc_orphans(self, min_age_sec: float = 3600.0) -> list[str]:
+        """Remove crash leftovers of `atomic_overwrite`: a crash
+        before the temp→target rename strands a `<table>__tmp_<hex>`
+        directory, a crash between the two renames strands
+        `<table>__old_<hex>` — both invisible to readers (the target
+        path is either the old or the new table throughout) but
+        accumulating disk forever on a long-lived warehouse.
+
+        `min_age_sec` (default 1 h) guards a CONCURRENT in-flight
+        overwrite: its temp dir is younger than the threshold, so a
+        maintenance sweep can never delete a write in progress —
+        orphans are exactly the dirs old enough that no live writer
+        can still own them (rename-based commits complete in seconds,
+        not hours). Pure driver-side filesystem work, no Spark jobs;
+        returns the removed directory names."""
+        import re as _re
+        import time as _time
+
+        pat = _re.compile(r"__(tmp|old)_[0-9a-f]{8}$")
+        now = _time.time()
+        removed = []
+        for name in sorted(os.listdir(self.root)):
+            if not pat.search(name):
+                continue
+            p = os.path.join(self.root, name)
+            if not os.path.isdir(p):
+                continue
+            if now - os.path.getmtime(p) < min_age_sec:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(name)
+        return removed
+
     def erase_keys(
         self,
         table: str,

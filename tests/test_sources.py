@@ -122,3 +122,39 @@ def test_observed_counts(spark, tmp_path):
     out, obs = observed_counts(df, "probe", F.sum("amt").alias("total_amt"))
     out.write.mode("overwrite").parquet(str(tmp_path / "o"))
     assert obs.get == {"n_rows": 100, "total_amt": 9900.0}
+
+
+def test_gc_orphans_removes_crash_leftovers_only(spark, tmp_path):
+    """atomic_overwrite crash windows strand __tmp_/__old_ dirs that
+    no reader sees but disk pays for; gc_orphans removes exactly the
+    ones old enough that no live writer can own them — a fresh temp
+    (a concurrent overwrite in flight) and real tables survive."""
+    import os
+    import time
+
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    wh.overwrite("dim", df)
+
+    old_tmp = os.path.join(wh.root, "dim__tmp_deadbeef")
+    old_old = os.path.join(wh.root, "facts__old_cafebabe")
+    fresh_tmp = os.path.join(wh.root, "dim__tmp_01234567")
+    for p in (old_tmp, old_old, fresh_tmp):
+        os.makedirs(p)
+        open(os.path.join(p, "part-0.parquet"), "w").close()
+    past = time.time() - 7200
+    os.utime(old_tmp, (past, past))
+    os.utime(old_old, (past, past))
+    # a non-matching table name containing 'tmp' must never match
+    wh.overwrite("tmp_notes", df)
+
+    removed = wh.gc_orphans(min_age_sec=3600)
+    assert removed == ["dim__tmp_deadbeef", "facts__old_cafebabe"]
+    assert not os.path.isdir(old_tmp) and not os.path.isdir(old_old)
+    assert os.path.isdir(fresh_tmp), "in-flight temp must survive"
+    assert wh.read("dim").count() == 1
+    assert wh.read("tmp_notes").count() == 1
