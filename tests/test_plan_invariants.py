@@ -268,12 +268,16 @@ _ALLOWED_WORKLOAD_HINTS = {
     # split stands in for the bounded-by-construction benchmark set)
     "corpus_curation_pipeline": 2,
     # r11 hybrid row: the 3-row query-vector frame (embeddings joined
-    # to a 3-row literal map) broadcast into the exact-cosine leg —
-    # the same probe-workload class as ann/ivf's vec_id < 3 frames;
+    # to a 3-row literal map) broadcast into the vector leg — the
+    # same probe-workload class as ann/ivf's vec_id < 3 frames;
     # r14 +2: the persisted Bm25Index's tombstone-set distincts
     # (postings anti-join + the absorb-ban path sharing the plan) —
-    # the size-gated class above
-    "bm25_topk_docs": 3,
+    # the size-gated class above; r15 (persisted-persisted hybrid):
+    # the vector leg now serves from an in-row IvfIndex, whose
+    # serving hints the SAME bounded query frame twice (centroid
+    # probe ranking + the pruned-cell scoring join — the
+    # ivf_cosine_topk "+1 probe frame" class, here both stages)
+    "bm25_topk_docs": 5,
 }
 
 
