@@ -676,16 +676,33 @@ class Bm25Index:
             p = os.path.join(
                 self.wh.path(dl_t), f"{_BATCH_COL}={batch}"
             )
-            spark.catalog.refreshByPath(p)
+            # the direct path only serves batch ids whose hive
+            # directory name is the verbatim value — a value Spark
+            # URL-escapes on write (spaces, '%', ':'…) would MISS the
+            # dir here and must take the root-read fallback below, or
+            # a populated epoch would silently record a (0, 0) stats
+            # row (wrong N/avgdl forever)
+            if os.path.isdir(p):
+                spark.catalog.refreshByPath(p)
+                return spark.read.parquet(p).agg(
+                    F.lit(str(batch)).alias(_BATCH_COL),
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.coalesce(F.sum("dl"), F.lit(0))
+                    .cast("bigint")
+                    .alias("sum_dl"),
+                )
+            # fallback: the table-root read (lists every epoch dir —
+            # correct for escaped batch names; also the empty-epoch
+            # path, which has no dir and no rows)
+            spark.catalog.refreshByPath(self.wh.path(dl_t))
             try:
-                dl = spark.read.parquet(p)
+                dl = self.wh.read(dl_t)
             except AnalysisException:
-                # an empty epoch writes no partition directory
                 return spark.createDataFrame(
                     [(str(batch), 0, 0)],
                     f"{_BATCH_COL} string, n_docs bigint, sum_dl bigint",
                 )
-            return dl.agg(
+            return dl.filter(F.col(_BATCH_COL) == str(batch)).agg(
                 F.lit(str(batch)).alias(_BATCH_COL),
                 F.count(F.lit(1)).alias("n_docs"),
                 F.coalesce(F.sum("dl"), F.lit(0))

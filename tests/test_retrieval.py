@@ -869,3 +869,50 @@ def test_bm25_legacy_versioned_pointer_falls_back_to_meta_id_type(
     )
     empty = idx.topk({"q": ["hash"]})
     assert dict(empty.dtypes)["doc_id"] == "string"
+
+
+def test_bm25_absorb_stats_survive_escaped_batch_names(spark, tmp_path):
+    """r15 self-review: the direct partition-dir stats read only
+    serves batch ids whose hive directory is the verbatim value;
+    Spark URL-escapes specials (space, '%', ':') on write, so those
+    ids must take the root-read fallback — without it a populated
+    epoch records a (0, 0) stats row and N/avgdl are silently wrong
+    forever."""
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = Bm25Index(wh, name="esc", partitioned=True)
+    idx.build(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta gamma")],
+            "doc_id long, text string",
+        )
+    )
+    idx.absorb(
+        spark.createDataFrame(
+            [(3, "gamma delta epsilon")], "doc_id long, text string"
+        ),
+        batch="ep 1",  # space -> hive-escaped directory name
+    )
+    stats = {
+        r["__batch"]: (r["n_docs"], r["sum_dl"])
+        for r in wh.read("esc_stats").collect()
+    }
+    assert stats["ep 1"] == (1, 3), stats
+    # and the plain-integer fast path still records real counts
+    idx.absorb(
+        spark.createDataFrame(
+            [(4, "zeta eta")], "doc_id long, text string"
+        ),
+        batch=2,
+    )
+    stats = {
+        r["__batch"]: (r["n_docs"], r["sum_dl"])
+        for r in wh.read("esc_stats").collect()
+    }
+    assert stats["2"] == (1, 2), stats
