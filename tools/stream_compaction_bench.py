@@ -106,11 +106,20 @@ def run_arm(spark, sf_dir: str, staging: str, base_n: int, compact_every):
         ).select("doc_id", "text")
         idx.build(docs.filter(F.col("doc_id") < base_n))
 
-        sink = bm25_absorb_sink(
+        inner = bm25_absorb_sink(
             idx,
             compact_every=compact_every,
             prune_keep=2 if compact_every else None,
         )
+        # per-epoch wall curve: does absorb cost grow with stream age
+        # (the writer-side small-files tax), and what does the
+        # in-stream compaction hook cost at its firing epoch?
+        epoch_walls: list[float] = []
+
+        def sink(batch_df, batch_id):
+            t = time.monotonic()
+            inner(batch_df, batch_id)
+            epoch_walls.append(time.monotonic() - t)
         schema = docs.schema
         stream = (
             spark.readStream.schema(schema)
@@ -133,6 +142,10 @@ def run_arm(spark, sf_dir: str, staging: str, base_n: int, compact_every):
 
         serve_sec = round(_timed_serve(serve), 3)
         post_t = idx._table_names(idx._current_version())[0]
+
+        def _mean(xs):
+            return round(sum(xs) / len(xs), 3) if xs else None
+
         return {
             "compact_every": compact_every,
             "n_batches": n_batches,
@@ -140,6 +153,11 @@ def run_arm(spark, sf_dir: str, staging: str, base_n: int, compact_every):
             "postings_files": parquet_file_count(wh.path(post_t)),
             "store_files_at_rest": parquet_file_count(root),
             "serve_sec": serve_sec,
+            "epoch_wall_first10_mean": _mean(epoch_walls[:10]),
+            "epoch_wall_last10_mean": _mean(epoch_walls[-10:]),
+            "epoch_wall_max": (
+                round(max(epoch_walls), 3) if epoch_walls else None
+            ),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
