@@ -52,11 +52,16 @@ def scratch_shuffle_partitions(spark: SparkSession, n: int = 8):
     default with AQE disabled, in which case every fixture-scale
     maintenance shuffle schedules 200 real tasks. Measured honestly
     (r15, BASELINE): on an AQE-ON session this scope is FLAT — AQE's
-    coalescePartitions already collapses the tiny shuffles, and the
-    cycle's warm floor is its ~25 sequential job barriers (~0.4 s
-    each on the test box), not partition width. The scope is kept as
-    cheap insurance for AQE-off sessions, not claimed as a win under
-    AQE. Scoping the conf to the eager maintenance block leaves the
+    coalescePartitions already collapses the tiny shuffles — and even
+    AQE-OFF the local[8] win is ~5% (6.95→6.64 s, 6.21→5.80 s on the
+    bm25 cycle: local-mode task launch is sub-millisecond, so 192
+    extra empty tasks cost little). The cycle's warm floor is its ~25
+    sequential job barriers (~0.4 s each on the test box), not
+    partition width. The scope is kept because on a REAL cluster
+    (network-scheduled tasks, per-task overhead in the tens of ms)
+    the same 200-vs-8 gap is material for a many-step maintenance
+    cycle — but at local fixture scale it is a correctness-of-shape
+    knob, not a measured win, and is documented as such. Scoping the conf to the eager maintenance block leaves the
     SERVED plan untouched: the lazy serving frame executes after the
     block exits, so its shuffles plan at the session's own setting. Production guidance is the inverse — a real corpus build
     wants cluster_profile()'s 3x-cores sizing; this context manager is
