@@ -1634,7 +1634,13 @@ def hybrid_topk(
     leg missed the doc), so a caller can surface per-leg scores
     (bm25's `score`/`n_terms_matched`, the vector leg's
     `cos_sim`/`adc_sim`) without re-joining a leg subtree after
-    fusion."""
+    fusion.
+
+    Since round 15 this operator IS the registered `bm25_topk_docs`
+    row's serving path — both stores built in-row, the DuckDB oracle
+    replaying the BM25 scoring, the IVF probe cascade AND the RRF
+    arithmetic — so the persisted-persisted composition runs under
+    the driver hash, not only the pytest pins above."""
     bm_leg = bm25_index.topk(term_queries, topk=leg_k, max_df_frac=max_df_frac)
     vec_leg = ivf_index.topk(
         vec_queries, k=leg_k, nprobe=nprobe, sim_round=sim_round
