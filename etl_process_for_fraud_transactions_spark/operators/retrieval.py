@@ -673,16 +673,23 @@ class Bm25Index:
         from pyspark.errors import AnalysisException
 
         if self.partitioned:
+            import re as _re
+
             p = os.path.join(
                 self.wh.path(dl_t), f"{_BATCH_COL}={batch}"
             )
-            # the direct path only serves batch ids whose hive
-            # directory name is the verbatim value — a value Spark
+            # the direct path only serves batch ids built SOLELY from
+            # characters Spark never hive-escapes — a value Spark
             # URL-escapes on write (spaces, '%', ':'…) would MISS the
-            # dir here and must take the root-read fallback below, or
-            # a populated epoch would silently record a (0, 0) stats
-            # row (wrong N/avgdl forever)
-            if os.path.isdir(p):
+            # dir here (populated epoch silently recorded as (0, 0) —
+            # wrong N/avgdl forever), and worse, an UNESCAPED id that
+            # happens to equal another epoch's ESCAPED dir name
+            # (batch='ep%201' vs dir `__batch=ep%201` written for
+            # 'ep 1') would read the WRONG epoch's rows; both cases
+            # must take the root-read fallback below
+            if _re.fullmatch(
+                r"[A-Za-z0-9_.\-]+", str(batch)
+            ) and os.path.isdir(p):
                 spark.catalog.refreshByPath(p)
                 return spark.read.parquet(p).agg(
                     F.lit(str(batch)).alias(_BATCH_COL),

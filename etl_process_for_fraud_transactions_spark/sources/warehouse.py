@@ -153,12 +153,18 @@ class Warehouse:
         accumulating disk forever on a long-lived warehouse.
 
         `min_age_sec` (default 1 h) guards a CONCURRENT in-flight
-        overwrite: its temp dir is younger than the threshold, so a
-        maintenance sweep can never delete a write in progress —
-        orphans are exactly the dirs old enough that no live writer
-        can still own them (rename-based commits complete in seconds,
-        not hours). Pure driver-side filesystem work, no Spark jobs;
-        returns the removed directory names."""
+        overwrite two ways: the age gate uses the MAX mtime across
+        the candidate's whole tree (a long `df.write.parquet(tmp)`
+        keeps landing part files under `_temporary/` subdirs without
+        necessarily touching the top-level dir's mtime, so a write
+        legitimately longer than the threshold would look stale at
+        the root), and any dir still containing a live Hadoop
+        `_temporary` staging subdir is skipped outright regardless of
+        age — orphans are exactly the dirs with no staging activity
+        and nothing written for `min_age_sec`. Pure driver-side
+        filesystem work, no Spark jobs; returns the names of dirs
+        that are VERIFIED gone after removal (a partially-failed
+        rmtree — e.g. permissions — is not reported as reclaimed)."""
         import re as _re
         import time as _time
 
@@ -171,10 +177,26 @@ class Warehouse:
             p = os.path.join(self.root, name)
             if not os.path.isdir(p):
                 continue
-            if now - os.path.getmtime(p) < min_age_sec:
+            newest = os.path.getmtime(p)
+            in_flight = False
+            for dirpath, dirnames, filenames in os.walk(p):
+                if "_temporary" in dirnames:
+                    in_flight = True
+                    break
+                for entry in dirnames + filenames:
+                    try:
+                        m = os.path.getmtime(
+                            os.path.join(dirpath, entry)
+                        )
+                    except OSError:
+                        continue
+                    if m > newest:
+                        newest = m
+            if in_flight or now - newest < min_age_sec:
                 continue
             shutil.rmtree(p, ignore_errors=True)
-            removed.append(name)
+            if not os.path.exists(p):
+                removed.append(name)
         return removed
 
     def erase_keys(

@@ -916,3 +916,49 @@ def test_bm25_absorb_stats_survive_escaped_batch_names(spark, tmp_path):
         for r in wh.read("esc_stats").collect()
     }
     assert stats["2"] == (1, 2), stats
+
+
+def test_bm25_absorb_stats_escape_collision_takes_fallback(
+    spark, tmp_path
+):
+    """r16 (ADVICE): the fast path is gated to batch ids containing
+    only characters Spark never hive-escapes. Without the gate, an
+    absorb with batch='ep%201' finds the directory `__batch=ep%201`
+    written FOR 'ep 1' verbatim via os.path.isdir and records the
+    WRONG epoch's n_docs/sum_dl; the '%' in the id must force the
+    root-read fallback, which filters on the logical value."""
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = Bm25Index(wh, name="col", partitioned=True)
+    idx.build(
+        spark.createDataFrame(
+            [(1, "alpha beta")], "doc_id long, text string"
+        )
+    )
+    # 'ep 1' writes hive dir `__batch=ep%201` (space escaped)
+    idx.absorb(
+        spark.createDataFrame(
+            [(2, "one two three four five")],
+            "doc_id long, text string",
+        ),
+        batch="ep 1",
+    )
+    # the literal id 'ep%201' collides with that dir name verbatim
+    idx.absorb(
+        spark.createDataFrame(
+            [(3, "six seven")], "doc_id long, text string"
+        ),
+        batch="ep%201",
+    )
+    stats = {
+        r["__batch"]: (r["n_docs"], r["sum_dl"])
+        for r in wh.read("col_stats").collect()
+    }
+    assert stats["ep 1"] == (1, 5), stats
+    assert stats["ep%201"] == (1, 2), stats

@@ -147,8 +147,11 @@ def test_gc_orphans_removes_crash_leftovers_only(spark, tmp_path):
         os.makedirs(p)
         open(os.path.join(p, "part-0.parquet"), "w").close()
     past = time.time() - 7200
-    os.utime(old_tmp, (past, past))
-    os.utime(old_old, (past, past))
+    for p in (old_tmp, old_old):
+        # the age gate uses the NEWEST mtime in the tree (r16), so a
+        # true orphan is stale all the way down
+        os.utime(os.path.join(p, "part-0.parquet"), (past, past))
+        os.utime(p, (past, past))
     # a non-matching table name containing 'tmp' must never match
     wh.overwrite("tmp_notes", df)
 
@@ -158,3 +161,48 @@ def test_gc_orphans_removes_crash_leftovers_only(spark, tmp_path):
     assert os.path.isdir(fresh_tmp), "in-flight temp must survive"
     assert wh.read("dim").count() == 1
     assert wh.read("tmp_notes").count() == 1
+
+
+def test_gc_orphans_skips_staging_and_deep_mtime(spark, tmp_path):
+    """r16 (ADVICE): a long df.write.parquet(tmp) lands part files
+    under `_temporary/` without touching the top-level dir mtime —
+    gc_orphans must (a) skip any candidate still holding a Hadoop
+    `_temporary` staging dir regardless of age, and (b) age-gate on
+    the NEWEST mtime in the tree, so a stale root with a fresh leaf
+    survives; and it reports only dirs verified gone."""
+    import os
+    import time
+
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    past = time.time() - 7200
+
+    staging = os.path.join(wh.root, "a__tmp_deadbeef")
+    os.makedirs(os.path.join(staging, "_temporary", "0"))
+    for dirpath, dirnames, filenames in os.walk(staging, topdown=False):
+        os.utime(dirpath, (past, past))
+
+    fresh_leaf = os.path.join(wh.root, "b__tmp_cafebabe")
+    os.makedirs(fresh_leaf)
+    leaf = os.path.join(fresh_leaf, "part-0.parquet")
+    open(leaf, "w").close()
+    os.utime(fresh_leaf, (past, past))  # stale root, fresh leaf
+
+    true_orphan = os.path.join(wh.root, "c__old_0badf00d")
+    os.makedirs(true_orphan)
+    open(os.path.join(true_orphan, "part-0.parquet"), "w").close()
+    for dirpath, dirnames, filenames in os.walk(
+        true_orphan, topdown=False
+    ):
+        for f in filenames:
+            os.utime(os.path.join(dirpath, f), (past, past))
+        os.utime(dirpath, (past, past))
+
+    removed = wh.gc_orphans(min_age_sec=3600)
+    assert removed == ["c__old_0badf00d"], removed
+    assert os.path.isdir(staging), "staging dir must survive any age"
+    assert os.path.isdir(fresh_leaf), "fresh leaf must defeat stale root"
+    assert not os.path.isdir(true_orphan)
