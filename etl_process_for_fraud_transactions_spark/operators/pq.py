@@ -232,9 +232,18 @@ def train_pq(
             k=n_codes, seed=seed + j, maxIter=max_iter,
             featuresCol="__features",
         ).fit(sliced)
-        books.append(
-            tuple(tuple(float(x) for x in c) for c in model.clusterCenters())
-        )
+        centers = [
+            tuple(float(x) for x in c) for c in model.clusterCenters()
+        ]
+        # a degenerate subspace (constant / near-constant dims — e.g.
+        # zero-padded embeddings) makes KMeans return FEWER than k
+        # centers; ragged codebooks would break the vectorized
+        # m x n_codes x s encode/LUT math. Pad with copies of the last
+        # center: argmin ties resolve to the lowest index, so padded
+        # codes are never emitted and ADC distances are unchanged.
+        if centers and len(centers) < n_codes:
+            centers.extend([centers[-1]] * (n_codes - len(centers)))
+        books.append(tuple(centers))
     return PqModel(m=m, sub_dim=sub, n_codes=n_codes, codebooks=tuple(books))
 
 
@@ -1329,6 +1338,21 @@ class PqIndex:
                 else 1
             )
             codes_t, books_t, cells_t = self._table_names(new_v)
+            # snapshot the CURRENT version's file inventory — the
+            # pre-flip guard below refuses if a concurrent
+            # absorb/delete lands in v(new_v-1) mid-rebuild
+            # (VERDICT r15 #1)
+            from ..sources.warehouse import table_inventory
+
+            cur_guard_tables = (
+                (
+                    self._table_names(new_v - 1)[0],
+                    self._tombstones_table(new_v - 1),
+                )
+                if new_v > 1
+                else ()
+            )
+            pre_inv = table_inventory(self.wh, cur_guard_tables)
         else:
             new_v = None
             codes_t, books_t, cells_t = self._table_names()
@@ -1403,6 +1427,15 @@ class PqIndex:
                 _layout={"residual": bool(residual)},
             )["default_nprobe"]
         if self.versioned:
+            # pre-flip re-check: refuse (loudly, pointer untouched) if
+            # a concurrent absorb/delete landed in the current version
+            # after the snapshot above (VERDICT r15 #1)
+            from ..sources.warehouse import guard_concurrent_writes
+
+            guard_concurrent_writes(
+                self.wh, cur_guard_tables, pre_inv,
+                f"PqIndex('{self.name}').build",
+            )
             # the commit point: the new version AND the layout that
             # interprets its tables become visible in ONE row. The
             # replay watermark RESETS — a rebuild indexes a fresh
@@ -1668,6 +1701,13 @@ class PqIndex:
             new_codes, new_books, new_cells = self._table_names(v + 1)
             cur_tomb = self._tombstones_table(v)
             new_tomb = self._tombstones_table(v + 1)
+            # snapshot the current version's file inventory before any
+            # reads — the pre-flip guard refuses if a concurrent
+            # absorb/delete lands mid-compaction (VERDICT r15 #1)
+            from ..sources.warehouse import table_inventory
+
+            cur_guard_tables = (cur_codes, cur_tomb)
+            pre_inv = table_inventory(self.wh, cur_guard_tables)
         else:
             cur_codes = new_codes = self._table_names()[0]
             cur_books = new_books = self._table_names()[1]
@@ -1767,6 +1807,15 @@ class PqIndex:
             if tombs is not None and not purge:
                 # bounded merge: tombstones stay live on the new version
                 self.wh.overwrite(new_tomb, tombs)
+            # pre-flip re-check: a concurrent absorb/delete that landed
+            # in version `v` after the snapshot would be abandoned by
+            # the flip — refuse loudly instead (VERDICT r15 #1)
+            from ..sources.warehouse import guard_concurrent_writes
+
+            guard_concurrent_writes(
+                self.wh, cur_guard_tables, pre_inv,
+                f"PqIndex('{self.name}').compact",
+            )
             # the commit point: collapsed codes + watermark + the
             # unchanged layout flip together; the shared meta is
             # untouched (no identity field changed, and the versioned

@@ -745,7 +745,11 @@ class Bm25Index:
         its own consistent metadata (ADVICE r11: meta used to be
         overwritten pre-flip); the shared meta table is refreshed
         after the flip purely as the layout-guard record."""
-        from ..sources.warehouse import atomic_overwrite
+        from ..sources.warehouse import (
+            atomic_overwrite,
+            guard_concurrent_writes,
+            table_inventory,
+        )
 
         if self.versioned:
             new_v = (
@@ -754,6 +758,19 @@ class Bm25Index:
                 else 1
             )
             post_t, dl_t, stats_t = self._table_names(new_v)
+            # snapshot the CURRENT version's file inventory before any
+            # reads: an absorb/delete landing in v(new_v-1) while this
+            # rebuild runs writes rows the pointer flip would abandon —
+            # the pre-flip guard below refuses loudly instead
+            # (VERDICT r15 #1; tombstones included so a concurrent
+            # takedown can't be silently dropped by the fresh version)
+            cur_tables = (
+                self._table_names(new_v - 1)
+                + (self._tombstones_table(new_v - 1),)
+                if new_v > 1
+                else ()
+            )
+            pre_inv = table_inventory(self.wh, cur_tables)
         else:
             new_v = None
             post_t, dl_t, stats_t = self._table_names()
@@ -785,6 +802,13 @@ class Bm25Index:
             self.wh.overwrite(stats_t, self._batch_stats(dl_t, batch))
         id_type = docs.schema[self.id_col].dataType.simpleString()
         if self.versioned:
+            # pre-flip re-check: refuse (loudly, pointer untouched) if
+            # a concurrent absorb/delete landed in the current version
+            # after the snapshot above — see guard_concurrent_writes
+            guard_concurrent_writes(
+                self.wh, cur_tables, pre_inv,
+                f"Bm25Index('{self.name}').build",
+            )
             # the commit point: the new version AND its id_type become
             # visible in this one atomic pointer flip. The replay
             # watermark RESETS to None — a rebuild indexes a
@@ -1112,6 +1136,13 @@ class Bm25Index:
             new_post, new_dl, new_stats = self._table_names(cur + 1)
             cur_tomb = self._tombstones_table(cur)
             new_tomb = self._tombstones_table(cur + 1)
+            # snapshot the current version's file inventory before any
+            # reads — the pre-flip guard refuses if a concurrent
+            # absorb/delete lands mid-compaction (VERDICT r15 #1)
+            from ..sources.warehouse import table_inventory
+
+            cur_tables = (cur_post, cur_dl, cur_stats, cur_tomb)
+            pre_inv = table_inventory(self.wh, cur_tables)
         else:
             id_type = meta.get("id_type") or "bigint"
             prev_wm = meta.get("compacted_through")
@@ -1286,6 +1317,15 @@ class Bm25Index:
                 atomic_overwrite(
                     frame, self.wh.path(table), partition_by=parts
                 )
+            # pre-flip re-check: a concurrent absorb/delete that landed
+            # in version `cur` after the snapshot would be abandoned by
+            # the flip — refuse loudly instead (VERDICT r15 #1)
+            from ..sources.warehouse import guard_concurrent_writes
+
+            guard_concurrent_writes(
+                self.wh, cur_tables, pre_inv,
+                f"Bm25Index('{self.name}').compact",
+            )
             # the commit point: collapsed tables + watermark + id_type
             # become visible in one pointer flip
             self.wh.overwrite(

@@ -730,7 +730,27 @@ class IvfIndex:
         partitioner uncorrelated with the vector space degrades
         recall gracefully (never silently wrong — the probed cells
         still score exactly)."""
-        from ..sources.warehouse import atomic_overwrite
+        from ..sources.warehouse import (
+            atomic_overwrite,
+            guard_concurrent_writes,
+            table_inventory,
+        )
+
+        # VERDICT r15 #1: a versioned REBUILD (build() recommits v1)
+        # must not silently abandon a concurrent absorb/delete that
+        # lands in the currently-served version while it runs —
+        # snapshot that version's file inventory now, re-check before
+        # committing
+        guard_tables: tuple = ()
+        pre_inv: frozenset = frozenset()
+        if self.versioned and self.wh.exists(self.version_table):
+            _cur = self._current_version()
+            guard_tables = (
+                self._table_names(_cur)[0],
+                self._tombstones_table(_cur),
+            )
+            pre_inv = table_inventory(self.wh, guard_tables)
+            self._build_guard_cur = _cur
 
         if assigned:
             if self.cell_col not in corpus.columns:
@@ -753,6 +773,17 @@ class IvfIndex:
             )
         assigned = assigned_df
         vec_t, cent_t = self._table_names(1) if self.versioned else self._table_names()
+        if guard_tables and self._build_guard_cur == 1:
+            # v1-over-v1 rebuild: the overwrite below targets the
+            # guarded table itself, so this pre-overwrite check is the
+            # LAST point the comparison is meaningful — it covers the
+            # long phase (training/assignment actions above); the
+            # write+rename window that remains is the same one the
+            # non-versioned layout always had
+            guard_concurrent_writes(
+                self.wh, guard_tables, pre_inv,
+                f"IvfIndex('{self.name}').build",
+            )
         parts = [self.cell_col]
         if self.partitioned:
             assigned = assigned.withColumn("__batch", F.lit("__build__"))
@@ -786,6 +817,14 @@ class IvfIndex:
                 _tables=(vec_t, cent_t),
             )
         if self.versioned:
+            if guard_tables and self._build_guard_cur != 1:
+                # full-window pre-flip re-check (the rebuild never
+                # touched version `cur`'s tables, so the inventory
+                # comparison stays valid right up to the flip)
+                guard_concurrent_writes(
+                    self.wh, guard_tables, pre_inv,
+                    f"IvfIndex('{self.name}').build",
+                )
             # the commit point: v1 becomes visible only here
             self._write_version(1, n_cells)
         # a (re)build's corpus is the caller's statement of record:
@@ -1016,6 +1055,13 @@ class IvfIndex:
             new_vec, new_cent = self._table_names(cur + 1)
             cur_tomb = self._tombstones_table(cur)
             new_tomb = self._tombstones_table(cur + 1)
+            # snapshot the current version's file inventory before any
+            # reads — the pre-flip guard refuses if a concurrent
+            # absorb/delete lands mid-compaction (VERDICT r15 #1)
+            from ..sources.warehouse import table_inventory
+
+            cur_tables = (cur_vec, cur_tomb)
+            pre_inv = table_inventory(self.wh, cur_tables)
         else:
             cur_vec = new_vec = self.vectors_table
             cur_cent = new_cent = self.centroids_table
@@ -1097,6 +1143,15 @@ class IvfIndex:
             if tombs is not None and not purge:
                 # bounded merge: tombstones stay live on the new version
                 self.wh.overwrite(new_tomb, tombs)
+            # pre-flip re-check: a concurrent absorb/delete that landed
+            # in version `cur` after the snapshot would be abandoned by
+            # the flip — refuse loudly instead (VERDICT r15 #1)
+            from ..sources.warehouse import guard_concurrent_writes
+
+            guard_concurrent_writes(
+                self.wh, cur_tables, pre_inv,
+                f"IvfIndex('{self.name}').compact",
+            )
             # the commit point: collapsed tables + watermark flip as one
             self._write_version(
                 cur + 1, meta["n_cells"], compacted_through=wm
@@ -1365,6 +1420,13 @@ class IvfIndex:
             cur, wm = self._version_row()
             cur_vec, _ = self._table_names(cur)
             new_vec, new_cent = self._table_names(cur + 1)
+            # snapshot the current version's file inventory BEFORE the
+            # corpus read — the pre-flip guard refuses if a concurrent
+            # absorb/delete lands mid-retrain (VERDICT r15 #1)
+            from ..sources.warehouse import table_inventory
+
+            cur_tables = (cur_vec, self._tombstones_table(cur))
+            pre_inv = table_inventory(self.wh, cur_tables)
         else:
             wm = self._watermark()
             cur_vec = new_vec = self.vectors_table
@@ -1409,6 +1471,15 @@ class IvfIndex:
                     self._tombstones_table(cur + 1),
                     self.wh.read(cur_tomb),
                 )
+            # pre-flip re-check: a concurrent absorb/delete that landed
+            # in version `cur` after the snapshot would be abandoned by
+            # the flip — refuse loudly instead (VERDICT r15 #1)
+            from ..sources.warehouse import guard_concurrent_writes
+
+            guard_concurrent_writes(
+                self.wh, cur_tables, pre_inv,
+                f"IvfIndex('{self.name}').retrain",
+            )
             # the single commit point: everything above wrote OFF TO
             # THE SIDE; serving keeps reading version `cur` until this
             # one-row atomic overwrite flips the pointer
