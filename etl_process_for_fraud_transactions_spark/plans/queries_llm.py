@@ -864,24 +864,131 @@ def neardup_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Frozen BYTE-LEVEL merges table for the document_chunks BPE leg
+#: (VERDICT r15 #2) — registered as the SAME literal on both engines:
+#: the Spark plan feeds it to the real BpeTokenizer merge loop
+#: (operators/bpe.py:311 encode_word — greedy lowest-rank,
+#: leftmost-occurrence) and the oracle replays that exact loop in a
+#: DuckDB recursive CTE generated from this tuple. The table is
+#: crafted so ORDER is load-bearing over the fixture vocabulary:
+#: chained merges ('t','a' -> 'ta','b' -> 'tab','l' -> 'tabl','eĀ')
+#: collapse "table" to ONE token only if ranks apply lowest-first,
+#: and overlapping pairs — ('t','a') rank 0 vs ('a','t') rank 1 in
+#: "data", ('va','l') rank 20 vs ('l','u') rank 22 in "value" —
+#: produce different final tokenizations if a replay picks the wrong
+#: one, so a buggy merge order flips the hash. All concats are
+#: distinct, so byte-level ids are rank-deterministic (257 + rank;
+#: base bytes 0..255; end-of-word chr(256)).
+_DC_BPE_MERGES = (
+    ("t", "a"), ("a", "t"), ("ta", "b"), ("e", "Ā"), ("t", "h"),
+    ("th", "eĀ"), ("d", "a"), ("da", "ta"), ("data", "Ā"), ("g", "g"),
+    ("tab", "l"), ("tabl", "eĀ"), ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("scan", "Ā"), ("r", "o"), ("ro", "w"), ("row", "Ā"), ("v", "a"),
+    ("va", "l"), ("u", "eĀ"), ("l", "u"), ("val", "ueĀ"),
+)
+assert len({a + b for a, b in _DC_BPE_MERGES}) == len(_DC_BPE_MERGES)
+
+
+def _dc_bpe_sql() -> str:
+    """DuckDB twin of the BpeTokenizer encode loop under
+    `_DC_BPE_MERGES`: a recursive CTE whose step merges exactly ONE
+    occurrence — the LEFTMOST occurrence of the LOWEST-ranked adjacent
+    pair — matching encode_word's `(best_rank, best_i)` scan verbatim
+    (operators/bpe.py:313-321). chr(1) separates the pair key (never
+    appears in [a-z0-9Ā] symbols); 999999 is the no-merge sentinel,
+    so `best < 999999` is both the merge guard and the recursion
+    terminator (a 1-symbol list yields an empty ranks list, NULL min).
+    Returns CTE bodies to splice after the chunk CTE `c`; the caller
+    joins `bpe_chunk` back per (doc_id, chunk_id). Words here are
+    string_split tokens — identical to the Python pre-tokenizer on
+    THIS surface because chunk_text is normalized [a-z0-9]+ words
+    joined by single spaces, on which BPE_TOKEN_RE's findall is
+    exactly the split."""
+    pair = "syms[CAST(i AS INT)] || chr(1) || syms[CAST(i AS INT)+1]"
+    rank_case = f"CASE {pair} " + " ".join(
+        f"WHEN '{a}' || chr(1) || '{b}' THEN {r}"
+        for r, (a, b) in enumerate(_DC_BPE_MERGES)
+    ) + " ELSE 999999 END"
+    id_case = "CASE s " + " ".join(
+        f"WHEN '{a + b}' THEN {257 + r}"
+        for r, (a, b) in enumerate(_DC_BPE_MERGES)
+    ) + " ELSE CASE WHEN s = chr(256) THEN 256 ELSE ascii(s) END END"
+    return f"""
+    bpe_w AS (
+      SELECT DISTINCT u.word FROM c,
+             unnest(string_split(chunk_text, ' ')) AS u(word)
+      WHERE u.word <> ''
+    ),
+    bpe_enc AS (
+      SELECT word,
+             list_append(list_transform(range(1, length(word) + 1),
+                         i -> substr(word, CAST(i AS INT), 1)),
+                         chr(256)) AS syms,
+             0 AS it
+      FROM bpe_w
+      UNION ALL
+      SELECT word,
+             syms[1:pos-1] || [syms[pos] || syms[pos+1]] || syms[pos+2:],
+             it + 1
+      FROM (
+        SELECT word, syms, it, list_min(ranks) AS best,
+               CAST(list_position(ranks, list_min(ranks)) AS INT) AS pos
+        FROM (
+          SELECT word, syms, it,
+                 list_transform(range(1, len(syms)), i -> {rank_case})
+                   AS ranks
+          FROM bpe_enc))
+      WHERE best < 999999
+    ),
+    bpe_fin AS (
+      SELECT word, len(syms) AS ntok,
+             list_transform(syms, s -> CAST({id_case} AS INT)) AS ids
+      FROM (SELECT word, syms, row_number()
+                     OVER (PARTITION BY word ORDER BY it DESC) AS rn
+            FROM bpe_enc)
+      WHERE rn = 1
+    ),
+    bpe_cw AS (
+      SELECT doc_id, chunk_id, CAST(i AS INT) AS ord,
+             string_split(chunk_text, ' ')[CAST(i AS INT)] AS word
+      FROM c, unnest(range(1, len(string_split(chunk_text, ' ')) + 1))
+               AS u(i)
+    ),
+    bpe_chunk AS (
+      SELECT doc_id, chunk_id,
+             CAST(SUM(f.ntok) AS BIGINT) AS n_bpe_tokens,
+             array_to_string(flatten(list(f.ids ORDER BY ord))[1:8], ' ')
+               AS bpe_prefix
+      FROM bpe_cw JOIN bpe_fin f USING (word)
+      GROUP BY doc_id, chunk_id
+    )"""
+
+
 @query(
     "document_chunks",
     f"""
-    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+    WITH RECURSIVE t AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
     c AS (
       SELECT doc_id, chunk_id,
              array_to_string(l[chunk_id*24+1:chunk_id*24+32], ' ') AS chunk_text,
              len(l[chunk_id*24+1:chunk_id*24+32]) AS n_chunk_tokens
       FROM t, unnest(generate_series(
                0, CAST(floor((greatest(len(l)-32,0)+23)/24) AS INT))) AS u(chunk_id)
+    ),
+    {_dc_bpe_sql()},
+    p AS (
+      SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens,
+             (doc_id % 8) * 4294967296
+               + CAST(floor(COALESCE(SUM(n_chunk_tokens) OVER (
+                     PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 128.0) AS BIGINT) AS pack_id
+      FROM c
     )
-    SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens,
-           (doc_id % 8) * 4294967296
-             + CAST(floor(COALESCE(SUM(n_chunk_tokens) OVER (
-                   PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   / 128.0) AS BIGINT) AS pack_id
-    FROM c
+    SELECT p.doc_id, p.chunk_id, p.chunk_text, p.n_chunk_tokens, p.pack_id,
+           COALESCE(b.n_bpe_tokens, 0) AS n_bpe_tokens,
+           COALESCE(b.bpe_prefix, '') AS bpe_prefix
+    FROM p LEFT JOIN bpe_chunk b USING (doc_id, chunk_id)
     """,
 )
 def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,14 +1007,44 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing in the wrong pack anywhere in the corpus fails the hash.
     The xxhash64 default is the same window with a different
     partition key (equivalence + bounds in tests/test_dedup_text.py
-    ::TestPackChunks)."""
+    ::TestPackChunks).
+
+    Round 16 absorbs the REAL BPE surface (VERDICT r15 #2, driver
+    50-query cap): every chunk also carries `n_bpe_tokens` — the real
+    byte-level BPE token count through bpe.py::bpe_token_count's
+    Arrow-batched merge loop — and `bpe_prefix`, the first 8 token
+    ids through bpe.py::bpe_encode, both under the frozen
+    `_DC_BPE_MERGES` literal. The oracle replays the greedy
+    lowest-rank/leftmost merge loop itself in a recursive CTE
+    (`_dc_bpe_sql`), so a wrong merge ORDER — not just a wrong count —
+    flips the hash (see the literal's docstring for the planted
+    order-sensitive words)."""
+    from ..operators.bpe import BpeTokenizer, bpe_encode, bpe_token_count
+
     docs = load_table(spark, sf_dir, "documents")
     chunks = X.chunk_documents(docs, chunk_tokens=32, overlap=8)
-    return X.pack_chunks(
+    packed = X.pack_chunks(
         chunks.withColumn("__shard_key", F.pmod(F.col("doc_id"), F.lit(8))),
         max_tokens=128,
         shard_col="__shard_key",
     ).drop("__shard_key")
+    tok = BpeTokenizer(list(_DC_BPE_MERGES), byte_level=True)
+    counted = bpe_token_count(
+        packed, tokenizer=tok, text_col="chunk_text", out_col="n_bpe_tokens"
+    )
+    return (
+        bpe_encode(
+            counted, tokenizer=tok, text_col="chunk_text", out_col="__ids"
+        )
+        .withColumn(
+            # space-joined string, not array<int>: the driver's value
+            # compare stringifies cells, and list-vs-ndarray reprs
+            # diverge across engines for identical arrays
+            "bpe_prefix",
+            F.array_join(F.slice("__ids", 1, 8), " "),
+        )
+        .drop("__ids")
+    )
 
 
 #: 8-token shingle list over a token-list column `t` (DuckDB) — the

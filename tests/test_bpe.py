@@ -306,3 +306,89 @@ def test_distributed_trainer_early_stop_and_sampling(spark):
     assert len(dist) < 50  # exhausted: 'ab</w>' fully merges in 2 steps
     full = train_bpe_merges_spark(docs, num_merges=5, sample_frac=1.0)
     assert full == train_bpe_merges_spark(docs, num_merges=5)
+
+
+class TestDocumentChunksBpeLeg:
+    """The document_chunks BPE leg (round 16): the frozen
+    `_DC_BPE_MERGES` literal is shared by the Spark plan (real
+    BpeTokenizer loop) and the DuckDB oracle (recursive-CTE replay of
+    the SAME greedy lowest-rank/leftmost semantics). These pins make
+    the merge loop demonstrably load-bearing."""
+
+    VOCAB = (
+        "a agg batch big column customer data dup fast filter group "
+        "hash join key line merge order part query row scan slow small "
+        "sort spark stream table the value vector window"
+    ).split()
+
+    def test_merge_order_is_load_bearing(self):
+        """Reversing the rank order changes the tokenization of the
+        planted overlap words — a replay that applies merges in the
+        wrong order cannot reproduce the hash."""
+        from etl_process_for_fraud_transactions_spark.operators.bpe import (
+            BpeTokenizer,
+        )
+        from etl_process_for_fraud_transactions_spark.plans.queries_llm import (
+            _DC_BPE_MERGES,
+        )
+
+        fwd = BpeTokenizer(list(_DC_BPE_MERGES), byte_level=True)
+        rev = BpeTokenizer(list(_DC_BPE_MERGES)[::-1], byte_level=True)
+        flipped = [
+            w
+            for w in self.VOCAB
+            if fwd.encode_word(w) != rev.encode_word(w)
+        ]
+        # the planted ('va','l')-vs-('l','u') overlap: under the wrong
+        # order "value" stays 3 tokens instead of collapsing to 1 — the
+        # COUNT flips, not just the ids (the chain words are confluent
+        # under reversal because each intermediate merge is unique, so
+        # this overlap is the load-bearing order probe)
+        assert "value" in flipped
+        assert fwd.count_word("value") == 1
+        assert rev.count_word("value") == 3
+
+    def test_oracle_cte_replays_the_exact_loop(self):
+        """The recursive CTE in `_dc_bpe_sql` reproduces encode_word
+        (count AND ids) for every fixture-vocabulary word, including a
+        multi-word chunk's flattened id prefix."""
+        import duckdb
+
+        from etl_process_for_fraud_transactions_spark.operators.bpe import (
+            BpeTokenizer,
+        )
+        from etl_process_for_fraud_transactions_spark.plans.queries_llm import (
+            _DC_BPE_MERGES,
+            _dc_bpe_sql,
+        )
+
+        tok = BpeTokenizer(list(_DC_BPE_MERGES), byte_level=True)
+        chunk = " ".join(self.VOCAB)
+        con = duckdb.connect()
+        n, prefix = con.execute(
+            f"""
+            WITH RECURSIVE c AS (
+              SELECT 1 AS doc_id, 0 AS chunk_id, ? AS chunk_text
+            ),
+            {_dc_bpe_sql()}
+            SELECT n_bpe_tokens, bpe_prefix FROM bpe_chunk
+            """,
+            [chunk],
+        ).fetchone()
+        assert n == tok.count_tokens(chunk)
+        assert prefix == " ".join(str(i) for i in tok.encode_ids(chunk)[:8])
+        # per-word parity (ids, not just counts)
+        rows = con.execute(
+            f"""
+            WITH RECURSIVE c AS (
+              SELECT 1 AS doc_id, 0 AS chunk_id, ? AS chunk_text
+            ),
+            {_dc_bpe_sql()}
+            SELECT word, ntok, ids FROM bpe_fin ORDER BY word
+            """,
+            [chunk],
+        ).fetchall()
+        v = tok.vocab()
+        for word, ntok, ids in rows:
+            exp = [v[t] for t in tok.encode_word(word)]
+            assert ntok == len(exp) and list(ids) == exp, word
