@@ -1,0 +1,277 @@
+"""10x scale-up measurement (VERDICT r15 #3): every scale claim so far
+is a plan-shape argument measured at <= sf0.1 (~600k rows / 5k docs);
+this tool buys one real measurement a decade up to catch constants the
+plans hide (the r15 listing-tax precedent).
+
+Phased CLI (one phase per command window — the detached-runner lesson
+in the round-workflow notes); results accumulate in
+/tmp/scale10/results.jsonl and `report` prints the exponent table:
+
+    python tools/scale_bench.py gen            # build /tmp/scale10/sf1
+    python tools/scale_bench.py fraud  base    # sf0.1
+    python tools/scale_bench.py fraud  x10     # /tmp/scale10/sf1
+    python tools/scale_bench.py neardup base|x10
+    python tools/scale_bench.py bm25   base|x10
+    python tools/scale_bench.py report
+
+Fixture construction (deterministic, pyarrow — no RNG):
+
+- events x10: replica r shifts event_id by r*10_000_000 (terminal =
+  event_id % 40 keeps its 40 groups), user_id by r*100_000 (multiple
+  of 100, so card_num = user_id % 100 keeps the analog's EXACT card
+  mix — the domain scales as MORE TRANSACTIONS PER CARD, which is the
+  honest axis here because the analog pins the card universe), and ts
+  by r seconds (structure-preserving jitter; within-window density
+  genuinely grows 10x, which is what the windowed rules and the
+  hot-key gate must absorb at scale).
+- documents x10 BIJECTED (near-dup fixture): replica r>0 suffixes
+  every word with str(r) — a per-replica vocabulary bijection, so each
+  replica reproduces the original's near-dup cluster structure without
+  cross-replica mega-clusters: group COUNT grows 10x, group size
+  stays (honest weak scaling for banding + verify). n_chars is
+  recomputed from the rewritten text.
+- documents x10 VERBATIM (bm25 fixture, documents_rep.parquet): same
+  text, fresh doc_ids — term document-frequency grows 10x like a real
+  corpus, so build cost AND the serve-side postings-bucket reads scale
+  honestly.
+
+Measurement protocol: one get_spark() session per phase, per-plan
+warm-up run (codegen/JIT) then REPS timed runs; the phase records all
+reps plus the min (the box is bursty — BASELINE documents 0.9-2.37x
+swings; min-of-reps is the least ambient-sensitive point estimate for
+a SCALING RATIO where both sides use the same protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = "/tmp/scale10"
+X10 = os.path.join(ROOT, "sf1")
+RESULTS = os.path.join(ROOT, "results.jsonl")
+R = 10
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+
+
+def gen() -> None:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(X10, exist_ok=True)
+
+    ev = pq.read_table(os.path.join(BASE_SF, "events.parquet"))
+    reps = []
+    for r in range(R):
+        t = ev
+        t = t.set_column(
+            t.schema.get_field_index("event_id"), "event_id",
+            pc.add(t["event_id"], r * 10_000_000),
+        )
+        t = t.set_column(
+            t.schema.get_field_index("user_id"), "user_id",
+            pc.add(t["user_id"], r * 100_000),
+        )
+        ts_us = t["ts"].cast(pa.int64())
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts",
+            pc.add(ts_us, r * 1_000_000).cast(pa.timestamp("us")),
+        )
+        reps.append(t)
+    pq.write_table(
+        pa.concat_tables(reps), os.path.join(X10, "events.parquet")
+    )
+    print("events:", sum(len(t) for t in reps))
+
+    docs = pq.read_table(os.path.join(BASE_SF, "documents.parquet"))
+    doc_ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    langs, sources = docs["lang"].to_pylist(), docs["source"].to_pylist()
+    bij_cols = {k: [] for k in ("doc_id", "text", "lang", "source", "n_chars")}
+    rep_cols = {k: [] for k in ("doc_id", "text", "lang", "source", "n_chars")}
+    for r in range(R):
+        suf = str(r) if r else ""
+        for i, txt in enumerate(texts):
+            new_id = doc_ids[i] + r * 1_000_000
+            bij = (
+                " ".join(w + suf for w in txt.split(" ")) if suf else txt
+            )
+            bij_cols["doc_id"].append(new_id)
+            bij_cols["text"].append(bij)
+            bij_cols["lang"].append(langs[i])
+            bij_cols["source"].append(sources[i])
+            bij_cols["n_chars"].append(len(bij))
+            rep_cols["doc_id"].append(new_id)
+            rep_cols["text"].append(txt)
+            rep_cols["lang"].append(langs[i])
+            rep_cols["source"].append(sources[i])
+            rep_cols["n_chars"].append(len(txt))
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()),
+         ("lang", pa.string()), ("source", pa.string()),
+         ("n_chars", pa.int64())]
+    )
+    pq.write_table(
+        pa.table(bij_cols, schema=schema),
+        os.path.join(X10, "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table(rep_cols, schema=schema),
+        os.path.join(X10, "documents_rep.parquet"),
+    )
+    print("documents:", len(bij_cols["doc_id"]))
+
+
+def _record(phase: str, label: str, **fields) -> None:
+    os.makedirs(ROOT, exist_ok=True)
+    row = {"phase": phase, "label": label, **fields}
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row))
+
+
+def _session():
+    from etl_process_for_fraud_transactions_spark.session import get_spark
+
+    return get_spark("scale-bench")
+
+
+def _timed(build_df, reps: int = REPS) -> list[float]:
+    """Warm once (codegen/JIT), then time `reps` full executions."""
+    build_df().write.format("noop").mode("overwrite").save()
+    out = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        build_df().write.format("noop").mode("overwrite").save()
+        out.append(round(time.perf_counter() - t0, 3))
+    return out
+
+def _sf_dir(label: str) -> str:
+    return BASE_SF if label == "base" else X10
+
+
+def phase_fraud(label: str) -> None:
+    from etl_process_for_fraud_transactions_spark.plans import QUERIES
+
+    spark = _session()
+    sf = _sf_dir(label)
+    n = QUERIES["fraud_report"](spark, sf).count()
+    walls = _timed(lambda: QUERIES["fraud_report"](spark, sf))
+    _record("fraud_report", label, rows=n, walls=walls, wall=min(walls))
+
+
+def phase_neardup(label: str) -> None:
+    """Production near-dup path: xxhash64 mode (the registered row's
+    portable md5 mode exists for the oracle; scale runs the fast
+    engine-internal path a user would)."""
+    from etl_process_for_fraud_transactions_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.testdata import (
+        load_table,
+    )
+
+    spark = _session()
+    docs = load_table(spark, _sf_dir(label), "documents")
+
+    def build():
+        return minhash_near_duplicates(
+            docs, k=3, num_hashes=32, bands=8, threshold=0.6
+        )
+
+    n = build().count()
+    walls = _timed(build)
+    _record("near_dedup", label, pairs=n, walls=walls, wall=min(walls))
+
+
+def phase_bm25(label: str) -> None:
+    """Build a partitioned Bm25Index over the VERBATIM x10 corpus
+    (term df grows with the corpus) and serve a frozen 8-query
+    workload; build and serve are recorded separately — build should
+    scale ~linearly, serve should track the queried terms' postings
+    (which grow with df), never the corpus row count."""
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from etl_process_for_fraud_transactions_spark.operators.retrieval import (
+        Bm25Index,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    spark = _session()
+    if label == "base":
+        docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    else:
+        docs = spark.read.parquet(os.path.join(X10, "documents_rep.parquet"))
+    wh_dir = os.path.join(ROOT, f"wh_{label}")
+    shutil.rmtree(wh_dir, ignore_errors=True)
+    wh = Warehouse(spark, wh_dir)
+    idx = Bm25Index(wh, partitioned=True)
+    t0 = time.perf_counter()
+    idx.build(docs)
+    build_wall = round(time.perf_counter() - t0, 3)
+    queries = {
+        f"q{i}": terms
+        for i, terms in enumerate(
+            [["hash", "join"], ["table", "scan"], ["merge", "sort"],
+             ["window", "group"], ["stream", "batch"], ["vector", "value"],
+             ["customer", "order"], ["query", "filter"]]
+        )
+    }
+    serve_walls = _timed(lambda: idx.topk(queries, topk=10))
+    n = idx.topk(queries, topk=10).count()
+    _record(
+        "bm25", label, rows=n, build_wall=build_wall,
+        serve_walls=serve_walls, serve_wall=min(serve_walls),
+    )
+
+
+def report() -> None:
+    import math
+
+    rows = [json.loads(line) for line in open(RESULTS)]
+    by = {}
+    for r in rows:
+        by.setdefault((r["phase"], r["label"]), r)  # first run wins
+    print(f"{'phase':<14} {'base':>9} {'x10':>9} {'ratio':>7} {'exponent':>9}")
+    for phase, key in [
+        ("fraud_report", "wall"), ("near_dedup", "wall"),
+        ("bm25 build", None), ("bm25 serve", None),
+    ]:
+        p = phase.split(" ")[0]
+        k = key or ("build_wall" if "build" in phase else "serve_wall")
+        b, x = by.get((p, "base")), by.get((p, "x10"))
+        if not (b and x):
+            continue
+        ratio = x[k] / b[k]
+        expo = math.log10(ratio) if ratio > 0 else float("nan")
+        print(f"{phase:<14} {b[k]:>9.3f} {x[k]:>9.3f} {ratio:>7.2f} {expo:>9.2f}")
+
+
+def main() -> None:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "report"
+    if cmd == "gen":
+        gen()
+    elif cmd == "fraud":
+        phase_fraud(sys.argv[2])
+    elif cmd == "neardup":
+        phase_neardup(sys.argv[2])
+    elif cmd == "bm25":
+        phase_bm25(sys.argv[2])
+    elif cmd == "report":
+        report()
+    else:
+        raise SystemExit(f"unknown phase {cmd!r}")
+
+
+if __name__ == "__main__":
+    main()
