@@ -72,3 +72,36 @@ def compare_with_oracle(spark, con, fn, sql, sf_dir, float_rel=1e-12):
     assert a == b, f"value mismatch at sorted rows {mismatches}: " + "; ".join(
         f"{a[i]} != {b[i]}" for i in mismatches
     )
+
+
+# ---------------------------------------------------------------------------
+# Core tier (pytest.ini: two-tier rhythm, VERDICT r15 #5). Whole fast
+# modules by name, plus one representative end-to-end test per index
+# family from the heavy modules. Everything else runs at round edges.
+# ---------------------------------------------------------------------------
+
+CORE_MODULES = {
+    "test_plan_invariants",  # registry/oracle guards + plan lint
+    "test_scd2",
+    "test_rules",
+    "test_writer_race",      # multi-writer contract, all families
+    "test_bench_drift",
+}
+
+CORE_TESTS = {
+    # one per index family (build + serve + store round-trip)
+    "test_bm25_index_serves_parity_with_in_plan",
+    "test_pq_index_store_guard_and_versioned_flip",
+    "test_ivf_matches_bruteforce_with_full_probe",
+    "test_filter_new_matches_union_near_dedup",
+    # sources: the atomic-overwrite contract everything sits on
+    "test_atomic_overwrite_same_path",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        name = item.name.split("[")[0]
+        if mod in CORE_MODULES or name in CORE_TESTS:
+            item.add_marker(pytest.mark.core)
