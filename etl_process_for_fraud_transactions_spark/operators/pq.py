@@ -933,6 +933,13 @@ class PqIndex:
     def _current_version(self) -> int:
         return self._version_row()[0]
 
+    def _version_or_none(self) -> int | None:
+        """Current pointer version, or None when no pointer exists —
+        the pre-flip maintenance-race probe (guard_pointer_unmoved)."""
+        if not self.wh.exists(self.version_table):
+            return None
+        return self._current_version()
+
     def _table_names(
         self, version: int | None = None
     ) -> tuple[str, str, str]:
@@ -1367,6 +1374,15 @@ class PqIndex:
         if self.partitioned:
             encoded = encoded.withColumn("__batch", F.lit("__build__"))
             parts.append("__batch")
+        if self.versioned:
+            # EARLY maintenance-race check before the first write into
+            # the shared v(new_v) paths (see guard_pointer_unmoved)
+            from ..sources.warehouse import guard_pointer_unmoved
+
+            guard_pointer_unmoved(
+                self._version_or_none(), new_v - 1 if new_v > 1 else None,
+                f"PqIndex('{self.name}').build",
+            )
         atomic_overwrite(
             encoded,
             self.wh.path(codes_t),
@@ -1434,6 +1450,12 @@ class PqIndex:
 
             guard_concurrent_writes(
                 self.wh, cur_guard_tables, pre_inv,
+                f"PqIndex('{self.name}').build",
+            )
+            from ..sources.warehouse import guard_pointer_unmoved
+
+            guard_pointer_unmoved(
+                self._version_or_none(), new_v - 1 if new_v > 1 else None,
                 f"PqIndex('{self.name}').build",
             )
             # the commit point: the new version AND the layout that
@@ -1790,6 +1812,14 @@ class PqIndex:
                 collapsed, self.wh, cur_tomb, self.id_col
             )
         if self.versioned:
+            # EARLY maintenance-race check before the first write into
+            # the shared v(cur+1) paths (see guard_pointer_unmoved)
+            from ..sources.warehouse import guard_pointer_unmoved
+
+            guard_pointer_unmoved(
+                self._version_or_none(), v,
+                f"PqIndex('{self.name}').compact",
+            )
             atomic_overwrite(
                 collapsed, self.wh.path(new_codes), partition_by=parts
             )
@@ -1814,6 +1844,12 @@ class PqIndex:
 
             guard_concurrent_writes(
                 self.wh, cur_guard_tables, pre_inv,
+                f"PqIndex('{self.name}').compact",
+            )
+            from ..sources.warehouse import guard_pointer_unmoved
+
+            guard_pointer_unmoved(
+                self._version_or_none(), v,
                 f"PqIndex('{self.name}').compact",
             )
             # the commit point: collapsed codes + watermark + the

@@ -507,6 +507,13 @@ class Bm25Index:
     def _current_version(self) -> int:
         return self._version_row()[0]
 
+    def _version_or_none(self) -> int | None:
+        """Current pointer version, or None when no pointer exists —
+        the pre-flip maintenance-race probe (guard_pointer_unmoved)."""
+        if not self.wh.exists(self.version_table):
+            return None
+        return self._current_version()
+
     def _table_names(
         self, version: int | None = None
     ) -> tuple[str, str, str]:
@@ -748,6 +755,7 @@ class Bm25Index:
         from ..sources.warehouse import (
             atomic_overwrite,
             guard_concurrent_writes,
+            guard_pointer_unmoved,
             table_inventory,
         )
 
@@ -774,6 +782,15 @@ class Bm25Index:
         else:
             new_v = None
             post_t, dl_t, stats_t = self._table_names()
+        if self.versioned:
+            # EARLY maintenance-race check before the first write into
+            # the shared v(new_v) paths: a competing compact that
+            # already flipped to new_v would have its committed tables
+            # clobbered below (see guard_pointer_unmoved)
+            guard_pointer_unmoved(
+                self._version_or_none(), new_v - 1 if new_v > 1 else None,
+                f"Bm25Index('{self.name}').build",
+            )
         post, dl = self._postings(docs), self._doclens(docs)
         post_parts = ["__tb"]
         if self.partitioned:
@@ -807,6 +824,12 @@ class Bm25Index:
             # after the snapshot above — see guard_concurrent_writes
             guard_concurrent_writes(
                 self.wh, cur_tables, pre_inv,
+                f"Bm25Index('{self.name}').build",
+            )
+            # and the maintenance-vs-maintenance check: the pointer
+            # must still be where this rebuild resolved it
+            guard_pointer_unmoved(
+                self._version_or_none(), new_v - 1 if new_v > 1 else None,
                 f"Bm25Index('{self.name}').build",
             )
             # the commit point: the new version AND its id_type become
@@ -1311,6 +1334,18 @@ class Bm25Index:
             # bounded merge: tombstones stay live on the new version
             writes.append((new_tomb, tombs, None))
         if self.versioned:
+            # EARLY maintenance-race check before the first write into
+            # the shared v(cur+1) paths: a competing maintainer that
+            # already flipped would have its committed tables clobbered
+            # by the writes below — refuse while they're intact (the
+            # pre-flip re-check covers the later window; see
+            # guard_pointer_unmoved for the residual caveat)
+            from ..sources.warehouse import guard_pointer_unmoved
+
+            guard_pointer_unmoved(
+                self._version_or_none(), cur,
+                f"Bm25Index('{self.name}').compact",
+            )
             for table, frame, parts in writes:
                 if frame is None:
                     continue
@@ -1324,6 +1359,12 @@ class Bm25Index:
 
             guard_concurrent_writes(
                 self.wh, cur_tables, pre_inv,
+                f"Bm25Index('{self.name}').compact",
+            )
+            from ..sources.warehouse import guard_pointer_unmoved
+
+            guard_pointer_unmoved(
+                self._version_or_none(), cur,
                 f"Bm25Index('{self.name}').compact",
             )
             # the commit point: collapsed tables + watermark + id_type

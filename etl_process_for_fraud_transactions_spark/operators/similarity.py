@@ -528,6 +528,13 @@ class IvfIndex:
     def _current_version(self) -> int:
         return self._version_row()[0]
 
+    def _version_or_none(self) -> int | None:
+        """Current pointer version, or None when no pointer exists —
+        the pre-flip maintenance-race probe (guard_pointer_unmoved)."""
+        if not self.wh.exists(self.version_table):
+            return None
+        return self._current_version()
+
     def _table_names(self, version: int | None = None) -> tuple[str, str]:
         '''(vectors, centroids) names — resolved from ONE pointer
         read in versioned mode, so a caller that uses both gets a
@@ -733,6 +740,7 @@ class IvfIndex:
         from ..sources.warehouse import (
             atomic_overwrite,
             guard_concurrent_writes,
+            guard_pointer_unmoved,
             table_inventory,
         )
 
@@ -825,6 +833,14 @@ class IvfIndex:
                     self.wh, guard_tables, pre_inv,
                     f"IvfIndex('{self.name}').build",
                 )
+            # maintenance-vs-maintenance: the pointer must still be
+            # where this rebuild resolved it (a competing compact/
+            # retrain flip would be clobbered back to v1 otherwise)
+            guard_pointer_unmoved(
+                self._version_or_none(),
+                self._build_guard_cur if guard_tables else None,
+                f"IvfIndex('{self.name}').build",
+            )
             # the commit point: v1 becomes visible only here
             self._write_version(1, n_cells)
         # a (re)build's corpus is the caller's statement of record:
@@ -1134,6 +1150,14 @@ class IvfIndex:
                 collapsed, self.wh, cur_tomb, self.id_col
             )
         if self.versioned:
+            # EARLY maintenance-race check before the first write into
+            # the shared v(cur+1) paths (see guard_pointer_unmoved)
+            from ..sources.warehouse import guard_pointer_unmoved
+
+            guard_pointer_unmoved(
+                self._version_or_none(), cur,
+                f"IvfIndex('{self.name}').compact",
+            )
             atomic_overwrite(
                 collapsed,
                 self.wh.path(new_vec),
@@ -1150,6 +1174,12 @@ class IvfIndex:
 
             guard_concurrent_writes(
                 self.wh, cur_tables, pre_inv,
+                f"IvfIndex('{self.name}').compact",
+            )
+            from ..sources.warehouse import guard_pointer_unmoved
+
+            guard_pointer_unmoved(
+                self._version_or_none(), cur,
                 f"IvfIndex('{self.name}').compact",
             )
             # the commit point: collapsed tables + watermark flip as one
@@ -1438,6 +1468,23 @@ class IvfIndex:
         parts = [self.cell_col]
         if self.partitioned:
             parts.append("__batch")
+        if self.versioned:
+            # EARLY maintenance-race check, before the first write into
+            # the shared v(cur+1) table paths: a competing maintainer
+            # that already flipped would have its committed tables
+            # clobbered by the overwrite below — refuse now while its
+            # version is still intact. The pre-flip re-check further
+            # down covers the window between here and the flip (where
+            # a late competing flip loses only the refuser's scratch
+            # writes, which the winner's pointer never references —
+            # see guard_pointer_unmoved's docstring for the residual
+            # two-writers-in-the-write-window caveat).
+            from ..sources.warehouse import guard_pointer_unmoved
+
+            guard_pointer_unmoved(
+                self._version_or_none(), cur,
+                f"IvfIndex('{self.name}').retrain",
+            )
         atomic_overwrite(
             self._store_cols(assigned),
             self.wh.path(new_vec),
@@ -1478,6 +1525,12 @@ class IvfIndex:
 
             guard_concurrent_writes(
                 self.wh, cur_tables, pre_inv,
+                f"IvfIndex('{self.name}').retrain",
+            )
+            from ..sources.warehouse import guard_pointer_unmoved
+
+            guard_pointer_unmoved(
+                self._version_or_none(), cur,
                 f"IvfIndex('{self.name}').retrain",
             )
             # the single commit point: everything above wrote OFF TO

@@ -42,6 +42,18 @@ def atomic_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = 
     df.sparkSession.catalog.refreshByPath(path)
 
 
+class ConcurrentMaintenanceError(RuntimeError):
+    """A versioned maintenance op (build/compact/retrain) refused its
+    pointer flip because the version pointer MOVED while it ran —
+    another maintainer's flip landed first. Flipping anyway would
+    clobber the winner's committed version (lost update; and for ops
+    that share target table names, possibly interleaved writes).
+    Nothing is lost on refusal: the winner's version is serving;
+    re-run this op against it. Versioned indexes assume a
+    single-maintainer schedule — this guard makes a violation loud
+    instead of silent."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """A versioned rebuild refused its pointer flip because another
     writer (absorb/delete) landed rows in the CURRENT version's tables
@@ -73,6 +85,46 @@ def table_inventory(wh: "Warehouse", tables) -> frozenset[str]:
                     os.path.relpath(os.path.join(dirpath, f), wh.root)
                 )
     return frozenset(inv)
+
+
+def guard_pointer_unmoved(
+    current: int | None, expected: int | None, op: str
+) -> None:
+    """The maintenance-vs-maintenance sibling of
+    `guard_concurrent_writes` (same flip sites, different adversary):
+    `expected` is the version the op resolved when it started (None =
+    no pointer existed yet), `current` is a fresh read immediately
+    before the flip. A moved pointer means a competing maintainer
+    committed first — refuse loudly rather than clobber its version.
+    The two guards divide the space: file inventory catches absorbs/
+    deletes into the CURRENT version's tables (which never move the
+    pointer); this catches rebuild/compact/retrain (which only ever
+    move the pointer).
+
+    Call sites check TWICE: once immediately before the first write
+    into the shared v(cur+1) table paths (so a maintainer that lost
+    the race during its long compute phase refuses BEFORE clobbering
+    the winner's committed tables) and once immediately before the
+    flip. Residual caveat, documented not hidden: two maintainers
+    simultaneously inside the write window itself (both passed the
+    early check, neither flipped yet) can interleave writes into the
+    same v(cur+1) paths — whichever flips second refuses, but the
+    winner's tables may contain the loser's scratch output. Closing
+    that window needs per-attempt unique table names carried in the
+    pointer row or an external lock; versioned indexes therefore keep
+    the single-MAINTAINER contract (absorbs/deletes from other
+    writers are fully guarded), and these checks exist to make a
+    schedule violation loud in every interleave where the ops do not
+    physically overlap in the write phase."""
+    if current != expected:
+        raise ConcurrentMaintenanceError(
+            f"{op}: refusing the version pointer flip — the pointer "
+            f"moved from {expected!r} to {current!r} while this op "
+            "ran, so a competing maintenance op committed first. Its "
+            "version is serving and nothing is lost; re-run this op "
+            "against it (versioned indexes assume a single-maintainer "
+            "schedule)."
+        )
 
 
 def guard_concurrent_writes(

@@ -275,3 +275,151 @@ def test_pq_compact_refuses_concurrent_absorb(spark, tmp_path, monkeypatch):
         for r in wh.read(a._table_names(2)[0]).select("vec_id").collect()
     }
     assert {50, 60} <= ids
+
+
+# ---------------------------------------------------------------------------
+# Maintenance-vs-maintenance (round 16): two compacts/retrains racing.
+# The file-inventory guard cannot see a competing maintainer (it never
+# writes into the CURRENT version's tables) — the pointer-unmoved
+# guard does. The hook runs a REAL competing op to completion between
+# the victim's snapshot and flip.
+# ---------------------------------------------------------------------------
+
+from etl_process_for_fraud_transactions_spark.sources.warehouse import (  # noqa: E402
+    ConcurrentMaintenanceError,
+)
+
+
+def test_bm25_compact_refuses_competing_compact(spark, tmp_path, monkeypatch):
+    from etl_process_for_fraud_transactions_spark.operators import (
+        epochs as E,
+    )
+    from etl_process_for_fraud_transactions_spark.operators import (
+        retrieval as R,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    a = R.Bm25Index(wh, partitioned=True, versioned=True)
+    a.build(
+        spark.createDataFrame(
+            [(1, "hash join")], "doc_id long, text string"
+        )
+    )
+    a.absorb(
+        spark.createDataFrame([(2, "hash sort")], "doc_id long, text string"),
+        batch=1,
+    )
+    b = R.Bm25Index(wh, partitioned=True, versioned=True)
+
+    orig = E.collapse_epochs
+    fired = []
+
+    def hook(*args, **kwargs):
+        if not fired:
+            fired.append(True)
+            b.compact()  # the competing maintainer wins the flip
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(E, "collapse_epochs", hook)
+    with pytest.raises(ConcurrentMaintenanceError):
+        a.compact()
+    monkeypatch.setattr(E, "collapse_epochs", orig)
+
+    # B's commit survives: pointer on v2, corpus intact
+    assert wh.read(a.version_table).collect()[0]["version"] == 2
+    got = {r.doc_id for r in a.topk({"q": ["hash"]}, topk=10).collect()}
+    assert got == {1, 2}
+    # the loser re-runs against the winner's version and converges
+    a.absorb(
+        spark.createDataFrame([(3, "hash next")], "doc_id long, text string"),
+        batch=2,
+    )
+    a.compact()
+    assert wh.read(a.version_table).collect()[0]["version"] == 3
+    got = {r.doc_id for r in a.topk({"q": ["hash"]}, topk=10).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_ivf_retrain_refuses_competing_retrain(spark, tmp_path, monkeypatch):
+    pytest.importorskip("numpy")
+    from etl_process_for_fraud_transactions_spark.operators import (
+        similarity as S,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    a = S.IvfIndex(wh, partitioned=True, versioned=True)
+    base = spark.createDataFrame(
+        [(i, [1.0, i * 0.001, 0.0]) for i in range(6)]
+        + [(10 + i, [i * 0.001, 1.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    a.build(base, n_cells=2, seed=42)
+    b = S.IvfIndex(wh, partitioned=True, versioned=True)
+
+    # hook the TRAINING stage (before the victim's first v2 write):
+    # the competing retrain completes while the victim is still
+    # computing — the realistic long-phase interleave the early
+    # pointer check exists for. (An overlap inside the write window
+    # itself is the documented single-maintainer residual caveat —
+    # see guard_pointer_unmoved.)
+    orig = S.ivf_build
+    fired = []
+
+    def hook(*args, **kwargs):
+        if not fired:
+            fired.append(True)
+            b.retrain(n_cells=2, seed=7)  # competing retrain wins
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(S, "ivf_build", hook)
+    with pytest.raises(ConcurrentMaintenanceError):
+        a.retrain(n_cells=2, seed=42)
+    monkeypatch.setattr(S, "ivf_build", orig)
+
+    assert wh.read(a.version_table).collect()[0]["version"] == 2
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    assert a.topk(q, k=3, nprobe=2).count() == 3
+    # re-run converges off the winner's version
+    a.retrain(n_cells=2, seed=42)
+    assert wh.read(a.version_table).collect()[0]["version"] == 3
+
+
+def test_versioned_rebuild_refuses_competing_rebuild(
+    spark, tmp_path, monkeypatch
+):
+    """build()-vs-build() on a fresh Bm25Index: the slower builder's
+    flip must refuse when the faster one committed v1 first (both
+    target the SAME v1 table paths, so last-write-wins here would be
+    interleaved corruption, not just a lost update)."""
+    from etl_process_for_fraud_transactions_spark.operators import (
+        retrieval as R,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    a = R.Bm25Index(wh, partitioned=True, versioned=True)
+    b = R.Bm25Index(wh, partitioned=True, versioned=True)
+
+    orig = R.Bm25Index._batch_stats
+    fired = []
+
+    def hook(self, dl_t, batch):
+        if not fired:
+            fired.append(True)
+            b.build(
+                spark.createDataFrame(
+                    [(9, "fast builder")], "doc_id long, text string"
+                )
+            )
+        return orig(self, dl_t, batch)
+
+    monkeypatch.setattr(R.Bm25Index, "_batch_stats", hook)
+    with pytest.raises(ConcurrentMaintenanceError):
+        a.build(
+            spark.createDataFrame(
+                [(1, "slow builder")], "doc_id long, text string"
+            )
+        )
+    monkeypatch.setattr(R.Bm25Index, "_batch_stats", orig)
+    assert wh.read(a.version_table).collect()[0]["version"] == 1

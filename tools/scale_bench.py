@@ -190,6 +190,20 @@ def phase_neardup(label: str) -> None:
     _record("near_dedup", label, pairs=n, walls=walls, wall=min(walls))
 
 
+def phase_curation(label: str) -> None:
+    """The widest operator surface in one plan: the registered
+    corpus_curation_pipeline row (exact dedup + span cascade + quality
+    + LM gates + packing) over the BIJECTED corpus — per-replica
+    duplicate/span structure grows in count, not size, like near_dedup."""
+    from etl_process_for_fraud_transactions_spark.plans import QUERIES
+
+    spark = _session()
+    sf = _sf_dir(label)
+    n = QUERIES["corpus_curation_pipeline"](spark, sf).count()
+    walls = _timed(lambda: QUERIES["corpus_curation_pipeline"](spark, sf))
+    _record("curation", label, rows=n, walls=walls, wall=min(walls))
+
+
 def phase_bm25(label: str) -> None:
     """Build a partitioned Bm25Index over the VERBATIM x10 corpus
     (term df grows with the corpus) and serve a frozen 8-query
@@ -245,6 +259,7 @@ def report() -> None:
     print(f"{'phase':<14} {'base':>9} {'x10':>9} {'ratio':>7} {'exponent':>9}")
     for phase, key in [
         ("fraud_report", "wall"), ("near_dedup", "wall"),
+        ("curation", "wall"),
         ("bm25 build", None), ("bm25 serve", None),
     ]:
         p = phase.split(" ")[0]
@@ -265,6 +280,8 @@ def main() -> None:
         phase_fraud(sys.argv[2])
     elif cmd == "neardup":
         phase_neardup(sys.argv[2])
+    elif cmd == "curation":
+        phase_curation(sys.argv[2])
     elif cmd == "bm25":
         phase_bm25(sys.argv[2])
     elif cmd == "report":
