@@ -84,8 +84,15 @@ def gen() -> None:
             pc.add(ts_us, r * 1_000_000).cast(pa.timestamp("us")),
         )
         reps.append(t)
+    # small row groups: Spark splits a single parquet file at
+    # row-group boundaries, so a default-written 10x file scans with
+    # 1-2 tasks — measuring the fixture's IO shape, not the engine
+    # (observed: the curation scan pinned at 2 partitions for 50k
+    # docs). ~32 groups lets scan parallelism grow with the data the
+    # way a real multi-file 100 TB table's would.
     pq.write_table(
-        pa.concat_tables(reps), os.path.join(X10, "events.parquet")
+        pa.concat_tables(reps), os.path.join(X10, "events.parquet"),
+        row_group_size=32_768,
     )
     print("events:", sum(len(t) for t in reps))
 
@@ -95,23 +102,45 @@ def gen() -> None:
     langs, sources = docs["lang"].to_pylist(), docs["source"].to_pylist()
     bij_cols = {k: [] for k in ("doc_id", "text", "lang", "source", "n_chars")}
     rep_cols = {k: [] for k in ("doc_id", "text", "lang", "source", "n_chars")}
+    rot_cols = {k: [] for k in ("doc_id", "text", "lang", "source", "n_chars")}
+    vocab = sorted({w for t in texts for w in t.split(" ") if w})
     for r in range(R):
         suf = str(r) if r else ""
+        pmap = (
+            {w: vocab[(vi + r * 7) % len(vocab)]
+             for vi, w in enumerate(vocab)}
+            if r else None
+        )
         for i, txt in enumerate(texts):
             new_id = doc_ids[i] + r * 1_000_000
             bij = (
                 " ".join(w + suf for w in txt.split(" ")) if suf else txt
             )
-            bij_cols["doc_id"].append(new_id)
-            bij_cols["text"].append(bij)
-            bij_cols["lang"].append(langs[i])
-            bij_cols["source"].append(sources[i])
-            bij_cols["n_chars"].append(len(bij))
-            rep_cols["doc_id"].append(new_id)
-            rep_cols["text"].append(txt)
-            rep_cols["lang"].append(langs[i])
-            rep_cols["source"].append(sources[i])
-            rep_cols["n_chars"].append(len(txt))
+            # permuted variant (curation fixture): replica r maps each
+            # word through a per-replica VOCAB->VOCAB permutation
+            # (shift r*7 through the sorted fixture vocabulary; 31 is
+            # prime so all nine shifts are distinct derangement-ish
+            # maps). Docs stay inside the fixture vocabulary — the
+            # language/stopword/LM gates keep firing at realistic
+            # per-replica rates — while word SEQUENCES differ across
+            # replicas, so span windows, fingerprints and shingles do
+            # NOT collapse cross-replica. (A plain rotation fixture
+            # was pathological: interior 16-token windows survive
+            # rotation verbatim, every window lands in ~R docs and the
+            # span-mask join-back explodes — real corpora don't
+            # duplicate every window 10x.)
+            rot = (
+                " ".join(pmap.get(w, w) for w in txt.split(" "))
+                if pmap else txt
+            )
+            for cols, body in (
+                (bij_cols, bij), (rep_cols, txt), (rot_cols, rot)
+            ):
+                cols["doc_id"].append(new_id)
+                cols["text"].append(body)
+                cols["lang"].append(langs[i])
+                cols["source"].append(sources[i])
+                cols["n_chars"].append(len(body))
     schema = pa.schema(
         [("doc_id", pa.int64()), ("text", pa.string()),
          ("lang", pa.string()), ("source", pa.string()),
@@ -120,10 +149,17 @@ def gen() -> None:
     pq.write_table(
         pa.table(bij_cols, schema=schema),
         os.path.join(X10, "documents.parquet"),
+        row_group_size=2048,
     )
     pq.write_table(
         pa.table(rep_cols, schema=schema),
         os.path.join(X10, "documents_rep.parquet"),
+        row_group_size=2048,
+    )
+    pq.write_table(
+        pa.table(rot_cols, schema=schema),
+        os.path.join(X10, "documents_perm.parquet"),
+        row_group_size=2048,
     )
     print("documents:", len(bij_cols["doc_id"]))
 
@@ -192,13 +228,28 @@ def phase_neardup(label: str) -> None:
 
 def phase_curation(label: str) -> None:
     """The widest operator surface in one plan: the registered
-    corpus_curation_pipeline row (exact dedup + span cascade + quality
-    + LM gates + packing) over the BIJECTED corpus — per-replica
-    duplicate/span structure grows in count, not size, like near_dedup."""
+    corpus_curation_pipeline row (span cascade + dedup + decontam +
+    quality/language/LM gates + split) over the vocab-PERMUTED corpus:
+    docs stay inside the fixture vocabulary so every gate keeps firing
+    at realistic per-replica rates (the suffix-bijected corpus dies
+    wholesale at the stopword/LM gates; verbatim replicas die at exact
+    dedup; a rotation fixture made every span window a 10x duplicate),
+    while word sequences differ across replicas so span windows,
+    fingerprints and shingles scale honestly through ALL stages."""
+    import shutil
+
     from etl_process_for_fraud_transactions_spark.plans import QUERIES
 
     spark = _session()
-    sf = _sf_dir(label)
+    if label == "base":
+        sf = BASE_SF
+    else:
+        sf = os.path.join(ROOT, "sf1_perm")
+        os.makedirs(sf, exist_ok=True)
+        shutil.copyfile(
+            os.path.join(X10, "documents_perm.parquet"),
+            os.path.join(sf, "documents.parquet"),
+        )
     n = QUERIES["corpus_curation_pipeline"](spark, sf).count()
     walls = _timed(lambda: QUERIES["corpus_curation_pipeline"](spark, sf))
     _record("curation", label, rows=n, walls=walls, wall=min(walls))
@@ -255,7 +306,7 @@ def report() -> None:
     rows = [json.loads(line) for line in open(RESULTS)]
     by = {}
     for r in rows:
-        by.setdefault((r["phase"], r["label"]), r)  # first run wins
+        by[(r["phase"], r["label"])] = r  # newest run wins
     print(f"{'phase':<14} {'base':>9} {'x10':>9} {'ratio':>7} {'exponent':>9}")
     for phase, key in [
         ("fraud_report", "wall"), ("near_dedup", "wall"),
