@@ -392,3 +392,66 @@ class TestDocumentChunksBpeLeg:
         for word, ntok, ids in rows:
             exp = [v[t] for t in tok.encode_word(word)]
             assert ntok == len(exp) and list(ids) == exp, word
+
+    def test_oracle_cte_fuzz_random_merges(self):
+        """Property pin: for RANDOM small merges tables and random
+        lowercase words, the oracle's recursive CTE reproduces the
+        Python loop's count and ids exactly — not just on the planted
+        fixture table. Generates the CTE from a swapped-in literal the
+        same way the plans module does."""
+        import duckdb
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from etl_process_for_fraud_transactions_spark.operators.bpe import (
+            BpeTokenizer,
+        )
+        from etl_process_for_fraud_transactions_spark.plans import (
+            queries_llm as Q,
+        )
+
+        sym = st.text(alphabet="abcd", min_size=1, max_size=2)
+        pair = st.tuples(sym, sym)
+        con = duckdb.connect()
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            merges=st.lists(pair, min_size=1, max_size=8),
+            words=st.lists(
+                st.text(alphabet="abcd", min_size=1, max_size=7),
+                min_size=1,
+                max_size=4,
+            ),
+        )
+        def check(merges, words):
+            # the id scheme (257 + rank, first concat wins) requires
+            # distinct concats — dedupe like the module literal asserts
+            seen, uniq = set(), []
+            for a, b in merges:
+                if a + b not in seen:
+                    seen.add(a + b)
+                    uniq.append((a, b))
+            tok = BpeTokenizer(uniq, byte_level=True)
+            chunk = " ".join(words)
+            old = Q._DC_BPE_MERGES
+            Q._DC_BPE_MERGES = tuple(uniq)
+            try:
+                sql = Q._dc_bpe_sql()
+            finally:
+                Q._DC_BPE_MERGES = old
+            n, prefix = con.execute(
+                f"""
+                WITH RECURSIVE c AS (
+                  SELECT 1 AS doc_id, 0 AS chunk_id, ? AS chunk_text
+                ),
+                {sql}
+                SELECT n_bpe_tokens, bpe_prefix FROM bpe_chunk
+                """,
+                [chunk],
+            ).fetchone()
+            assert n == tok.count_tokens(chunk)
+            assert prefix == " ".join(
+                str(i) for i in tok.encode_ids(chunk)[:8]
+            )
+
+        check()

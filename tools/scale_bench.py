@@ -163,6 +163,35 @@ def gen() -> None:
     )
     print("documents:", len(bij_cols["doc_id"]))
 
+    emb = pq.read_table(os.path.join(BASE_SF, "embeddings.parquet"))
+    vec_ids = emb["vec_id"].to_pylist()
+    vecs = emb["embedding"].to_pylist()
+    labels = emb["label"].to_pylist()
+    e_cols = {"vec_id": [], "embedding": [], "label": []}
+    for r in range(R):
+        for i, v in enumerate(vecs):
+            e_cols["vec_id"].append(vec_ids[i] + r * 1_000_000)
+            # deterministic per-replica nudge on dim 0: keeps the
+            # cluster geometry (cells grow 10x in population, not in
+            # count) while avoiding exact-duplicate vectors
+            e_cols["embedding"].append(
+                [v[0] + r * 1e-3] + list(v[1:]) if v else v
+            )
+            e_cols["label"].append(labels[i])
+    pq.write_table(
+        pa.table(
+            e_cols,
+            schema=pa.schema(
+                [("vec_id", pa.int64()),
+                 ("embedding", pa.list_(pa.float32())),
+                 ("label", pa.int32())]
+            ),
+        ),
+        os.path.join(X10, "embeddings.parquet"),
+        row_group_size=1024,
+    )
+    print("embeddings:", len(e_cols["vec_id"]))
+
 
 def _record(phase: str, label: str, **fields) -> None:
     os.makedirs(ROOT, exist_ok=True)
@@ -255,6 +284,42 @@ def phase_curation(label: str) -> None:
     _record("curation", label, rows=n, walls=walls, wall=min(walls))
 
 
+def phase_ivf(label: str) -> None:
+    """IvfIndex build + cell-pruned serve over the 10x embeddings
+    (cells keep their COUNT, population grows 10x — the corpus-growth
+    axis a serving index actually faces): build should scale
+    ~linearly, serve with the probed cells' row growth."""
+    import shutil
+
+    from etl_process_for_fraud_transactions_spark.operators.similarity import (
+        IvfIndex,
+    )
+    from etl_process_for_fraud_transactions_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    spark = _session()
+    emb = spark.read.parquet(
+        os.path.join(_sf_dir(label), "embeddings.parquet")
+    )
+    wh_dir = os.path.join(ROOT, f"ivf_wh_{label}")
+    shutil.rmtree(wh_dir, ignore_errors=True)
+    wh = Warehouse(spark, wh_dir)
+    idx = IvfIndex(wh, partitioned=True)
+    t0 = time.perf_counter()
+    idx.build(emb, n_cells=16, seed=42)
+    build_wall = round(time.perf_counter() - t0, 3)
+    queries = emb.orderBy("vec_id").limit(8).selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    ).localCheckpoint()
+    serve_walls = _timed(lambda: idx.topk(queries, k=10, nprobe=2))
+    n = idx.topk(queries, k=10, nprobe=2).count()
+    _record(
+        "ivf", label, rows=n, build_wall=build_wall,
+        serve_walls=serve_walls, serve_wall=min(serve_walls),
+    )
+
+
 def phase_bm25(label: str) -> None:
     """Build a partitioned Bm25Index over the VERBATIM x10 corpus
     (term df grows with the corpus) and serve a frozen 8-query
@@ -312,6 +377,7 @@ def report() -> None:
         ("fraud_report", "wall"), ("near_dedup", "wall"),
         ("curation", "wall"),
         ("bm25 build", None), ("bm25 serve", None),
+        ("ivf build", None), ("ivf serve", None),
     ]:
         p = phase.split(" ")[0]
         k = key or ("build_wall" if "build" in phase else "serve_wall")
@@ -333,6 +399,8 @@ def main() -> None:
         phase_neardup(sys.argv[2])
     elif cmd == "curation":
         phase_curation(sys.argv[2])
+    elif cmd == "ivf":
+        phase_ivf(sys.argv[2])
     elif cmd == "bm25":
         phase_bm25(sys.argv[2])
     elif cmd == "report":
