@@ -194,14 +194,12 @@ class NearDupIndex:
                 else int(compacted_through),
             )
         ]
-        self.wh.overwrite(
+        self.wh.overwrite_rows(
             self.meta_table,
-            self.wh.spark.createDataFrame(
-                row,
-                "k int, num_hashes int, bands int, portable boolean, "
-                "store string, partitioned boolean, "
-                "compacted_through long",
-            ),
+            row,
+            "k int, num_hashes int, bands int, portable boolean, "
+            "store string, partitioned boolean, "
+            "compacted_through long",
         )
 
     def _watermark(self) -> int | None:
@@ -209,12 +207,7 @@ class NearDupIndex:
         lack the column — such stores were never compacted."""
         if not self.wh.exists(self.meta_table):
             return None
-        wm = (
-            self.wh.read(self.meta_table)
-            .collect()[0]
-            .asDict()
-            .get("compacted_through")
-        )
+        wm = self.wh.read_rows(self.meta_table)[0].get("compacted_through")
         return None if wm is None else int(wm)
 
     def _validate_params(self) -> None:
@@ -227,7 +220,7 @@ class NearDupIndex:
             # pre-meta store (or external writer): nothing to check
             self._params_ok = True
             return
-        stored = self.wh.read(self.meta_table).collect()[0].asDict()
+        stored = self.wh.read_rows(self.meta_table)[0]
         # metas written before these parameters existed take defaults;
         # the compaction watermark is layout metadata, not identity
         stored = {"store": "raw", "partitioned": False, **stored}
@@ -326,22 +319,30 @@ class NearDupIndex:
         under the `batch` stamp (default 'bootstrap')."""
         from ..sources.warehouse import atomic_overwrite
 
+        from ..session import run_concurrently
+
         b = self._buckets(corpus)
         s = self._shingles(corpus)
+        # the two index tables derive independently from `corpus` —
+        # overlap their writes (guide §2.6)
         if self.partitioned:
-            atomic_overwrite(
-                self._stamp(b, batch),
-                self.wh.path(self.buckets_table),
-                partition_by=[BATCH_COL],
-            )
-            atomic_overwrite(
-                self._stamp(s, batch),
-                self.wh.path(self.shingles_table),
-                partition_by=[BATCH_COL],
+            run_concurrently(
+                lambda: atomic_overwrite(
+                    self._stamp(b, batch),
+                    self.wh.path(self.buckets_table),
+                    partition_by=[BATCH_COL],
+                ),
+                lambda: atomic_overwrite(
+                    self._stamp(s, batch),
+                    self.wh.path(self.shingles_table),
+                    partition_by=[BATCH_COL],
+                ),
             )
         else:
-            self.wh.overwrite(self.buckets_table, b)
-            self.wh.overwrite(self.shingles_table, s)
+            run_concurrently(
+                lambda: self.wh.overwrite(self.buckets_table, b),
+                lambda: self.wh.overwrite(self.shingles_table, s),
+            )
         self._write_meta()
         # a re-bootstrap's corpus is the caller's statement of record:
         # stale tombstones must not filter it. Removed LAST — a crash
@@ -406,11 +407,17 @@ class NearDupIndex:
                 raise ValueError(
                     "a partitioned index requires a batch id for absorb()"
                 )
-            self.wh.append_partitioned(
-                self.buckets_table, self._stamp(b, batch), BATCH_COL
-            )
-            self.wh.append_partitioned(
-                self.shingles_table, self._stamp(s, batch), BATCH_COL
+            from ..session import run_concurrently
+
+            # independent epoch writes over the checkpointed batch —
+            # overlap them (guide §2.6)
+            run_concurrently(
+                lambda: self.wh.append_partitioned(
+                    self.buckets_table, self._stamp(b, batch), BATCH_COL
+                ),
+                lambda: self.wh.append_partitioned(
+                    self.shingles_table, self._stamp(s, batch), BATCH_COL
+                ),
             )
         else:
             if batch is not None:
@@ -418,8 +425,12 @@ class NearDupIndex:
                     "batch stamps need a partitioned index "
                     "(NearDupIndex(partitioned=True))"
                 )
-            self.wh.append(self.buckets_table, b)
-            self.wh.append(self.shingles_table, s)
+            from ..session import run_concurrently
+
+            run_concurrently(
+                lambda: self.wh.append(self.buckets_table, b),
+                lambda: self.wh.append(self.shingles_table, s),
+            )
 
     def delete(self, ids: DataFrame) -> dict:
         """Tombstone indexed documents (round 13 — deletion
@@ -529,10 +540,11 @@ class NearDupIndex:
                 BATCH_COL, F.col(BATCH_COL).cast("string")
             )
             frames[table] = df
-            stamps |= {
-                r[BATCH_COL]
-                for r in df.select(BATCH_COL).distinct().collect()
-            }
+            # stamp enumeration from the hive directory names (r16):
+            # the same distinct set, driver-side
+            from .epochs import hive_partition_values
+
+            stamps |= hive_partition_values(self.wh.path(table), BATCH_COL)
         # integer-orderability over ALL stamps first (loud failure on
         # ad-hoc bootstrap stamps), then the merge subset
         epoch_watermark(stamps)

@@ -159,6 +159,30 @@ def collapse_epochs(
     return out.repartition(*keys)
 
 
+def hive_partition_values(path: str, col: str) -> set[str]:
+    """Distinct values of hive partition column `col` under a table
+    directory, read from the directory NAMES — the same set a
+    `select(col).distinct().collect()` returns for a table partitioned
+    by `col`, without the Spark job (r16: a compact() ran two such
+    jobs per call just to enumerate epoch stamps). Hive-escaped
+    characters are URL-unquoted, so ad-hoc stamps round-trip exactly
+    and the integer-orderability guard still fires on them. Only
+    directories that contain at least one data file count — an empty
+    leftover directory has no rows, matching the distinct()."""
+    from urllib.parse import unquote
+
+    prefix = f"{col}="
+    out: set[str] = set()
+    for root_, dirs, files in os.walk(path):
+        name = os.path.basename(root_)
+        if name.startswith(prefix) and any(
+            f.startswith("part-") or f.endswith(".parquet")
+            for f in files
+        ):
+            out.add(unquote(name[len(prefix):]))
+    return out
+
+
 def parquet_file_count(path: str) -> int:
     """Data-file count under a table directory (the small-files
     metric compact() reports)."""

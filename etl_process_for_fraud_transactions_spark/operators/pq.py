@@ -915,7 +915,8 @@ class PqIndex:
                 f"PqIndex '{self.name}' is versioned but has no "
                 "version pointer — run build()"
             )
-        row = self.wh.read(self.version_table).collect()[0].asDict()
+        # driver-side one-row read (r16): no Spark job — warehouse.read_rows
+        row = self.wh.read_rows(self.version_table)[0]
         if "n_cells" not in row:
             return int(row["version"]), None
         # only keys PRESENT in the row enter the layout overlay —
@@ -998,7 +999,7 @@ class PqIndex:
             raise ValueError(
                 f"PqIndex '{self.name}': no meta marker — run build()"
             )
-        stored = self.wh.read(self.meta_table).collect()[0].asDict()
+        stored = self.wh.read_rows(self.meta_table)[0]
         mine = {
             "id_col": self.id_col,
             "vec_col": self.vec_col,
@@ -1064,7 +1065,8 @@ class PqIndex:
     def _model(self, books_table: str | None = None) -> PqModel:
         if books_table is None:
             _, books_table, _ = self._table_names()
-        return PqModel.from_rows(self.wh.read(books_table).collect())
+        # bounded m x n_codes rows: driver-side read, no Spark job
+        return PqModel.from_rows(self.wh.read_rows(books_table))
 
     @staticmethod
     def _rotation_table_for(books_table: str) -> str:
@@ -1078,9 +1080,7 @@ class PqIndex:
         """Load the frozen d x d OPQ rotation (bounded: d rows)."""
         if books_table is None:
             _, books_table, _ = self._table_names()
-        rows = self.wh.read(
-            self._rotation_table_for(books_table)
-        ).collect()
+        rows = self.wh.read_rows(self._rotation_table_for(books_table))
         return tuple(
             tuple(float(x) for x in r["r"])
             for r in sorted(rows, key=lambda x: x["i"])
@@ -1111,28 +1111,26 @@ class PqIndex:
         commit in this single row (ADVICE r12)."""
         dn = layout.get("default_nprobe")
         wm = layout.get("compacted_through")
-        self.wh.overwrite(
+        self.wh.overwrite_rows(
             self.version_table,
-            self.wh.spark.createDataFrame(
-                [(
-                    int(version),
-                    (
-                        None
-                        if layout.get("n_cells") is None
-                        else int(layout["n_cells"])
-                    ),
-                    layout.get("cell_col"),
-                    int(layout["m"]),
-                    int(layout["n_codes"]),
-                    int(layout["dim"]),
-                    bool(layout.get("residual")),
-                    layout.get("partitioned"),
-                    None if dn is None else int(dn),
-                    None if wm is None else int(wm),
-                    bool(layout.get("opq")),
-                )],
-                self._POINTER_SCHEMA,
-            ),
+            [(
+                int(version),
+                (
+                    None
+                    if layout.get("n_cells") is None
+                    else int(layout["n_cells"])
+                ),
+                layout.get("cell_col"),
+                int(layout["m"]),
+                int(layout["n_codes"]),
+                int(layout["dim"]),
+                bool(layout.get("residual")),
+                layout.get("partitioned"),
+                None if dn is None else int(dn),
+                None if wm is None else int(wm),
+                bool(layout.get("opq")),
+            )],
+            self._POINTER_SCHEMA,
         )
 
     def build(
@@ -1388,23 +1386,20 @@ class PqIndex:
             self.wh.path(codes_t),
             partition_by=parts or None,
         )
-        self.wh.overwrite(
+        # bounded literal table (m x n_codes rows): driver-side write
+        self.wh.overwrite_rows(
             books_t,
-            self.wh.spark.createDataFrame(
-                model.rows(),
-                "sub_space int, code int, centroid array<double>",
-            ),
+            model.rows(),
+            "sub_space int, code int, centroid array<double>",
         )
         if rotation is not None:
-            self.wh.overwrite(
+            self.wh.overwrite_rows(
                 self._rotation_table_for(books_t),
-                self.wh.spark.createDataFrame(
-                    [
-                        (i, [float(x) for x in row])
-                        for i, row in enumerate(rotation)
-                    ],
-                    "i int, r array<double>",
-                ),
+                [
+                    (i, [float(x) for x in row])
+                    for i, row in enumerate(rotation)
+                ],
+                "i int, r array<double>",
             )
         elif not self.versioned:
             # a non-OPQ rebuild of a store that previously carried a
@@ -1482,19 +1477,17 @@ class PqIndex:
         # shared meta LAST in versioned mode (pre-flip readers keep a
         # consistent old-version view; the meta is the commit marker
         # only for the non-versioned layout)
-        self.wh.overwrite(
+        self.wh.overwrite_rows(
             self.meta_table,
-            self.wh.spark.createDataFrame(
-                [
-                    self._params(
-                        model.m, model.n_codes, model.dim, n_cells,
-                        residual=residual, train_spec=train_spec,
-                        default_nprobe=default_nprobe,
-                        opq=rotation is not None,
-                    )
-                ],
-                self._META_SCHEMA,
-            ),
+            [
+                self._params(
+                    model.m, model.n_codes, model.dim, n_cells,
+                    residual=residual, train_spec=train_spec,
+                    default_nprobe=default_nprobe,
+                    opq=rotation is not None,
+                )
+            ],
+            self._META_SCHEMA,
         )
         if not self.versioned:
             # a rebuild's corpus is the caller's statement of record:
@@ -1756,10 +1749,11 @@ class PqIndex:
         codes = self.wh.read(cur_codes).withColumn(
             "__batch", F.col("__batch").cast("string")
         )
-        stamps = {
-            r["__batch"]
-            for r in codes.select("__batch").distinct().collect()
-        }
+        # stamp enumeration from the hive directory names (r16): the
+        # same distinct set, driver-side — epochs.hive_partition_values
+        from .epochs import hive_partition_values
+
+        stamps = hive_partition_values(self.wh.path(cur_codes), "__batch")
         # integer-orderability over ALL stamps first (loud failure on
         # ad-hoc ids), then the merge subset and its watermark
         epoch_watermark(stamps)
@@ -1823,17 +1817,17 @@ class PqIndex:
             atomic_overwrite(
                 collapsed, self.wh.path(new_codes), partition_by=parts
             )
-            self.wh.overwrite(new_books, self.wh.read(cur_books))
+            # version-carries: byte-identical file copies, no Spark jobs
+            self.wh.copy_table(cur_books, new_books)
             cur_rot = self._rotation_table_for(cur_books)
             if self.wh.exists(cur_rot):
                 # OPQ stores: the rotation rides the version exactly
                 # like the codebooks it belongs to
-                self.wh.overwrite(
-                    self._rotation_table_for(new_books),
-                    self.wh.read(cur_rot),
+                self.wh.copy_table(
+                    cur_rot, self._rotation_table_for(new_books)
                 )
             if self.wh.exists(cur_cells):
-                self.wh.overwrite(new_cells, self.wh.read(cur_cells))
+                self.wh.copy_table(cur_cells, new_cells)
             if tombs is not None and not purge:
                 # bounded merge: tombstones stay live on the new version
                 self.wh.overwrite(new_tomb, tombs)
@@ -1881,10 +1875,7 @@ class PqIndex:
                 int(wm) if wm is not None else None,
                 bool(meta.get("opq")),
             )
-            self.wh.overwrite(
-                self.meta_table,
-                self.wh.spark.createDataFrame([row], self._META_SCHEMA),
-            )
+            self.wh.overwrite_rows(self.meta_table, [row], self._META_SCHEMA)
             atomic_overwrite(
                 collapsed, self.wh.path(cur_codes), partition_by=parts
             )
@@ -1959,7 +1950,8 @@ class PqIndex:
         rotation = self._rotation(books_t) if opq else None
         model = self._model(books_t)
         cents = self.wh.read(cells_t)
-        n_cells = cents.count()
+        # bounded centroids table: count from parquet footers (r16)
+        n_cells = self.wh.count_rows(cells_t)
         probes = (
             corpus.select(
                 F.col(self.id_col).alias("query_id"),
@@ -2017,7 +2009,7 @@ class PqIndex:
                 break
             nprobe = min(nprobe * 2, int(n_cells))
         if persist:
-            meta = self.wh.read(self.meta_table).collect()[0].asDict()
+            meta = self.wh.read_rows(self.meta_table)[0]
             # legacy metas lack the r13 fields: absent means the store
             # predates them — unpartitioned, raw codes, no sample spec
             wm = meta.get("compacted_through")
@@ -2030,10 +2022,7 @@ class PqIndex:
                 None if wm is None else int(wm),
                 bool(meta.get("opq")),
             )
-            self.wh.overwrite(
-                self.meta_table,
-                self.wh.spark.createDataFrame([row], self._META_SCHEMA),
-            )
+            self.wh.overwrite_rows(self.meta_table, [row], self._META_SCHEMA)
             if self.versioned:
                 v, layout = self._version_row()
                 if layout is not None:

@@ -494,7 +494,9 @@ class Bm25Index:
                 "version pointer — run build() (it commits v1 and "
                 "writes the pointer) or fix the warehouse root"
             )
-        row = self.wh.read(self.version_table).collect()[0].asDict()
+        # driver-side one-row read (r16): the pointer read costs a file
+        # read, not a Spark job — see warehouse.read_rows
+        row = self.wh.read_rows(self.version_table)[0]
         # pointer rows written before round 12 carry only `version`;
         # pre-round-13 rows lack the watermark (never compacted)
         wm = row.get("compacted_through")
@@ -585,18 +587,13 @@ class Bm25Index:
         # NON-versioned layout — persisted BEFORE compact()'s data
         # swap (epochs.py crash ordering); versioned stores carry it
         # in the pointer row instead.
-        self.wh.overwrite(
+        self.wh.overwrite_rows(
             self.meta_table,
-            self.wh.spark.createDataFrame(
-                [
-                    tuple(self._params().values())
-                    + (id_type, compacted_through)
-                ],
-                "text_col string, id_col string, n_buckets int, "
-                "k1 double, b double, partitioned boolean, "
-                "versioned boolean, id_type string, "
-                "compacted_through long",
-            ),
+            [tuple(self._params().values()) + (id_type, compacted_through)],
+            "text_col string, id_col string, n_buckets int, "
+            "k1 double, b double, partitioned boolean, "
+            "versioned boolean, id_type string, "
+            "compacted_through long",
         )
 
     def _watermark(self) -> int | None:
@@ -607,12 +604,7 @@ class Bm25Index:
             return self._version_row()[2]
         if not self.wh.exists(self.meta_table):
             return None
-        wm = (
-            self.wh.read(self.meta_table)
-            .collect()[0]
-            .asDict()
-            .get("compacted_through")
-        )
+        wm = self.wh.read_rows(self.meta_table)[0].get("compacted_through")
         return None if wm is None else int(wm)
 
     def _validate(self) -> None:
@@ -621,7 +613,7 @@ class Bm25Index:
         if not self.wh.exists(self.meta_table):
             self._params_ok = True
             return
-        stored = self.wh.read(self.meta_table).collect()[0].asDict()
+        stored = self.wh.read_rows(self.meta_table)[0]
         # metas written before the partitioned/versioned flags take
         # their defaults; id_type and the compaction watermark are
         # layout metadata, not identity
@@ -797,13 +789,20 @@ class Bm25Index:
             post = post.withColumn(_BATCH_COL, F.lit(str(batch)))
             dl = dl.withColumn(_BATCH_COL, F.lit(str(batch)))
             post_parts.append(_BATCH_COL)
-            atomic_overwrite(
-                post, self.wh.path(post_t),
-                partition_by=post_parts,
-            )
-            atomic_overwrite(
-                dl, self.wh.path(dl_t),
-                partition_by=[_BATCH_COL],
+            # postings and doclens derive independently from `docs` —
+            # overlap the two writes (guide §2.6); stats then reads the
+            # persisted doclens (its stated contract), so it follows
+            from ..session import run_concurrently
+
+            run_concurrently(
+                lambda: atomic_overwrite(
+                    post, self.wh.path(post_t),
+                    partition_by=post_parts,
+                ),
+                lambda: atomic_overwrite(
+                    dl, self.wh.path(dl_t),
+                    partition_by=[_BATCH_COL],
+                ),
             )
             atomic_overwrite(
                 self._batch_stats(dl_t, batch),
@@ -811,11 +810,15 @@ class Bm25Index:
                 partition_by=[_BATCH_COL],
             )
         else:
-            atomic_overwrite(
-                post, self.wh.path(post_t),
-                partition_by=post_parts,
+            from ..session import run_concurrently
+
+            run_concurrently(
+                lambda: atomic_overwrite(
+                    post, self.wh.path(post_t),
+                    partition_by=post_parts,
+                ),
+                lambda: self.wh.overwrite(dl_t, dl),
             )
-            self.wh.overwrite(dl_t, dl)
             self.wh.overwrite(stats_t, self._batch_stats(dl_t, batch))
         id_type = docs.schema[self.id_col].dataType.simpleString()
         if self.versioned:
@@ -838,12 +841,10 @@ class Bm25Index:
             # caller-supplied corpus under a fresh __build__ stamp, so
             # the old epoch lineage is meaningless (epochs.py: restart
             # the stream from a fresh checkpoint after a rebuild)
-            self.wh.overwrite(
+            self.wh.overwrite_rows(
                 self.version_table,
-                self.wh.spark.createDataFrame(
-                    [(int(new_v), id_type, None)],
-                    "version int, id_type string, compacted_through long",
-                ),
+                [(int(new_v), id_type, None)],
+                "version int, id_type string, compacted_through long",
             )
         self._write_meta(id_type=id_type)
         if not self.versioned:
@@ -977,15 +978,22 @@ class Bm25Index:
                 raise ValueError(
                     "a partitioned index requires a batch id for absorb()"
                 )
-            self.wh.append_partitioned(
-                post_t,
-                post.withColumn(_BATCH_COL, F.lit(str(batch))),
-                ["__tb", _BATCH_COL],
-            )
-            self.wh.append_partitioned(
-                dl_t,
-                dl.withColumn(_BATCH_COL, F.lit(str(batch))),
-                _BATCH_COL,
+            from ..session import run_concurrently
+
+            # the postings and doclens epoch writes are independent —
+            # overlap them (guide §2.6); the stats row then reads the
+            # persisted doclens partition (its stated contract)
+            run_concurrently(
+                lambda: self.wh.append_partitioned(
+                    post_t,
+                    post.withColumn(_BATCH_COL, F.lit(str(batch))),
+                    ["__tb", _BATCH_COL],
+                ),
+                lambda: self.wh.append_partitioned(
+                    dl_t,
+                    dl.withColumn(_BATCH_COL, F.lit(str(batch))),
+                    _BATCH_COL,
+                ),
             )
             # the batch's one stats row lands as a dynamic partition
             # overwrite of ITS OWN __batch partition — a re-offered
@@ -1136,6 +1144,7 @@ class Bm25Index:
             SENTINEL_STAMPS,
             collapse_epochs,
             epoch_watermark,
+            hive_partition_values,
             parquet_file_count,
         )
 
@@ -1150,7 +1159,7 @@ class Bm25Index:
             raise ValueError(
                 f"Bm25Index '{self.name}': no meta marker — run build()"
             )
-        meta = self.wh.read(self.meta_table).collect()[0].asDict()
+        meta = self.wh.read_rows(self.meta_table)[0]
         if self.versioned:
             cur, id_type, prev_wm = self._version_row()
             if id_type is None:  # legacy pre-r12 pointer
@@ -1203,14 +1212,16 @@ class Bm25Index:
                 "then compact()."
             )
         stats = _stamped(cur_stats)
-        stamps = {r[_BATCH_COL] for r in stats.select(_BATCH_COL).distinct().collect()}
+        # stamp enumeration from the hive directory names (r16): the
+        # same distinct set, read driver-side instead of two Spark
+        # jobs — see epochs.hive_partition_values
+        stamps = hive_partition_values(self.wh.path(cur_stats), _BATCH_COL)
         post = dl = None
         if self.wh.exists(cur_post):
             post = _stamped(cur_post)
-            stamps |= {
-                r[_BATCH_COL]
-                for r in post.select(_BATCH_COL).distinct().collect()
-            }
+            stamps |= hive_partition_values(
+                self.wh.path(cur_post), _BATCH_COL
+            )
         if self.wh.exists(cur_dl):
             dl = _stamped(cur_dl)
         # integer-orderability check over ALL stamps first (raises on
@@ -1330,9 +1341,6 @@ class Bm25Index:
             ),
             [_BATCH_COL],
         ))
-        if self.versioned and tombs is not None and not purge:
-            # bounded merge: tombstones stay live on the new version
-            writes.append((new_tomb, tombs, None))
         if self.versioned:
             # EARLY maintenance-race check before the first write into
             # the shared v(cur+1) paths: a competing maintainer that
@@ -1346,11 +1354,26 @@ class Bm25Index:
                 self._version_or_none(), cur,
                 f"Bm25Index('{self.name}').compact",
             )
-            for table, frame, parts in writes:
-                if frame is None:
-                    continue
-                atomic_overwrite(
-                    frame, self.wh.path(table), partition_by=parts
+            from ..session import run_concurrently
+
+            # the collapsed tables are independent of one another —
+            # overlap their writes (guide §2.6)
+            run_concurrently(*[
+                lambda t=table, f=frame, p=parts: atomic_overwrite(
+                    f, self.wh.path(t), partition_by=p
+                )
+                for table, frame, parts in writes
+                if frame is not None
+            ])
+            if tombs is not None and not purge:
+                # bounded merge: tombstones stay live on the new
+                # version — a byte-identical file copy, no Spark job
+                from ..sources.warehouse import copy_table_atomic
+
+                copy_table_atomic(
+                    self.wh.spark,
+                    self.wh.path(cur_tomb),
+                    self.wh.path(new_tomb),
                 )
             # pre-flip re-check: a concurrent absorb/delete that landed
             # in version `cur` after the snapshot would be abandoned by
@@ -1369,12 +1392,10 @@ class Bm25Index:
             )
             # the commit point: collapsed tables + watermark + id_type
             # become visible in one pointer flip
-            self.wh.overwrite(
+            self.wh.overwrite_rows(
                 self.version_table,
-                self.wh.spark.createDataFrame(
-                    [(int(cur + 1), id_type, wm)],
-                    "version int, id_type string, compacted_through long",
-                ),
+                [(int(cur + 1), id_type, wm)],
+                "version int, id_type string, compacted_through long",
             )
             self._write_meta(id_type=id_type)
         else:
@@ -1382,12 +1403,15 @@ class Bm25Index:
             # partitions that still exist with identical rows, and
             # re-running compact() converges (epochs.py crash ordering)
             self._write_meta(id_type=id_type, compacted_through=wm)
-            for table, frame, parts in writes:
-                if frame is None:
-                    continue
-                atomic_overwrite(
-                    frame, self.wh.path(table), partition_by=parts
+            from ..session import run_concurrently
+
+            run_concurrently(*[
+                lambda t=table, f=frame, p=parts: atomic_overwrite(
+                    f, self.wh.path(t), partition_by=p
                 )
+                for table, frame, parts in writes
+                if frame is not None
+            ])
         return {
             "stamps_merged": len(merged),
             "compacted_through": wm,
@@ -1461,9 +1485,7 @@ class Bm25Index:
                 # 'bigint' default (ADVICE r12)
                 id_type = _ptr_id_type
                 if id_type is None and self.wh.exists(self.meta_table):
-                    meta = (
-                        self.wh.read(self.meta_table).collect()[0].asDict()
-                    )
+                    meta = self.wh.read_rows(self.meta_table)[0]
                     id_type = meta.get("id_type")
                 id_type = id_type or "bigint"
             elif not self.wh.exists(self.meta_table):
@@ -1475,7 +1497,7 @@ class Bm25Index:
                     "an empty corpus) or fix the root"
                 ) from e
             else:
-                meta = self.wh.read(self.meta_table).collect()[0].asDict()
+                meta = self.wh.read_rows(self.meta_table)[0]
                 id_type = meta.get("id_type") or "bigint"
             return spark.createDataFrame(
                 [],

@@ -521,7 +521,8 @@ class IvfIndex:
                 "version pointer — run build() (it commits v1 and "
                 "writes the pointer) or fix the warehouse root"
             )
-        row = self.wh.read(self.version_table).collect()[0].asDict()
+        # driver-side one-row read (r16): no Spark job — warehouse.read_rows
+        row = self.wh.read_rows(self.version_table)[0]
         wm = row.get("compacted_through")
         return int(row["version"]), (None if wm is None else int(wm))
 
@@ -598,30 +599,28 @@ class IvfIndex:
         # identity keys. compacted_through (round 13): the replay
         # watermark compact() records — build resets it, retrain
         # carries it (see operators/epochs.py).
-        self.wh.overwrite(
+        self.wh.overwrite_rows(
             self.meta_table,
-            self.wh.spark.createDataFrame(
-                [
-                    (
-                        self.id_col,
-                        self.vec_col,
-                        self.cell_col,
-                        n_cells,
-                        dim,
-                        self.partitioned,
-                        self.quantized,
-                        self.versioned,
-                        default_nprobe,
-                        compacted_through,
-                    )
-                ],
-                "id_col string, vec_col string, cell_col string, "
-                "n_cells int, dim int, partitioned boolean, "
-                "quantized boolean, versioned boolean, "
-                "default_nprobe int, compacted_through long",
-            ),
+            [
+                (
+                    self.id_col,
+                    self.vec_col,
+                    self.cell_col,
+                    n_cells,
+                    dim,
+                    self.partitioned,
+                    self.quantized,
+                    self.versioned,
+                    default_nprobe,
+                    compacted_through,
+                )
+            ],
+            "id_col string, vec_col string, cell_col string, "
+            "n_cells int, dim int, partitioned boolean, "
+            "quantized boolean, versioned boolean, "
+            "default_nprobe int, compacted_through long",
         )
-        self._stored_meta = self.wh.read(self.meta_table).collect()[0].asDict()
+        self._stored_meta = self.wh.read_rows(self.meta_table)[0]
 
     def _watermark(self) -> int | None:
         """The compaction replay watermark, read FRESH per call (the
@@ -632,12 +631,12 @@ class IvfIndex:
         if self.versioned:
             if not self.wh.exists(self.version_table):
                 return None
-            row = self.wh.read(self.version_table).collect()[0].asDict()
+            row = self.wh.read_rows(self.version_table)[0]
             wm = row.get("compacted_through")
         else:
             if not self.wh.exists(self.meta_table):
                 return None
-            row = self.wh.read(self.meta_table).collect()[0].asDict()
+            row = self.wh.read_rows(self.meta_table)[0]
             wm = row.get("compacted_through")
         return None if wm is None else int(wm)
 
@@ -672,7 +671,7 @@ class IvfIndex:
         if not self.wh.exists(self.meta_table):
             return  # pre-meta store: nothing to check
         if not hasattr(self, "_stored_meta"):
-            self._stored_meta = self.wh.read(self.meta_table).collect()[0].asDict()
+            self._stored_meta = self.wh.read_rows(self.meta_table)[0]
         # metas written before the partitioned/quantized flags existed
         # take the defaults they were built under
         stored = {
@@ -812,12 +811,13 @@ class IvfIndex:
         )
         if n_cells is None:
             # assigned=True: count the bounded centroids table (one
-            # row per occupied cell), not the corpus
-            n_cells = self.wh.read(cent_t).count()
+            # row per occupied cell), not the corpus — from the
+            # parquet footers, no Spark job (r16)
+            n_cells = self.wh.count_rows(cent_t)
         self._write_meta(
             n_cells, self._frame_dim(self._read_vectors(vec_t), self.vec_col)
         )
-        self._stored_meta = self.wh.read(self.meta_table).collect()[0].asDict()
+        self._stored_meta = self.wh.read_rows(self.meta_table)[0]
         if nprobe_recall_target is not None:
             self.calibrate_nprobe(
                 recall_target=nprobe_recall_target,
@@ -1093,10 +1093,13 @@ class IvfIndex:
         vecs = self.wh.read(cur_vec).withColumn(
             "__batch", F.col("__batch").cast("string")
         )
-        stamps = [
-            r["__batch"]
-            for r in vecs.select("__batch").distinct().collect()
-        ]
+        # stamp enumeration from the hive directory names (r16): the
+        # same distinct set, driver-side — epochs.hive_partition_values
+        from .epochs import hive_partition_values
+
+        stamps = sorted(
+            hive_partition_values(self.wh.path(cur_vec), "__batch")
+        )
         # integer-orderability over ALL stamps first (loud failure on
         # ad-hoc ids), then the merge subset and its watermark
         epoch_watermark(stamps)
@@ -1163,7 +1166,7 @@ class IvfIndex:
                 self.wh.path(new_vec),
                 partition_by=[self.cell_col, "__batch"],
             )
-            self.wh.overwrite(new_cent, self.wh.read(cur_cent))
+            self.wh.copy_table(cur_cent, new_cent)
             if tombs is not None and not purge:
                 # bounded merge: tombstones stay live on the new version
                 self.wh.overwrite(new_tomb, tombs)
@@ -1237,7 +1240,7 @@ class IvfIndex:
         phantom skew verdict."""
         self._validate()
         if self.versioned:
-            vrow = self.wh.read(self.version_table).collect()[0].asDict()
+            vrow = self.wh.read_rows(self.version_table)[0]
             vec_t = self._table_names(int(vrow["version"]))[0]
         else:
             vec_t = self.vectors_table
@@ -1514,9 +1517,8 @@ class IvfIndex:
             # the re-shard — copied BEFORE the flip, committed with it
             cur_tomb = self._tombstones_table(cur)
             if self.wh.exists(cur_tomb):
-                self.wh.overwrite(
-                    self._tombstones_table(cur + 1),
-                    self.wh.read(cur_tomb),
+                self.wh.copy_table(
+                    cur_tomb, self._tombstones_table(cur + 1)
                 )
             # pre-flip re-check: a concurrent absorb/delete that landed
             # in version `cur` after the snapshot would be abandoned by
@@ -1544,12 +1546,10 @@ class IvfIndex:
         n_cells: int,
         compacted_through: int | None = None,
     ) -> None:
-        self.wh.overwrite(
+        self.wh.overwrite_rows(
             self.version_table,
-            self.wh.spark.createDataFrame(
-                [(int(version), int(n_cells), compacted_through)],
-                "version int, n_cells int, compacted_through long",
-            ),
+            [(int(version), int(n_cells), compacted_through)],
+            "version int, n_cells int, compacted_through long",
         )
 
     def prune_versions(self, keep: int = 1) -> list[str]:

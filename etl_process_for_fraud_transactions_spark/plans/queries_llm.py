@@ -2451,15 +2451,17 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # job barriers, see BASELINE). The served topk frames are built
     # AFTER the scope exits, so serving plans at the session's own
     # setting.
-    from ..session import scratch_shuffle_partitions
+    from ..session import run_concurrently, scratch_shuffle_partitions
 
-    with scratch_shuffle_partitions(spark, 8):
+    def _ivf_cycle():
         ividx.build(emb_dq, assigned=True)
         ividx.delete(
             spark.createDataFrame(
                 [(int(i),) for i in _IVF_DELETED], "vec_id: long"
             )
         )
+
+    def _pq_cycle():
         # r14 (late): the frozen signed-permutation OPQ rotation rides
         # the store — encode quantizes the ROTATED vectors, serving
         # rotates the bounded query frame, the opq flag rides meta +
@@ -2473,6 +2475,13 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [(int(i),) for i in _PQ_DELETED], "vec_id: long"
             )
         )
+
+    with scratch_shuffle_partitions(spark, 8):
+        # the two persisted cycles touch DISJOINT scratch stores —
+        # overlap them so one cycle's tasks fill the other's job
+        # barriers (guide §2.6); store contents and served plans are
+        # unchanged
+        run_concurrently(_ivf_cycle, _pq_cycle)
 
     ivf_leg = ividx.topk(queries_df, k=10, nprobe=3, sim_round=6).select(
         F.lit("ivf_int8").alias("leg"),

@@ -636,9 +636,9 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 200 real tasks per shuffle would be scheduled. The served plan
     # below executes after the scope exits, so its shape is untouched
     # either way.
-    from ..session import scratch_shuffle_partitions
+    from ..session import run_concurrently, scratch_shuffle_partitions
 
-    with scratch_shuffle_partitions(spark, 8):
+    def _bm25_cycle():
         idx.build(docs.filter(F.col("doc_id") < s1))
         idx.absorb(epoch1, batch=1)
         idx.absorb(docs.filter(F.col("doc_id") >= s2), batch=2)
@@ -652,7 +652,13 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # must no-op this (skip broken -> epoch-1 rows land alongside
         # their __compacted__ copies -> hash flips)
         idx.absorb(epoch1, batch=1)
-        hivf.build(emb, assigned=True)
+
+    with scratch_shuffle_partitions(spark, 8):
+        # the keyword-index cycle and the vector-index build touch
+        # DISJOINT scratch stores — overlapping them fills the
+        # fixture-scale job-barrier gaps (guide §2.6) without changing
+        # either store's contents or the served plan
+        run_concurrently(_bm25_cycle, lambda: hivf.build(emb, assigned=True))
 
     qmap = {"q_join_path": 0, "q_window_sort": 1, "q_stream": 2}
     qv = spark.createDataFrame(

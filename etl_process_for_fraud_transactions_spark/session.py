@@ -88,6 +88,29 @@ def scratch_shuffle_partitions(spark: SparkSession, n: int = 8):
             spark.conf.set(key, old)
 
 
+def run_concurrently(*thunks):
+    """Run INDEPENDENT eager maintenance jobs from driver threads so
+    one job's tasks back-fill executors idled by another's job
+    barriers (optimization guide §2.6: actions are only sequential
+    because driver code calls them sequentially). The callers here are
+    index maintenance cycles on disjoint scratch stores — e.g. the
+    bm25 row's keyword-index cycle and its vector-index build — whose
+    fixture-scale floor is sequential job-barrier latency, not data.
+    Results return in argument order; the first raised exception
+    propagates after all threads finish (the pool join guarantees no
+    thread outlives the call). Spark job submission is thread-safe;
+    session-level SQL confs (e.g. a surrounding
+    scratch_shuffle_partitions scope) are shared by every thread, so
+    set scopes OUTSIDE this call, never inside a thunk."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def cluster_profile(
     executors: int = 1000,
     cores_per_executor: int = 4,

@@ -42,6 +42,165 @@ def atomic_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = 
     df.sparkSession.catalog.refreshByPath(path)
 
 
+#: DDL scalar type -> pyarrow type, for the driver-side metadata I/O
+#: fast path below. Only the types the one-row pointer/meta schemas
+#: actually use — anything else must take the Spark writer.
+_DDL_ARROW_TYPES: dict[str, "object"] = {}
+
+
+def _ddl_arrow_schema(ddl: str):
+    """Parse a Spark DDL string ("name type, ..." or "name: type, ...")
+    into a pyarrow schema with EXACTLY the physical types Spark's own
+    parquet writer would produce for it, so readers cannot tell the two
+    writers apart. Raises KeyError on a type outside the supported
+    scalar set — callers then belong on the Spark path."""
+    import pyarrow as pa
+
+    if not _DDL_ARROW_TYPES:
+        _DDL_ARROW_TYPES.update(
+            {
+                "int": pa.int32(),
+                "integer": pa.int32(),
+                "long": pa.int64(),
+                "bigint": pa.int64(),
+                "short": pa.int16(),
+                "smallint": pa.int16(),
+                "float": pa.float32(),
+                "real": pa.float32(),
+                "double": pa.float64(),
+                "string": pa.string(),
+                "boolean": pa.bool_(),
+            }
+        )
+    fields = []
+    depth = 0
+    part = ""
+    parts = []
+    for ch in ddl:  # split on top-level commas only (array<...> nests)
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(part)
+            part = ""
+        else:
+            part += ch
+    parts.append(part)
+    for part in parts:
+        name, typ = part.replace(":", " ").split()
+        typ = typ.lower()
+        if typ.startswith("array<") and typ.endswith(">"):
+            # Spark writes arrays as 3-level compliant lists with the
+            # element field named "element"; match it exactly so the
+            # files are indistinguishable from Spark-written ones
+            elem = _DDL_ARROW_TYPES[typ[6:-1]]
+            fields.append(
+                pa.field(name, pa.list_(pa.field("element", elem)))
+            )
+        else:
+            fields.append(pa.field(name, _DDL_ARROW_TYPES[typ]))
+    return pa.schema(fields)
+
+
+def write_rows_atomic(spark: SparkSession, path: str, rows, ddl: str) -> None:
+    """Driver-side atomic overwrite for BOUNDED literal metadata rows
+    (version pointers, meta markers, watermark rows). Same tmp-dir +
+    rename-swap crash semantics as `atomic_overwrite`, but the parquet
+    file is written by pyarrow in the driver process: a one-row pointer
+    flip costs a file write, not a full Spark job (measured on the test
+    box: ~1.7 s for a one-row `createDataFrame(...).write.parquet` —
+    RDD-backed plan, task scheduling, commit protocol — vs ~2 ms here;
+    an index maintenance cycle flips several such rows). The schema is
+    the same DDL string the Spark writer was given, mapped to identical
+    parquet physical types, so downstream Spark reads see byte-for-byte
+    equivalent metadata. Scale shape: these tables are one row at ANY
+    corpus size — metadata belongs on the driver (guide §5), exactly
+    like `table_inventory`'s listing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = _ddl_arrow_schema(ddl)
+    cols = {
+        f.name: pa.array([r[i] for r in rows], type=f.type)
+        for i, f in enumerate(schema)
+    }
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp)
+    pq.write_table(
+        pa.table(cols, schema=schema),
+        os.path.join(tmp, "part-00000.parquet"),
+        compression="snappy",
+    )
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    spark.catalog.refreshByPath(path)
+
+
+def count_rows_path(path: str) -> int:
+    """Exact row count of a parquet table directory from the file
+    FOOTERS (parquet metadata carries num_rows) — no data read, no
+    Spark job. The count a `spark.read.parquet(path).count()` returns,
+    for bounded tables whose count gates driver-side decisions
+    (e.g. the occupied-cell count of a centroids table)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root_, _, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")) or not (
+                f.endswith(".parquet") or f.startswith("part-")
+            ):
+                continue
+            total += pq.ParquetFile(os.path.join(root_, f)).metadata.num_rows
+    return total
+
+
+def copy_table_atomic(spark: SparkSession, src: str, dst: str) -> None:
+    """Byte-identical table copy via driver-side file copy + atomic
+    swap. A version-carry (codebooks/centroids/tombstones copied
+    unchanged to the next version's table name during compact/retrain)
+    was a Spark read+rewrite job per table; the files already ARE the
+    rows, so copying them is strictly cheaper at any scale (an object
+    store's server-side copy is the cluster analog). Same tmp-dir +
+    rename crash semantics as `atomic_overwrite`."""
+    tmp = f"{dst}__tmp_{uuid.uuid4().hex[:8]}"
+    shutil.copytree(src, tmp)
+    old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(dst):
+        os.rename(dst, old)
+    os.rename(tmp, dst)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    spark.catalog.refreshByPath(dst)
+
+
+def read_rows_path(path: str) -> list[dict]:
+    """Driver-side read of a small, unpartitioned parquet table
+    directory -> list of row dicts (the `.collect()[0].asDict()`
+    shape). The one-row pointer/meta reads each cost a Spark job
+    (~0.7 s measured) through `spark.read.parquet(...).collect()`;
+    pyarrow reads the same files in ~2 ms. Reads Spark-written and
+    pyarrow-written files alike; row order across part files is not
+    defined (callers read one-row tables or treat rows as a set)."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if not f.startswith(("_", "."))
+        and (f.endswith(".parquet") or f.startswith("part-"))
+    )
+    out: list[dict] = []
+    for f in files:
+        out.extend(pq.read_table(f).to_pylist())
+    return out
+
+
 class ConcurrentMaintenanceError(RuntimeError):
     """A versioned maintenance op (build/compact/retrain) refused its
     pointer flip because the version pointer MOVED while it ran —
@@ -194,6 +353,30 @@ class Warehouse:
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         atomic_overwrite(df, self.path(table))
+
+    def overwrite_rows(self, table: str, rows, ddl: str) -> None:
+        """Atomic overwrite of a BOUNDED literal row set (version
+        pointers, meta markers) without a Spark job — see
+        `write_rows_atomic`. `rows` is a list of tuples in `ddl`
+        column order, exactly what `spark.createDataFrame(rows, ddl)`
+        would take."""
+        write_rows_atomic(self.spark, self.path(table), rows, ddl)
+
+    def read_rows(self, table: str) -> list[dict]:
+        """Driver-side read of a small metadata table -> row dicts,
+        without a Spark job — see `read_rows_path`. Callers must
+        `exists()`-check first, like `read`."""
+        return read_rows_path(self.path(table))
+
+    def copy_table(self, src: str, dst: str) -> None:
+        """Byte-identical atomic table copy without a Spark job — see
+        `copy_table_atomic`."""
+        copy_table_atomic(self.spark, self.path(src), self.path(dst))
+
+    def count_rows(self, table: str) -> int:
+        """Exact row count from parquet footers, no Spark job — see
+        `count_rows_path`."""
+        return count_rows_path(self.path(table))
 
     def append(self, table: str, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path(table))

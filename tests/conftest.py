@@ -86,6 +86,9 @@ CORE_MODULES = {
     "test_rules",
     "test_writer_race",      # multi-writer contract, all families
     "test_bench_drift",
+    # r16: driver-side metadata I/O fast path + §2.6 overlap helper —
+    # every index family's pointer flip rides these primitives now
+    "test_warehouse_fastpath",
 }
 
 CORE_TESTS = {

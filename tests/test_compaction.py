@@ -934,15 +934,25 @@ def test_ivf_absorb_resolves_pointer_in_one_read(spark, tmp_path):
     wh, idx = _ivf(spark, tmp_path, versioned=True)
     idx.absorb(_epoch(spark, [10]), batch=1)
 
+    # r16: pointer rows are read driver-side (warehouse.read_rows) —
+    # count THAT choke point; the invariant is unchanged (exactly one
+    # joint version+watermark resolution per absorb)
     reads = {"n": 0}
     orig_read = wh.read
+    orig_read_rows = wh.read_rows
 
     def counting_read(table, *a, **kw):
         if table == idx.version_table:
             reads["n"] += 1
         return orig_read(table, *a, **kw)
 
+    def counting_read_rows(table, *a, **kw):
+        if table == idx.version_table:
+            reads["n"] += 1
+        return orig_read_rows(table, *a, **kw)
+
     wh.read = counting_read
+    wh.read_rows = counting_read_rows
     try:
         idx.absorb(_epoch(spark, [11]), batch=2)
         assert reads["n"] == 1, (
@@ -957,3 +967,4 @@ def test_ivf_absorb_resolves_pointer_in_one_read(spark, tmp_path):
         assert reads["n"] == 1
     finally:
         wh.read = orig_read
+        wh.read_rows = orig_read_rows
