@@ -80,3 +80,67 @@ def any_attr_differs(left_prefix: str, right_prefix: str, attrs: Iterable[str]) 
         F.col(f"{left_prefix}.{a}") != F.col(f"{right_prefix}.{a}") for a in attrs
     ]
     return reduce(or_, terms)
+
+
+# --- driver-side XXH64 (bit-exact twin of F.xxhash64 on strings) ----------
+
+_XXH_M = (1 << 64) - 1
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _XXH_M
+
+
+def xxhash64_str(s: str, seed: int = 42) -> int:
+    """Bit-exact driver-side twin of ``F.xxhash64(string_col)`` —
+    the public XXH64 algorithm (Collet's spec) over the UTF-8 bytes
+    with Spark's default seed 42, returned as the same signed 64-bit
+    value Spark produces. Lets a bounded, driver-held probe set (the
+    Bm25 serving path's query terms) derive its partition-pruning
+    bucket ids without scheduling a Spark job; the equality with
+    ``F.xxhash64`` is property-pinned in tests/test_retrieval.py, so
+    a Spark-side hashing change would fail loudly rather than prune
+    the wrong buckets."""
+    data = s.encode("utf-8")
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _XXH_M
+        v2 = (seed + _XXH_P2) & _XXH_M
+        v3 = seed & _XXH_M
+        v4 = (seed - _XXH_P1) & _XXH_M
+        while i + 32 <= n:
+            v1 = (_xxh_rotl((v1 + int.from_bytes(data[i:i + 8], "little") * _XXH_P2) & _XXH_M, 31) * _XXH_P1) & _XXH_M
+            v2 = (_xxh_rotl((v2 + int.from_bytes(data[i + 8:i + 16], "little") * _XXH_P2) & _XXH_M, 31) * _XXH_P1) & _XXH_M
+            v3 = (_xxh_rotl((v3 + int.from_bytes(data[i + 16:i + 24], "little") * _XXH_P2) & _XXH_M, 31) * _XXH_P1) & _XXH_M
+            v4 = (_xxh_rotl((v4 + int.from_bytes(data[i + 24:i + 32], "little") * _XXH_P2) & _XXH_M, 31) * _XXH_P1) & _XXH_M
+            i += 32
+        h = (
+            _xxh_rotl(v1, 1) + _xxh_rotl(v2, 7)
+            + _xxh_rotl(v3, 12) + _xxh_rotl(v4, 18)
+        ) & _XXH_M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ ((_xxh_rotl((v * _XXH_P2) & _XXH_M, 31) * _XXH_P1) & _XXH_M)) * _XXH_P1 + _XXH_P4) & _XXH_M
+    else:
+        h = (seed + _XXH_P5) & _XXH_M
+    h = (h + n) & _XXH_M
+    while i + 8 <= n:
+        h = ((_xxh_rotl(h ^ ((_xxh_rotl((int.from_bytes(data[i:i + 8], "little") * _XXH_P2) & _XXH_M, 31) * _XXH_P1) & _XXH_M), 27) * _XXH_P1) + _XXH_P4) & _XXH_M
+        i += 8
+    if i + 4 <= n:
+        h = ((_xxh_rotl(h ^ ((int.from_bytes(data[i:i + 4], "little") * _XXH_P1) & _XXH_M), 23) * _XXH_P2) + _XXH_P3) & _XXH_M
+        i += 4
+    while i < n:
+        h = (_xxh_rotl(h ^ ((data[i] * _XXH_P5) & _XXH_M), 11) * _XXH_P1) & _XXH_M
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _XXH_M
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _XXH_M
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h

@@ -789,37 +789,45 @@ class Bm25Index:
             post = post.withColumn(_BATCH_COL, F.lit(str(batch)))
             dl = dl.withColumn(_BATCH_COL, F.lit(str(batch)))
             post_parts.append(_BATCH_COL)
-            # postings and doclens derive independently from `docs` —
-            # overlap the two writes (guide §2.6); stats then reads the
-            # persisted doclens (its stated contract), so it follows
+            # postings and doclens derive independently from `docs`;
+            # stats reads the PERSISTED doclens (its stated contract),
+            # so it nests after the doclens write — the whole
+            # doclens->stats chain then overlaps the heavier postings
+            # write (guide §2.6: postings ∥ (doclens -> stats))
             from ..session import run_concurrently
+
+            def _dl_then_stats():
+                atomic_overwrite(
+                    dl, self.wh.path(dl_t),
+                    partition_by=[_BATCH_COL],
+                )
+                atomic_overwrite(
+                    self._batch_stats(dl_t, batch),
+                    self.wh.path(stats_t),
+                    partition_by=[_BATCH_COL],
+                )
 
             run_concurrently(
                 lambda: atomic_overwrite(
                     post, self.wh.path(post_t),
                     partition_by=post_parts,
                 ),
-                lambda: atomic_overwrite(
-                    dl, self.wh.path(dl_t),
-                    partition_by=[_BATCH_COL],
-                ),
-            )
-            atomic_overwrite(
-                self._batch_stats(dl_t, batch),
-                self.wh.path(stats_t),
-                partition_by=[_BATCH_COL],
+                _dl_then_stats,
             )
         else:
             from ..session import run_concurrently
 
+            def _dl_then_stats():
+                self.wh.overwrite(dl_t, dl)
+                self.wh.overwrite(stats_t, self._batch_stats(dl_t, batch))
+
             run_concurrently(
                 lambda: atomic_overwrite(
                     post, self.wh.path(post_t),
                     partition_by=post_parts,
                 ),
-                lambda: self.wh.overwrite(dl_t, dl),
+                _dl_then_stats,
             )
-            self.wh.overwrite(stats_t, self._batch_stats(dl_t, batch))
         id_type = docs.schema[self.id_col].dataType.simpleString()
         if self.versioned:
             # pre-flip re-check: refuse (loudly, pointer untouched) if
@@ -980,27 +988,30 @@ class Bm25Index:
                 )
             from ..session import run_concurrently
 
-            # the postings and doclens epoch writes are independent —
-            # overlap them (guide §2.6); the stats row then reads the
-            # persisted doclens partition (its stated contract)
+            # the postings and doclens epoch writes are independent;
+            # the batch's one stats row lands as a dynamic partition
+            # overwrite of ITS OWN __batch partition (a re-offered
+            # epoch rewrites its stats exactly like its postings, so
+            # replay can never double-count N/avgdl) and reads the
+            # PERSISTED doclens partition, so it nests after that
+            # write — postings ∥ (doclens -> stats), guide §2.6
+            def _dl_then_stats():
+                self.wh.append_partitioned(
+                    dl_t,
+                    dl.withColumn(_BATCH_COL, F.lit(str(batch))),
+                    _BATCH_COL,
+                )
+                self.wh.append_partitioned(
+                    stats_t, self._batch_stats(dl_t, batch), _BATCH_COL
+                )
+
             run_concurrently(
                 lambda: self.wh.append_partitioned(
                     post_t,
                     post.withColumn(_BATCH_COL, F.lit(str(batch))),
                     ["__tb", _BATCH_COL],
                 ),
-                lambda: self.wh.append_partitioned(
-                    dl_t,
-                    dl.withColumn(_BATCH_COL, F.lit(str(batch))),
-                    _BATCH_COL,
-                ),
-            )
-            # the batch's one stats row lands as a dynamic partition
-            # overwrite of ITS OWN __batch partition — a re-offered
-            # epoch rewrites its stats exactly like its postings, so
-            # replay can never double-count N/avgdl
-            self.wh.append_partitioned(
-                stats_t, self._batch_stats(dl_t, batch), _BATCH_COL
+                _dl_then_stats,
             )
         else:
             if batch is not None:
@@ -1008,23 +1019,28 @@ class Bm25Index:
                     "batch stamps need a partitioned index "
                     "(Bm25Index(partitioned=True))"
                 )
-            post.write.mode("append").partitionBy("__tb").parquet(
-                self.wh.path(post_t)
-            )
-            self.wh.append(dl_t, dl)
-            # blind O(1)-row append, same duplicate-on-replay contract
-            # as the unpartitioned postings append. Stats aggregate
-            # the BATCH frame (an unpartitioned doclens read-back
-            # could not isolate the new rows from the old corpus) —
-            # one O(batch) pass, never O(corpus).
-            self.wh.append(
-                stats_t,
-                dl.agg(
-                    F.lit("__absorb__").alias(_BATCH_COL),
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.coalesce(F.sum("dl"), F.lit(0))
-                    .cast("bigint")
-                    .alias("sum_dl"),
+            from ..session import run_concurrently
+
+            # all three appends are independent here: the stats row
+            # aggregates the BATCH frame (an unpartitioned doclens
+            # read-back could not isolate the new rows from the old
+            # corpus) — one O(batch) pass, never O(corpus), and a
+            # blind O(1)-row append with the same duplicate-on-replay
+            # contract as the postings append. Overlap them (§2.6).
+            run_concurrently(
+                lambda: post.write.mode("append")
+                .partitionBy("__tb")
+                .parquet(self.wh.path(post_t)),
+                lambda: self.wh.append(dl_t, dl),
+                lambda: self.wh.append(
+                    stats_t,
+                    dl.agg(
+                        F.lit("__absorb__").alias(_BATCH_COL),
+                        F.count(F.lit(1)).alias("n_docs"),
+                        F.coalesce(F.sum("dl"), F.lit(0))
+                        .cast("bigint")
+                        .alias("sum_dl"),
+                    ),
                 ),
             )
 
@@ -1505,13 +1521,27 @@ class Bm25Index:
                 "n_terms_matched bigint, score double",
             )
         # partition pruning: bucket ids of the bounded term set via the
-        # SAME xxhash64 the writer used (one tiny job, no corpus scan)
-        buckets = [
-            r[0]
-            for r in qterms.select(
-                F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets))
-            ).distinct().collect()
-        ]
+        # SAME xxhash64 the writer used. Mapping input (r16): the terms
+        # are already in the driver's hands, so the bucket ids come
+        # from the bit-exact driver-side XXH64 twin (functions.core.
+        # xxhash64_str, property-pinned against F.xxhash64) — no Spark
+        # job; DataFrame input keeps the one tiny job (no corpus scan
+        # either way). Python's % IS pmod for a positive modulus.
+        if isinstance(queries, DataFrame):
+            buckets = [
+                r[0]
+                for r in qterms.select(
+                    F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets))
+                ).distinct().collect()
+            ]
+        else:
+            from ..functions.core import xxhash64_str
+
+            buckets = sorted({
+                xxhash64_str(term.lower()) % self.n_buckets
+                for terms in queries.values()
+                for term in terms
+            })
         post = (
             self.wh.read(post_t)
             .filter(F.col("__tb").isin(buckets))

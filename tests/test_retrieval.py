@@ -962,3 +962,33 @@ def test_bm25_absorb_stats_escape_collision_takes_fallback(
     }
     assert stats["ep 1"] == (1, 5), stats
     assert stats["ep%201"] == (1, 2), stats
+
+
+def test_xxhash64_str_matches_spark(spark):
+    """The driver-side XXH64 twin must be bit-exact with F.xxhash64 on
+    strings — Bm25Index.topk derives its partition-pruning bucket ids
+    from it for Mapping inputs (r16); a divergence would silently
+    prune the wrong term buckets."""
+    from pyspark.sql import functions as F
+
+    from etl_process_for_fraud_transactions_spark.functions.core import (
+        xxhash64_str,
+    )
+
+    vals = [
+        "", "a", "ab", "abc", "abcd", "abcdefgh", "abcdefghi",
+        "merge", "window", "sort", "hash join", "x" * 31, "x" * 32,
+        "x" * 100, "0123456789abcdef0123456789abcdefXY",
+        "é中\U0001F600 mixed", "ライト", "é́ combining",
+    ] + [f"tok{i}" for i in range(50)]
+    got = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v string")
+        .select("v", F.xxhash64("v").alias("h"))
+        .collect()
+    }
+    for v in vals:
+        assert xxhash64_str(v) == got[v], repr(v)
+    # and the pmod the pruning actually uses
+    for v in vals:
+        assert xxhash64_str(v) % 64 == (got[v] % 64 + 64) % 64
