@@ -802,11 +802,20 @@ class IvfIndex:
         )
         # centroids from the PERSISTED assignment so both tables agree
         # (in quantized mode: from the DEQUANTIZED store — serving and
-        # quantizer see the same vectors)
-        self.wh.overwrite(
-            cent_t,
-            ivf_centroids(
-                self._read_vectors(vec_t), self.cell_col, self.vec_col
+        # quantizer see the same vectors). The dim/ragged validation
+        # scan reads the same persisted table independently — overlap
+        # the two jobs (guide §2.6)
+        from ..session import run_concurrently
+
+        _, dim = run_concurrently(
+            lambda: self.wh.overwrite(
+                cent_t,
+                ivf_centroids(
+                    self._read_vectors(vec_t), self.cell_col, self.vec_col
+                ),
+            ),
+            lambda: self._frame_dim(
+                self._read_vectors(vec_t), self.vec_col
             ),
         )
         if n_cells is None:
@@ -814,9 +823,7 @@ class IvfIndex:
             # row per occupied cell), not the corpus — from the
             # parquet footers, no Spark job (r16)
             n_cells = self.wh.count_rows(cent_t)
-        self._write_meta(
-            n_cells, self._frame_dim(self._read_vectors(vec_t), self.vec_col)
-        )
+        self._write_meta(n_cells, dim)
         self._stored_meta = self.wh.read_rows(self.meta_table)[0]
         if nprobe_recall_target is not None:
             self.calibrate_nprobe(
