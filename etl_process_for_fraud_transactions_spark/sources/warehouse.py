@@ -195,6 +195,16 @@ def read_rows_path(path: str) -> list[dict]:
         if not f.startswith(("_", "."))
         and (f.endswith(".parquet") or f.startswith("part-"))
     )
+    if not files and any(
+        os.path.isdir(os.path.join(path, d)) for d in os.listdir(path)
+    ):
+        # a hive-PARTITIONED table (data under col=value subdirs):
+        # this flat reader would silently return [] — refuse loudly;
+        # partitioned tables belong on the Spark reader
+        raise ValueError(
+            f"read_rows_path: '{path}' holds partitioned data "
+            "(subdirectories, no top-level files) — use wh.read()"
+        )
     out: list[dict] = []
     for f in files:
         out.extend(pq.read_table(f).to_pylist())

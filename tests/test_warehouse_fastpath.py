@@ -174,3 +174,15 @@ def test_run_concurrently_order_and_exceptions():
 
     with pytest.raises(ValueError):
         run_concurrently(lambda: 1, boom)
+
+
+def test_read_rows_refuses_partitioned_tables(spark, tmp_path):
+    """read_rows is the flat metadata reader: on a hive-partitioned
+    table (files under col=value subdirs) it must refuse loudly, not
+    silently return zero rows."""
+    wh = Warehouse(spark, str(tmp_path))
+    spark.createDataFrame([(1, "a")], "v int, p string").write.partitionBy(
+        "p"
+    ).parquet(wh.path("part_t"))
+    with pytest.raises(ValueError, match="partitioned"):
+        wh.read_rows("part_t")
