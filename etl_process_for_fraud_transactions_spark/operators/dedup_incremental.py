@@ -349,12 +349,7 @@ class NearDupIndex:
         # beforehand leaves the new corpus OVER-filtered (safe for
         # takedowns, converges on re-run), never an un-filtered window
         # for deleted docs.
-        import os
-        import shutil
-
-        tomb_p = self.wh.path(self.tombstones_table)
-        if os.path.isdir(tomb_p):
-            shutil.rmtree(tomb_p)
+        self.wh.remove_table(self.tombstones_table)
         self._params_ok = True
 
     def absorb(self, accepted: DataFrame, batch=None) -> None:
@@ -610,12 +605,7 @@ class NearDupIndex:
                 collapsed, self.wh.path(table), partition_by=[BATCH_COL]
             )
         if purge:
-            import os
-            import shutil
-
-            p = self.wh.path(self.tombstones_table)
-            if os.path.isdir(p):
-                shutil.rmtree(p)
+            self.wh.remove_table(self.tombstones_table)
         return {
             "stamps_merged": len(merged),
             "compacted_through": wm,

@@ -168,12 +168,21 @@ def hive_partition_values(path: str, col: str) -> set[str]:
     characters are URL-unquoted, so ad-hoc stamps round-trip exactly
     and the integer-orderability guard still fires on them. Only
     directories that contain at least one data file count — an empty
-    leftover directory has no rows, matching the distinct()."""
+    leftover directory has no rows, matching the distinct().
+
+    Hadoop `_temporary` staging trees are pruned (the table_inventory
+    convention, ADVICE r16): a concurrent in-flight append stages its
+    partition directories under `_temporary` before the commit
+    rename, and a stamp surfaced from there is one the replaced
+    `distinct()` could never see — a compact() merging it would
+    advance the watermark past an epoch that commits later, turning
+    its replay into a silent no-op."""
     from urllib.parse import unquote
 
     prefix = f"{col}="
     out: set[str] = set()
     for root_, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != "_temporary"]
         name = os.path.basename(root_)
         if name.startswith(prefix) and any(
             f.startswith("part-") or f.endswith(".parquet")
@@ -185,10 +194,10 @@ def hive_partition_values(path: str, col: str) -> set[str]:
 
 def parquet_file_count(path: str) -> int:
     """Data-file count under a table directory (the small-files
-    metric compact() reports)."""
-    return sum(
-        1
-        for root_, _, files in os.walk(path)
-        for f in files
-        if f.startswith("part-")
-    )
+    metric compact() reports). `_temporary` staging trees are pruned
+    — uncommitted in-flight files are not part of the table."""
+    total = 0
+    for root_, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != "_temporary"]
+        total += sum(1 for f in files if f.startswith("part-"))
+    return total

@@ -1406,12 +1406,7 @@ class PqIndex:
             # rotation must not leave the stale table behind (the
             # layout flag is the authority, but a half-truth on disk
             # invites an external reader to misuse it)
-            import os as _os
-            import shutil as _shutil
-
-            rp = self.wh.path(self._rotation_table_for(books_t))
-            if _os.path.isdir(rp):
-                _shutil.rmtree(rp)
+            self.wh.remove_table(self._rotation_table_for(books_t))
         if n_cells is not None:
             self.wh.overwrite(cells_t, cents)
         default_nprobe = None
@@ -1497,12 +1492,7 @@ class PqIndex:
             # un-filtered window for deleted vectors. Versioned
             # rebuilds get this atomically: the new version has no
             # tombstone table at all.
-            import os
-            import shutil
-
-            tomb_p = self.wh.path(self._tombstones_table())
-            if os.path.isdir(tomb_p):
-                shutil.rmtree(tomb_p)
+            self.wh.remove_table(self._tombstones_table())
         return model
 
     def absorb(self, new_vectors: DataFrame, batch=None) -> None:
@@ -2175,9 +2165,6 @@ class PqIndex:
             return []
         if keep < 1:
             raise ValueError("prune_versions keep must be >= 1")
-        import os
-        import shutil
-
         cur = self._current_version()
         removed = []
         for v in range(1, cur - keep + 1):
@@ -2186,8 +2173,6 @@ class PqIndex:
                 self._tombstones_table(v),
                 self._rotation_table_for(names[1]),
             ):
-                path = self.wh.path(t)
-                if os.path.isdir(path):
-                    shutil.rmtree(path)
+                if self.wh.remove_table(t):
                     removed.append(t)
         return removed

@@ -863,12 +863,7 @@ class Bm25Index:
             # un-filtered window for deleted docs. Versioned rebuilds
             # get this atomically: the new version has no tombstone
             # table at all.
-            import os
-            import shutil
-
-            p = self.wh.path(self._tombstones_table())
-            if os.path.isdir(p):
-                shutil.rmtree(p)
+            self.wh.remove_table(self._tombstones_table())
         self._params_ok = True
 
     def prune_versions(self, keep: int = 1) -> list[str]:
@@ -884,16 +879,11 @@ class Bm25Index:
             return []
         if keep < 1:
             raise ValueError("prune_versions keep must be >= 1")
-        import os
-        import shutil
-
         cur = self._current_version()
         removed = []
         for v in range(1, cur - keep + 1):
             for t in self._table_names(v) + (self._tombstones_table(v),):
-                path = self.wh.path(t)
-                if os.path.isdir(path):
-                    shutil.rmtree(path)
+                if self.wh.remove_table(t):
                     removed.append(t)
         return removed
 
@@ -913,7 +903,19 @@ class Bm25Index:
         absorb no-ops instead of duplicating them. A batch id that
         collides with a maintenance stamp is always refused: writing
         a caller batch under `__build__` would dynamic-overwrite the
-        build partition itself."""
+        build partition itself.
+
+        Partial-failure contract (ADVICE r16): the postings and
+        doclens/stats appends run CONCURRENTLY (§2.6), so a failed
+        absorb can leave ANY subset of the three tables holding the
+        batch — including stats without postings, a state the old
+        sequential order never produced. The caller MUST re-run the
+        same batch after a failure: each table's write is a dynamic
+        partition overwrite of the batch's own partitions, so the
+        replay rewrites exactly the partial rows and converges. A
+        failed partitioned absorb that is never replayed leaves
+        N/avgdl skewed in whichever direction the surviving subset
+        implies — the stats row is NOT a commit marker."""
         self._validate()
         if batch is not None:
             guard_sentinel_batch(batch)

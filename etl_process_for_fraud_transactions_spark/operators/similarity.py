@@ -856,14 +856,9 @@ class IvfIndex:
         # previous lineage). Removed LAST — a crash beforehand leaves
         # the new corpus OVER-filtered (safe for takedowns, converges
         # on re-run), never an un-filtered window for deleted docs.
-        import os
-        import shutil
-
-        tomb_p = self.wh.path(
+        self.wh.remove_table(
             self._tombstones_table(1 if self.versioned else None)
         )
-        if os.path.isdir(tomb_p):
-            shutil.rmtree(tomb_p)
 
     def absorb(self, new_vectors: DataFrame, batch=None) -> None:
         """Assign new vectors to their nearest EXISTING centroid and
@@ -1573,17 +1568,11 @@ class IvfIndex:
             return []
         if keep < 1:
             raise ValueError("prune_versions keep must be >= 1")
-        import shutil
-
         cur = self._current_version()
         removed = []
         for v in range(1, cur - keep + 1):
             for t in self._table_names(v) + (self._tombstones_table(v),):
-                path = self.wh.path(t)
-                import os
-
-                if os.path.isdir(path):
-                    shutil.rmtree(path)
+                if self.wh.remove_table(t):
                     removed.append(t)
         return removed
 

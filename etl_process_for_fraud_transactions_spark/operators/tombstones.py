@@ -22,28 +22,16 @@ takedown scale). Either plan filters exactly the same rows."""
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# the walk itself lives behind the warehouse FS boundary (r17 pin);
+# re-exported here because this module is the probe's historical home
+from ..sources.warehouse import table_bytes_path as table_bytes
 
 #: at-rest parquet bytes above which the tombstone id set is no longer
 #: hint-forced to broadcast (Catalyst/AQE decide instead)
 TOMBSTONE_BROADCAST_MAX_BYTES = 256 << 20
-
-
-def table_bytes(path: str) -> int:
-    """At-rest data bytes under a table directory (driver-side stat —
-    no Spark job)."""
-    total = 0
-    for root_, _, files in os.walk(path):
-        for f in files:
-            if f.startswith("part-"):
-                try:
-                    total += os.path.getsize(os.path.join(root_, f))
-                except OSError:
-                    pass
-    return total
 
 
 def anti_join_tombstones(

@@ -11,9 +11,15 @@ AQE) on a real cluster.
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+#: Thread-local marker set while a run_concurrently() worker thread is
+#: executing its thunk — session-level SQL confs are shared across the
+#: pool, so conf scopes must wrap the pool, never live inside a thunk.
+_pool_local = threading.local()
 
 #: Confs that are safe (and required) to set at runtime on any session,
 #: including one the test driver built for us.
@@ -72,7 +78,17 @@ def scratch_shuffle_partitions(spark: SparkSession, n: int = 8):
     The conf is a session-level SQL conf read at each action's
     planning, so set/restore around eager actions is exact; the scope
     is NOT thread-safe (one session, concurrent queries) — the driver
-    contract runs rows sequentially."""
+    contract runs rows sequentially. Entering this scope from inside a
+    run_concurrently() thunk raises (r17, VERDICT r16 item 4): the
+    conf is shared by every sibling thread's jobs, so an inner scope
+    would race them all — wrap the pool instead."""
+    if getattr(_pool_local, "active", False):
+        raise RuntimeError(
+            "scratch_shuffle_partitions entered inside a "
+            "run_concurrently() thunk: spark.sql.shuffle.partitions is "
+            "session-level and shared across the pool's threads — set "
+            "the scope OUTSIDE run_concurrently()"
+        )
     key = "spark.sql.shuffle.partitions"
     try:
         old = spark.conf.get(key)
@@ -101,13 +117,26 @@ def run_concurrently(*thunks):
     thread outlives the call). Spark job submission is thread-safe;
     session-level SQL confs (e.g. a surrounding
     scratch_shuffle_partitions scope) are shared by every thread, so
-    set scopes OUTSIDE this call, never inside a thunk."""
+    set scopes OUTSIDE this call, never inside a thunk — enforced:
+    a thunk that enters scratch_shuffle_partitions raises (r17,
+    VERDICT r16 item 4)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    def _guarded(t):
+        def run():
+            prev = getattr(_pool_local, "active", False)
+            _pool_local.active = True
+            try:
+                return t()
+            finally:
+                _pool_local.active = prev
+
+        return run
+
     if len(thunks) == 1:
-        return [thunks[0]()]
+        return [_guarded(thunks[0])()]
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futures = [pool.submit(t) for t in thunks]
+        futures = [pool.submit(_guarded(t)) for t in thunks]
         return [f.result() for f in futures]
 
 

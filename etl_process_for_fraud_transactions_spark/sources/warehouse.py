@@ -160,6 +160,22 @@ def count_rows_path(path: str) -> int:
     return total
 
 
+def table_bytes_path(path: str) -> int:
+    """At-rest data bytes under a table directory (driver-side stat —
+    no Spark job). `_temporary` staging trees are pruned: uncommitted
+    in-flight files are not part of the table."""
+    total = 0
+    for root_, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != "_temporary"]
+        for f in files:
+            if f.startswith("part-"):
+                try:
+                    total += os.path.getsize(os.path.join(root_, f))
+                except OSError:
+                    pass
+    return total
+
+
 def copy_table_atomic(spark: SparkSession, src: str, dst: str) -> None:
     """Byte-identical table copy via driver-side file copy + atomic
     swap. A version-carry (codebooks/centroids/tombstones copied
@@ -195,12 +211,36 @@ def read_rows_path(path: str) -> list[dict]:
         if not f.startswith(("_", "."))
         and (f.endswith(".parquet") or f.startswith("part-"))
     )
+    # a hive-PARTITIONED (or mixed-layout) table holds data files in
+    # subdirectories this flat reader never lists — it would silently
+    # return [] (or, worse, only the top-level rows, ADVICE r16) —
+    # refuse loudly; partitioned tables belong on the Spark reader.
+    # `_temporary`/hidden staging trees are not table data (the
+    # table_inventory convention) and must not trigger the refusal.
+    for d in os.listdir(path):
+        sub = os.path.join(path, d)
+        if d.startswith(("_", ".")) or not os.path.isdir(sub):
+            continue
+        for sub_root, sub_dirs, sub_files in os.walk(sub):
+            sub_dirs[:] = [
+                x for x in sub_dirs if not x.startswith(("_", "."))
+            ]
+            if any(
+                not f.startswith(("_", "."))
+                and (f.endswith(".parquet") or f.startswith("part-"))
+                for f in sub_files
+            ):
+                raise ValueError(
+                    f"read_rows_path: '{path}' holds partitioned data "
+                    f"(data files under subdirectory '{d}') — use "
+                    "wh.read()"
+                )
     if not files and any(
         os.path.isdir(os.path.join(path, d)) for d in os.listdir(path)
     ):
-        # a hive-PARTITIONED table (data under col=value subdirs):
-        # this flat reader would silently return [] — refuse loudly;
-        # partitioned tables belong on the Spark reader
+        # no committed top-level data at all but subdirectories exist
+        # (hidden/staging ones included): nothing this reader could
+        # return is the table — refuse rather than hand back []
         raise ValueError(
             f"read_rows_path: '{path}' holds partitioned data "
             "(subdirectories, no top-level files) — use wh.read()"
@@ -387,6 +427,26 @@ class Warehouse:
         """Exact row count from parquet footers, no Spark job — see
         `count_rows_path`."""
         return count_rows_path(self.path(table))
+
+    def remove_table(self, table: str) -> bool:
+        """Remove a table directory outright (version pruning, the
+        tombstone purge after a full rebuild/compaction). No-op on an
+        absent table; returns whether anything was removed. The
+        recursive delete here is the warehouse's storage coupling
+        (the atomic_overwrite/os.rename posture — an object store's
+        recursive delete is the analog); operators call THIS instead
+        of touching the filesystem, the r17 FS-boundary pin
+        (tests/test_plan_invariants.py)."""
+        p = self.path(table)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+            return True
+        return False
+
+    def table_bytes(self, table: str) -> int:
+        """At-rest data bytes of a table (driver-side stat, no Spark
+        job) — the broadcast-gate probe (operators/tombstones.py)."""
+        return table_bytes_path(self.path(table))
 
     def append(self, table: str, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path(table))

@@ -603,3 +603,52 @@ def test_cap_per_domain_text_never_shuffles_on_domain(spark):
         m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
         assert m and "text" not in m.group(1), b
     assert "BroadcastHashJoin" in formatted
+
+
+def test_fs_access_confined_to_warehouse_epochs_and_file_sources():
+    """FS-boundary pin (r17, VERDICT r16 items 3/8): filesystem
+    TRAVERSAL and MUTATION (os.walk/listdir/scandir, rename/replace,
+    makedirs/remove/rmdir, every shutil call) live ONLY behind the
+    warehouse storage boundary (sources/warehouse.py), the epoch
+    partition-listing helper (operators/epochs.py), and the local-file
+    ingestion source whose subject IS the filesystem
+    (sources/files.py). Operators manipulate tables through Warehouse
+    methods (remove_table, table_bytes, read_rows, ...) so the
+    object-store port is three files, not a grep of the tree.
+    os.path.* predicates (join/isdir/exists) are allowed anywhere —
+    read-only stat dispatch, not traversal."""
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "etl_process_for_fraud_transactions_spark",
+    )
+    allowed = {
+        os.path.join("sources", "warehouse.py"),
+        os.path.join("sources", "files.py"),
+        os.path.join("operators", "epochs.py"),
+    }
+    pattern = re.compile(
+        r"\b(?:os\.walk|os\.listdir|os\.scandir|os\.rename|os\.replace"
+        r"|os\.makedirs|os\.remove|os\.rmdir|os\.unlink"
+        r"|shutil\s*\.\s*\w+|_shutil\s*\.\s*\w+)\s*\("
+    )
+    offenders = []
+    for dirpath, _, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            full = os.path.join(dirpath, fname)
+            rel = os.path.relpath(full, pkg)
+            if rel in allowed:
+                continue
+            with open(full) as fh:
+                for i, line in enumerate(fh, 1):
+                    stripped = line.split("#", 1)[0]
+                    if pattern.search(stripped):
+                        offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert offenders == [], (
+        "direct FS access outside the warehouse/epochs/file-source "
+        "boundary:\n" + "\n".join(offenders)
+    )

@@ -96,9 +96,18 @@ def test_overwrite_rows_is_atomic_swap(spark, tmp_path):
     assert wh.read_rows("t") == [
         {"version": 2, "id_type": "b", "compacted_through": 9}
     ]
-    assert not (first & set(os.listdir(wh.path("t")))) or first == {
-        "part-00000.parquet"
-    }
+    # swap cleanliness (ADVICE r16 — the old disjunction was vacuous):
+    # after the second overwrite exactly ONE data file exists and the
+    # directory holds no stale first-write files; with both writers
+    # naming their file part-00000.parquet, "exactly one file whose
+    # rows are the new row" is the assertion that bites if the swap
+    # ever degrades to an append
+    after = [
+        f
+        for f in os.listdir(wh.path("t"))
+        if not f.startswith(("_", "."))
+    ]
+    assert after == ["part-00000.parquet"]
     with pytest.raises(KeyError):
         wh.overwrite_rows("t", [(1,)], "x timestamp")
     # refused write left the table untouched
@@ -162,6 +171,17 @@ def test_hive_partition_values_equals_distinct(spark, tmp_path):
     # a fileless leftover dir has no rows -> not a stamp
     os.makedirs(os.path.join(p2, "__tb=1", "__batch=ghost"))
     assert "ghost" not in hive_partition_values(p2, "__batch")
+    # an in-flight append's staging tree (ADVICE r16): partition dirs
+    # WITH data files under _temporary are uncommitted — a stamp
+    # surfaced from there would let compact() advance the watermark
+    # past an epoch that commits later (silent replay no-op)
+    staged = os.path.join(
+        p2, "_temporary", "0", "task_1", "__tb=1", "__batch=99"
+    )
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-00000.parquet"), "wb") as f:
+        f.write(b"x")
+    assert "99" not in hive_partition_values(p2, "__batch")
 
 
 def test_run_concurrently_order_and_exceptions():
@@ -176,6 +196,33 @@ def test_run_concurrently_order_and_exceptions():
         run_concurrently(lambda: 1, boom)
 
 
+def test_conf_scope_refused_inside_run_concurrently(spark):
+    """Conf-scope rule pin (r17, VERDICT r16 item 4):
+    spark.sql.shuffle.partitions is session-level and shared by every
+    pool thread, so entering scratch_shuffle_partitions INSIDE a
+    run_concurrently thunk must raise instead of racing the sibling
+    jobs — and wrapping the pool from OUTSIDE stays legal."""
+    from etl_process_for_fraud_transactions_spark.session import (
+        scratch_shuffle_partitions,
+    )
+
+    def bad():
+        with scratch_shuffle_partitions(spark, 4):
+            return 1
+
+    with pytest.raises(RuntimeError, match="OUTSIDE"):
+        run_concurrently(bad, lambda: 2)
+    # single-thunk path takes the same guard
+    with pytest.raises(RuntimeError, match="OUTSIDE"):
+        run_concurrently(bad)
+    # the legal shape: scope outside, thunks inside
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with scratch_shuffle_partitions(spark, 4):
+        assert run_concurrently(lambda: 1, lambda: 2) == [1, 2]
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_read_rows_refuses_partitioned_tables(spark, tmp_path):
     """read_rows is the flat metadata reader: on a hive-partitioned
     table (files under col=value subdirs) it must refuse loudly, not
@@ -186,3 +233,49 @@ def test_read_rows_refuses_partitioned_tables(spark, tmp_path):
     ).parquet(wh.path("part_t"))
     with pytest.raises(ValueError, match="partitioned"):
         wh.read_rows("part_t")
+    # MIXED layout (ADVICE r16): top-level data files PLUS a col=value
+    # subdir holding data files — the flat reader would silently drop
+    # the subdirectory rows; must refuse, not truncate
+    mixed = wh.path("mixed_t")
+    sub = os.path.join(mixed, "p=b")
+    os.makedirs(sub)
+    with open(os.path.join(mixed, "part-00000.parquet"), "wb") as f:
+        f.write(b"x")
+    with open(os.path.join(sub, "part-00000.parquet"), "wb") as f:
+        f.write(b"x")
+    with pytest.raises(ValueError, match="partitioned"):
+        wh.read_rows("mixed_t")
+    # but a _temporary staging tree next to committed top-level files
+    # is NOT table data (in-flight append) — the flat read proceeds
+    wh.overwrite_rows("flat_t", [(1, "a", None)], PTR_DDL)
+    staged = os.path.join(wh.path("flat_t"), "_temporary", "0")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-00000.parquet"), "wb") as f:
+        f.write(b"x")
+    assert wh.read_rows("flat_t")[0]["version"] == 1
+
+
+def test_remove_table_and_table_bytes(spark, tmp_path):
+    """The FS-boundary accessors operators now use instead of direct
+    shutil/os.walk (r17): remove_table is a no-op-on-absent recursive
+    delete, table_bytes is the at-rest data-byte stat with _temporary
+    staging pruned."""
+    wh = Warehouse(spark, str(tmp_path))
+    assert wh.remove_table("nope") is False
+    wh.overwrite("t", spark.range(10).toDF("id"))
+    assert wh.table_bytes("t") > 0
+    staged = os.path.join(wh.path("t"), "_temporary", "0")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00" * 4096)
+    committed = wh.table_bytes("t")
+    assert committed > 0  # staging bytes never counted
+    shutil_total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(wh.path("t"))
+        for f in fs
+        if f.startswith("part-")
+    )
+    assert shutil_total == committed + 4096
+    assert wh.remove_table("t") is True
+    assert not os.path.exists(wh.path("t"))
