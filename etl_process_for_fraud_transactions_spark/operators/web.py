@@ -263,6 +263,51 @@ def filter_blocklisted_domains(
     return out.drop("__h", *sfx_cols)
 
 
+class _LocalCheckpointHandle:
+    """Duck-typed release handle for a localCheckpoint'ed frame, so
+    cap_per_domain's deterministic-release contract (`for f in
+    persisted: f.unpersist()` — ADVICE r10) covers the checkpointed
+    proxy too: DataFrame.unpersist only consults the CacheManager and
+    silently leaves a checkpoint's persisted RDD to the GC-driven
+    ContextCleaner. unpersist() here releases that RDD immediately via
+    the LogicalRDD the checkpoint plan wraps. AFTER release the frame
+    is DEAD — lineage was truncated, so any further action on a plan
+    referencing it fails loudly (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    instead of recomputing; release only after every output derived
+    from the cap result has materialized, exactly where the existing
+    contract already puts the unpersist calls. Pinned in
+    tests/test_web.py (release returns getPersistentRDDs to its
+    pre-call size), so a Spark-internal rename breaks the pin, not
+    production."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def unpersist(self, blocking: bool = False) -> DataFrame:
+        self.df._jdf.queryExecution().analyzed().rdd().unpersist(
+            bool(blocking)
+        )
+        return self.df
+
+    @property
+    def storageLevel(self):
+        """Python StorageLevel of the checkpoint's RDD (NONE once
+        released) — so release-contract probes that inspect
+        `frame.storageLevel` treat the handle like a DataFrame."""
+        from pyspark import StorageLevel
+
+        jlvl = (
+            self.df._jdf.queryExecution().analyzed().rdd().getStorageLevel()
+        )
+        return StorageLevel(
+            jlvl.useDisk(),
+            jlvl.useMemory(),
+            jlvl.useOffHeap(),
+            jlvl.deserialized(),
+            jlvl.replication(),
+        )
+
+
 def cap_per_domain(
     df: DataFrame,
     url_col: str = "url",
@@ -272,6 +317,7 @@ def cap_per_domain(
     broadcast_max_rows: int = 4_000_000,
     return_persisted: bool = False,
     over_cap_rows_hint: int | None = None,
+    materialize_ids: bool = True,
 ) -> DataFrame:
     """Keep at most `max_docs` documents per registered domain
     (deterministic: smallest ids win) — the anti-dominance policy of
@@ -355,7 +401,27 @@ def cap_per_domain(
     DataFrame object only: any further transformation
     (select/filter/withColumn) returns a new DataFrame without it, so
     capture it before wrapping the result — or use the tuple return,
-    which has no such footgun."""
+    which has no such footgun.
+
+    `materialize_ids` (r17, VERDICT r16 item 1 — guide §8 step 1 /
+    §3.3 plan truncation): the slim (id, domain) proxy is
+    localCheckpoint'ed EAGERLY, so (a) the count/rank/policy passes
+    read the materialized proxy instead of re-computing `df`'s whole
+    upstream chain once per pass — for a caller like url_curation
+    whose input is a dedup+blocklist pipeline, that upstream includes
+    a URL-normalization aggregate that otherwise executes three
+    times — and (b) the final plan embeds the upstream subtree ONCE
+    (the text branch) instead of four times, collapsing the eager
+    per-transformation Catalyst analysis this operator's joins used
+    to pay on every proxy branch (measured: the url_curation row's
+    plan-construction wall). Cost: one extra eager job + cluster
+    cache of ~tens of bytes/doc (MEMORY_AND_DISK — the §8
+    "fingerprints table", kept in cache instead of written out), and
+    localCheckpoint truncates lineage, so an executor loss during the
+    batch fails the job instead of recomputing (acceptable for a
+    batch operator; pass False to keep the fully lineage-backed
+    shape). The survivor SET is identical either way — min-id
+    prefixes of the same groups."""
     from pyspark.sql.window import Window
 
     # NULL urls yield a NULL domain, and null keys never match the
@@ -364,6 +430,18 @@ def cap_per_domain(
     # instead of bypassing the cap entirely
     dom = F.coalesce(registered_domain(F.col(url_col)), F.lit("\x00<no-url>"))
     ids = df.select(F.col(id_col), dom.alias("__dom"))
+    ids_release = None
+    if materialize_ids == "persist":
+        # fault-tolerant middle ground: execution reuses the cache but
+        # the logical plan still embeds the upstream subtree (per-pass
+        # Catalyst analysis stays; measured between the two on the
+        # url_curation row)
+        ids = ids.persist()
+        ids.count()
+        ids_release = ids
+    elif materialize_ids:
+        ids = ids.localCheckpoint(eager=True)
+        ids_release = _LocalCheckpointHandle(ids)
     # persisted: referenced by the ranking pass, the final policy join
     # AND the hint gate's count() — bounded (<= total_docs / max_docs
     # short strings), LRU-evictable like any persist
@@ -414,11 +492,15 @@ def cap_per_domain(
         .filter(F.col("__overcap").isNull() | F.col("__kept").isNotNull())
         .drop("__dom", "__overcap", "__kept")
     )
-    # cache-lifetime contract (docstring): hand the persisted frame to
-    # the caller so batch loops release it deterministically
-    result._persisted_frames = (over,)
+    # cache-lifetime contract (docstring): hand the persisted frames
+    # to the caller so batch loops release them deterministically —
+    # including the materialized proxy (a checkpoint's RDD otherwise
+    # waits on the GC-driven ContextCleaner; see _LocalCheckpointHandle
+    # for the release-kills-the-frame semantics)
+    persisted = (over,) if ids_release is None else (over, ids_release)
+    result._persisted_frames = persisted
     if return_persisted:
-        return result, (over,)
+        return result, persisted
     return result
 
 

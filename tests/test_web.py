@@ -181,7 +181,10 @@ def test_cap_per_domain_exposes_persisted_frame_for_release(spark):
     for _ in range(3):
         out = cap_per_domain(df, max_docs=3)
         out.collect()
-        assert len(out._persisted_frames) == 1
+        # r17: the over-cap aggregate AND the materialized (id, domain)
+        # proxy (a _LocalCheckpointHandle — its storageLevel property
+        # reflects the checkpoint RDD, so _live covers both kinds)
+        assert len(out._persisted_frames) == 2
         assert all(_live(f) for f in out._persisted_frames)
         for f in out._persisted_frames:
             f.unpersist(blocking=True)
@@ -409,8 +412,21 @@ def test_cap_per_domain_return_persisted_tuple(spark):
     wrapped = out.filter(F.col("doc_id") >= 0)  # attribute is gone here
     assert not hasattr(wrapped, "_persisted_frames")
     assert sorted(r.doc_id for r in wrapped.collect()) == [0, 1, 2]
-    assert len(persisted) == 1
+    # r17: the over-cap aggregate AND the materialized (id, domain)
+    # proxy (a localCheckpoint whose RDD DataFrame.unpersist cannot
+    # release — the handle can; its unpersist kills the proxy frame,
+    # which is fine exactly here: every output has materialized)
+    assert len(persisted) == 2
     for f in persisted:
+        f.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() == before
+    # the lineage-backed opt-out keeps the old single-frame contract
+    out2, persisted2 = cap_per_domain(
+        df, max_docs=3, return_persisted=True, materialize_ids=False
+    )
+    assert sorted(r.doc_id for r in out2.collect()) == [0, 1, 2]
+    assert len(persisted2) == 1
+    for f in persisted2:
         f.unpersist(blocking=True)
     assert jsc.getPersistentRDDs().size() == before
 
