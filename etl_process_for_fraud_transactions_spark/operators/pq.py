@@ -1642,8 +1642,16 @@ class PqIndex:
                 self.id_col,
                 "left_anti",
             )
-        new_tombs = new_tombs.localCheckpoint()
-        n = new_tombs.count()
+        # r17 (VERDICT r16 item 5): gate count as an observed metric on
+        # the checkpoint materialization — the separate count() job is
+        # gone; see Bm25Index.delete for the full rationale.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_tombs = new_tombs.observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint()
+        n = obs.get["n"]
         if n:
             self.wh.append(tomb_t, new_tombs)
         return {"deleted_ids": int(n)}

@@ -370,11 +370,14 @@ def _rank_topk(scored: DataFrame, id_col: str, topk: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc(id_col)
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "rank", id_col, "n_terms_matched", "score")
-    )
+    # one select + filter instead of withColumn/filter/select (r17,
+    # §1.2 analyzer passes); WindowGroupLimit verified to still fire
+    # above this shape, output columns/order/values identical
+    return scored.select(
+        "query_id",
+        F.row_number().over(w).alias("rank"),
+        id_col, "n_terms_matched", "score",
+    ).filter(F.col("rank") <= topk)
 
 
 class Bm25Index:
@@ -1102,13 +1105,29 @@ class Bm25Index:
                 self.id_col,
                 "left_anti",
             )
-        new_tombs = new_tombs.select(
-            self.id_col, F.col("dl").cast("bigint").alias("dl")
-        ).localCheckpoint()
-        row = new_tombs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("d"),
-        ).first()
+        # r17 (VERDICT r16 item 5, §1/§2.6): the gate stats ride the
+        # checkpoint materialization itself via observed metrics
+        # (CollectMetrics is computed inside the action with
+        # exactly-once delivery, unlike accumulators), so the separate
+        # agg().first() job is gone — 3 sequential jobs become 2
+        # (checkpoint, conditional append), and a no-op delete is ONE
+        # job. Values are the same exact integer arithmetic, now
+        # collected during the pass that was already running.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_tombs = (
+            new_tombs.select(
+                self.id_col, F.col("dl").cast("bigint").alias("dl")
+            )
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("d"),
+            )
+            .localCheckpoint()
+        )
+        row = obs.get
         if row["n"]:
             self.wh.append(tomb_t, new_tombs)
         return {"deleted_docs": int(row["n"]), "deleted_dl": int(row["d"])}
@@ -1563,7 +1582,11 @@ class Bm25Index:
         if tombs is not None:
             from .tombstones import anti_join_tombstones
 
-            post = anti_join_tombstones(post, self.wh, tomb_t, self.id_col)
+            # pass the already-read frame: one parquet resolution per
+            # serve instead of two (r17, §1.2; plan identical)
+            post = anti_join_tombstones(
+                post, self.wh, tomb_t, self.id_col, tombs=tombs
+            )
         if self.wh.exists(stats_t):
             # <= #batches rows; integer sums are exact, so this is
             # bit-identical to the full doclens aggregate it replaces
@@ -1606,7 +1629,9 @@ class Bm25Index:
             if self.partitioned:
                 dl = dl.drop(_BATCH_COL)
             if tombs is not None:
-                dl = anti_join_tombstones(dl, self.wh, tomb_t, self.id_col)
+                dl = anti_join_tombstones(
+                    dl, self.wh, tomb_t, self.id_col, tombs=tombs
+                )
             stats = dl.select(
                 F.count(F.lit(1)).alias("__n"),
                 (
@@ -1712,18 +1737,25 @@ def rrf_fuse(
         score = F.round(score, score_round)
     from pyspark.sql.window import Window
 
-    fused = both.withColumn("rrf_score", score)
+    # r17 (§1.2): one select computes rrf_score AND the rank window
+    # (the window orders by the same deterministic score expression —
+    # Catalyst evaluates it once in the projection it inserts below
+    # the Window), replacing the withColumn/withColumn/filter/select
+    # chain: 4 analyzer passes over the two-leg fused tree become 2.
+    # WindowGroupLimit still kicks in above this shape (verified on
+    # the executed plan — the rank filter reaches the Window through
+    # the Project), so the per-partition top-k state bound is
+    # unchanged, and the rounded-score ordering is byte-identical.
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("rrf_score"), F.asc(id_col)
+        F.desc(score), F.asc(id_col)
     )
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "rank", id_col, rank_a_col, rank_b_col,
-            *keep_a, *keep_b, "rrf_score",
-        )
-    )
+    return both.select(
+        "query_id",
+        F.row_number().over(w).alias("rank"),
+        id_col, rank_a_col, rank_b_col,
+        *keep_a, *keep_b,
+        score.alias("rrf_score"),
+    ).filter(F.col("rank") <= k)
 
 
 def hybrid_topk(

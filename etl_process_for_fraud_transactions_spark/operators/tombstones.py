@@ -40,13 +40,24 @@ def anti_join_tombstones(
     tomb_table: str,
     id_col: str,
     max_bytes: int = TOMBSTONE_BROADCAST_MAX_BYTES,
+    tombs: DataFrame | None = None,
 ) -> DataFrame:
     """`df` minus rows whose `id_col` is tombstoned — the one serving
     filter every index family applies. No-op (and no plan change at
-    all) when the tombstone table does not exist."""
-    if not wh.exists(tomb_table):
-        return df
-    ids = wh.read(tomb_table).select(id_col).distinct()
+    all) when the tombstone table does not exist.
+
+    `tombs` (r17, §1.2): a caller that already read the tombstone
+    table for its own arithmetic (Bm25Index.topk reads it for the
+    stats subtraction) passes the frame in, skipping a second
+    spark.read.parquet resolution of the same path (~0.15-0.2 s of
+    driver-side listing/inference per serve on the measured box). The
+    caller must have exists()-checked; the produced plan is identical
+    to the re-read — same source, same projection."""
+    if tombs is None:
+        if not wh.exists(tomb_table):
+            return df
+        tombs = wh.read(tomb_table)
+    ids = tombs.select(id_col).distinct()
     if table_bytes(wh.path(tomb_table)) <= max_bytes:
         ids = F.broadcast(ids)
     return df.join(ids, id_col, "left_anti")

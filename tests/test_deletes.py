@@ -143,6 +143,39 @@ def test_bm25_versioned_purge_is_atomic_in_the_pointer_flip(
     assert _served(idx) == _served(full)
 
 
+def test_delete_gate_stats_ride_the_checkpoint_materialization(
+    spark, tmp_path, monkeypatch
+):
+    """r17 (VERDICT r16 item 5): delete()'s gate stats come from
+    OBSERVED METRICS on the localCheckpoint materialization — no
+    separate count()/first() action (3 sequential jobs -> 2; a no-op
+    delete is one job). Pin: with every driver-side action method
+    poisoned, delete() must still return exact stats and land the
+    tombstones — if a refactor reintroduces a second action, this
+    fails loudly instead of silently re-adding the job."""
+    from pyspark.sql import DataFrame
+
+    idx = Bm25Index(Warehouse(spark, str(tmp_path / "wh")))
+    idx.build(_docs(spark, DOCS))
+
+    def _boom(name):
+        def poisoned(self, *a, **k):
+            raise AssertionError(
+                f"DataFrame.{name} called inside delete() — the gate "
+                "stats must ride the checkpoint's observed metrics"
+            )
+        return poisoned
+
+    with monkeypatch.context() as m:
+        for action in ("count", "first", "head", "collect", "take"):
+            m.setattr(DataFrame, action, _boom(action))
+        report = idx.delete(_ids(spark, [2, 999]))
+    assert report == {"deleted_docs": 1, "deleted_dl": 5}
+    # and the tombstones actually landed (delete filters doc 2's rows)
+    served = _served(idx)
+    assert all(r[2] != 2 for r in served)
+
+
 def test_bm25_delete_duplicate_occurrences_all_tombstoned(spark, tmp_path):
     """The caller-owns-duplicates contract: an id absorbed twice has
     two doclens occurrences — delete() tombstones BOTH (stats
